@@ -1,0 +1,254 @@
+"""The core ``Dataset`` abstraction: a Spark DataFrame of per-sample
+metadata plus dataset-level config (modalities, datatypes, paths).
+
+Reference parity: DPF's ``DatasetProcessor`` holds a pandas DataFrame
+(`/root/reference/DPF/processors/processor.py:46-49`) and mutates it in
+place. Here the metadata table is an immutable Spark DataFrame; every
+operation returns a new ``Dataset`` bound to a new lazy plan, so
+Catalyst sees the whole pipeline and can prune/push down across
+operator boundaries (the reference executes eagerly operator-at-a-time).
+
+Order semantics: pandas has an implicit stable row index the reference
+relies on (keep-first dedup, sort_index after multi-GPU splits). Spark
+has none, so ``with_row_id`` materializes an explicit monotonic id at
+ingest; every order-sensitive operator takes an explicit ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+class Dataset:
+    """Immutable metadata table + config; all ops lazy until an action.
+
+    Mirrors the user-facing surface of DPF's ``DatasetProcessor``
+    (`processors/processor.py`) re-expressed on Spark DataFrames.
+    """
+
+    def __init__(self, df: DataFrame, config: Any | None = None) -> None:
+        self.df = df
+        self.config = config
+
+    # ---------------------------------------------------------------- core
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def _wrap(self, df: DataFrame) -> "Dataset":
+        return Dataset(df, self.config)
+
+    def count(self) -> int:
+        """len(processor) — `processors/processor.py:487-488` (A2)."""
+        return self.df.count()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def to_view(self, name: str) -> None:
+        """Expose as SQL view; the reference has no SQL surface at all."""
+        self.df.createOrReplaceTempView(name)
+
+    # ------------------------------------------------------ projection/filter
+    def filter(self, condition: ColumnOrName) -> "Dataset":
+        """Row filter — `processors/processor.py:322-333` (P1)."""
+        return self._wrap(self.df.filter(condition))
+
+    where = filter
+
+    def select(self, *cols: ColumnOrName) -> "Dataset":
+        """Column projection (P3) — Catalyst prunes the scan to match."""
+        return self._wrap(self.df.select(*cols))
+
+    def with_column(self, name: str, col: Column) -> "Dataset":
+        """Column set — `processors/processor.py:60-64` (P4)."""
+        return self._wrap(self.df.withColumn(name, col))
+
+    def with_columns(self, cols: Mapping[str, Column]) -> "Dataset":
+        return self._wrap(self.df.withColumns(dict(cols)))
+
+    def with_row_id(self, name: str = "row_id") -> "Dataset":
+        """Explicit ingestion row-id replacing pandas' implicit index.
+
+        Required by keep-first dedup (D1) and order restoration (D5,
+        `filters/multigpu_filter.py:132` in the reference).
+        """
+        return self._wrap(self.df.withColumn(name, F.monotonically_increasing_id()))
+
+    def drop_null(self, subset: Sequence[str] | None = None) -> "Dataset":
+        """Failed-sample drop (P6) — `filters/data_filter.py:138-141`."""
+        return self._wrap(self.df.na.drop(subset=list(subset) if subset else None))
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "Dataset":
+        """Arbitrary df->df stage (P2) — `pipelines/pipeline_stages.py:37-47`."""
+        return self._wrap(fn(self.df))
+
+    # ----------------------------------------------------------- DDL-ish ops
+    def rename_columns(self, mapping: Mapping[str, str]) -> "Dataset":
+        """W5 — `processors/sharded_processor.py:32-41`."""
+        return self._wrap(self.df.withColumnsRenamed(dict(mapping)))
+
+    def delete_columns(self, cols: Iterable[str], protected: Iterable[str] = ()) -> "Dataset":
+        """W6 — `processors/sharded_processor.py:43-56`; required columns
+        are protected exactly as `helpers/dataframe_helper.py:30-60` does."""
+        cols = list(cols)
+        bad = set(cols) & set(protected)
+        if bad:
+            raise ValueError(f"cannot delete protected columns: {sorted(bad)}")
+        return self._wrap(self.df.drop(*cols))
+
+    def update_columns(self, new: DataFrame, key: str) -> "Dataset":
+        """W4 keyed upsert of metadata columns.
+
+        Semantics of `helpers/dataframe_helper.py:95-153`: new frame is
+        keyed 1:1; overlapping non-key columns are replaced. The new side
+        is typically small (filter output) -> broadcast hash join, no
+        shuffle of the big side.
+        """
+        overlap = [c for c in new.columns if c != key and c in self.df.columns]
+        base = self.df.drop(*overlap) if overlap else self.df
+        return self._wrap(base.join(F.broadcast(new), on=key, how="inner"))
+
+    # ----------------------------------------------------------------- joins
+    def join(
+        self,
+        other: "Dataset | DataFrame",
+        on: Any,
+        how: str = "left",
+        broadcast_other: bool = False,
+    ) -> "Dataset":
+        """J1-J3 plus the full Spark join surface (semi/anti/outer...).
+
+        The reference's only join shape is a left equi-join merging
+        filter results back (`processors/processor.py:197`); the result
+        side is small, so ``broadcast_other=True`` reproduces its cost
+        profile without shuffling the metadata table.
+        """
+        right = other.df if isinstance(other, Dataset) else other
+        if broadcast_other:
+            right = F.broadcast(right)
+        return self._wrap(self.df.join(right, on=on, how=how))
+
+    # ------------------------------------------------------------ aggregates
+    def group_by(self, *cols: ColumnOrName):
+        return self.df.groupBy(*cols)
+
+    def agg(self, *exprs: Column) -> "Dataset":
+        return self._wrap(self.df.agg(*exprs))
+
+    def distinct_values(self, col: str) -> list[Any]:
+        """A4 — `df[col].unique()` (`processors/shards_processor.py:63-65`)."""
+        return [r[0] for r in self.df.select(col).distinct().collect()]
+
+    def summary_stats(self, cols: Sequence[str]) -> DataFrame:
+        """A1 — describe()-style stats (`processors/processor.py:66-99`):
+        count/mean/std/min/25%/50%/75%/max per column, one aggregate pass
+        (the reference does a pandas describe on driver-resident data).
+        """
+        aggs: list[Column] = []
+        for c in cols:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"{c}_count"),
+                F.avg(col).alias(f"{c}_mean"),
+                F.stddev(col).alias(f"{c}_std"),
+                F.min(col).alias(f"{c}_min"),
+                F.percentile_approx(col, 0.25).alias(f"{c}_p25"),
+                F.percentile_approx(col, 0.5).alias(f"{c}_p50"),
+                F.percentile_approx(col, 0.75).alias(f"{c}_p75"),
+                F.max(col).alias(f"{c}_max"),
+            ]
+        return self.df.agg(*aggs)
+
+    def duplicates(self, cols: Sequence[str]) -> DataFrame:
+        """A5 duplicate detection — groups with count>1
+        (`validators/format_validators/sharded_validator.py:42-44`)."""
+        return (
+            self.df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+            .filter(F.col("dup_count") > 1)
+        )
+
+    # ------------------------------------------- dedup / sample / sort / set
+    def drop_duplicates(self, cols: Sequence[str] | None = None) -> "Dataset":
+        """D1 nondeterministic-keep dedup (cheap: map-side partial agg)."""
+        return self._wrap(self.df.dropDuplicates(list(cols) if cols else None))
+
+    def drop_duplicates_keep_first(
+        self, cols: Sequence[str], order_col: str
+    ) -> "Dataset":
+        """D1 with pandas keep='first' determinism
+        (`pipelines/pipeline_stages.py:50-60`): smallest ``order_col``
+        wins. Window + row_number — one shuffle on the dedup key."""
+        w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(order_col))
+        return self._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def shuffle(self, seed: int = 42) -> "Dataset":
+        """D2 full random shuffle (`pipeline_stages.py:27-34`), seeded."""
+        return self._wrap(self.df.orderBy(F.rand(seed)))
+
+    def random_sample(self, fraction: float, seed: int = 42) -> "Dataset":
+        """D3 — `processors/processor.py:295-320`."""
+        return self._wrap(self.df.sample(fraction=fraction, seed=seed))
+
+    def union(self, other: "Dataset | DataFrame") -> "Dataset":
+        """D4 — `pd.concat` (`dataset_reader.py:126-130`); by-name union."""
+        right = other.df if isinstance(other, Dataset) else other
+        return self._wrap(self.df.unionByName(right, allowMissingColumns=True))
+
+    def order_by(self, *cols: ColumnOrName) -> "Dataset":
+        return self._wrap(self.df.orderBy(*cols))
+
+    def limit(self, n: int) -> "Dataset":
+        return self._wrap(self.df.limit(n))
+
+    def offset(self, n: int) -> "Dataset":
+        """D7 head-of-range slice (`scripts/multi_gpu_filter.py:36-42`)."""
+        return self._wrap(self.df.offset(n))
+
+    def split_range(self, id_col: str, start: int, end: int) -> "Dataset":
+        """D7 explicit-id slice: [start, end)."""
+        return self._wrap(
+            self.df.filter((F.col(id_col) >= start) & (F.col(id_col) < end))
+        )
+
+    # ------------------------------------------------------------ UDF surface
+    def apply_column_filter(self, column_filter) -> "Dataset":
+        """U1 — see filters/column_filter.py."""
+        return self._wrap(column_filter(self.df))
+
+    def apply_data_filter(self, data_filter) -> "Dataset":
+        """U2 — see filters/data_filter.py."""
+        return self._wrap(data_filter(self.df))
+
+    def apply_transform(self, transform) -> "Dataset":
+        """U4 — see filters/transforms.py."""
+        return self._wrap(transform(self.df))
+
+    # --------------------------------------------------------------- physical
+    def repartition(self, n: int, *cols: ColumnOrName) -> "Dataset":
+        """D6 physical split (`np.array_split` in the reference)."""
+        if cols:
+            return self._wrap(self.df.repartition(n, *cols))
+        return self._wrap(self.df.repartition(n))
+
+    def persist(self) -> "Dataset":
+        self.df.persist()
+        return self
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode=mode)

@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup is pandas ``drop_duplicates`` on a metadata
+column (`pipelines/pipeline_stages.py:50-60`, canonically on
+``image_phash_8``). At 100 TB that generalizes to a family:
+
+- exact dedup (hash-groupBy) — one shuffle on the dedup key;
+- MinHash + LSH banding — near-dup candidate generation whose cost is
+  O(docs x bands), never O(docs^2);
+- SimHash — 64-bit fingerprint, hamming-ball lookup;
+- word-shingle Jaccard — exact similarity for verification of the
+  approximate paths (quadratic; only for candidate verification or
+  small slices);
+- embedding cosine near-dup (see similarity.py).
+
+All sketches use the md5-based `hash64` primitive so every kernel is
+bit-reproducible in DuckDB SQL (see functions/hashing.py) — the
+approximate paths are therefore *oracle-checkable*, which engine-native
+nondeterministic hashing would forbid.
+
+Scale notes: every operator here is a chain of narrow projections plus
+exactly one shuffle (groupBy doc key or band key). Word explosion
+happens map-side and is reduced by partial aggregation before the
+shuffle (Spark's hash aggregate), so the shuffled volume is one row per
+(doc, distinct word), not per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash64,
+    minhash_coeffs,
+)
+
+
+def tokenize_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, word) pairs, distinct — the word-set view of each document.
+
+    Split on single spaces to match the canonical oracle tokenization;
+    empty tokens dropped.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Exact dedup. With ``order_col``: deterministic keep-first via
+    min-id-wins groupBy when deduping on full content columns — a single
+    shuffle with map-side partial min, cheaper than a window sort."""
+    if order_col is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def reduced_word_hash(word_col: Column) -> Column:
+    """hash64 reduced mod p — the integer each minhash permutes."""
+    return hash64(word_col) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: columns mh0..mh{k-1}.
+
+    One explode -> one groupBy(id) with k partial-aggregated mins.
+    Shuffled volume: one row per (doc, distinct word) pre-reduced to one
+    row per doc by map-side combine.
+    """
+    words = tokenize_words(df, text_col, id_col)
+    h = words.withColumn("h", reduced_word_hash(F.col("word")))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: (id_a, id_b) with
+    id_a < id_b that collide in >= 1 band.
+
+    Cost model at scale: signatures (1 shuffle) -> band explode (x bands,
+    narrow) -> groupBy band bucket (1 shuffle) -> pairs within buckets.
+    Bucket sizes are bounded in practice; a hot bucket indicates true
+    mass duplication, which AQE skew-split handles.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[m.cast("string") for m in members])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col(f"b.band"),
+                F.col(f"a.bucket") == F.col(f"b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprint over the document's word set.
+
+    Bit j of the fingerprint is the sign of sum over words of
+    (+1 if bit j of hash64(word) else -1). Computed as ``bits``
+    aggregate expressions in ONE groupBy pass — no row explosion by
+    bit, no shuffle beyond the doc-key groupBy.
+    """
+    words = tokenize_words(df, text_col, id_col).withColumn(
+        "h", hash64(F.col("word"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*sums)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long") * (2**j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for pairs above ``threshold``.
+
+    Without ``candidates`` this is the quadratic verification path
+    (inverted-index self-join on words) — correct but only for small
+    slices or verification. With ``candidates`` (e.g. from
+    minhash_lsh_candidates) the join is restricted to the candidate
+    pairs, which is the scale path.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    words = tokenize_words(df, text_col, id_col)
+    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.word") == F.col("b.word"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(F.broadcast(candidates), on=["id_a", "id_b"], how="inner")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out

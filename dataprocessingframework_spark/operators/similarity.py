@@ -1,0 +1,179 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths, mirroring how a 100 TB pipeline actually runs ANN:
+
+- ``cosine_topk``: brute-force exact top-k. The query side is small and
+  broadcast, so the big side streams through one narrow stage — no
+  shuffle of the corpus, cost O(corpus x queries). This is the baseline
+  and the verifier for the approximate path.
+- ``lsh_topk``: random-hyperplane LSH. Corpus and queries are bucketed
+  by sign-pattern of dot products against shared deterministic
+  hyperplanes; only same-bucket pairs are scored. Sub-linear scored
+  pairs at the cost of recall; multiple tables raise recall.
+
+Dot products run JVM-side via ``aggregate(zip_with(...))`` — no Python
+in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.functions.hashing import hash64_py
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns (q_id, nbr_id, cos) — cos rounded to 4 decimals for stable
+    comparison; ranking uses the unrounded value with nbr_id tiebreak.
+    Self-pairs excluded. Queries are broadcast: the corpus never
+    shuffles; the only wide op is the per-query top-k (window over
+    q_id), whose input is already reduced to corpus x queries rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the md5 hash chain
+    (no RNG state, reproducible across engines/runs)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hash64_py(f"plane:{p}:{d}")
+            row.append((h % 2_000_001) / 1_000_000.0 - 1.0)  # [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = (vec . plane_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    With n_planes=8 the corpus splits into <=256 buckets, cutting scored
+    pairs ~256x at matching recall cost. At 100 TB this is the only
+    viable shape: bucket assignment is a narrow map, the join is an
+    equi-join on bucket (shuffle on bucket id, AQE-skew-splittable).
+    """
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id", "nbr_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    exact=True does the full self-join (verification path); default uses
+    LSH buckets so only same-bucket pairs are scored.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b)
+    else:
+        planes = _hyperplanes(dim, n_planes)
+        a = a.withColumn("bucket", lsh_bucket_expr(F.col("va"), planes))
+        b = b.withColumn("bucket", lsh_bucket_expr(F.col("vb"), planes))
+        pairs = a.join(b, on="bucket")
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+    )

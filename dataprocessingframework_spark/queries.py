@@ -1,0 +1,1246 @@
+"""Declared-query registry: every operator from SURVEY.md §2 with a
+Spark implementation and (where SQL-expressible) a DuckDB oracle.
+
+Each entry is ``(spark_fn, oracle_sql | None)``; ``spark_fn`` takes
+``(spark, sf_dir)`` and returns a DataFrame whose column names match the
+oracle's aliases exactly (the driver's comparator hashes values after
+sorting columns by name).
+
+Conventions for oracle parity (FIXTURES.md §3):
+- explicit ORDER BY on a unique key, or aggregate reduction;
+- floats ROUND()ed in both engines (identical expression trees over
+  doubles produce bit-identical values, so rounding is stable);
+- counts/sizes cast to BIGINT on both sides (Spark size()/row_number()
+  are 32-bit, DuckDB COUNT is 64-bit — align explicitly);
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all; DuckDB date_trunc returns DATE, so use CAST(ts AS DATE)
+  against Spark's to_date.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.dataset import Dataset
+from dataprocessingframework_spark.functions.hashing import (
+    MINHASH_PRIME,
+    minhash_coeffs,
+)
+from dataprocessingframework_spark.operators import (
+    dedup,
+    similarity,
+    text_analysis,
+    validators,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+P = MINHASH_PRIME
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read nanos as long and floor-convert to micros
+        # with integer division (a double division would lose precision
+        # on epoch-nanos ~1.7e18 > 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def D(spark: SparkSession, sf_dir: str, name: str) -> Dataset:
+    return Dataset(T(spark, sf_dir, name))
+
+
+# --------------------------------------------------------------------------
+# §2.1 scans
+# --------------------------------------------------------------------------
+
+
+def q_s1_files_scan(spark, sf_dir):
+    """S1: full metadata-table scan (`dataset_reader.py:256-295`)."""
+    return D(spark, sf_dir, "lineitem").df
+
+
+SQL_S1 = "SELECT * FROM lineitem"
+
+
+def q_s2_provenance(spark, sf_dir):
+    """S2: multi-shard scan provenance column (`dataset_reader.py:125-130`)."""
+    return (
+        D(spark, sf_dir, "documents")
+        .group_by("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("source")
+    )
+
+
+SQL_S2 = "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source ORDER BY source"
+
+
+def q_s4_inmemory(spark, sf_dir):
+    """S4: in-memory source (`dataset_reader.py:327-356`)."""
+    return spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], schema="a int, b string"
+    )
+
+
+SQL_S4 = "SELECT * FROM (VALUES (1,'x'),(2,'y'),(3,'z')) AS t(a, b) ORDER BY a"
+
+
+# --------------------------------------------------------------------------
+# §2.3 projection / filter
+# --------------------------------------------------------------------------
+
+
+def q_p1_filter(spark, sf_dir):
+    """P1 filter_df (`processors/processor.py:322-333`)."""
+    ds = D(spark, sf_dir, "lineitem").filter(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    )
+    return ds.agg(F.count(F.lit(1)).alias("cnt")).df
+
+
+SQL_P1 = (
+    "SELECT COUNT(*) AS cnt FROM lineitem "
+    "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+def q_p2_df_filter(spark, sf_dir):
+    """P2 add_dataframe_filter stage (`pipelines/pipeline_stages.py:37-47`)."""
+    ds = D(spark, sf_dir, "events").transform(
+        lambda df: df.filter(F.col("event_type") == "click")
+    )
+    return ds.agg(F.count(F.lit(1)).alias("cnt")).df
+
+
+SQL_P2 = "SELECT COUNT(*) AS cnt FROM events WHERE event_type = 'click'"
+
+
+def q_p3_projection(spark, sf_dir):
+    """P3 column pruning (`dataloaders/files_dataset.py:63-67`)."""
+    return (
+        D(spark, sf_dir, "lineitem")
+        .order_by("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_quantity")
+        .df
+    )
+
+
+SQL_P3 = (
+    "SELECT l_orderkey, l_quantity FROM lineitem "
+    "ORDER BY l_orderkey, l_linenumber LIMIT 100"
+)
+
+
+def q_p4_column_expr(spark, sf_dir):
+    """P4 column set (`processors/processor.py:60-64`)."""
+    return (
+        D(spark, sf_dir, "orders")
+        .with_column("total_bumped", F.round(F.col("o_totalprice") * 1.1, 2))
+        .order_by("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "total_bumped")
+        .df
+    )
+
+
+SQL_P4 = (
+    "SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS total_bumped "
+    "FROM orders ORDER BY o_orderkey LIMIT 100"
+)
+
+
+def q_p6_notnull(spark, sf_dir):
+    """P6 failed-sample drop (`filters/data_filter.py:138-141`)."""
+    ds = D(spark, sf_dir, "events").drop_null(["value"])
+    return ds.agg(F.count(F.lit(1)).alias("cnt")).df
+
+
+SQL_P6 = "SELECT COUNT(*) AS cnt FROM events WHERE value IS NOT NULL"
+
+
+# --------------------------------------------------------------------------
+# §2.4 joins
+# --------------------------------------------------------------------------
+
+
+def q_j1_filter_merge(spark, sf_dir):
+    """J1 filter-result left merge (`processors/processor.py:197`):
+    small keyed result side -> broadcast hash join, no big-side shuffle."""
+    orders = D(spark, sf_dir, "orders")
+    result = (
+        orders.group_by("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("o_custkey", "k")
+    )
+    return (
+        orders.join(result, on=F.col("o_custkey") == F.col("k"), how="left",
+                    broadcast_other=True)
+        .order_by("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "cnt")
+        .df
+    )
+
+
+SQL_J1 = (
+    "SELECT o.o_orderkey, n.cnt FROM orders o LEFT JOIN "
+    "(SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) n "
+    "ON o.o_custkey = n.k ORDER BY o.o_orderkey LIMIT 100"
+)
+
+
+def q_j3_inner(spark, sf_dir):
+    """J3 update_columns inner merge (`files_processor.py:82`)."""
+    c = D(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, on=F.col("c_custkey") == F.col("o_custkey"), how="inner")
+        .order_by("o_orderkey")
+        .limit(100)
+        .select("c_name", "o_orderkey")
+        .df
+    )
+
+
+SQL_J3 = (
+    "SELECT c.c_name, o.o_orderkey FROM customer c JOIN orders o "
+    "ON c.c_custkey = o.o_custkey ORDER BY o.o_orderkey LIMIT 100"
+)
+
+
+def q_j_semi(spark, sf_dir):
+    """Semi join (surface absent in reference, free in Spark)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    out = c.join(
+        o, on=c["c_custkey"] == o["o_custkey"], how="left_semi"
+    )
+    return out.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+SQL_J_SEMI = (
+    "SELECT COUNT(*) AS cnt FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+
+def q_j_anti(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    out = c.join(o, on=c["c_custkey"] == o["o_custkey"], how="left_anti")
+    return out.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+SQL_J_ANTI = (
+    "SELECT COUNT(*) AS cnt FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.5 aggregation
+# --------------------------------------------------------------------------
+
+
+def q_a1_summary(spark, sf_dir):
+    """A1 summary stats (`processors/processor.py:66-99`)."""
+    return D(spark, sf_dir, "lineitem").agg(
+        F.count("l_quantity").alias("cnt_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    ).df
+
+
+SQL_A1 = (
+    "SELECT COUNT(l_quantity) AS cnt_qty, ROUND(AVG(l_quantity),4) AS avg_qty, "
+    "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
+    "ROUND(SUM(l_extendedprice),2) AS sum_price FROM lineitem"
+)
+
+
+def q_a3_group_agg(spark, sf_dir):
+    """A3 group-by aggregate (`dataloaders/shards_dataset.py:74-77`)."""
+    return (
+        D(spark, sf_dir, "orders")
+        .group_by("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_A3 = (
+    "SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS total "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
+def q_a4_count_distinct(spark, sf_dir):
+    """A4 distinct values (`processors/shards_processor.py:63-65`)."""
+    return D(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("cnt")
+    ).df
+
+
+SQL_A4 = "SELECT COUNT(DISTINCT l_partkey) AS cnt FROM lineitem"
+
+
+def q_a5_dup_detect(spark, sf_dir):
+    """A5 duplicate detection (`sharded_validator.py:42-44`)."""
+    return (
+        D(spark, sf_dir, "documents")
+        .duplicates(["n_chars"])
+        .withColumnRenamed("dup_count", "c")
+        .orderBy("n_chars")
+    )
+
+
+SQL_A5 = (
+    "SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars "
+    "HAVING COUNT(*) > 1 ORDER BY n_chars"
+)
+
+
+def q_a_rollup(spark, sf_dir):
+    """Rollup (absent in reference; free via df.rollup)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_A_ROLLUP = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+    "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus, o_orderpriority"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.6 dedup / set ops / sort / limit
+# --------------------------------------------------------------------------
+
+
+def q_d1_distinct(spark, sf_dir):
+    """D1 dedup, cardinality (`pipelines/pipeline_stages.py:50-60`)."""
+    ds = D(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").drop_duplicates()
+    return ds.agg(F.count(F.lit(1)).alias("cnt")).df
+
+
+SQL_D1 = (
+    "SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+)
+
+
+def q_d1_keep_first(spark, sf_dir):
+    """D1 deterministic keep-first dedup via window (pandas keep='first')."""
+    return (
+        D(spark, sf_dir, "documents")
+        .drop_duplicates_keep_first(["lang"], "doc_id")
+        .select("lang", "doc_id")
+        .order_by("lang")
+        .df
+    )
+
+
+SQL_D1_KEEP_FIRST = (
+    "SELECT lang, MIN(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def q_d2_shuffle(spark, sf_dir):
+    """D2 seeded shuffle (`pipeline_stages.py:27-34`): content-stable."""
+    return D(spark, sf_dir, "region").shuffle(seed=42).df
+
+
+SQL_D2 = "SELECT * FROM region"
+
+
+def q_d4_union(spark, sf_dir):
+    """D4 union (`dataset_reader.py:126-130`)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return Dataset(c).union(s).agg(F.count(F.lit(1)).alias("cnt")).df
+
+
+SQL_D4 = (
+    "SELECT COUNT(*) AS cnt FROM (SELECT c_nationkey AS k FROM customer "
+    "UNION ALL SELECT s_nationkey FROM supplier)"
+)
+
+
+def q_d5_topk(spark, sf_dir):
+    """D5 sort + top-k (`filters/multigpu_filter.py:132`)."""
+    return (
+        D(spark, sf_dir, "part")
+        .order_by(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .df
+    )
+
+
+SQL_D5 = (
+    "SELECT p_partkey, p_name, p_retailprice FROM part "
+    "ORDER BY p_retailprice DESC, p_partkey LIMIT 20"
+)
+
+
+def q_d7_limit_offset(spark, sf_dir):
+    """D7 range slice (`scripts/multi_gpu_filter.py:36-42`)."""
+    return (
+        D(spark, sf_dir, "nation")
+        .order_by("n_nationkey")
+        .offset(5)
+        .limit(10)
+        .select("n_nationkey", "n_name")
+        .df
+    )
+
+
+SQL_D7 = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 10 OFFSET 5"
+
+
+def q_set_intersect(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+SQL_INTERSECT = (
+    "SELECT * FROM (SELECT c_nationkey AS k FROM customer INTERSECT "
+    "SELECT s_nationkey AS k FROM supplier) ORDER BY k"
+)
+
+
+def q_set_except(spark, sf_dir):
+    n = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return n.exceptAll(s.distinct()).distinct().orderBy("k")
+
+
+SQL_EXCEPT = (
+    "SELECT * FROM (SELECT n_nationkey AS k FROM nation EXCEPT "
+    "SELECT s_nationkey AS k FROM supplier) ORDER BY k"
+)
+
+
+def q_window_topn(spark, sf_dir):
+    """Window ranking (absent in reference; declared §2.6)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_TOPN = (
+    "SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100"
+)
+
+
+def q_window_running(spark, sf_dir):
+    """Analytic window frame: per-customer running total."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("run_total", F.round(F.sum("o_totalprice").over(w), 2))
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+        .select("o_custkey", "o_orderkey", "run_total")
+    )
+
+
+SQL_WINDOW_RUNNING = (
+    "SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total "
+    "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.7 scalar functions
+# --------------------------------------------------------------------------
+
+
+def q_f1_basename(spark, sf_dir):
+    from dataprocessingframework_spark.functions.paths import basename
+
+    return (
+        T(spark, sf_dir, "documents")
+        .select(basename("source").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("b")
+    )
+
+
+SQL_F1 = (
+    "SELECT string_split(source,'/')[-1] AS b, COUNT(*) AS cnt "
+    "FROM documents GROUP BY b ORDER BY b"
+)
+
+
+def q_f2_substring(spark, sf_dir):
+    from dataprocessingframework_spark.functions.paths import strip_prefix
+
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", strip_prefix("o_orderpriority", 2).alias("pri"))
+    )
+
+
+SQL_F2 = (
+    "SELECT o_orderkey, substring(o_orderpriority, 3) AS pri FROM orders "
+    "ORDER BY o_orderkey LIMIT 50"
+)
+
+
+def q_f3_concat(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "region")
+        .select(
+            F.concat(F.col("r_name"), F.lit("-"), F.col("r_regionkey").cast("string")).alias("rid"),
+            "r_regionkey",
+        )
+        .orderBy("r_regionkey")
+        .select("rid")
+    )
+
+
+SQL_F3 = (
+    "SELECT concat(r_name, '-', CAST(r_regionkey AS VARCHAR)) AS rid "
+    "FROM region ORDER BY r_regionkey"
+)
+
+
+def q_f4_suffix(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type").endswith("ARD"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_F4 = "SELECT COUNT(*) AS cnt FROM part WHERE p_type LIKE '%ARD'"
+
+
+def q_f5_regex_clean(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "").alias("t"),
+        )
+    )
+
+
+SQL_F5 = (
+    "SELECT doc_id, regexp_replace(lower(text), '[0-9]+', '', 'g') AS t "
+    "FROM documents ORDER BY doc_id LIMIT 50"
+)
+
+
+def q_f6_lower_trim(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(50)
+        .select("p_partkey", F.lower(F.trim(F.col("p_name"))).alias("n"))
+    )
+
+
+SQL_F6 = (
+    "SELECT p_partkey, lower(trim(p_name)) AS n FROM part ORDER BY p_partkey LIMIT 50"
+)
+
+
+def q_f7_arith(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                2,
+            ).alias("charge"),
+        )
+    )
+
+
+SQL_F7 = (
+    "SELECT l_orderkey, l_linenumber, "
+    "ROUND(l_extendedprice*(1-l_discount)*(1+l_tax), 2) AS charge "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"
+)
+
+
+def q_f8_json(spark, sf_dir):
+    """F8 JSON decode (`filters/images/ocr_filter.py:102`)."""
+    return (
+        T(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50)
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+    )
+
+
+SQL_F8 = (
+    "SELECT event_id, json_extract_string(props,'$.k') AS k FROM events "
+    "ORDER BY event_id LIMIT 50"
+)
+
+
+def q_f9_least_greatest(spark, sf_dir):
+    return T(spark, sf_dir, "part").agg(
+        F.max(F.greatest(F.col("p_size"), F.lit(10))).alias("mx"),
+        F.min(F.least(F.col("p_size"), F.lit(10))).alias("mn"),
+    )
+
+
+SQL_F9 = "SELECT MAX(GREATEST(p_size,10)) AS mx, MIN(LEAST(p_size,10)) AS mn FROM part"
+
+
+def q_f_date_trunc(spark, sf_dir):
+    """Date functions (absent in reference; declared §2.7)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("d")
+    )
+
+
+SQL_F_DATE = (
+    "SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d ORDER BY d"
+)
+
+
+def q_f_time_bucket(spark, sf_dir):
+    """Tumbling event-time window, batch parity for the streaming surface
+    (§2.12): Spark F.window == DuckDB time_bucket (epoch-aligned)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+SQL_F_TIME_BUCKET = (
+    "SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type, "
+    "COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value "
+    "FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.11 validators as queries
+# --------------------------------------------------------------------------
+
+
+def q_v2_key_unique(spark, sf_dir):
+    dups = validators.duplicate_keys(
+        T(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+    return dups.agg(F.count(F.lit(1)).alias("dup_cnt"))
+
+
+SQL_V2 = (
+    "SELECT COUNT(*) AS dup_cnt FROM (SELECT l_orderkey, l_linenumber "
+    "FROM lineitem GROUP BY 1,2 HAVING COUNT(*) > 1)"
+)
+
+
+def q_v3_referential(spark, sf_dir):
+    orphan = validators.orphans(
+        T(spark, sf_dir, "orders"),
+        T(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+    return orphan.agg(F.count(F.lit(1)).alias("orphan_cnt"))
+
+
+SQL_V3 = (
+    "SELECT COUNT(*) AS orphan_cnt FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.2 metadata ops (W4-W6)
+# --------------------------------------------------------------------------
+
+
+def q_w4_update_columns(spark, sf_dir):
+    orders = D(spark, sf_dir, "orders")
+    new = T(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("t2")
+    )
+    return (
+        orders.update_columns(new, "o_orderkey")
+        .order_by("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", F.round("t2", 2).alias("t2"))
+        .df
+    )
+
+
+SQL_W4 = (
+    "SELECT o.o_orderkey, ROUND(n.t2, 2) AS t2 FROM orders o JOIN "
+    "(SELECT o_orderkey, o_totalprice*2 AS t2 FROM orders) n "
+    "USING (o_orderkey) ORDER BY o_orderkey LIMIT 100"
+)
+
+
+def q_w5_rename(spark, sf_dir):
+    return (
+        D(spark, sf_dir, "orders")
+        .rename_columns({"o_totalprice": "total"})
+        .order_by("o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "total")
+        .df
+    )
+
+
+SQL_W5 = (
+    "SELECT o_orderkey, o_totalprice AS total FROM orders ORDER BY o_orderkey LIMIT 10"
+)
+
+
+def q_w6_delete(spark, sf_dir):
+    return (
+        D(spark, sf_dir, "orders")
+        .delete_columns(
+            ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+            protected=["o_orderkey"],
+        )
+        .order_by("o_orderkey")
+        .limit(10)
+        .df
+    )
+
+
+SQL_W6 = "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10"
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: text analysis (north star)
+# --------------------------------------------------------------------------
+
+
+def q_tx_token_stats(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            text_analysis.token_count("text").cast("long").alias("n_tokens"),
+            text_analysis.char_count("text").cast("long").alias("n_chars_computed"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+SQL_TX_TOKENS = (
+    "SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) "
+    "AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_computed "
+    "FROM documents ORDER BY doc_id LIMIT 200"
+)
+
+_STOPS_SQL = ",".join(f"'{w}'" for w in text_analysis.STOPWORDS_EN)
+
+
+def q_tx_quality(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.round(text_analysis.punct_ratio("text"), 4).alias("punct_ratio"),
+            F.round(text_analysis.stopword_ratio("text"), 4).alias("stopword_ratio"),
+            text_analysis.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TX_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+    length(text) AS total,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+    len(list_filter(string_split(text,' '), x -> x IN ({_STOPS_SQL}))) AS hits
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(CASE WHEN total > 0 THEN CAST(punct AS DOUBLE)/total ELSE 0.0 END, 4) AS punct_ratio,
+  ROUND(CASE WHEN n > 0 THEN CAST(hits AS DOUBLE)/n ELSE 0.0 END, 4) AS stopword_ratio,
+  ROUND((LEAST(n/20.0, 1.0)
+       + LEAST(CASE WHEN n > 0 THEN CAST(hits AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0)
+       + (1.0 - LEAST(CASE WHEN total > 0 THEN CAST(punct AS DOUBLE)/total ELSE 0.0 END * 4.0, 1.0)))/3.0,
+    4) AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def q_tx_langid(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", text_analysis.lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in text_analysis.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), "
+        f"x -> x IN ({words}))) AS h_{lang}"
+    )
+
+
+SQL_TX_LANGID = f"""
+WITH t AS (
+  SELECT doc_id,
+    {_lang_hits_sql('en')},
+    {_lang_hits_sql('es')},
+    {_lang_hits_sql('de')},
+    {_lang_hits_sql('fr')}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+       WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+       WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+       WHEN h_fr > 0 THEN 'fr'
+       ELSE 'unk' END AS lang_pred
+FROM t ORDER BY doc_id
+"""
+
+
+def q_tx_fingerprint(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", text_analysis.fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+SQL_TX_FINGERPRINT = (
+    r"SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint "
+    "FROM documents ORDER BY doc_id LIMIT 200"
+)
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: dedup sketches (north star)
+# --------------------------------------------------------------------------
+
+
+def q_dd_exact_text(spark, sf_dir):
+    """Exact content dedup: one surviving doc_id per distinct text."""
+    kept = (
+        T(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+        .orderBy("keep_id")
+    )
+    return kept
+
+
+SQL_DD_EXACT = (
+    "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text ORDER BY keep_id"
+)
+
+_WORDS_CTE = (
+    "WITH words AS (SELECT DISTINCT doc_id, w FROM "
+    "(SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t "
+    "WHERE w <> '')"
+)
+
+
+def q_dd_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(
+        T(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4
+    ).orderBy("doc_id")
+
+
+def _minhash_sql(k: int = 4) -> str:
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+    return (
+        f"{_WORDS_CTE}, "
+        "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT) "
+        f"% {P} AS h FROM words) "
+        f"SELECT doc_id, {mins} FROM h GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+SQL_DD_MINHASH = _minhash_sql(4)
+
+
+def q_dd_simhash(spark, sf_dir):
+    return dedup.simhash(
+        T(spark, sf_dir, "documents"), "text", "doc_id", bits=16
+    ).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    bitsum = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return (
+        f"{_WORDS_CTE}, "
+        "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT) AS h "
+        "FROM words), "
+        f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bitsum} AS BIGINT) AS simhash FROM s ORDER BY doc_id"
+    )
+
+
+SQL_DD_SIMHASH = _simhash_sql(16)
+
+
+def q_dd_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        T(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DD_JACCARD = f"""
+{_WORDS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_dd_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH candidate pairs (scale path of near-dup dedup).
+    Non-SQL-expressible compactly -> library-tested; rows-only check."""
+    return dedup.minhash_lsh_candidates(
+        T(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: embedding similarity (north star)
+# --------------------------------------------------------------------------
+
+
+def q_emb_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5
+    ).orderBy("q_id", "nbr_id")
+
+
+SQL_EMB_TOPK = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM q, c WHERE c.vec_id <> q.vec_id
+)
+SELECT q_id, nbr_id, ROUND(cos_raw, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM scored
+) WHERE rn <= 5 ORDER BY q_id, nbr_id
+"""
+
+
+def q_emb_neardup(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+    ).orderBy("id_a", "id_b")
+
+
+SQL_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path) — approximate by design; rows-only."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).orderBy(
+        "q_id", "nbr_id"
+    )
+
+
+def q_d3_sample(spark, sf_dir):
+    """D3 seeded random sample (`processors/processor.py:295-320`) —
+    nondeterministic across engines by design; rows-only check."""
+    return D(spark, sf_dir, "lineitem").random_sample(0.1, seed=42).df
+
+
+# --------------------------------------------------------------------------
+# flagship analytical queries (TPC-H shapes over the synthetic tables)
+# --------------------------------------------------------------------------
+
+
+def q_h1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> filter -> wide agg. The flagship."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_H1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity),2) AS sum_qty,
+  ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+  ROUND(AVG(l_quantity),4) AS avg_qty,
+  ROUND(AVG(l_extendedprice),4) AS avg_price,
+  ROUND(AVG(l_discount),4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_h3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join -> agg -> top-k by revenue."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+SQL_H3 = """
+SELECT o_orderkey, revenue, o_orderdate FROM (
+  SELECT o.o_orderkey, o.o_orderdate,
+    ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, o.o_orderdate
+) ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_h5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with two broadcast dims."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_H5 = """
+SELECT n.n_name, ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
+    "s1_files_scan": (q_s1_files_scan, SQL_S1),
+    "s2_provenance": (q_s2_provenance, SQL_S2),
+    "s4_inmemory": (q_s4_inmemory, SQL_S4),
+    "p1_filter": (q_p1_filter, SQL_P1),
+    "p2_df_filter": (q_p2_df_filter, SQL_P2),
+    "p3_projection": (q_p3_projection, SQL_P3),
+    "p4_column_expr": (q_p4_column_expr, SQL_P4),
+    "p6_notnull": (q_p6_notnull, SQL_P6),
+    "j1_filter_merge": (q_j1_filter_merge, SQL_J1),
+    "j3_inner_join": (q_j3_inner, SQL_J3),
+    "j_semi": (q_j_semi, SQL_J_SEMI),
+    "j_anti": (q_j_anti, SQL_J_ANTI),
+    "a1_summary_stats": (q_a1_summary, SQL_A1),
+    "a3_group_agg": (q_a3_group_agg, SQL_A3),
+    "a4_count_distinct": (q_a4_count_distinct, SQL_A4),
+    "a5_dup_detect": (q_a5_dup_detect, SQL_A5),
+    "a_rollup": (q_a_rollup, SQL_A_ROLLUP),
+    "d1_distinct": (q_d1_distinct, SQL_D1),
+    "d1_keep_first": (q_d1_keep_first, SQL_D1_KEEP_FIRST),
+    "d2_shuffle": (q_d2_shuffle, SQL_D2),
+    "d3_sample": (q_d3_sample, None),
+    "d4_union": (q_d4_union, SQL_D4),
+    "d5_topk": (q_d5_topk, SQL_D5),
+    "d7_limit_offset": (q_d7_limit_offset, SQL_D7),
+    "set_intersect": (q_set_intersect, SQL_INTERSECT),
+    "set_except": (q_set_except, SQL_EXCEPT),
+    "w_window_topn": (q_window_topn, SQL_WINDOW_TOPN),
+    "w_window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "f1_basename": (q_f1_basename, SQL_F1),
+    "f2_substring": (q_f2_substring, SQL_F2),
+    "f3_concat": (q_f3_concat, SQL_F3),
+    "f4_suffix": (q_f4_suffix, SQL_F4),
+    "f5_regex_clean": (q_f5_regex_clean, SQL_F5),
+    "f6_lower_trim": (q_f6_lower_trim, SQL_F6),
+    "f7_arith": (q_f7_arith, SQL_F7),
+    "f8_json": (q_f8_json, SQL_F8),
+    "f9_least_greatest": (q_f9_least_greatest, SQL_F9),
+    "f_date_trunc": (q_f_date_trunc, SQL_F_DATE),
+    "f_time_bucket": (q_f_time_bucket, SQL_F_TIME_BUCKET),
+    "v2_key_unique": (q_v2_key_unique, SQL_V2),
+    "v3_referential": (q_v3_referential, SQL_V3),
+    "w4_update_columns": (q_w4_update_columns, SQL_W4),
+    "w5_rename_columns": (q_w5_rename, SQL_W5),
+    "w6_delete_columns": (q_w6_delete, SQL_W6),
+    "tx_token_stats": (q_tx_token_stats, SQL_TX_TOKENS),
+    "tx_quality": (q_tx_quality, SQL_TX_QUALITY),
+    "tx_langid": (q_tx_langid, SQL_TX_LANGID),
+    "tx_fingerprint": (q_tx_fingerprint, SQL_TX_FINGERPRINT),
+    "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
+    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
+    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "dd_lsh_candidates": (q_dd_lsh_candidates, None),
+    "emb_topk_cosine": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_near_dup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "emb_lsh_topk": (q_emb_lsh_topk, None),
+    "h1_pricing_summary": (q_h1_pricing_summary, SQL_H1),
+    "h3_top_orders": (q_h3_top_orders, SQL_H3),
+    "h5_region_revenue": (q_h5_region_revenue, SQL_H5),
+}
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
