@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query selection spans the engine's cost classes: columnar scan+agg,
+multi-way shuffle joins, window functions, streaming-shape event agg,
+text analytics projection, MinHash/LSH dedup, and embedding ANN.
+Results are materialized with count()/collect-free noop writes where the
+output is large, so timings measure the distributed pipeline, not driver
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dataprocessingframework_spark import queries as q  # noqa: E402
+from dataprocessingframework_spark.operators import dedup, similarity  # noqa: E402
+from dataprocessingframework_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _noop(df) -> None:
+    """Materialize without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark):
+    """name -> thunk; each thunk fully materializes its pipeline."""
+
+    def small(fn):
+        return lambda: fn(spark, SF_DIR).toPandas()
+
+    def big(fn):
+        return lambda: _noop(fn(spark, SF_DIR))
+
+    return {
+        # relational core
+        "q1_pricing_summary": small(q.q_h1_pricing_summary),
+        "q3_top_orders": small(q.q_h3_top_orders),
+        "q5_region_revenue": small(q.q_h5_region_revenue),
+        "group_agg": small(q.q_a3_group_agg),
+        "window_topn": small(q.q_window_topn),
+        "update_columns": small(q.q_w4_update_columns),
+        # events / streaming shape
+        "event_window_agg": small(q.q_f_time_bucket),
+        # text analytics (narrow projection, codegen)
+        "text_quality": big(lambda s, d: q.q_tx_quality(s, d)),
+        # dedup sketches at scale
+        "minhash_signatures": big(
+            lambda s, d: dedup.minhash_signatures(
+                q.T(s, d, "documents"), "text", "doc_id", num_hashes=16
+            )
+        ),
+        "minhash_lsh_candidates": big(
+            lambda s, d: dedup.minhash_lsh_candidates(
+                q.T(s, d, "documents"), "text", "doc_id", num_hashes=16, bands=4
+            )
+        ),
+        # embedding similarity
+        "ann_topk_cosine": small(q.q_emb_topk),
+        "ann_lsh_topk": big(
+            lambda s, d: similarity.lsh_topk(
+                q.T(s, d, "embeddings"),
+                q.T(s, d, "embeddings").filter(F.col("vec_id") < 50),
+                k=10,
+            )
+        ),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="dpf-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the JVM / parquet footer caches outside the timed region
+    q.T(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, thunk in bench_queries(spark).items():
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

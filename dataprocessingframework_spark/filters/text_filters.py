@@ -1,0 +1,86 @@
+"""U1 ColumnFilter instances for text metadata (K5/K6 analogues).
+
+RegexFilter mirrors the *shape* of the reference's
+`filters/texts/regex_filter.py:15-56` — an ordered list of
+(pattern, replacement) applied to a caption column producing
+``clean_caption`` — with an original, generic cleaning rule set (the
+reference's curated RU/EN stock-caption corpus is its own content; we
+ship our own rules, same contract, user-extensible).
+
+Vectorized via pandas ``str.replace`` on Arrow batches; for rule sets
+expressible as a single pass this collapses to JVM-side
+``regexp_replace`` chains (see queries.py f5) — the pandas path exists
+for big ordered corpora where per-rule chaining in Catalyst would blow
+up the expression tree.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from dataprocessingframework_spark.filters.column_filter import ColumnFilter
+
+# original, generic caption-cleaning rules (ordered)
+DEFAULT_CLEAN_RULES: list[tuple[str, str]] = [
+    (r"<[^>]+>", " "),                      # html tags
+    (r"http[s]?://\S+", " "),               # urls
+    (r"[#@]\w+", " "),                      # hashtags / mentions
+    (r"(?i)\b(stock (photo|image|picture))\b", " "),
+    (r"(?i)\b(royalty[- ]free|copyright|watermark)\b", " "),
+    (r"[0-9]+x[0-9]+", " "),                # resolutions
+    (r"\s+", " "),                          # whitespace collapse
+]
+
+
+class RegexFilter(ColumnFilter):
+    """K5 — adds ``clean_caption`` from an ordered rule list."""
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        rules: list[tuple[str, str]] | None = None,
+        result_column: str = "clean_caption",
+    ) -> None:
+        self.text_column = text_column
+        self.rules = [(re.compile(p), r) for p, r in (rules or DEFAULT_CLEAN_RULES)]
+        self.result_column = result_column
+
+    @property
+    def columns_to_process(self) -> list[str]:
+        return [self.text_column]
+
+    @property
+    def result_schema(self):
+        return [(self.result_column, StringType())]
+
+    def process_pandas(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[self.text_column].astype(str).str.lower().str.strip()
+        for pat, repl in self.rules:
+            s = s.str.replace(pat, repl, regex=True)
+        return pd.DataFrame({self.result_column: s.str.strip()}, index=pdf.index)
+
+
+class TokenStatsFilter(ColumnFilter):
+    """Pandas-path twin of the JVM-side token stats (text_analysis.py) —
+    demonstrates the row-contract fallback of U1."""
+
+    def __init__(self, text_column: str = "text") -> None:
+        self.text_column = text_column
+
+    @property
+    def columns_to_process(self) -> list[str]:
+        return [self.text_column]
+
+    @property
+    def result_schema(self):
+        return [("n_tokens_pd", LongType()), ("avg_token_len", DoubleType())]
+
+    def process_sample(self, row: dict[str, Any]) -> list[Any]:
+        toks = [t for t in str(row[self.text_column]).split(" ") if t]
+        n = len(toks)
+        avg = (sum(len(t) for t in toks) / n) if n else 0.0
+        return [n, round(avg, 4)]

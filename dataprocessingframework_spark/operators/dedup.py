@@ -123,6 +123,9 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    # the self-join consumes buckets twice; persist so the whole
+    # tokenize->hash->min-agg pipeline runs once, not twice
+    buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -166,9 +169,11 @@ def simhash(
     agg = words.groupBy(id_col).agg(*sums)
     fingerprint = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long") * (2**j)).otherwise(
-            F.lit(0).cast("long")
-        )
+        # shiftleft wraps to the sign bit for j=63 (two's-complement),
+        # which a 2**63 literal cannot express as a positive long
+        term = F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 

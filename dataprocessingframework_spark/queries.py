@@ -738,6 +738,37 @@ SQL_W4 = (
 )
 
 
+def q_w1_roundtrip(spark, sf_dir):
+    """W1/W3: write lineitem as csv shards, re-read via the shards
+    scan (split_name injection), aggregate — round-trip identity
+    (`processors/writers/shards_writer.py:17-181` semantics)."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+    from dataprocessingframework_spark.sources.writers import write_shards
+
+    out = f"/root/repo/.scratch/w1_roundtrip_{uuid.uuid4().hex[:8]}"
+    try:
+        li = T(spark, sf_dir, "lineitem")
+        write_shards(li, out, max_files_in_shard=5000)
+        back = DatasetReader(spark).read_metadata_shards(out)
+        res = back.df.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W1 = (
+    "SELECT COUNT(*) AS cnt, ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem"
+)
+
+
 def q_w5_rename(spark, sf_dir):
     return (
         D(spark, sf_dir, "orders")
@@ -1217,6 +1248,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "f_time_bucket": (q_f_time_bucket, SQL_F_TIME_BUCKET),
     "v2_key_unique": (q_v2_key_unique, SQL_V2),
     "v3_referential": (q_v3_referential, SQL_V3),
+    "w1_roundtrip_shards": (q_w1_roundtrip, SQL_W1),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
     "w5_rename_columns": (q_w5_rename, SQL_W5),
     "w6_delete_columns": (q_w6_delete, SQL_W6),

@@ -37,6 +37,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local mode: the driver JVM is the whole cluster — size it like one
+        # (must be set before the JVM starts; no-op on an existing session)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
         # --- adaptive execution: runtime re-plan, skew splitting, coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,7 @@
+from dataprocessingframework_spark.sources.reader import DatasetReader
+from dataprocessingframework_spark.sources.writers import (
+    write_sharded_files,
+    write_shards,
+)
+
+__all__ = ["DatasetReader", "write_shards", "write_sharded_files"]

@@ -1,0 +1,154 @@
+"""Format readers: files / shards / sharded_files -> Dataset.
+
+Reference behavior being re-expressed (all citations /root/reference):
+- per-shard CSVs concatenated with an injected ``split_name`` column
+  (`dataset_reader.py:125-130`) -> one distributed csv glob scan +
+  ``input_file_name()``-derived split_name (no driver fan-out);
+- csv<->tar pairing validated (`dataset_reader.py:183-192`) -> driver
+  listdir set check (metadata-scale, cheap);
+- basename columns rewritten to full paths (`dataset_reader.py:89-106`)
+  -> lazy column projections;
+- required-column validation (`dataset_reader_utils.py:8-19`).
+
+Scale notes: the scan is one ``spark.read.csv(glob)`` — file listing is
+distributed, schema inferred from a sample, and each shard csv becomes
+>=1 task. Nothing is resident on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.configs import (
+    DatasetConfig,
+    FilesDatasetConfig,
+    ShardedFilesDatasetConfig,
+    ShardsDatasetConfig,
+)
+from dataprocessingframework_spark.dataset import Dataset
+
+SPLIT_COLUMN = "split_name"
+
+
+class DatasetReader:
+    """Dispatch on config type (`dataset_reader.py:297-325`)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def read(self, config: DatasetConfig) -> Dataset:
+        if isinstance(config, FilesDatasetConfig):
+            return self.read_files(config)
+        if isinstance(config, ShardsDatasetConfig):
+            return self.read_shards(config)
+        if isinstance(config, ShardedFilesDatasetConfig):
+            return self.read_sharded_files(config)
+        raise TypeError(f"unknown config type: {type(config).__name__}")
+
+    def read_metadata_shards(self, path: str) -> Dataset:
+        """Csv-only shard directory (metadata without media archives):
+        the distributed concat + split_name injection of S2 alone."""
+        cfg = ShardsDatasetConfig(path=path)
+        return Dataset(self._read_shard_tables(cfg), cfg)
+
+    # ------------------------------------------------------------------ files
+    def read_files(self, config: FilesDatasetConfig) -> Dataset:
+        """S1 (`dataset_reader.py:256-295`)."""
+        df = self._read_table(config.path, config.metadata_format)
+        df = self._apply_renames(df, config.rename)
+        self._check_required(df, config.required_columns)
+        base = config.base_path or os.path.dirname(config.path)
+        for c in config.path_columns:
+            df = df.withColumn(c, F.concat_ws("/", F.lit(base), F.col(c)))
+        return Dataset(df, config)
+
+    # ----------------------------------------------------------------- shards
+    def read_shards(self, config: ShardsDatasetConfig) -> Dataset:
+        """S2 (`dataset_reader.py:148-203`)."""
+        self._check_pairing(config.path, f".{config.archive_ext}")
+        df = self._read_shard_tables(config)
+        for c in config.name_columns:
+            df = df.withColumn(
+                f"{c}_tar_path",
+                F.concat_ws(
+                    "/", F.lit(config.path.rstrip("/")),
+                    F.concat(F.col(SPLIT_COLUMN), F.lit(f".{config.archive_ext}")),
+                ),
+            )
+        return Dataset(df, config)
+
+    # --------------------------------------------------------- sharded files
+    def read_sharded_files(self, config: ShardedFilesDatasetConfig) -> Dataset:
+        """S3 (`dataset_reader.py:205-254`): basename -> dir/N/name path."""
+        self._check_pairing(config.path, "")
+        df = self._read_shard_tables(config)
+        for c in config.name_columns:
+            df = df.withColumn(
+                f"{c}_path",
+                F.concat_ws(
+                    "/", F.lit(config.path.rstrip("/")), F.col(SPLIT_COLUMN), F.col(c)
+                ),
+            )
+        return Dataset(df, config)
+
+    # ---------------------------------------------------------------- helpers
+    def _read_table(self, path: str, fmt: str) -> DataFrame:
+        if fmt == "parquet":
+            return self.spark.read.parquet(path)
+        return self.spark.read.options(header=True, inferSchema=True).csv(path)
+
+    def _read_shard_tables(
+        self, config: ShardsDatasetConfig | ShardedFilesDatasetConfig
+    ) -> DataFrame:
+        glob = os.path.join(config.path, "*.csv")
+        if config.metadata_format == "parquet":
+            glob = os.path.join(config.path, "*.parquet")
+            df = self.spark.read.parquet(glob)
+        else:
+            df = self.spark.read.options(header=True, inferSchema=True).csv(glob)
+        # provenance column: shard id from source file name
+        # (`dataset_reader.py:125-130`)
+        df = df.withColumn(
+            SPLIT_COLUMN,
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.(csv|parquet)$", 1),
+        )
+        df = self._apply_renames(df, config.rename)
+        self._check_required(df, config.required_columns)
+        return df
+
+    @staticmethod
+    def _apply_renames(df: DataFrame, rename: dict[str, str]) -> DataFrame:
+        return df.withColumnsRenamed(rename) if rename else df
+
+    @staticmethod
+    def _check_required(df: DataFrame, required: list[str]) -> None:
+        missing = [c for c in required if c not in df.columns]
+        if missing:
+            raise ValueError(f"missing required columns: {missing}")
+
+    @staticmethod
+    def _check_pairing(path: str, archive_suffix: str) -> None:
+        """csv<->tar/folder pairing (`dataset_reader.py:183-192`).
+
+        Driver-side listdir: O(#shards) metadata, never O(rows).
+        """
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        names = os.listdir(path)
+        tables = {n[:-4] for n in names if n.endswith(".csv")}
+        if archive_suffix:
+            mates = {
+                n[: -len(archive_suffix)]
+                for n in names
+                if n.endswith(archive_suffix)
+            }
+        else:
+            mates = {n for n in names if os.path.isdir(os.path.join(path, n))}
+        missing = sorted(tables - mates)
+        if missing:
+            raise ValueError(
+                f"shard tables without archive/folder mates: {missing[:10]}"
+            )

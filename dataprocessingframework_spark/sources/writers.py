@@ -1,0 +1,146 @@
+"""Shards / sharded-files writers (W1-W3).
+
+Reference: `processors/writers/shards_writer.py:17-181` streams samples
+single-threaded into numbered ``N.tar`` + ``N.csv`` pairs of
+``max_files_in_shard`` rows. Spark version: compute the target shard
+count, hash-repartition, and let every task write its own shard pair in
+parallel via ``mapInPandas`` (one tar open per task, batches streamed
+through it — the same one-container-per-worker locality the reference
+gets from DataLoader workers).
+
+Shard naming is deterministic from the partition id. On a real cluster
+the open() targets shared storage (the writer only needs a
+filesystem path — s3a/hdfs mounts or fsspec swap in here); nothing is
+ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("split_name", StringType()),
+        StructField("rows", LongType()),
+    ]
+)
+
+
+def _shard_count(df: DataFrame, max_files_in_shard: int) -> int:
+    n = df.count()
+    return max(1, math.ceil(n / max_files_in_shard))
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    max_files_in_shard: int = 1000,
+    media_col: str | None = None,
+    name_col: str | None = None,
+) -> DataFrame:
+    """W1: write ``N.csv`` (+ ``N.tar`` when media present) shard pairs.
+
+    ``media_col`` holds bytes, ``name_col`` the member basename. With
+    ``media_col=None`` only metadata CSVs are written (csv-only shards).
+    Returns the per-shard summary (split_name, rows) — an action has
+    already materialized the write when this returns.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    num = _shard_count(df, max_files_in_shard)
+    meta_cols = [
+        c for c in df.columns if c != media_col
+    ]
+
+    def write_partition(pdfs):
+        pid = None
+        frames: list[pd.DataFrame] = []
+        tar = None
+        tar_path = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                if media_col is not None:
+                    tar_path = os.path.join(out_dir, f"{pid}.tar")
+                    tar = tarfile.open(tar_path, "w")
+            if media_col is not None:
+                for name, data in zip(pdf[name_col], pdf[media_col]):
+                    info = tarfile.TarInfo(name=str(name))
+                    payload = bytes(data)
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(payload))
+            frames.append(pdf[meta_cols])
+        if pid is None:
+            return
+        if tar is not None:
+            tar.close()
+        meta = pd.concat(frames, ignore_index=True)
+        meta.to_csv(os.path.join(out_dir, f"{pid}.csv"), index=False)
+        yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
+
+    summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
+    # cache so the caller's inspection of the summary doesn't re-write
+    summary = summary.cache()
+    summary.count()
+    return summary
+
+
+def write_sharded_files(
+    df: DataFrame,
+    out_dir: str,
+    max_files_in_shard: int = 1000,
+    media_col: str | None = None,
+    name_col: str | None = None,
+) -> DataFrame:
+    """W2: same as W1 but loose files in ``N/`` dirs
+    (`processors/writers/sharded_files_writer.py:15-160`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    num = _shard_count(df, max_files_in_shard)
+    meta_cols = [c for c in df.columns if c != media_col]
+
+    def write_partition(pdfs):
+        pid = None
+        frames: list[pd.DataFrame] = []
+        shard_dir = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                if media_col is not None:
+                    shard_dir = os.path.join(out_dir, str(pid))
+                    os.makedirs(shard_dir, exist_ok=True)
+            if media_col is not None:
+                for name, data in zip(pdf[name_col], pdf[media_col]):
+                    with open(os.path.join(shard_dir, str(name)), "wb") as f:
+                        f.write(bytes(data))
+            frames.append(pdf[meta_cols])
+        if pid is None:
+            return
+        meta = pd.concat(frames, ignore_index=True)
+        meta.to_csv(os.path.join(out_dir, f"{pid}.csv"), index=False)
+        yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
+
+    summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
+    summary = summary.cache()
+    summary.count()
+    return summary

@@ -1,0 +1,110 @@
+"""Streaming surface (§2.12) — entirely NEW relative to the reference,
+which is batch-only over closed datasets. Structured Streaming gives
+this for free; these helpers pin down the engine's event-time
+semantics and work identically on batch AND streaming DataFrames
+(the batch path is what the DuckDB oracle checks — see queries.py
+f_time_bucket).
+
+Incremental-append ingestion (the closest thing the reference has:
+shards resume-from-last-shard, `writers/shards_writer.py:92-119`)
+becomes `readStream` over a dataset directory: new shard files are
+discovered per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate. Works on batch df too
+    (watermark is a no-op in batch, letting one definition serve both
+    the oracle check and the stream)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or [
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+    keys = [F.window(ts_col, window).alias("w")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    out = df.groupBy(*keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "w" and c not in (group_cols or [])]
+    return out.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        *(group_cols or []),
+        *agg_cols,
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window, slide).alias("w"),
+            *[F.col(c) for c in (group_cols or [])],
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            *(group_cols or []),
+            "cnt",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    key_col: str = "user_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows keyed by user — sessionization of the events
+    stream (gap-based, Spark-native)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stateful exact dedup within the watermark horizon — the streaming
+    twin of exact_dedup (operators/dedup.py)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)

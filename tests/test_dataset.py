@@ -1,0 +1,70 @@
+"""Dataset wrapper semantics (SURVEY §2.3-2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark import Dataset
+
+
+@pytest.fixture()
+def ds(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 40.0)],
+        schema="id long, grp string, val double",
+    )
+    return Dataset(df)
+
+
+def test_filter_count(ds):
+    assert ds.filter(F.col("val") > 15).count() == 3
+
+
+def test_select_prunes(ds):
+    assert ds.select("id", "grp").columns == ["id", "grp"]
+
+
+def test_rename_delete_protected(ds):
+    renamed = ds.rename_columns({"val": "value"})
+    assert "value" in renamed.columns and "val" not in renamed.columns
+    with pytest.raises(ValueError):
+        ds.delete_columns(["id"], protected=["id"])
+    assert ds.delete_columns(["val"]).columns == ["id", "grp"]
+
+
+def test_update_columns_replaces_overlap(ds):
+    new = ds.df.select("id", (F.col("val") * 2).alias("val"))
+    out = ds.update_columns(new, "id")
+    rows = {r.id: r.val for r in out.df.collect()}
+    assert rows == {1: 20.0, 2: 40.0, 3: 60.0, 4: 80.0}
+
+
+def test_keep_first_dedup(ds):
+    out = ds.drop_duplicates_keep_first(["grp"], "id")
+    kept = sorted(r.id for r in out.df.collect())
+    assert kept == [1, 2, 4]  # id=3 (grp 'a' again) dropped
+
+
+def test_union_missing_columns(ds, spark):
+    other = spark.createDataFrame([(9, "z")], schema="id long, grp string")
+    out = ds.union(other)
+    assert out.count() == 5
+    assert out.df.filter(F.col("id") == 9).collect()[0].val is None
+
+
+def test_offset_slice(ds):
+    out = ds.order_by("id").offset(1).limit(2)
+    assert [r.id for r in out.df.collect()] == [2, 3]
+
+
+def test_summary_stats(ds):
+    row = ds.summary_stats(["val"]).collect()[0]
+    assert row["val_count"] == 4
+    assert row["val_mean"] == 25.0
+    assert row["val_min"] == 10.0 and row["val_max"] == 40.0
+
+
+def test_row_id_and_split_range(ds):
+    withid = ds.with_row_id("rid")
+    total = withid.count()
+    assert total == 4
+    assert "rid" in withid.columns

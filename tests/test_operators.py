@@ -1,0 +1,130 @@
+"""Dedup sketches, similarity search, validators — property checks and
+python-golden equivalence."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash64_py,
+    minhash_coeffs,
+)
+from dataprocessingframework_spark.operators import dedup, similarity, validators
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_dedup_keep_first(docs):
+    out = dedup.exact_dedup(docs, ["text"], order_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_minhash_signature_matches_python_golden(docs):
+    sig = {r.doc_id: r for r in dedup.minhash_signatures(docs, "text", "doc_id", 4).collect()}
+
+    def py_minhash(text):
+        words = {w for w in text.split(" ") if w}
+        hs = [hash64_py(w) % MINHASH_PRIME for w in words]
+        return [min((a * h + b) % MINHASH_PRIME for h in hs) for a, b in minhash_coeffs(4)]
+
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (2, "completely different words entirely here now")]:
+        expect = py_minhash(text)
+        got = [sig[doc_id][f"mh{i}"] for i in range(4)]
+        assert got == expect
+    # exact dups share the full signature
+    assert [sig[0][f"mh{i}"] for i in range(4)] == [sig[3][f"mh{i}"] for i in range(4)]
+
+
+def test_lsh_candidates_catch_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs, "text", "doc_id", 16, 8).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # 80%-jaccard near dup with 8 bands x 2 rows
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_pairs_exact_values(docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert out[(0, 3)] == 1.0
+    assert out[(0, 1)] == round(7 / 9, 4)  # 7 shared of 9 distinct words
+    assert (0, 2) not in out
+
+
+def test_simhash_near_dup_property(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id", 64).collect()}
+    assert sh[0] == sh[3]
+    mask = (1 << 64) - 1  # values are signed 64-bit; compare as unsigned
+    ham_near = bin((sh[0] ^ sh[1]) & mask).count("1")
+    ham_far = bin((sh[0] ^ sh[2]) & mask).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3)
+    got = {(r.q_id, r.nbr_id) for r in out.collect()}
+    vd = vecs.astype(np.float64)
+    norms = np.linalg.norm(vd, axis=1)
+    cos = (vd @ vd.T) / np.outer(norms, norms)
+    expect = set()
+    for q in range(2):
+        order = [(i, cos[q, i]) for i in range(20) if i != q]
+        order.sort(key=lambda t: (-t[1], t[0]))
+        expect |= {(q, i) for i, _ in order[:3]}
+    assert got == expect
+
+
+def test_lsh_topk_subset_of_exact_scores(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        schema="vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    out = similarity.lsh_topk(df, q, k=5, dim=16, n_planes=4).collect()
+    assert len(out) > 0
+    # LSH returns genuine neighbors (same-bucket), scores in [-1, 1]
+    assert all(-1.0 <= r.cos <= 1.0 for r in out)
+
+
+def test_validators(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], schema="k long, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], schema="p long")
+    res = validators.validate(
+        df,
+        required_columns=["k", "v", "w"],
+        key_columns=["k"],
+        reference=parent,
+        reference_key="p",
+        key="k",
+    )
+    kinds = sorted(e.split(":")[0] for e in res.errors)
+    assert kinds == ["DuplicatedValuesError", "MissedColumnsError"]
+    ok = validators.validate(df.dropDuplicates(["k"]), key_columns=["k"])
+    assert ok.total_errors == 0

@@ -1,0 +1,195 @@
+"""Format readers/writers/media goldens, mirroring the reference's
+`tests/test_readers.py` / `tests/test_writers.py` strategy: tiny
+synthetic datasets, shape goldens, broken-fixture errors, and
+write -> re-read -> validate round trips."""
+
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.configs import (
+    FilesDatasetConfig,
+    ShardedFilesDatasetConfig,
+    ShardsDatasetConfig,
+)
+from dataprocessingframework_spark.filters.kernels import encode_fake_image
+from dataprocessingframework_spark.operators import validators
+from dataprocessingframework_spark.sources import (
+    DatasetReader,
+    write_sharded_files,
+    write_shards,
+)
+from dataprocessingframework_spark.sources.media import (
+    load_file_bytes,
+    load_shard_bytes,
+)
+
+
+def _img(w, h, seed):
+    rng = np.random.RandomState(seed)
+    return encode_fake_image(rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8))
+
+
+@pytest.fixture()
+def shards_dir(tmp_path):
+    """Two shards x two samples: N.csv + N.tar (reference fixture shape,
+    `tests/datasets/shards_correct`)."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    for shard in range(2):
+        rows = []
+        with tarfile.open(d / f"{shard}.tar", "w") as tar:
+            for i in range(2):
+                name = f"{shard}_{i}.img"
+                data = _img(8 + i, 6, seed=shard * 10 + i)
+                import io
+
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+                rows.append((name, f"caption {shard}-{i}"))
+        with open(d / f"{shard}.csv", "w") as f:
+            f.write("image_name,caption\n")
+            for name, cap in rows:
+                f.write(f"{name},{cap}\n")
+    return str(d)
+
+
+@pytest.fixture()
+def files_dir(tmp_path):
+    d = tmp_path / "files"
+    (d / "imgs").mkdir(parents=True)
+    rows = []
+    for i in range(3):
+        p = d / "imgs" / f"{i}.img"
+        p.write_bytes(_img(10, 10, seed=i))
+        rows.append((f"imgs/{i}.img", f"cap{i}"))
+    with open(d / "data.csv", "w") as f:
+        f.write("image_path,caption\n")
+        for p, cap in rows:
+            f.write(f"{p},{cap}\n")
+    return str(d)
+
+
+def test_read_shards_shape(spark, shards_dir):
+    cfg = ShardsDatasetConfig(
+        path=shards_dir,
+        name_columns=["image_name"],
+        required_columns=["image_name", "caption"],
+    )
+    ds = DatasetReader(spark).read(cfg)
+    assert ds.count() == 4
+    assert "split_name" in ds.columns
+    splits = ds.distinct_values("split_name")
+    assert sorted(splits) == ["0", "1"]
+    # tar path column derived
+    assert "image_name_tar_path" in ds.columns
+
+
+def test_read_shards_missing_required_raises(spark, shards_dir):
+    cfg = ShardsDatasetConfig(path=shards_dir, required_columns=["nope"])
+    with pytest.raises(ValueError, match="missing required"):
+        DatasetReader(spark).read(cfg)
+
+
+def test_read_shards_missing_tar_raises(spark, shards_dir):
+    os.remove(os.path.join(shards_dir, "1.tar"))
+    cfg = ShardsDatasetConfig(path=shards_dir)
+    with pytest.raises(ValueError, match="without archive"):
+        DatasetReader(spark).read(cfg)
+
+
+def test_read_files_prefixes_paths(spark, files_dir):
+    cfg = FilesDatasetConfig(
+        path=os.path.join(files_dir, "data.csv"),
+        base_path=files_dir,
+        path_columns=["image_path"],
+        required_columns=["image_path", "caption"],
+    )
+    ds = DatasetReader(spark).read(cfg)
+    paths = [r.image_path for r in ds.df.collect()]
+    assert all(p.startswith(files_dir) for p in paths)
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_load_file_bytes_error_tolerant(spark, files_dir):
+    cfg = FilesDatasetConfig(
+        path=os.path.join(files_dir, "data.csv"),
+        base_path=files_dir,
+        path_columns=["image_path"],
+    )
+    ds = DatasetReader(spark).read(cfg)
+    # break one path
+    broken = ds.df.withColumn(
+        "image_path",
+        F.when(F.col("caption") == "cap1", F.lit("/nonexistent")).otherwise(
+            F.col("image_path")
+        ),
+    )
+    out = load_file_bytes(broken, "image_path").collect()
+    ok = {r.caption: r.is_correct for r in out}
+    assert ok == {"cap0": True, "cap1": False, "cap2": True}
+    errs = {r.caption: r.error for r in out}
+    assert errs["cap1"] is not None and errs["cap0"] is None
+
+
+def test_load_shard_bytes(spark, shards_dir):
+    cfg = ShardsDatasetConfig(path=shards_dir, name_columns=["image_name"])
+    ds = DatasetReader(spark).read(cfg)
+    out = load_shard_bytes(ds.df, "image_name_tar_path", "image_name").collect()
+    assert len(out) == 4
+    assert all(r.is_correct for r in out)
+    assert all(bytes(r.content).startswith(b"FAKEIMG:") for r in out)
+
+
+def test_write_shards_roundtrip(spark, shards_dir, tmp_path):
+    """write -> re-read -> validate == 0 errors (reference
+    `tests/test_writers.py:12-43`)."""
+    cfg = ShardsDatasetConfig(path=shards_dir, name_columns=["image_name"])
+    ds = DatasetReader(spark).read(cfg)
+    with_bytes = load_shard_bytes(ds.df, "image_name_tar_path", "image_name")
+    out_dir = str(tmp_path / "out_shards")
+    summary = write_shards(
+        with_bytes.select("image_name", "caption", "content"),
+        out_dir,
+        max_files_in_shard=3,
+        media_col="content",
+        name_col="image_name",
+    )
+    assert summary.agg(F.sum("rows")).collect()[0][0] == 4
+    cfg2 = ShardsDatasetConfig(path=out_dir, name_columns=["image_name"])
+    back = DatasetReader(spark).read(cfg2)
+    assert back.count() == 4
+    res = validators.validate(
+        back.df,
+        required_columns=["image_name", "caption"],
+        key_columns=["image_name"],
+    )
+    assert res.total_errors == 0
+    # media bytes survive byte-identically
+    b = load_shard_bytes(back.df, "image_name_tar_path", "image_name")
+    orig = {r.image_name: bytes(r.content) for r in with_bytes.collect()}
+    new = {r.image_name: bytes(r.content) for r in b.collect()}
+    assert orig == new
+
+
+def test_write_sharded_files_roundtrip(spark, shards_dir, tmp_path):
+    cfg = ShardsDatasetConfig(path=shards_dir, name_columns=["image_name"])
+    ds = DatasetReader(spark).read(cfg)
+    with_bytes = load_shard_bytes(ds.df, "image_name_tar_path", "image_name")
+    out_dir = str(tmp_path / "out_sf")
+    write_sharded_files(
+        with_bytes.select("image_name", "caption", "content"),
+        out_dir,
+        max_files_in_shard=2,
+        media_col="content",
+        name_col="image_name",
+    )
+    cfg2 = ShardedFilesDatasetConfig(path=out_dir, name_columns=["image_name"])
+    back = DatasetReader(spark).read(cfg2)
+    assert back.count() == 4
+    paths = [r["image_name_path"] for r in back.df.collect()]
+    assert all(os.path.exists(p) for p in paths)

@@ -1,0 +1,87 @@
+"""Streaming surface: batch-mode semantics + one real micro-batch run
+(file source -> tumbling window agg -> memory sink)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.streaming import (
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:05:00", 1, "click", 2.0),
+        (3, "2024-01-01 00:20:00", 2, "view", 3.0),
+        (4, "2024-01-01 00:20:00", 2, "view", 3.0),  # dup of 3 (same key)
+        (5, "2024-01-01 01:00:00", 1, "click", 4.0),
+    ]
+    return spark.createDataFrame(rows, schema=SCHEMA.replace("timestamp", "string")) \
+        .withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_tumbling_window_batch(events):
+    out = {
+        (str(r.win_start), r.event_type): (r.cnt, r.sum_value)
+        for r in tumbling_window_agg(events, group_cols=["event_type"]).collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 00:15:00", "view")] == (2, 6.0)
+    assert out[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+
+
+def test_session_window_batch(events):
+    out = session_window_agg(events, gap="10 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: events at 00:01 and 00:05 merge into one session; 01:00 separate
+    assert sorted(by_user[1]) == [1, 2]
+    assert by_user[2] == [2]
+
+
+def test_stream_dedup_batch(events):
+    out = stream_dedup(events, ["user_id", "ts"])
+    assert out.count() == 4
+
+
+def test_structured_streaming_micro_batch(spark, tmp_path):
+    """Real readStream over a json directory, windowed agg, memory sink."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 2,
+         "event_type": "click", "value": 2.0},
+    ]
+    with open(src / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(SCHEMA).json(str(src))
+    )
+    agg = tumbling_window_agg(stream, window="15 minutes", group_cols=["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        res = spark.sql("SELECT * FROM win_agg").collect()
+        assert len(res) == 1
+        assert res[0].cnt == 2 and res[0].sum_value == 3.0
+    finally:
+        q.stop()
