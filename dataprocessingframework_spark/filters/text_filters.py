@@ -80,7 +80,14 @@ class TokenStatsFilter(ColumnFilter):
         return [("n_tokens_pd", LongType()), ("avg_token_len", DoubleType())]
 
     def process_sample(self, row: dict[str, Any]) -> list[Any]:
+        from decimal import ROUND_HALF_UP, Decimal
+
         toks = [t for t in str(row[self.text_column]).split(" ") if t]
         n = len(toks)
         avg = (sum(len(t) for t in toks) / n) if n else 0.0
-        return [n, round(avg, 4)]
+        # HALF_UP on the exact binary double — matches Spark/DuckDB
+        # ROUND() (python's round() is banker's and disagrees on .5)
+        avg = float(
+            Decimal(avg).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        return [n, avg]

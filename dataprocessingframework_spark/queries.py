@@ -802,6 +802,115 @@ SQL_W6 = "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10"
 
 
 # --------------------------------------------------------------------------
+# UDF contracts under the oracle gate (U1/U2 + pipeline)
+# --------------------------------------------------------------------------
+
+
+def q_u1_column_filter(spark, sf_dir):
+    """U1 ColumnFilter (pandas path) checked against pure SQL: the
+    TokenStatsFilter kernel must agree with a relational restatement."""
+    from dataprocessingframework_spark.filters.text_filters import TokenStatsFilter
+
+    out = TokenStatsFilter()(T(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens_pd", "avg_token_len"
+    ).orderBy("doc_id")
+
+
+SQL_U1 = """
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens_pd,
+  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(list_filter(string_split(text,' '), x -> x <> '')), 4) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_u2_data_filter(spark, sf_dir):
+    """U2 DataFilter checked against SQL: deterministic synthetic media
+    generated from table columns, probed by ImageInfoFilter, with the
+    dimensions re-derivable relationally."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dataprocessingframework_spark.filters.kernels import (
+        ImageInfoFilter,
+        encode_fake_image,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            content = [
+                bytearray(
+                    encode_fake_image(
+                        np.zeros(
+                            ((int(d) % 16) + 1, (int(n) % 32) + 1, 3),
+                            dtype=np.uint8,
+                        )
+                    )
+                )
+                for d, n in zip(pdf.doc_id, pdf.n_chars)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf.doc_id, "n_chars": pdf.n_chars, "content": content}
+            )
+
+    with_media = docs.mapInPandas(gen, gen_schema)
+    probed = ImageInfoFilter()(with_media)
+    return probed.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "img_is_correct",
+    ).orderBy("doc_id")
+
+
+SQL_U2 = """
+SELECT doc_id, (n_chars % 32) + 1 AS width, (doc_id % 16) + 1 AS height,
+  CAST(3 AS BIGINT) AS channels, true AS img_is_correct
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_pipeline_stages(spark, sf_dir):
+    """Pipeline runner (filter stage -> keep-first dedup stage) under
+    the oracle gate (`pipelines/filter_pipeline.py` semantics)."""
+    from dataprocessingframework_spark.plans import Pipeline
+
+    p = (
+        Pipeline()
+        .add_dataframe_filter(lambda df: df.filter(F.col("lang") == "en"))
+        .add_dedup(["n_chars"], order_col="doc_id")
+    )
+    out, reports = p.run(D(spark, sf_dir, "documents"))
+    assert all(r.status == "ok" for r in reports)
+    return out.select("doc_id", "n_chars").order_by("doc_id").df
+
+
+SQL_PIPELINE = (
+    "SELECT MIN(doc_id) AS doc_id, n_chars FROM documents WHERE lang = 'en' "
+    "GROUP BY n_chars ORDER BY doc_id"
+)
+
+
+# --------------------------------------------------------------------------
 # beyond-reference: text analysis (north star)
 # --------------------------------------------------------------------------
 
@@ -1080,6 +1189,132 @@ def q_d3_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# additional declared-surface queries: quartiles, explode, cube,
+# analytic windows, date extraction, SQL API
+# --------------------------------------------------------------------------
+
+
+def q_a1_quartiles(spark, sf_dir):
+    """A1 describe()-style quartiles — exact percentile (interpolating),
+    matching DuckDB quantile_cont."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+SQL_A1_QUARTILES = (
+    "SELECT ROUND(stddev(l_quantity),4) AS std_qty, "
+    "quantile_cont(l_quantity, 0.25) AS p25, "
+    "quantile_cont(l_quantity, 0.5) AS p50, "
+    "quantile_cont(l_quantity, 0.75) AS p75 FROM lineitem"
+)
+
+
+def q_f_explode_wordcount(spark, sf_dir):
+    """UDTF surface (explode — absent in reference, §2.8): word count."""
+    return (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(20)
+    )
+
+
+SQL_EXPLODE = (
+    "SELECT w, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS w "
+    "FROM documents) t WHERE w <> '' GROUP BY w ORDER BY cnt DESC, w LIMIT 20"
+)
+
+
+def q_a_cube(spark, sf_dir):
+    """Cube (absent in reference; free via df.cube)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_A_CUBE = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+    "GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus, o_orderpriority"
+)
+
+
+def q_w_analytics(spark, sf_dir):
+    """Analytic window functions: lag delta + ntile buckets."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+            ).alias("delta"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+SQL_W_ANALYTICS = (
+    "SELECT o_custkey, o_orderkey, "
+    "ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta, "
+    "NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile "
+    "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200"
+)
+
+
+def q_f_date_extract(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("y", "m")
+    )
+
+
+SQL_F_DATE_EXTRACT = (
+    "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, COUNT(*) AS cnt "
+    "FROM orders GROUP BY y, m ORDER BY y, m"
+)
+
+
+# identical text runs on both engines — the engine's SQL API surface
+SQL_Q10_SHARED = """
+SELECT c.c_custkey, c.c_name, ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_sql_surface(spark, sf_dir):
+    """The engine's SQL API: temp views + spark.sql, one ANSI string
+    shared verbatim with the oracle."""
+    for t in ["customer", "orders", "lineitem"]:
+        Dataset(T(spark, sf_dir, t)).to_view(t)
+    return spark.sql(SQL_Q10_SHARED)
+
+
+# --------------------------------------------------------------------------
 # flagship analytical queries (TPC-H shapes over the synthetic tables)
 # --------------------------------------------------------------------------
 
@@ -1264,6 +1499,15 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_topk_cosine": (q_emb_topk, SQL_EMB_TOPK),
     "emb_near_dup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_lsh_topk": (q_emb_lsh_topk, None),
+    "u1_column_filter": (q_u1_column_filter, SQL_U1),
+    "u2_data_filter": (q_u2_data_filter, SQL_U2),
+    "pipeline_stages": (q_pipeline_stages, SQL_PIPELINE),
+    "a1_quartiles": (q_a1_quartiles, SQL_A1_QUARTILES),
+    "f_explode_wordcount": (q_f_explode_wordcount, SQL_EXPLODE),
+    "a_cube": (q_a_cube, SQL_A_CUBE),
+    "w_analytics": (q_w_analytics, SQL_W_ANALYTICS),
+    "f_date_extract": (q_f_date_extract, SQL_F_DATE_EXTRACT),
+    "sql_surface_q10": (q_sql_surface, SQL_Q10_SHARED),
     "h1_pricing_summary": (q_h1_pricing_summary, SQL_H1),
     "h3_top_orders": (q_h3_top_orders, SQL_H3),
     "h5_region_revenue": (q_h5_region_revenue, SQL_H5),
