@@ -1,0 +1,102 @@
+"""K3/K4/K7/K9 kernels + M-tier schema tests (DummyGPUFilter pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.filters.kernels import (
+    ImageInfoFilter,
+    encode_fake_image,
+)
+from dataprocessingframework_spark.filters.media_kernels import (
+    AudioInfoFilter,
+    FrameFilterAdapter,
+    VideoInfoFilter,
+    encode_fake_audio,
+    encode_fake_video,
+    translate_column,
+)
+from dataprocessingframework_spark.filters.model_filters import (
+    CLIPLabelsFilter,
+    DummyGPUFilter,
+    HAVE_TORCH,
+)
+
+
+def test_video_info_filter(spark):
+    frame = encode_fake_image(np.zeros((4, 6, 3), dtype=np.uint8))
+    rows = [
+        ("v0", bytearray(encode_fake_video(640, 480, 29.97, 12000, frame))),
+        ("bad", bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, schema="name string, content binary")
+    out = {r.name: r for r in VideoInfoFilter()(df).collect()}
+    assert out["v0"].vid_is_correct
+    assert (out["v0"].width, out["v0"].height) == (640, 480)
+    assert out["v0"].fps == 29.97 and out["v0"].duration == 12.0
+    assert not out["bad"].vid_is_correct and out["bad"].vid_error
+
+
+def test_audio_info_filter(spark):
+    rows = [
+        ("a0", bytearray(encode_fake_audio(44100, 2500))),
+        ("bad", bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, schema="name string, content binary")
+    out = {r.name: r for r in AudioInfoFilter()(df).collect()}
+    assert out["a0"].aud_is_correct
+    assert out["a0"].sample_rate == 44100 and out["a0"].duration == 2.5
+    assert not out["bad"].aud_is_correct
+
+
+def test_frame_adapter_composes_image_filter_on_video(spark):
+    """K9: video -> frame -> wrapped ImageInfoFilter."""
+    frame = encode_fake_image(np.zeros((4, 6, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("v0", bytearray(encode_fake_video(640, 480, 30.0, 1000, frame)))],
+        schema="name string, content binary",
+    )
+    out = FrameFilterAdapter(ImageInfoFilter())(df).collect()[0]
+    assert out.img_is_correct
+    assert (out.width, out.height) == (6, 4)  # frame dims, not video dims
+
+
+def test_translate_dedup_pattern(spark):
+    """K7: expensive call runs once per DISTINCT value."""
+    calls = []
+
+    def fake_translate(batch):
+        calls.append(list(batch))
+        return [t[::-1] for t in batch]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["hola", "hola", "mundo", "hola"])],
+        schema="id int, text string",
+    )
+    out = translate_column(
+        df.repartition(1), "text", fake_translate, max_symbols_in_batch=8
+    )
+    rows = {(r.id, r.text_translated) for r in out.collect()}
+    assert rows == {(0, "aloh"), (1, "aloh"), (2, "odnum"), (3, "aloh")}
+    # row count preserved by the broadcast left join-back
+    assert out.count() == 4
+
+
+def test_dummy_gpu_filter_runs_without_torch(spark):
+    df = spark.createDataFrame(
+        [("x", bytearray(b"anything"))], schema="name string, content binary"
+    )
+    out = DummyGPUFilter()(df).collect()
+    assert out[0].dummy_label == "dummy"
+
+
+def test_model_filter_schema_without_weights(spark):
+    """M-tier declares schemas for planning even when torch is absent."""
+    f = CLIPLabelsFilter(labels=["cat", "dog"])
+    assert [n for n, _ in f.result_schema] == ["clip_score_cat", "clip_score_dog"]
+    if not HAVE_TORCH:
+        df = spark.createDataFrame(
+            [("x", bytearray(b"d"))], schema="name string, content binary"
+        )
+        with pytest.raises(Exception, match="torch"):
+            f(df).collect()
