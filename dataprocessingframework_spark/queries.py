@@ -678,6 +678,55 @@ SQL_F_TIME_BUCKET = (
 )
 
 
+def q_stream_tumbling(spark, sf_dir):
+    """§2.12: REAL Structured Streaming run under the oracle gate —
+    events replayed through readStream (availableNow trigger), the
+    SAME windowed aggregation as the batch path (streaming/events.py),
+    memory sink; the oracle is identical to f_time_bucket's SQL. Batch
+    and stream must agree exactly."""
+    import uuid
+
+    from dataprocessingframework_spark.streaming import tumbling_window_agg
+
+    events = T(spark, sf_dir, "events")
+    stage_dir = f"/root/repo/.scratch/stream_events_{uuid.uuid4().hex[:8]}"
+    qname = f"stream_win_{uuid.uuid4().hex[:8]}"
+    # stage a micros-precision copy (readStream needs a fixed schema dir)
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    agg = tumbling_window_agg(
+        stream, ts_col="ts", window="15 minutes", group_cols=["event_type"]
+    ).select(
+        "win_start",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+    import shutil
+
+    try:
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        out = spark.table(qname).orderBy("win_start", "event_type").cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+SQL_STREAM_TUMBLING = (
+    "SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type, "
+    "COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value "
+    "FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type"
+)
+
+
 # --------------------------------------------------------------------------
 # §2.11 validators as queries
 # --------------------------------------------------------------------------
@@ -1481,6 +1530,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "f9_least_greatest": (q_f9_least_greatest, SQL_F9),
     "f_date_trunc": (q_f_date_trunc, SQL_F_DATE),
     "f_time_bucket": (q_f_time_bucket, SQL_F_TIME_BUCKET),
+    "stream_tumbling_window": (q_stream_tumbling, SQL_STREAM_TUMBLING),
     "v2_key_unique": (q_v2_key_unique, SQL_V2),
     "v3_referential": (q_v3_referential, SQL_V3),
     "w1_roundtrip_shards": (q_w1_roundtrip, SQL_W1),

@@ -1,0 +1,75 @@
+"""Property-based checks (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataprocessingframework_spark.filters.kernels import (
+    decode_image,
+    encode_fake_image,
+    phash,
+)
+from dataprocessingframework_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash64_py,
+    minhash_coeffs,
+)
+from dataprocessingframework_spark.functions.resizer import (
+    ResizePolicy,
+    resize_dims,
+)
+
+dims = st.integers(min_value=1, max_value=4000)
+sizes = st.integers(min_value=1, max_value=2000)
+
+
+@given(w=dims, h=dims, size=sizes)
+def test_max_size_never_exceeds(w, h, size):
+    nw, nh = resize_dims(w, h, ResizePolicy.MAX_SIZE, size)
+    # rounding can overshoot by at most 1px on the non-anchor side
+    assert max(nw, nh) <= size + 1
+    assert nw >= 1 and nh >= 1
+
+
+@given(w=dims, h=dims, size=sizes)
+def test_min_size_downscale_only_never_upscales(w, h, size):
+    nw, nh = resize_dims(w, h, ResizePolicy.MIN_SIZE, size, downscale_only=True)
+    assert nw <= w and nh <= h
+
+
+@given(w=dims, h=dims, size=sizes)
+def test_aspect_ratio_preserved(w, h, size):
+    nw, nh = resize_dims(w, h, ResizePolicy.MAX_SIZE, size)
+    if min(w, h) >= 8 and min(nw, nh) >= 8:
+        assert abs((w / h) - (nw / nh)) / (w / h) < 0.3
+
+
+@given(st.text(max_size=200))
+def test_hash64_range_and_determinism(s):
+    a, b = hash64_py(s), hash64_py(s)
+    assert a == b
+    assert 0 <= a < 2**60
+
+
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_coeffs_valid(k):
+    cs = minhash_coeffs(k)
+    assert len(cs) == len(set(cs)) == k
+    for a, b in cs:
+        assert 1 <= a < MINHASH_PRIME
+        assert 0 <= b < MINHASH_PRIME
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=8, max_value=64),
+    h=st.integers(min_value=8, max_value=64),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_codec_roundtrip_and_phash_stable(w, h, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_fake_image(arr)), arr)
+    p = phash(arr)
+    assert p == phash(arr)
+    assert len(p) == 16 and int(p, 16) < 2**64
