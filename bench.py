@@ -69,6 +69,14 @@ def bench_queries(spark):
         ),
         # embedding similarity
         "ann_topk_cosine": small(q.q_emb_topk),
+        "ann_topk_blas": small(
+            lambda s, d: similarity.cosine_topk(
+                q.T(s, d, "embeddings"),
+                q.T(s, d, "embeddings").filter(F.col("vec_id") < 50),
+                k=10,
+                impl="blas",
+            )
+        ),
         "ann_lsh_topk": big(
             lambda s, d: similarity.lsh_topk(
                 q.T(s, d, "embeddings"),
@@ -82,14 +90,23 @@ def bench_queries(spark):
 def main() -> None:
     spark = get_spark(app_name="dpf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the JVM / parquet footer caches outside the timed region
+    # warm up the JVM, parquet footer caches, and Python UDF workers
+    # outside the timed region
     q.T(spark, SF_DIR, "lineitem").count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(1000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, thunk in bench_queries(spark).items():
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: local[32] on tiny data is noisy
+            t0 = time.time()
+            thunk()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

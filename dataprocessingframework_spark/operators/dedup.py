@@ -80,7 +80,15 @@ def minhash_signatures(
     Shuffled volume: one row per (doc, distinct word) pre-reduced to one
     row per doc by map-side combine.
     """
-    words = tokenize_words(df, text_col, id_col)
+    # no distinct: MIN is idempotent over duplicate words, so skipping
+    # the dedup avoids one full shuffle — groupBy's map-side partial
+    # min collapses duplicates for free
+    words = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
     h = words.withColumn("h", reduced_word_hash(F.col("word")))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(

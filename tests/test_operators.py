@@ -97,6 +97,22 @@ def test_cosine_topk_matches_numpy(spark):
     assert got == expect
 
 
+def test_cosine_topk_blas_agrees_with_jvm(spark):
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        schema="vec_id long, embedding array<float>",
+    )
+    qdf = df.filter(F.col("vec_id") < 3)
+    jvm = similarity.cosine_topk(df, qdf, k=4, impl="jvm").collect()
+    blas = similarity.cosine_topk(df, qdf, k=4, impl="blas").collect()
+    assert {(r.q_id, r.nbr_id) for r in jvm} == {(r.q_id, r.nbr_id) for r in blas}
+    js = {(r.q_id, r.nbr_id): r.cos for r in jvm}
+    for r in blas:
+        assert abs(js[(r.q_id, r.nbr_id)] - r.cos) <= 1e-3
+
+
 def test_lsh_topk_subset_of_exact_scores(spark):
     rng = np.random.RandomState(5)
     vecs = rng.randn(50, 16).astype(np.float32)
