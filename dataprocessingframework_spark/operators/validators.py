@@ -51,6 +51,69 @@ def orphans(child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
     )
 
 
+def tar_members(spark, shard_dir: str, archive_ext: str = "tar"):
+    """Distributed listing of every (split_name, member) in a shard
+    directory's archives: one task per tar, names only (no payload
+    reads — tar index walk)."""
+    import os
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    tars = sorted(
+        f for f in os.listdir(shard_dir) if f.endswith(f".{archive_ext}")
+    )
+    paths = spark.createDataFrame(
+        [(os.path.join(shard_dir, t), t[: -len(archive_ext) - 1]) for t in tars],
+        schema="tar_path string, split_name string",
+    ).repartition(max(1, len(tars)))
+
+    schema = StructType(
+        [
+            StructField("split_name", StringType()),
+            StructField("member", StringType()),
+        ]
+    )
+
+    def scan(pdfs):
+        for pdf in pdfs:
+            for tar_path, split in zip(pdf.tar_path, pdf.split_name):
+                with tarfile.open(tar_path, "r") as tf:
+                    names = tf.getnames()
+                yield pd.DataFrame(
+                    {"split_name": [split] * len(names), "member": names}
+                )
+
+    return paths.mapInPandas(scan, schema)
+
+
+def membership_errors(
+    spark,
+    df,
+    shard_dir: str,
+    name_col: str,
+    archive_ext: str = "tar",
+) -> dict[str, DataFrame]:
+    """V4 table<->archive membership (`shards_validator.py:47-87`):
+    rows whose file is missing from its shard archive, and archive
+    members with no metadata row — both as anti-join DataFrames."""
+    members = tar_members(spark, shard_dir, archive_ext)
+    rows = df.select(
+        F.col("split_name"), F.col(name_col).alias("member")
+    )
+    rows_without_files = rows.join(
+        members, on=["split_name", "member"], how="left_anti"
+    )
+    files_without_rows = members.join(
+        rows, on=["split_name", "member"], how="left_anti"
+    )
+    return {
+        "rows_without_files": rows_without_files,
+        "files_without_rows": files_without_rows,
+    }
+
+
 def validate(
     df: DataFrame,
     required_columns: list[str] | None = None,

@@ -102,6 +102,66 @@ def write_shards(
     return summary
 
 
+def update_shard_metadata(
+    spark,
+    shard_dir: str,
+    new_df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """W4 write-back — merge new/changed metadata columns into the
+    per-shard CSVs, leaving archives untouched
+    (`processors/sharded_processor.py:58-82` +
+    `helpers/dataframe_helper.py:95-153`).
+
+    Integrity prepass BEFORE any file is modified (the reference's
+    validate-all-then-modify discipline, `dataframe_helper.py:139-146`):
+    keys must be unique on both sides and new keys ⊆ existing keys.
+    One applyInPandas group per shard rewrites that shard's CSV.
+    """
+    from dataprocessingframework_spark.sources.reader import (
+        SPLIT_COLUMN,
+        DatasetReader,
+    )
+
+    current = DatasetReader(spark).read_metadata_shards(shard_dir).df
+    # --- integrity prepass (no writes yet)
+    n_cur, n_cur_keys = (
+        current.count(),
+        current.select(key_col).distinct().count(),
+    )
+    if n_cur != n_cur_keys:
+        raise ValueError(f"existing metadata has duplicate keys on {key_col}")
+    n_new, n_new_keys = new_df.count(), new_df.select(key_col).distinct().count()
+    if n_new != n_new_keys:
+        raise ValueError(f"update frame has duplicate keys on {key_col}")
+    unmatched = new_df.join(current, on=key_col, how="left_anti").count()
+    if unmatched:
+        raise ValueError(f"{unmatched} update keys not present in dataset")
+
+    overlap = [
+        c for c in new_df.columns if c != key_col and c in current.columns
+    ]
+    merged = (current.drop(*overlap) if overlap else current).join(
+        F.broadcast(new_df), on=key_col, how="left"
+    )
+
+    meta_cols = [c for c in merged.columns if c != SPLIT_COLUMN]
+
+    def rewrite(key, pdf):
+        split = key[0]
+        pdf[meta_cols].to_csv(
+            os.path.join(shard_dir, f"{split}.csv"), index=False
+        )
+        return pd.DataFrame({"split_name": [split], "rows": [len(pdf)]})
+
+    summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
+        rewrite, _SUMMARY_SCHEMA
+    )
+    summary = summary.cache()
+    summary.count()
+    return summary
+
+
 def write_sharded_files(
     df: DataFrame,
     out_dir: str,
