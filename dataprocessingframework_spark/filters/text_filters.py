@@ -20,7 +20,7 @@ import re
 from typing import Any
 
 import pandas as pd
-from pyspark.sql.types import DoubleType, LongType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType  # noqa: F401
 
 from dataprocessingframework_spark.filters.column_filter import ColumnFilter
 
@@ -62,6 +62,65 @@ class RegexFilter(ColumnFilter):
         for pat, repl in self.rules:
             s = s.str.replace(pat, repl, regex=True)
         return pd.DataFrame({self.result_column: s.str.strip()}, index=pdf.index)
+
+
+class LangIdFilter(ColumnFilter):
+    """K6 — adds ``lang``/``lang_score`` (`filters/texts/lang_filter.py:8-44`).
+
+    With py3langid installed the real model runs; otherwise the
+    deterministic marker-word heuristic (operators/text_analysis.py)
+    stands in, same contract and schema.
+    """
+
+    def __init__(self, text_column: str = "text") -> None:
+        self.text_column = text_column
+        try:
+            import py3langid  # noqa: F401
+
+            self._have_model = True
+        except ImportError:
+            self._have_model = False
+
+    @property
+    def columns_to_process(self) -> list[str]:
+        return [self.text_column]
+
+    @property
+    def result_schema(self):
+        return [("lang", StringType()), ("lang_score", DoubleType())]
+
+    def process_pandas(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if self._have_model:
+            from py3langid.langid import LanguageIdentifier, MODEL_FILE
+
+            ident = LanguageIdentifier.from_pickled_model(
+                MODEL_FILE, norm_probs=True
+            )
+            out = [ident.classify(str(t)) for t in pdf[self.text_column]]
+            return pd.DataFrame(
+                {"lang": [o[0] for o in out],
+                 "lang_score": [round(float(o[1]), 3) for o in out]},
+                index=pdf.index,
+            )
+        from dataprocessingframework_spark.operators.text_analysis import (
+            LANG_MARKERS,
+        )
+
+        langs, scores = [], []
+        for t in pdf[self.text_column]:
+            toks = [x for x in str(t).split(" ") if x]
+            hits = {
+                lang: sum(1 for x in toks if x in set(ws))
+                for lang, ws in LANG_MARKERS.items()
+            }
+            best = max(hits.items(), key=lambda kv: (kv[1], -list(LANG_MARKERS).index(kv[0])))
+            if best[1] == 0:
+                langs.append("unk")
+                scores.append(0.0)
+            else:
+                langs.append(best[0])
+                scores.append(round(best[1] / max(1, len(toks)), 3))
+        return pd.DataFrame({"lang": langs, "lang_score": scores}, index=pdf.index)
 
 
 class TokenStatsFilter(ColumnFilter):
