@@ -186,6 +186,58 @@ def simhash(
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    all_nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group near-dup candidate pairs into clusters: (node, cluster)
+    where cluster = min node id reachable through the pair graph.
+
+    This is the step that turns pairwise similarity into dedup
+    decisions (keep one representative per cluster) — absent from the
+    reference, essential at 100 TB where transitive duplicates are the
+    norm. Iterative min-label propagation: each round is one shuffle
+    (neighbor-min groupBy); near-dup graphs have small diameters, so
+    convergence is a handful of rounds. localCheckpoint truncates the
+    lineage each round so plans stay bounded.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    bidir = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = (
+        all_nodes.select(F.col(all_nodes.columns[0]).alias("node"))
+        if all_nodes is not None
+        else bidir.select(F.col("src").alias("node")).distinct()
+    )
+    labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
+    for _ in range(max_iterations):
+        msgs = (
+            bidir.join(labels, bidir["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "cluster")
+        )
+        new_labels = (
+            labels.select("node", "cluster")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

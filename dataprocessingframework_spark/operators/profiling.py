@@ -1,0 +1,47 @@
+"""Dataset profiling — one-pass column statistics for pipeline triage.
+
+A 100 TB curation run starts with "what's in this table": row counts,
+cardinalities, null fractions, ranges. All computed in ONE aggregate
+pass (single shuffle of partial aggregates), never collected per-row.
+For quick interactive profiling at extreme scale, `approximate=True`
+swaps exact distinct counts for HLL sketches
+(`approx_count_distinct`, constant memory per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Single-row profile: per column — non-null count, distinct count,
+    null count, and min/max/avg for numeric columns."""
+    cols = columns or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approximate
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}_non_null"))
+        aggs.append(distinct(c).alias(f"{c}_distinct"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
+        )
+        if c in numeric:
+            aggs += [
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+                F.round(F.avg(c), 4).alias(f"{c}_avg"),
+            ]
+    return df.agg(*aggs)

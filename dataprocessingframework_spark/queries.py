@@ -1169,6 +1169,71 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dd_clusters(spark, sf_dir):
+    """Near-dup clustering: Jaccard>=0.8 edges -> connected components
+    (min-label). The transitive-dedup step the reference lacks; oracle
+    is a DuckDB recursive CTE over the identical edge definition."""
+    docs = T(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    cc = dedup.connected_components(
+        edges, all_nodes=docs.select("doc_id"), id_a="id_a", id_b="id_b"
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("cluster")
+    ).orderBy("doc_id")
+
+
+SQL_DD_CLUSTERS = f"""
+WITH RECURSIVE
+words AS (SELECT DISTINCT doc_id, w FROM
+  (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+  WHERE w <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges),
+cc AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT b.dst AS doc_id, LEAST(cc.label, b.dst) AS label
+  FROM cc JOIN bidir b ON cc.doc_id = b.src
+)
+SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_profile_table(spark, sf_dir):
+    """Dataset profiling op: one-pass column statistics."""
+    from dataprocessingframework_spark.operators.profiling import profile_table
+
+    return profile_table(
+        T(spark, sf_dir, "documents"), ["lang", "source", "n_chars", "text"]
+    )
+
+
+SQL_PROFILE = """
+SELECT COUNT(*) AS n_rows,
+  COUNT(lang) AS lang_non_null, COUNT(DISTINCT lang) AS lang_distinct,
+  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+  COUNT(source) AS source_non_null, COUNT(DISTINCT source) AS source_distinct,
+  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+  COUNT(n_chars) AS n_chars_non_null, COUNT(DISTINCT n_chars) AS n_chars_distinct,
+  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+  MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max,
+  ROUND(AVG(n_chars), 4) AS n_chars_avg,
+  COUNT(text) AS text_non_null, COUNT(DISTINCT text) AS text_distinct,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls
+FROM documents
+"""
+
+
 def q_dd_lsh_candidates(spark, sf_dir):
     """MinHash-LSH candidate pairs (scale path of near-dup dedup).
     Non-SQL-expressible compactly -> library-tested; rows-only check."""
@@ -1546,6 +1611,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
     "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
     "dd_lsh_candidates": (q_dd_lsh_candidates, None),
+    "dd_clusters": (q_dd_clusters, SQL_DD_CLUSTERS),
+    "profile_table": (q_profile_table, SQL_PROFILE),
     "emb_topk_cosine": (q_emb_topk, SQL_EMB_TOPK),
     "emb_near_dup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_lsh_topk": (q_emb_lsh_topk, None),
