@@ -1,0 +1,159 @@
+"""Beyond-reference join shapes: as-of join and range join.
+
+The reference has exactly one join shape (left equi-join on one key,
+``DPF/processors/processor.py:197``); a training-data pipeline at scale
+also needs temporal joins — "latest fact at or before this event" — and
+interval containment joins. Both are implemented shuffle-minimally:
+
+- ``asof_join``: the union-window formulation. Instead of a pair-
+  exploding inequality join, left and right rows are unioned into one
+  stream per key and the match is a ``last(value, ignorenulls=True)``
+  running window — exactly ONE shuffle (on the key), zero pair
+  explosion, linear in |left| + |right|. This is the only as-of shape
+  that survives 100 TB; a naive ``l.ts >= r.ts`` theta-join is
+  quadratic per key.
+- ``range_join``: point-in-interval join. Small interval table →
+  broadcast BETWEEN join (Catalyst turns it into a broadcast
+  nested-loop over a tiny side — fine). Big interval table →
+  bin-and-equijoin: both sides are mapped onto fixed-width buckets
+  (intervals exploding to every bucket they overlap), the join becomes
+  an equi-join on bucket id (shuffle-hash / AQE-skew-splittable), and
+  the exact BETWEEN predicate filters residuals after the match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the single right row with the largest
+    ``right_ts <= left_ts`` (direction='backward'; 'forward' = smallest
+    ``right_ts >= left_ts``) within the same key group.
+
+    Right rows must be unique per (key, ts) — pre-aggregate the right
+    side if they are not (the match would otherwise be ambiguous).
+    Right payload columns come back with their own names; the matched
+    timestamp is exposed as ``matched_ts``. ``tolerance`` (a Column
+    interval/numeric delta) null-outs matches farther than the bound.
+
+    Plan shape: union(left, right) → one shuffle on the key → running
+    ``last(.., ignorenulls)`` window → filter left rows. No pair
+    explosion; key skew is the only hazard (AQE-splittable).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in {*keys, rts}]
+    rts_type = right.schema[rts].dataType
+
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lrow"),
+        F.lit(None).cast(rts_type).alias("_rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(rts).alias("_rts"),
+        *payload,
+    )
+    merged = l_tag.unionByName(r_tag)
+
+    asc = direction == "backward"
+    order = (
+        [F.asc("_ts"), F.asc("_side")] if asc else [F.desc("_ts"), F.asc("_side")]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.select(
+        "*",
+        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in payload
+        ],
+    ).filter(F.col("_side") == 1)
+
+    if tolerance is not None:
+        delta = (
+            F.col("_ts") - F.col("matched_ts")
+            if asc
+            else F.col("matched_ts") - F.col("_ts")
+        )
+        in_tol = F.col("matched_ts").isNotNull() & (delta <= tolerance)
+        matched = matched.select(
+            *[c for c in matched.columns if c != "matched_ts" and not c.startswith("_m_")],
+            F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
+            *[F.when(in_tol, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in payload],
+        )
+
+    out = matched.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        F.col("matched_ts"),
+        *[F.col(f"_m_{c}").alias(c) for c in payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col("matched_ts").isNotNull())
+    return out
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to every interval containing them
+    (``lo <= point <= hi``, inclusive both ends).
+
+    ``bucket_width=None``: broadcast the (small) interval table and let
+    Catalyst run a broadcast nested-loop — the right plan when ranges
+    fit in memory (band tables, SLA tiers, histogram bins).
+
+    ``bucket_width=w``: the big-big path. Facts map to bucket
+    ``floor(point / w)``; each interval explodes to the buckets it
+    overlaps (``sequence(floor(lo/w), floor(hi/w))`` — narrow, bounded
+    by interval span / w); the join is an equi-join on bucket followed
+    by the exact BETWEEN filter. Shuffle volume is |facts| + Σ interval
+    spans / w instead of |facts| × |ranges|.
+    """
+    between = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
+    )
+    if bucket_width is None:
+        return facts.join(F.broadcast(ranges), on=between, how=how)
+
+    w = float(bucket_width)
+    f_b = facts.withColumn("_bucket", F.floor(F.col(point_col) / w))
+    r_b = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    if how != "inner":
+        raise ValueError("bucketed range_join supports how='inner' only")
+    return f_b.join(r_b, on="_bucket", how="inner").filter(between).drop("_bucket")

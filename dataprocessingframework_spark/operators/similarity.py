@@ -251,3 +251,151 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    iters: int,
+) -> list[list[float]]:
+    """Deterministic coarse centroids.
+
+    Init: the n_cells corpus vectors with the smallest md5-derived hash
+    of their id — a seedless, engine-portable random sample. Then
+    ``iters`` distributed Lloyd rounds (assign by max cosine → new
+    centroid = normalized mean of the cell, computed via posexplode +
+    groupBy(cell, pos) — one shuffle per round whose volume is
+    n_cells × dim rows after partial aggregation). Only the
+    n_cells × dim centroid matrix ever reaches the driver.
+    """
+    from dataprocessingframework_spark.functions.hashing import hash64
+
+    seed_rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            hash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cents, id_col, vec_col, n_probe=1)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new = []
+        for c, old in enumerate(cents):
+            if c in by_cell:
+                vec = [by_cell[c][p] for p in range(len(old))]
+                n = sum(x * x for x in vec) ** 0.5 or 1.0
+                new.append([x / n for x in vec])
+            else:
+                new.append(old)  # empty cell keeps its seed
+        cents = new
+    return cents
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Attach the top-n_probe nearest-centroid cell ids to each row.
+
+    Centroids are literal arrays — cell scoring is a narrow projection
+    in whole-stage codegen (n_cells dot products per row), no join, no
+    shuffle. Returns the input columns plus ``cell`` (exploded when
+    n_probe > 1).
+    """
+    scores = F.array(
+        *[
+            F.struct(
+                dot(
+                    F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                ).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.array_sort(scores, lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)), 1, n_probe)
+    out = df.withColumn("_cells", F.transform(top, lambda t: t["c"]))
+    if n_probe == 1:
+        return out.withColumn("cell", F.col("_cells")[0]).drop("_cells")
+    return out.withColumn("cell", F.explode("_cells")).drop("_cells")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the FAISS-style
+    scale path, alongside lsh_topk): corpus rows are assigned to their
+    nearest of n_cells centroids; each query probes its n_probe nearest
+    cells and scores only that fraction of the corpus (~n_probe/n_cells
+    of it, data permitting).
+
+    All heavy steps are narrow maps (cell assignment is codegen'd dot
+    products against literal centroids); the only shuffles are the
+    centroid means (n_cells × dim rows) and the per-query top-k window.
+    Recall is tunable via n_probe; n_probe = n_cells degenerates to the
+    exact result.
+    """
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec")
+        ),
+        cents,
+        "nbr_id",
+        "c_vec",
+        n_probe=1,
+    )
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        cents,
+        "q_id",
+        "q_vec",
+        n_probe=n_probe,
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
+    )

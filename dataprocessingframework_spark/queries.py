@@ -1552,6 +1552,151 @@ GROUP BY n.n_name ORDER BY n.n_name
 
 
 # --------------------------------------------------------------------------
+# beyond-reference joins (as-of / range), IVF ANN, sliding/session windows
+# --------------------------------------------------------------------------
+
+
+def q_j_asof(spark, sf_dir):
+    """As-of join (beyond reference; the reference's only join is a
+    single-key left equi-join, `processors/processor.py:197`). Latest
+    purchase at-or-before each click, per user — implemented as the
+    union-window formulation (one shuffle, no pair explosion); oracle
+    is DuckDB's native ASOF JOIN."""
+    from dataprocessingframework_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return (
+        asof_join(clicks, purchases, on="user_id", left_ts="ts")
+        .select("event_id", "user_id", "matched_ts", "purchase_value")
+        .orderBy("event_id")
+    )
+
+
+SQL_J_ASOF = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, ROUND(MAX(value),2) AS purchase_value
+           FROM events WHERE event_type='purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.ts AS matched_ts, p.purchase_value
+FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def q_j_range(spark, sf_dir):
+    """Range (point-in-interval) join via the bin-and-equijoin path:
+    quantity bands over lineitem. Bucketing turns the BETWEEN join into
+    an equi-join on bucket id — the big-big shape that scales."""
+    from pyspark.sql import Row
+
+    from dataprocessingframework_spark.operators.joins import range_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    bands = spark.createDataFrame(
+        [Row(band_id=i + 1, lo=i * 10 + 1, hi=(i + 1) * 10) for i in range(5)]
+    )
+    return (
+        range_join(li, bands, "l_quantity", "lo", "hi", bucket_width=10)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+SQL_J_RANGE = """
+SELECT b.band_id, COUNT(*) AS cnt, ROUND(SUM(l.l_extendedprice),2) AS sum_price
+FROM lineitem l
+JOIN (VALUES (1,1,10),(2,11,20),(3,21,30),(4,31,40),(5,41,50))
+     AS b(band_id, lo, hi)
+  ON l.l_quantity BETWEEN b.lo AND b.hi
+GROUP BY b.band_id ORDER BY b.band_id
+"""
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the FAISS-style scale path, next to
+    emb_lsh_topk). Approximate by design → rows-only check; recall vs
+    the exact path is asserted in tests/test_joins_and_ivf.py."""
+    from dataprocessingframework_spark.operators.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(10)
+    return ivf_topk(emb, qs, k=5, n_cells=16, n_probe=4).orderBy(
+        "q_id", F.desc("cos"), "nbr_id"
+    )
+
+
+def q_stream_sliding(spark, sf_dir):
+    """§2.12 sliding (hopping) event-time window — 30 min window every
+    15 min, so each event lands in exactly two windows. DuckDB oracle
+    expands the hops explicitly (time_bucket - h*slide)."""
+    from dataprocessingframework_spark.streaming import sliding_window_agg
+
+    return sliding_window_agg(
+        T(spark, sf_dir, "events"),
+        window="30 minutes",
+        slide="15 minutes",
+        group_cols=["event_type"],
+    ).orderBy("win_start", "event_type")
+
+
+SQL_STREAM_SLIDING = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - h * INTERVAL '15 minutes'
+         AS win_start,
+       time_bucket(INTERVAL '15 minutes', ts) - h * INTERVAL '15 minutes'
+         + INTERVAL '30 minutes' AS win_end,
+       event_type, COUNT(*) AS cnt
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS h) hops
+GROUP BY win_start, win_end, event_type
+ORDER BY win_start, event_type
+"""
+
+
+def q_stream_session(spark, sf_dir):
+    """§2.12 session windows (gap-based sessionization per user).
+    Spark `session_window` ≡ classic SQL sessionization: a new session
+    starts when the gap from the previous event reaches the timeout;
+    session_end = last event + gap."""
+    from dataprocessingframework_spark.streaming import session_window_agg
+
+    return session_window_agg(
+        T(spark, sf_dir, "events"), gap="15 minutes", key_col="user_id"
+    ).orderBy("user_id", "session_start")
+
+
+SQL_STREAM_SESSION = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '15 minutes' AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1628,6 +1773,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "h1_pricing_summary": (q_h1_pricing_summary, SQL_H1),
     "h3_top_orders": (q_h3_top_orders, SQL_H3),
     "h5_region_revenue": (q_h5_region_revenue, SQL_H5),
+    "j_asof": (q_j_asof, SQL_J_ASOF),
+    "j_range": (q_j_range, SQL_J_RANGE),
+    "emb_ivf_topk": (q_emb_ivf_topk, None),
+    "stream_sliding_window": (q_stream_sliding, SQL_STREAM_SLIDING),
+    "stream_session_window": (q_stream_session, SQL_STREAM_SESSION),
 }
 
 

@@ -1,0 +1,166 @@
+"""As-of join, range join (operators/joins.py) and IVF ANN
+(operators/similarity.ivf_topk) — beyond-reference operators; the
+reference's only join is a single-key left equi-join
+(DPF/processors/processor.py:197)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.operators.joins import asof_join, range_join
+from dataprocessingframework_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+)
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", ts=ts(5), qty=10),
+            Row(sym="A", ts=ts(20), qty=20),
+            Row(sym="B", ts=ts(3), qty=30),
+            Row(sym="B", ts=ts(0), qty=40),  # before any quote
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", ts=ts(0), px=1.0),
+            Row(sym="A", ts=ts(5), px=2.0),  # tie: ts == trade ts → matches
+            Row(sym="A", ts=ts(15), px=3.0),
+            Row(sym="B", ts=ts(2), px=9.0),
+        ]
+    )
+    return trades, quotes
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_ts="ts").orderBy("sym", "ts")
+    rows = [(r.sym, r.qty, r.px) for r in out.collect()]
+    # B@10:00 has no quote at-or-before → dropped (inner)
+    assert rows == [("A", 10, 2.0), ("A", 20, 3.0), ("B", 30, 9.0)]
+
+
+def test_asof_left_keeps_unmatched(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", how="left")
+    assert out.count() == 4
+    unmatched = out.filter(F.col("matched_ts").isNull()).collect()
+    assert [(r.sym, r.qty) for r in unmatched] == [("B", 40)]
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", direction="forward")
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    # A@20 and B@03 have no quote at-or-after → dropped (inner)
+    assert got == {("A", 10): 2.0, ("B", 40): 9.0}
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades,
+        quotes,
+        on="sym",
+        left_ts="ts",
+        tolerance=F.expr("INTERVAL 1 MINUTE"),
+    )
+    # only exact/1-min-close matches survive: A@05 (quote @05), B@03 (quote @02)
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got == {("A", 10): 2.0, ("B", 30): 9.0}
+
+
+def test_asof_matches_duckdb_oracle(spark, sf_dir):
+    """Union-window asof == DuckDB's native ASOF JOIN on real events."""
+    import duckdb
+
+    from dataprocessingframework_spark.queries import T
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts")
+    got = sorted(
+        (r.event_id, r.purchase_value) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                """
+                WITH c AS (SELECT event_id, user_id, ts FROM events
+                           WHERE event_type='click'),
+                     p AS (SELECT user_id, ts,
+                                  ROUND(MAX(value),2) AS purchase_value
+                           FROM events WHERE event_type='purchase'
+                           GROUP BY user_id, ts)
+                SELECT c.event_id, p.purchase_value
+                FROM c ASOF JOIN p
+                  ON c.user_id = p.user_id AND c.ts >= p.ts
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_range_join_broadcast_and_bucketed_agree(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    bands = spark.createDataFrame(
+        [Row(band_id=i + 1, lo=i * 10 + 1, hi=(i + 1) * 10) for i in range(5)]
+    )
+    bc = range_join(li, bands, "l_quantity", "lo", "hi")
+    bk = range_join(li, bands, "l_quantity", "lo", "hi", bucket_width=10)
+    agg = lambda d: sorted(  # noqa: E731
+        (r.band_id, r.cnt)
+        for r in d.groupBy("band_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    a, b = agg(bc), agg(bk)
+    assert a == b and len(a) == 5 and sum(c for _, c in a) == li.count()
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=8, iters=1)
+    e = {(r.q_id, r.nbr_id) for r in exact.collect()}
+    a = {(r.q_id, r.nbr_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # approx scores are a subset of true cosine scores (same scoring fn)
+    exact_scores = {
+        (r.q_id, r.nbr_id): r.cos
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in approx.collect():
+        assert exact_scores.get((r.q_id, r.nbr_id)) == pytest.approx(r.cos)
+
+
+def test_ivf_topk_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    r1 = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    assert r1 == r2
