@@ -139,6 +139,37 @@ class Dataset:
             right = F.broadcast(right)
         return self._wrap(self.df.join(right, on=on, how=how))
 
+    def asof_join(
+        self, other: "Dataset | DataFrame", on: Any, **kwargs: Any
+    ) -> "Dataset":
+        """Temporal as-of join (operators/joins.asof_join): latest right
+        row at-or-before each left row's timestamp, one shuffle."""
+        from dataprocessingframework_spark.operators.joins import asof_join
+
+        right = other.df if isinstance(other, Dataset) else other
+        return self._wrap(asof_join(self.df, right, on, **kwargs))
+
+    def range_join(
+        self, ranges: "Dataset | DataFrame", point_col: str,
+        lo_col: str, hi_col: str, **kwargs: Any,
+    ) -> "Dataset":
+        """Point-in-interval join (operators/joins.range_join)."""
+        from dataprocessingframework_spark.operators.joins import range_join
+
+        r = ranges.df if isinstance(ranges, Dataset) else ranges
+        return self._wrap(
+            range_join(self.df, r, point_col, lo_col, hi_col, **kwargs)
+        )
+
+    def salted_join(
+        self, other: "Dataset | DataFrame", on: Any, **kwargs: Any
+    ) -> "Dataset":
+        """Skew-resistant equi-join (operators/joins.salted_join)."""
+        from dataprocessingframework_spark.operators.joins import salted_join
+
+        right = other.df if isinstance(other, Dataset) else other
+        return self._wrap(salted_join(self.df, right, on, **kwargs))
+
     # ------------------------------------------------------------ aggregates
     def group_by(self, *cols: ColumnOrName):
         return self.df.groupBy(*cols)
@@ -200,6 +231,26 @@ class Dataset:
     def shuffle(self, seed: int = 42) -> "Dataset":
         """D2 full random shuffle (`pipeline_stages.py:27-34`), seeded."""
         return self._wrap(self.df.orderBy(F.rand(seed)))
+
+    def hash_sample(
+        self, key_col: str, num: int = 1, denom: int = 20, salt: str = ""
+    ) -> "Dataset":
+        """Deterministic md5-keyed sample (operators/sampling) — the
+        reproducible holdout-split primitive; membership is a pure
+        function of the key, identical on any engine or rerun."""
+        from dataprocessingframework_spark.operators.sampling import (
+            hash_sample,
+        )
+
+        return self._wrap(hash_sample(self.df, key_col, num, denom, salt))
+
+    def stratified_sample(
+        self, strata_col: str, fractions: Mapping[str, float], seed: int = 42
+    ) -> "Dataset":
+        """Per-stratum Bernoulli sample (seeded `sampleBy`)."""
+        return self._wrap(
+            self.df.sampleBy(strata_col, dict(fractions), seed=seed)
+        )
 
     def random_sample(self, fraction: float, seed: int = 42) -> "Dataset":
         """D3 — `processors/processor.py:295-320`."""

@@ -1747,6 +1747,33 @@ ORDER BY o_orderkey
 """
 
 
+def q_h6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the canonical predicate-pushdown query: every
+    filter reaches the parquet scan (row-group pruning at 100 TB), and
+    the result is a single partial/final agg with no grouped shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_H6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1831,6 +1858,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_session_window": (q_stream_session, SQL_STREAM_SESSION),
     "j_salted": (q_j_salted, SQL_J_SALTED),
     "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
+    "h6_forecast_revenue": (q_h6_forecast_revenue, SQL_H6),
 }
 
 

@@ -68,3 +68,32 @@ def test_row_id_and_split_range(ds):
     total = withid.count()
     assert total == 4
     assert "rid" in withid.columns
+
+
+def test_dataset_asof_and_salted_join_surface(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dataprocessingframework_spark.dataset import Dataset
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    left = Dataset(
+        spark.createDataFrame([Row(k="a", ts=t(5)), Row(k="a", ts=t(9))])
+    )
+    right = spark.createDataFrame([Row(k="a", ts=t(4), v=1.5)])
+    out = left.asof_join(right, on="k").df.collect()
+    assert [r.v for r in out] == [1.5, 1.5]
+    s = left.salted_join(right.drop("ts", "v"), on="k", salt=4)
+    assert s.count() == 2
+
+
+def test_dataset_hash_sample_surface(spark, sf_dir):
+    from dataprocessingframework_spark.dataset import Dataset
+
+    orders = Dataset(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    a = orders.hash_sample("o_orderkey", 1, 10).count()
+    b = orders.hash_sample("o_orderkey", 1, 10).count()
+    assert a == b and 0 < a < orders.count()
