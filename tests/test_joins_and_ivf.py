@@ -242,3 +242,83 @@ def test_hash_sample_salts_are_independent_splits(spark, sf_dir):
     train = orders.filter(hash_sample_pred("o_orderkey", 19, 20))
     held = orders.filter(~hash_sample_pred("o_orderkey", 19, 20))
     assert train.count() + held.count() == orders.count()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """Randomized parity with pandas.merge_asof (backward,
+    allow_exact_matches) — ties on ts, keys with no matches, and
+    left-only keys all included."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 120, 80
+    base = pd.Timestamp("2024-01-01")
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 500, n_l), "min"),
+            "lv": np.arange(n_l),
+        }
+    )
+    rpd = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, n_r),
+                "ts": base + pd.to_timedelta(rng.integers(0, 500, n_r), "min"),
+                "rv": rng.random(n_r).round(3),
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # asof precondition: unique (key, ts)
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpd.sort_values("ts", kind="stable"),
+        rpd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want_map = dict(zip(want["lv"], want["rv"]))
+    out = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="k",
+        left_ts="ts",
+        how="left",
+    ).collect()
+    assert len(out) == n_l
+    for r in out:
+        w = want_map[r.lv]
+        if pd.isna(w):
+            assert r.rv is None, (r.lv, r.rv, w)
+        else:
+            assert r.rv == pytest.approx(w), (r.lv, r.rv, w)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_range_join_matches_bruteforce(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pts = [(int(i), float(x)) for i, x in enumerate(rng.uniform(0, 100, 150))]
+    ranges = []
+    for i in range(25):
+        lo = float(rng.uniform(0, 95))
+        ranges.append((int(i), lo, lo + float(rng.uniform(0, 20))))
+    facts = spark.createDataFrame(pts, "pid int, x double")
+    rdf = spark.createDataFrame(ranges, "rid int, lo double, hi double")
+    want = sorted(
+        (p, r)
+        for p, x in pts
+        for r, lo, hi in ranges
+        if lo <= x <= hi
+    )
+    for kw in ({}, {"bucket_width": 7.0}):
+        got = sorted(
+            (r.pid, r.rid)
+            for r in range_join(facts, rdf, "x", "lo", "hi", **kw).collect()
+        )
+        assert got == want, kw
