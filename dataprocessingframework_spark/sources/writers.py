@@ -39,6 +39,24 @@ _SUMMARY_SCHEMA = StructType(
 )
 
 
+
+def _next_shard_index(out_dir: str) -> int:
+    """W1 resume support (`processors/writers/shards_writer.py:92-119`):
+    the reference re-opens the LAST shard and fills it in place before
+    starting new ones. In a distributed writer in-place fill would mean
+    concurrent mutation of a live shard, so our append semantics
+    diverge deliberately: existing shards are immutable and new shards
+    number from max(existing)+1. The trade-off is at most one
+    under-full shard per append batch."""
+    mx = -1
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            stem = f.split(".")[0]
+            if stem.isdigit():
+                mx = max(mx, int(stem))
+    return mx + 1
+
+
 def _shard_count(df: DataFrame, max_files_in_shard: int) -> int:
     n = df.count()
     return max(1, math.ceil(n / max_files_in_shard))
@@ -50,15 +68,21 @@ def write_shards(
     max_files_in_shard: int = 1000,
     media_col: str | None = None,
     name_col: str | None = None,
+    append: bool = False,
 ) -> DataFrame:
     """W1: write ``N.csv`` (+ ``N.tar`` when media present) shard pairs.
 
     ``media_col`` holds bytes, ``name_col`` the member basename. With
     ``media_col=None`` only metadata CSVs are written (csv-only shards).
-    Returns the per-shard summary (split_name, rows) — an action has
-    already materialized the write when this returns.
+    ``append=True`` resumes into an existing dataset dir: new shards
+    continue numbering after the last existing shard (see
+    ``_next_shard_index`` for the deliberate divergence from the
+    reference's in-place last-shard fill). Returns the per-shard
+    summary (split_name, rows) — an action has already materialized
+    the write when this returns.
     """
     os.makedirs(out_dir, exist_ok=True)
+    start = _next_shard_index(out_dir) if append else 0
     num = _shard_count(df, max_files_in_shard)
     meta_cols = [
         c for c in df.columns if c != media_col
@@ -75,7 +99,7 @@ def write_shards(
             if pid is None:
                 from pyspark import TaskContext
 
-                pid = TaskContext.get().partitionId()
+                pid = start + TaskContext.get().partitionId()
                 if media_col is not None:
                     tar_path = os.path.join(out_dir, f"{pid}.tar")
                     tar = tarfile.open(tar_path, "w")
@@ -168,10 +192,13 @@ def write_sharded_files(
     max_files_in_shard: int = 1000,
     media_col: str | None = None,
     name_col: str | None = None,
+    append: bool = False,
 ) -> DataFrame:
     """W2: same as W1 but loose files in ``N/`` dirs
-    (`processors/writers/sharded_files_writer.py:15-160`)."""
+    (`processors/writers/sharded_files_writer.py:15-160`); ``append``
+    as in W1."""
     os.makedirs(out_dir, exist_ok=True)
+    start = _next_shard_index(out_dir) if append else 0
     num = _shard_count(df, max_files_in_shard)
     meta_cols = [c for c in df.columns if c != media_col]
 
@@ -185,7 +212,7 @@ def write_sharded_files(
             if pid is None:
                 from pyspark import TaskContext
 
-                pid = TaskContext.get().partitionId()
+                pid = start + TaskContext.get().partitionId()
                 if media_col is not None:
                     shard_dir = os.path.join(out_dir, str(pid))
                     os.makedirs(shard_dir, exist_ok=True)

@@ -193,3 +193,31 @@ def test_write_sharded_files_roundtrip(spark, shards_dir, tmp_path):
     assert back.count() == 4
     paths = [r["image_name_path"] for r in back.df.collect()]
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_write_shards_append_resumes_numbering(spark, tmp_path):
+    """W1 resume (`processors/writers/shards_writer.py:92-119`):
+    append=True continues shard numbering after the existing max;
+    existing shards are immutable (deliberate divergence from the
+    reference's in-place last-shard fill — see _next_shard_index)."""
+    import os
+
+    from dataprocessingframework_spark.sources.writers import write_shards
+
+    out = str(tmp_path / "resume")
+    df1 = spark.range(10).selectExpr("id", "concat('a', id) AS v")
+    write_shards(df1, out, max_files_in_shard=5)
+    first = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in first}
+
+    df2 = spark.range(10, 16).selectExpr("id", "concat('b', id) AS v")
+    write_shards(df2, out, max_files_in_shard=5, append=True)
+    after = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert set(first) < set(after)
+    # old shards untouched, new ones numbered after the old max
+    for f in first:
+        assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+    new = set(after) - set(first)
+    assert all(int(f.split(".")[0]) >= len(first) for f in new)
+    total = spark.read.csv(f"{out}/*.csv", header=True).count()
+    assert total == 16
