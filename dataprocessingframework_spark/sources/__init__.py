@@ -1,7 +1,17 @@
 from dataprocessingframework_spark.sources.reader import DatasetReader
+from dataprocessingframework_spark.sources.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
 from dataprocessingframework_spark.sources.writers import (
     write_sharded_files,
     write_shards,
 )
 
-__all__ = ["DatasetReader", "write_shards", "write_sharded_files"]
+__all__ = [
+    "DatasetReader",
+    "write_shards",
+    "write_sharded_files",
+    "write_bucketed",
+    "read_bucketed",
+]
