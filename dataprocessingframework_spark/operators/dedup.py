@@ -207,7 +207,9 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     bidir = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
+    ).localCheckpoint()  # edges are consumed once per round: without this
+    # the (possibly quadratic) pair-generation lineage re-executes every
+    # iteration
     nodes = (
         all_nodes.select(F.col(all_nodes.columns[0]).alias("node"))
         if all_nodes is not None
