@@ -1774,6 +1774,268 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q_h7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. Five-way
+    join where the two nation legs broadcast; the disjunctive pair
+    predicate is applied post-join (Catalyst pushes each side's IsIn
+    down to the broadcast dims)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                              F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_H7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_h14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
+    share) over a month of lineitem joined to part. Part broadcasts;
+    the date filter pushes to the fact scan."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+SQL_H14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice*(1-l.l_discount)
+                              ELSE 0.0 END)
+             / SUM(l.l_extendedprice*(1-l.l_discount)), 4) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_h15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier revenue in a window, keep suppliers at
+    the global max (scalar-subquery HAVING). The per-supplier agg
+    shuffles once; the global max is a broadcast scalar, not a driver
+    collect."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_H15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_h18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders via a grouped-HAVING
+    semi-join. The qualifying-key set is small after HAVING (top ~1% of
+    orders) → broadcast semi-join into the fact re-scan."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_H18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       ROUND(SUM(l.l_quantity),2) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+"""
+
+
+def q_h19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates
+    across the join (brand x size x quantity). Catalyst extracts the
+    common join key and pushes the residual OR as a post-join filter;
+    part broadcasts."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    band = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+SQL_H19 = """
+SELECT ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand='Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand='Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand='Brand#3' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_h22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — scalar subquery (broadcast) + anti-join, grouped by
+    nation."""
+    c = T(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_H22 = """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal),2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """§2.12 stateful dedup surface, batch-checked: dropDuplicates on
+    the key columns (streaming twin: dropDuplicatesWithinWatermark —
+    see streaming/events.py stream_dedup). Projected to the key cols so
+    the kept-row choice is deterministic."""
+    from dataprocessingframework_spark.streaming import stream_dedup
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    return stream_dedup(ev, ["user_id", "event_type"], ts_col=None).orderBy(
+        "user_id", "event_type"
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1859,6 +2121,13 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "j_salted": (q_j_salted, SQL_J_SALTED),
     "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
     "h6_forecast_revenue": (q_h6_forecast_revenue, SQL_H6),
+    "h7_nation_volume": (q_h7_nation_volume, SQL_H7),
+    "h14_promo_revenue": (q_h14_promo_revenue, SQL_H14),
+    "h15_top_supplier": (q_h15_top_supplier, SQL_H15),
+    "h18_large_orders": (q_h18_large_orders, SQL_H18),
+    "h19_disjunctive": (q_h19_disjunctive, SQL_H19),
+    "h22_idle_customers": (q_h22_idle_customers, SQL_H22),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
 }
 
 
