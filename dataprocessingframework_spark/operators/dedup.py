@@ -50,6 +50,32 @@ def tokenize_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tokenize_char_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 4
+) -> DataFrame:
+    """(id, gram) pairs, distinct — the character n-gram (shingle) view
+    of each document. Shingling is robust to word-boundary edits
+    (whitespace/punctuation churn) that break word-set Jaccard.
+
+    Entirely JVM-side: sequence+transform+substring generate the
+    shingles inside codegen (narrow), then one distinct. Row volume is
+    ~len(text) per doc before distinct — the same order as the word
+    explode, no extra shuffle shape.
+    """
+    # NB: Spark's sequence(1, 0) counts DOWN ([1,0]) rather than being
+    # empty, so docs shorter than n need the explicit length guard
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN"
+        f" transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n}))"
+        f" ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("word"))
+        .distinct()
+    )
+
+
 def exact_dedup(
     df: DataFrame, cols: list[str], order_col: str | None = None
 ) -> DataFrame:
@@ -246,17 +272,22 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    ngram: int | None = None,
 ) -> DataFrame:
-    """Exact word-set Jaccard similarity for pairs above ``threshold``.
+    """Exact token-set Jaccard similarity for pairs above ``threshold``.
+    Tokens are words, or character ``ngram``-shingles when set.
 
     Without ``candidates`` this is the quadratic verification path
-    (inverted-index self-join on words) — correct but only for small
+    (inverted-index self-join on tokens) — correct but only for small
     slices or verification. With ``candidates`` (e.g. from
     minhash_lsh_candidates) the join is restricted to the candidate
     pairs, which is the scale path.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    words = tokenize_words(df, text_col, id_col)
+    if ngram is not None:
+        words = tokenize_char_ngrams(df, text_col, id_col, n=ngram)
+    else:
+        words = tokenize_words(df, text_col, id_col)
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = words.alias("a")
     b = words.alias("b")

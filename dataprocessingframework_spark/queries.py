@@ -2017,6 +2017,78 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_dd_jaccard_ngram(spark, sf_dir):
+    """Character-4-gram shingle Jaccard near-dup (beyond reference):
+    robust to word-boundary edits that break word-set Jaccard. Same
+    inverted-index join shape as dd_jaccard; shingle generation is
+    JVM-side codegen (sequence/transform/substring), no Python."""
+    return dedup.jaccard_pairs(
+        T(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.4, ngram=4,
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DD_JACCARD_NGRAM = """
+WITH grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, i.i, 4) AS gram
+  FROM documents d
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+      greatest(length(d.text)-3, 0))) AS i) i
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ix
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(ix AS DOUBLE) / (sa.n + sb.n - ix), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_w_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink/source round-trip (beyond reference; CSV/parquet are
+    its only table formats, `connectors/connector.py:66-90`): write
+    documents as .jsonl parts, re-read with an explicit schema (one
+    pass, no inference), aggregate — round-trip identity."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    out = f"/root/repo/.scratch/jsonl_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        write_jsonl(docs, out, max_records_per_file=200)
+        back = read_jsonl(spark, out, schema=docs.schema)
+        res = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("lang")
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_JSONL_ROUNDTRIP = """
+SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """§2.12 stateful dedup surface, batch-checked: dropDuplicates on
     the key columns (streaming twin: dropDuplicatesWithinWatermark —
@@ -2128,6 +2200,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "h19_disjunctive": (q_h19_disjunctive, SQL_H19),
     "h22_idle_customers": (q_h22_idle_customers, SQL_H22),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "dd_jaccard_ngram": (q_dd_jaccard_ngram, SQL_DD_JACCARD_NGRAM),
+    "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
 }
 
 

@@ -3,6 +3,11 @@ from dataprocessingframework_spark.sources.bucketed import (
     read_bucketed,
     write_bucketed,
 )
+from dataprocessingframework_spark.sources.compact import (
+    compact_parquet,
+    dataset_file_stats,
+)
+from dataprocessingframework_spark.sources.jsonl import read_jsonl, write_jsonl
 from dataprocessingframework_spark.sources.writers import (
     write_sharded_files,
     write_shards,
@@ -14,4 +19,8 @@ __all__ = [
     "write_sharded_files",
     "write_bucketed",
     "read_bucketed",
+    "read_jsonl",
+    "write_jsonl",
+    "compact_parquet",
+    "dataset_file_stats",
 ]

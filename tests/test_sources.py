@@ -221,3 +221,83 @@ def test_write_shards_append_resumes_numbering(spark, tmp_path):
     assert all(int(f.split(".")[0]) >= len(first) for f in new)
     total = spark.read.csv(f"{out}/*.csv", header=True).count()
     assert total == 16
+
+
+def test_jsonl_roundtrip(spark, tmp_path, sf_dir):
+    """JSONL sink/source: schema-stable round trip, maxRecordsPerFile
+    rolls files without a shuffle."""
+    import glob
+
+    from dataprocessingframework_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, max_records_per_file=10)
+    parts = glob.glob(f"{out}/part-*")
+    assert parts and all(sum(1 for _ in open(p)) <= 10 for p in parts)
+
+    back = read_jsonl(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_corrupt_record_tolerant(spark, tmp_path):
+    """With an explicit schema the read is PERMISSIVE: a corrupt line
+    becomes a null row, not a scan failure (the reference's
+    return_none_on_error, `dataloaders/files_dataset.py:84-107`)."""
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    from dataprocessingframework_spark.sources.jsonl import read_jsonl
+
+    back = read_jsonl(spark, str(p), schema="doc_id long, text string")
+    rows = back.collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {1, None}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path, sf_dir):
+    """Compaction: many small files -> few target-sized files, same
+    rows."""
+    from dataprocessingframework_spark.sources.compact import (
+        compact_parquet,
+        dataset_file_stats,
+    )
+
+    frag = str(tmp_path / "fragmented")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(40).write.parquet(frag)
+    n_in, bytes_in = dataset_file_stats(spark, frag)
+    assert n_in == 40
+
+    out = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, frag, out, target_file_mb=64)
+    assert n_out == 1  # sf0.001 lineitem is far below 64MB
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_tokenize_char_ngrams():
+    """Shingle generation golden: exact n-gram set, short docs yield
+    nothing."""
+    from dataprocessingframework_spark.operators.dedup import (
+        tokenize_char_ngrams,
+    )
+    from dataprocessingframework_spark.session import get_spark
+
+    spark = get_spark(app_name="dpf-spark-tests", master="local[4]",
+                      shuffle_partitions=4,
+                      extra_conf={"spark.ui.enabled": "false"})
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "abab"), (3, "xy")], ["doc_id", "text"]
+    )
+    out = tokenize_char_ngrams(df, "text", "doc_id", n=3)
+    got = {(r["doc_id"], r["word"]) for r in out.collect()}
+    assert got == {
+        (1, "abc"), (1, "bcd"), (1, "cde"),
+        (2, "aba"), (2, "bab"),
+    }
