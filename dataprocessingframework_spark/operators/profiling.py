@@ -45,3 +45,42 @@ def profile_table(
                 F.round(F.avg(c), 4).alias(f"{c}_avg"),
             ]
     return df.agg(*aggs)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Fixed-width histogram: (bucket, lo, hi, cnt), bucket 0..n-1 plus
+    -1/n overflow rows for out-of-range values. One partial/final
+    aggregate — the shuffle carries n_buckets rows per task regardless
+    of input size.
+
+    Bucket = floor((v - lo) / width) with IEEE double math, identical
+    on any engine — deliberately not width_bucket(), whose boundary
+    semantics differ across engines.
+    """
+    width = (hi - lo) / n_buckets
+    bucket = (
+        F.when(F.col(col) < lo, F.lit(-1))
+        .when(F.col(col) >= hi, F.lit(n_buckets))
+        .otherwise(F.floor((F.col(col) - lo) / width))
+        .cast("long")
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * width, 4).alias("bucket_lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * width, 4).alias(
+                "bucket_hi"
+            ),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )

@@ -2017,6 +2017,49 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+SQL_GROUPING_SETS_SHARED = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_a_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (beyond rollup/cube): one ANSI string shared
+    verbatim with the oracle through the engine's SQL API. Plans as a
+    single Expand + partial/final agg — one shuffle for all three
+    grouping shapes."""
+    Dataset(T(spark, sf_dir, "orders")).to_view("orders")
+    return spark.sql(SQL_GROUPING_SETS_SHARED)
+
+
+def q_f_histogram(spark, sf_dir):
+    """Fixed-width histogram (profiling surface): engine-portable floor
+    bucketing, one aggregate pass."""
+    from dataprocessingframework_spark.operators.profiling import histogram
+
+    return histogram(
+        T(spark, sf_dir, "orders"), "o_totalprice",
+        lo=0.0, hi=600_000.0, n_buckets=12,
+    )
+
+
+SQL_F_HISTOGRAM = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice < 0.0 THEN -1
+              WHEN o_totalprice >= 600000.0 THEN 12
+              ELSE CAST(FLOOR((o_totalprice - 0.0) / 50000.0) AS BIGINT)
+         END AS bucket
+  FROM orders)
+SELECT bucket, ROUND(0.0 + bucket * 50000.0, 4) AS bucket_lo,
+       ROUND(0.0 + (bucket + 1) * 50000.0, 4) AS bucket_hi,
+       COUNT(*) AS cnt
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_dd_jaccard_ngram(spark, sf_dir):
     """Character-4-gram shingle Jaccard near-dup (beyond reference):
     robust to word-boundary edits that break word-set Jaccard. Same
@@ -2202,6 +2245,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "dd_jaccard_ngram": (q_dd_jaccard_ngram, SQL_DD_JACCARD_NGRAM),
     "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
+    "a_grouping_sets": (q_a_grouping_sets, SQL_GROUPING_SETS_SHARED),
+    "f_histogram": (q_f_histogram, SQL_F_HISTOGRAM),
 }
 
 

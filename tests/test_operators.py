@@ -144,3 +144,16 @@ def test_validators(spark):
     assert kinds == ["DuplicatedValuesError", "MissedColumnsError"]
     ok = validators.validate(df.dropDuplicates(["k"]), key_columns=["k"])
     assert ok.total_errors == 0
+
+
+def test_histogram_overflow_buckets(spark):
+    """Out-of-range values land in -1 / n_buckets, boundaries are
+    left-closed."""
+    from dataprocessingframework_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (19.99,), (20.0,), (25.0,)],
+        ["v"],
+    )
+    out = {r["bucket"]: r["cnt"] for r in histogram(df, "v", 0.0, 20.0, 2).collect()}
+    assert out == {-1: 1, 0: 2, 1: 2, 2: 2}

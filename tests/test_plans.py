@@ -1,0 +1,109 @@
+"""Plan-quality regression tests — the 100 TB posture, asserted.
+
+These pin the physical-plan properties PLANS.md claims: predicates
+reach the parquet scan, projection is pruned, small dims broadcast,
+and the custom join formulations never degenerate into cartesian
+products. A refactor that silently breaks one of these would still
+pass the value-correctness oracle at sf0.01 but fall over at scale —
+this file is what catches it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataprocessingframework_spark import queries as q
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_h6_filters_pushed_to_scan(spark, sf_dir):
+    plan = formatted(q.q_h6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # every predicate column reaches the reader
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, pushed
+    # projection pruned: extendedprice+3 predicate cols, not all 11
+    schema = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "l_orderkey" not in schema
+    assert "l_comment" not in schema
+
+
+def test_p3_projection_prunes_scan(spark, sf_dir):
+    plan = formatted(q.q_p3_projection(spark, sf_dir))
+    schema = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema, schema
+
+
+def test_h3_dimension_broadcasts(spark, sf_dir):
+    plan = plan_of(q.q_h3_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_h18_semi_join_broadcasts(spark, sf_dir):
+    plan = plan_of(q.q_h18_large_orders(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_h22_anti_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(q.q_h22_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_no_pair_explosion(spark, sf_dir):
+    """The union-window as-of formulation must never plan a
+    theta/cartesian join (the naive quadratic formulation)."""
+    plan = plan_of(q.q_j_asof(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_single_shuffle(spark, sf_dir):
+    """Signature build: tokenize -> hash -> k partial-aggregated mins.
+    Exactly ONE exchange (the doc-key groupBy); the distinct folds into
+    the same aggregation via partial combine upstream."""
+    from dataprocessingframework_spark.operators import dedup
+
+    sig = dedup.minhash_signatures(
+        q.T(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=8
+    )
+    plan = plan_of(sig)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_hash_sample_is_scan_side_filter(spark, sf_dir):
+    """Deterministic sampling must stay a pure filter — no shuffle, no
+    window, no join."""
+    from dataprocessingframework_spark.operators.sampling import hash_sample
+
+    out = hash_sample(q.T(spark, sf_dir, "orders"), "o_orderkey", 1, 20)
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_cosine_topk_corpus_not_shuffled(spark, sf_dir):
+    """Brute-force cosine top-k: queries broadcast, corpus streams.
+    The only exchange allowed is the per-query top-k window on the
+    (already reduced) scored pairs."""
+    from dataprocessingframework_spark.operators.similarity import cosine_topk
+
+    emb = q.T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    plan = plan_of(cosine_topk(emb, qs, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # corpus-side shuffle would show as Exchange BEFORE the join;
+    # scored-pairs window shuffle after it is expected and small
+    assert "SortMergeJoin" not in plan
