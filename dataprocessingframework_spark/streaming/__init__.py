@@ -4,10 +4,12 @@ from dataprocessingframework_spark.streaming.events import (
     stream_dedup,
     tumbling_window_agg,
 )
+from dataprocessingframework_spark.streaming.ingest import incremental_ingest
 
 __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
     "stream_dedup",
+    "incremental_ingest",
 ]

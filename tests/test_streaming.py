@@ -85,3 +85,60 @@ def test_structured_streaming_micro_batch(spark, tmp_path):
         assert res[0].cnt == 2 and res[0].sum_value == 3.0
     finally:
         q.stop()
+
+
+def test_incremental_ingest_resumes_from_checkpoint(spark, tmp_path):
+    """The resume-from-last-shard twin: first run ingests existing
+    files; appending a file and re-running ingests ONLY the new file
+    (checkpoint-tracked); a no-new-files rerun is a no-op."""
+    from dataprocessingframework_spark.streaming import incremental_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps(
+                    {"event_id": i, "ts": "2024-01-01T00:00:00",
+                     "user_id": i, "event_type": "click", "value": 1.0}) + "\n")
+
+    write_file("a.json", [1, 2, 3])
+    write_file("b.json", [4, 5])
+    n1 = incremental_ingest(spark, str(src), SCHEMA, out, ckpt)
+    assert n1 >= 1
+    assert spark.read.parquet(out).count() == 5
+
+    write_file("c.json", [6, 7])
+    n2 = incremental_ingest(spark, str(src), SCHEMA, out, ckpt)
+    assert n2 >= 1
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7]  # no re-ingest of a/b
+
+    n3 = incremental_ingest(spark, str(src), SCHEMA, out, ckpt)
+    assert n3 == 0
+    assert spark.read.parquet(out).count() == 7
+
+
+def test_incremental_ingest_with_transform(spark, tmp_path):
+    """The transform stage runs inside the stream (per micro-batch)."""
+    from dataprocessingframework_spark.streaming import incremental_ingest
+
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps(
+                {"event_id": i, "ts": "2024-01-01T00:00:00",
+                 "user_id": i, "event_type": "click" if i % 2 else "view",
+                 "value": float(i)}) + "\n")
+    incremental_ingest(
+        spark, str(src), SCHEMA, str(tmp_path / "tout"), str(tmp_path / "tckpt"),
+        transform=lambda df: df.filter(F.col("event_type") == "click")
+        .select("event_id", "value"),
+    )
+    back = spark.read.parquet(str(tmp_path / "tout"))
+    assert back.columns == ["event_id", "value"]
+    assert back.count() == 5
