@@ -8,6 +8,10 @@ from dataprocessingframework_spark.sources.compact import (
     dataset_file_stats,
 )
 from dataprocessingframework_spark.sources.jsonl import read_jsonl, write_jsonl
+from dataprocessingframework_spark.sources.layout import (
+    file_key_ranges,
+    write_range_partitioned,
+)
 from dataprocessingframework_spark.sources.writers import (
     write_sharded_files,
     write_shards,
@@ -23,4 +27,6 @@ __all__ = [
     "write_jsonl",
     "compact_parquet",
     "dataset_file_stats",
+    "write_range_partitioned",
+    "file_key_ranges",
 ]

@@ -301,3 +301,38 @@ def test_tokenize_char_ngrams():
         (1, "abc"), (1, "bcd"), (1, "cde"),
         (2, "aba"), (2, "bab"),
     }
+
+
+def test_range_partitioned_layout_prunes(spark, tmp_path, sf_dir):
+    """Clustered layout: per-file key ranges are disjoint (so a range
+    predicate touches ~1/n of files); unclustered layout spans the
+    whole domain in every file."""
+    from dataprocessingframework_spark.sources.layout import (
+        file_key_ranges,
+        write_range_partitioned,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    clustered = str(tmp_path / "clustered")
+    write_range_partitioned(li, clustered, "l_orderkey", num_files=8)
+
+    ranges = [r for r in file_key_ranges(clustered, "l_orderkey") if r[1] is not None]
+    assert len(ranges) == 8
+    ranges.sort(key=lambda r: r[1])
+    for (_, _, hi_prev), (_, lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint key ranges across files
+
+    # a predicate on one range hits exactly one file's span
+    lo, hi = ranges[0][1], ranges[0][2]
+    overlapping = [r for r in ranges if not (r[2] < lo or r[1] > hi)]
+    assert len(overlapping) == 1
+
+    # contrast: round-robin layout -> every file spans ~the full domain
+    scattered = str(tmp_path / "scattered")
+    li.repartition(8).write.parquet(scattered)
+    sc = [r for r in file_key_ranges(scattered, "l_orderkey") if r[1] is not None]
+    full_lo = min(r[1] for r in sc)
+    full_hi = max(r[2] for r in sc)
+    overlapping_all = [r for r in sc if not (r[2] < lo or r[1] > hi)]
+    assert len(overlapping_all) == len(sc)  # no pruning possible
+    assert full_lo <= lo and full_hi >= hi
