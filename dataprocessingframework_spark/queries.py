@@ -2017,6 +2017,83 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_pipeline_curation(spark, sf_dir):
+    """Flagship LLM-corpus curation pipeline, end-to-end through the
+    Pipeline runner (§3.3 semantics): derive features (langid, quality,
+    fingerprint) -> keep English above the quality floor -> exact
+    near-dup removal (deterministic keep-first by fingerprint) ->
+    per-source corpus stats. Every stage is JVM-side; the only
+    shuffles are the dedup window and the final tiny agg."""
+    from dataprocessingframework_spark.plans.pipeline import Pipeline
+
+    docs = Dataset(T(spark, sf_dir, "documents"))
+    pipe = (
+        Pipeline()
+        .add_dataframe_filter(
+            lambda df: df.select(
+                "doc_id",
+                "source",
+                text_analysis.lang_id("text").alias("lang_pred"),
+                text_analysis.quality_score("text").alias("quality"),
+                text_analysis.fingerprint("text").alias("fingerprint"),
+            )
+        )
+        .add_dataframe_filter(
+            lambda df: df.filter(
+                (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+            )
+        )
+        .add_dedup(["fingerprint"], order_col="doc_id")
+    )
+    out, reports = pipe.run(docs)
+    assert all(r.status == "ok" for r in reports)
+    return (
+        out.df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_PIPELINE_CURATION = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+    length(text) AS total,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+    len(list_filter(string_split(text,' '), x -> x IN ({_STOPS_SQL}))) AS hits,
+    {_lang_hits_sql('en')},
+    {_lang_hits_sql('es')},
+    {_lang_hits_sql('de')},
+    {_lang_hits_sql('fr')},
+    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source, fingerprint,
+    CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+         WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+         WHEN h_fr > 0 THEN 'fr'
+         ELSE 'unk' END AS lang_pred,
+    ROUND((LEAST(n/20.0, 1.0)
+         + LEAST(CASE WHEN n > 0 THEN CAST(hits AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0)
+         + (1.0 - LEAST(CASE WHEN total > 0 THEN CAST(punct AS DOUBLE)/total ELSE 0.0 END * 4.0, 1.0)))/3.0,
+      4) AS quality
+  FROM t
+),
+kept AS (
+  SELECT source, quality,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM feat WHERE lang_pred = 'en' AND quality >= 0.5
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(AVG(quality), 4) AS avg_quality
+FROM kept WHERE rn = 1 GROUP BY source ORDER BY source
+"""
+
+
 SQL_GROUPING_SETS_SHARED = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
        ROUND(SUM(o_totalprice), 2) AS sum_price
@@ -2247,6 +2324,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
     "a_grouping_sets": (q_a_grouping_sets, SQL_GROUPING_SETS_SHARED),
     "f_histogram": (q_f_histogram, SQL_F_HISTOGRAM),
+    "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
 }
 
 
