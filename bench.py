@@ -56,6 +56,8 @@ def bench_queries(spark):
         "event_window_agg": small(q.q_f_time_bucket),
         # text analytics (narrow projection, codegen)
         "text_quality": big(lambda s, d: q.q_tx_quality(s, d)),
+        # flagship curation pipeline (features -> filter -> dedup -> stats)
+        "pipeline_curation": small(q.q_pipeline_curation),
         # dedup sketches at scale
         "minhash_signatures": big(
             lambda s, d: dedup.minhash_signatures(

@@ -303,3 +303,77 @@ class Dataset:
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode=mode)
+
+    # ------------------------------------------------- sinks (delegations)
+    def write_shards(self, out_dir: str, **kwargs) -> None:
+        """W1/W3 — see sources/writers.py."""
+        from dataprocessingframework_spark.sources.writers import write_shards
+
+        write_shards(self.df, out_dir, **kwargs)
+
+    def write_sharded_files(self, out_dir: str, **kwargs) -> None:
+        """W2 — see sources/writers.py."""
+        from dataprocessingframework_spark.sources.writers import (
+            write_sharded_files,
+        )
+
+        write_sharded_files(self.df, out_dir, **kwargs)
+
+    def write_jsonl(self, path: str, **kwargs) -> None:
+        """JSONL sink — see sources/jsonl.py."""
+        from dataprocessingframework_spark.sources.jsonl import write_jsonl
+
+        write_jsonl(self.df, path, **kwargs)
+
+    def write_range_partitioned(
+        self, path: str, sort_col: str, num_files: int, **kwargs
+    ) -> None:
+        """Clustered layout for scan pruning — see sources/layout.py."""
+        from dataprocessingframework_spark.sources.layout import (
+            write_range_partitioned,
+        )
+
+        write_range_partitioned(self.df, path, sort_col, num_files, **kwargs)
+
+    # ------------------------------------- analysis / curation (delegations)
+    def validate(self, required: Sequence[str], key_cols: Sequence[str]):
+        """V1-V5 typed report — see operators/validators.py."""
+        from dataprocessingframework_spark.operators.validators import validate
+
+        return validate(self.df, list(required), list(key_cols))
+
+    def profile(self, columns: Sequence[str] | None = None,
+                approximate: bool = False) -> DataFrame:
+        """One-pass column profile — see operators/profiling.py."""
+        from dataprocessingframework_spark.operators.profiling import (
+            profile_table,
+        )
+
+        return profile_table(self.df, list(columns) if columns else None,
+                             approximate)
+
+    def histogram(self, col: str, lo: float, hi: float,
+                  n_buckets: int) -> DataFrame:
+        """Fixed-width histogram — see operators/profiling.py."""
+        from dataprocessingframework_spark.operators.profiling import histogram
+
+        return histogram(self.df, col, lo, hi, n_buckets)
+
+    def near_dup_candidates(
+        self, text_col: str, id_col: str, **kwargs
+    ) -> DataFrame:
+        """MinHash-LSH candidate pairs — see operators/dedup.py."""
+        from dataprocessingframework_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        return minhash_lsh_candidates(self.df, text_col, id_col, **kwargs)
+
+    def analyze_text(self, text_col: str, id_col: str) -> "Dataset":
+        """Token/quality/langid/fingerprint columns — see
+        operators/text_analysis.py."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            analyze,
+        )
+
+        return self._wrap(analyze(self.df, text_col, id_col))

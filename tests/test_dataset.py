@@ -97,3 +97,30 @@ def test_dataset_hash_sample_surface(spark, sf_dir):
     a = orders.hash_sample("o_orderkey", 1, 10).count()
     b = orders.hash_sample("o_orderkey", 1, 10).count()
     assert a == b and 0 < a < orders.count()
+
+
+def test_dataset_delegation_surface(spark, sf_dir, tmp_path):
+    """The façade exposes sinks, validation, profiling, and curation
+    helpers so a reference user never drops below the Dataset API."""
+    from dataprocessingframework_spark.dataset import Dataset
+
+    docs = Dataset(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    r = docs.validate(required=["doc_id", "text"], key_cols=["doc_id"])
+    assert r.total_errors == 0
+
+    prof = docs.profile(columns=["n_chars"]).collect()[0]
+    assert prof["n_rows"] == docs.count()
+
+    hist = docs.histogram("n_chars", 0, 1000, 10)
+    assert sum(r["cnt"] for r in hist.collect()) == docs.count()
+
+    out = str(tmp_path / "docs.jsonl")
+    docs.write_jsonl(out)
+    assert spark.read.json(out).count() == docs.count()
+
+    enriched = docs.analyze_text("text", "doc_id")
+    assert "quality" in enriched.columns and "lang_pred" in enriched.columns
+
+    cands = docs.near_dup_candidates("text", "doc_id", num_hashes=8, bands=2)
+    assert {"id_a", "id_b"} <= set(cands.columns)
