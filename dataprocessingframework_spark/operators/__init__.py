@@ -1,4 +1,5 @@
 from dataprocessingframework_spark.operators import (
+    clustering,
     dedup,
     joins,
     profiling,
@@ -9,6 +10,7 @@ from dataprocessingframework_spark.operators import (
 )
 
 __all__ = [
+    "clustering",
     "dedup",
     "joins",
     "profiling",

