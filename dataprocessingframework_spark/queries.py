@@ -2017,6 +2017,96 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_h4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority distribution over orders having
+    at least one qualifying lineitem (EXISTS -> broadcast semi-join of
+    the filtered key set)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_H4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_h8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of region-0 customer
+    revenue by year — 7-way join (both nation legs + region broadcast)
+    with a conditional-agg ratio on top."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_regionkey") == 0)
+    n_cust = F.broadcast(
+        n.select(F.col("n_nationkey").alias("cn_key"),
+                 F.col("n_regionkey").alias("cn_region"))
+    )
+    n_supp = F.broadcast(
+        n.select(F.col("n_nationkey").alias("sn_key"),
+                 F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_H8 = """
+SELECT year(o.o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l.l_extendedprice*(1-l.l_discount) ELSE 0.0 END)
+             / SUM(l.l_extendedprice*(1-l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_regionkey = 0
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+GROUP BY o_year ORDER BY o_year
+"""
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Embedding k-means clusters + one representative per cluster
     (semantic-dedup decision step). Iterative floating-point -> rows
@@ -2345,6 +2435,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "f_histogram": (q_f_histogram, SQL_F_HISTOGRAM),
     "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
     "emb_kmeans": (q_emb_kmeans, None),
+    "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
+    "h8_market_share": (q_h8_market_share, SQL_H8),
 }
 
 
