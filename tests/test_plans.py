@@ -107,3 +107,15 @@ def test_cosine_topk_corpus_not_shuffled(spark, sf_dir):
     # corpus-side shuffle would show as Exchange BEFORE the join;
     # scored-pairs window shuffle after it is expected and small
     assert "SortMergeJoin" not in plan
+
+
+def test_h8_seven_way_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(q.q_h8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # nations x2 + region
+    assert "CartesianProduct" not in plan
+
+
+def test_h4_exists_is_semi_join(spark, sf_dir):
+    plan = plan_of(q.q_h4_priority_exists(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
