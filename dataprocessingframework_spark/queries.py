@@ -2107,6 +2107,71 @@ GROUP BY o_year ORDER BY o_year
 """
 
 
+def q_h13_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    left join (customers with zero orders kept) + two-level
+    aggregation. Both aggs are partial/final; the second input is one
+    row per customer, so its shuffle is tiny."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_H13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_h17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand, where "small" is a per-part correlated threshold
+    (0.2 x that part's average quantity). The correlated scalar
+    subquery becomes a per-part pre-agg joined back — the pre-agg
+    output is one row per part, broadcastable at any scale."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_floor"))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresholds, li["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+SQL_H17 = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#5'
+WHERE l.l_quantity < (
+  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Embedding k-means clusters + one representative per cluster
     (semantic-dedup decision step). Iterative floating-point -> rows
@@ -2437,6 +2502,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_kmeans": (q_emb_kmeans, None),
     "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
     "h8_market_share": (q_h8_market_share, SQL_H8),
+    "h13_count_distribution": (q_h13_count_distribution, SQL_H13),
+    "h17_small_quantity": (q_h17_small_quantity, SQL_H17),
 }
 
 
