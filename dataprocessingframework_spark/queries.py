@@ -2107,6 +2107,33 @@ GROUP BY o_year ORDER BY o_year
 """
 
 
+def q_a_median_exact(spark, sf_dir):
+    """Exact (interpolating) percentiles per group — Spark `percentile`
+    ≡ DuckDB `quantile_cont`. Exact percentile is a sort-based agg
+    (heavier than approx_percentile's sketch); grouped by returnflag so
+    each group sorts independently. a1_quartiles covers the approx
+    path; this is the exact one."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_A_MEDIAN = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_h13_count_distribution(spark, sf_dir):
     """TPC-H Q13 shape: distribution of per-customer order counts —
     left join (customers with zero orders kept) + two-level
@@ -2502,6 +2529,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_kmeans": (q_emb_kmeans, None),
     "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
     "h8_market_share": (q_h8_market_share, SQL_H8),
+    "a_median_exact": (q_a_median_exact, SQL_A_MEDIAN),
     "h13_count_distribution": (q_h13_count_distribution, SQL_H13),
     "h17_small_quantity": (q_h17_small_quantity, SQL_H17),
 }
