@@ -1146,6 +1146,26 @@ def _simhash_sql(bits: int = 16) -> str:
 SQL_DD_SIMHASH = _simhash_sql(16)
 
 
+def q_dd_hamming(spark, sf_dir):
+    """SimHash + banded Hamming near-dup. bands=4 > max_hamming=3, so
+    the banding is pigeonhole-EXACT and the whole pipeline (fingerprint
+    + pair generation) hash-matches a quadratic DuckDB scan."""
+    sig = dedup.simhash(T(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+    return dedup.hamming_near_dup(
+        sig, "simhash", "doc_id", max_hamming=3, bands=4, bits=16
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DD_HAMMING = f"""
+WITH sh AS ({_simhash_sql(16).replace("ORDER BY doc_id", "")})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_dd_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(
         T(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
@@ -2488,6 +2508,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
     "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
     "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "dd_hamming": (q_dd_hamming, SQL_DD_HAMMING),
     "dd_lsh_candidates": (q_dd_lsh_candidates, None),
     "dd_clusters": (q_dd_clusters, SQL_DD_CLUSTERS),
     "profile_table": (q_profile_table, SQL_PROFILE),

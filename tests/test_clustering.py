@@ -112,3 +112,39 @@ def test_lsh_max_bucket_size_guard(spark, sf_dir):
     n_full, n_capped = full.count(), capped.count()
     assert n_capped <= n_full
     assert capped.exceptAll(full).count() == 0  # strict subset
+
+
+def test_hamming_near_dup_exact_vs_bruteforce(spark):
+    """Pigeonhole exactness: banded candidate generation + verify ==
+    quadratic scan, on random 64-bit fingerprints with planted
+    near-dups."""
+    import itertools
+    import random
+
+    from dataprocessingframework_spark.operators.dedup import hamming_near_dup
+
+    rng = random.Random(7)
+    sigs = []
+    for i in range(80):
+        h = rng.getrandbits(63)
+        sigs.append((i, h))
+        if i % 5 == 0:  # plant a near-dup: flip <=3 bits
+            h2 = h
+            for _ in range(rng.randint(0, 3)):
+                h2 ^= 1 << rng.randrange(63)
+            sigs.append((1000 + i, h2))
+    df = spark.createDataFrame(sigs, ["doc_id", "sig"])
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup(
+            df, "sig", "doc_id", max_hamming=3, bands=4, bits=64
+        ).collect()
+    }
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(sigs, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            a, b = sorted((ia, ib))
+            want.add((a, b, d))
+    assert got == want
