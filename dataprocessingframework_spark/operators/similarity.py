@@ -71,17 +71,29 @@ def cosine_topk(
     """
     if impl == "blas":
         return _cosine_topk_blas(corpus, queries, id_col, vec_col, k)
+    # norms are precomputed per SIDE, not per pair: the corpus norm fold
+    # runs once per corpus row instead of once per (corpus x query) pair
+    # — same fold order, bit-identical values, ~2x less codegen work
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("nbr_id") != F.col("q_id"))
         .select(
             "q_id",
             "nbr_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
@@ -234,8 +246,18 @@ def cosine_near_dup_pairs(
     exact=True does the full self-join (verification path); default uses
     LSH buckets so only same-bucket pairs are scored.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-side norm precompute (as in cosine_topk): the norm fold runs
+    # once per row, not once per candidate pair — bit-identical values
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     if exact:
         pairs = a.crossJoin(b)
     else:
@@ -246,7 +268,11 @@ def cosine_near_dup_pairs(
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
