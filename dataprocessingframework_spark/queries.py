@@ -1229,6 +1229,60 @@ SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dd_clusters_lsh(spark, sf_dir):
+    """The 100 TB dedup composition, end-to-end under the oracle:
+    MinHash signatures -> LSH banding candidates -> connected
+    components. Unlike dd_clusters (exact-Jaccard edges, quadratic
+    verification), this is the path that actually runs at scale — LSH
+    prunes the pair space before any pairwise work. Both engines build
+    the IDENTICAL edge set from md5-portable minhashes, so even the
+    approximate pipeline is hash-checkable."""
+    docs = T(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    cc = dedup.connected_components(
+        edges, all_nodes=docs.select("doc_id"), id_a="id_a", id_b="id_b"
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("cluster")
+    ).orderBy("doc_id")
+
+
+def _lsh_band_sql(num_hashes: int, bands: int) -> str:
+    rpb = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = " , ',' , ".join(
+            f"CAST(mh{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat({cols})) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_DD_CLUSTERS_LSH = f"""
+WITH RECURSIVE
+sig AS ({_minhash_sql(8).replace(" ORDER BY doc_id", "")}),
+buckets AS ({_lsh_band_sql(8, 4)}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges),
+cc AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT b.dst AS doc_id, LEAST(cc.label, b.dst) AS label
+  FROM cc JOIN bidir b ON cc.doc_id = b.src
+)
+SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """Dataset profiling op: one-pass column statistics."""
     from dataprocessingframework_spark.operators.profiling import profile_table
@@ -2511,6 +2565,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_hamming": (q_dd_hamming, SQL_DD_HAMMING),
     "dd_lsh_candidates": (q_dd_lsh_candidates, None),
     "dd_clusters": (q_dd_clusters, SQL_DD_CLUSTERS),
+    "dd_clusters_lsh": (q_dd_clusters_lsh, SQL_DD_CLUSTERS_LSH),
     "profile_table": (q_profile_table, SQL_PROFILE),
     "emb_topk_cosine": (q_emb_topk, SQL_EMB_TOPK),
     "emb_near_dup": (q_emb_neardup, SQL_EMB_NEARDUP),
