@@ -73,3 +73,27 @@ def test_codec_roundtrip_and_phash_stable(w, h, seed):
     p = phash(arr)
     assert p == phash(arr)
     assert len(p) == 16 and int(p, 16) < 2**64
+
+
+def test_char_ngram_python_parity(spark):
+    """The JVM shingle expression equals the Python reference set for
+    tricky inputs: unicode, repeats, shorter-than-n, exact-n."""
+    cases = [
+        "", "a", "ab", "abc", "abcd",
+        "aaaa", "ab ab ab", "héllo wörld", "日本語のテキスト",
+        "x" * 40, "tab\there", "mixed 日本 ascii",
+    ]
+    n = 3
+    from dataprocessingframework_spark.operators.dedup import (
+        tokenize_char_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {}
+    for r in tokenize_char_ngrams(df, "text", "doc_id", n).collect():
+        got.setdefault(r["doc_id"], set()).add(r["word"])
+    for i, c in enumerate(cases):
+        want = {c[j : j + n] for j in range(max(len(c) - n + 1, 0))}
+        assert got.get(i, set()) == want, (c, got.get(i, set()), want)
