@@ -106,6 +106,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, thunk in bench_queries(spark).items():
+        # isolate queries: persisted intermediates from earlier queries
+        # (LSH bucket tables etc.) otherwise pile up and add eviction
+        # pressure, inflating later timings run-to-run
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(2):  # min-of-2: local[32] on tiny data is noisy
             t0 = time.time()
