@@ -119,3 +119,30 @@ def test_h4_exists_is_semi_join(spark, sf_dir):
     plan = plan_of(q.q_h4_priority_exists(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_h13_left_join_preserved(spark, sf_dir):
+    """Q13's left join must stay an outer hash join (customers with
+    zero orders kept) — never rewritten to inner by the count agg."""
+    plan = plan_of(q.q_h13_count_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_h17_threshold_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(q.q_h17_small_quantity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_near_dup_is_equi_join(spark, sf_dir):
+    """Banded Hamming pair-gen must plan as a hash equi-join on
+    (band, slice) — a theta formulation would be quadratic."""
+    from dataprocessingframework_spark.operators import dedup
+
+    sig = dedup.simhash(q.T(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+    plan = plan_of(
+        dedup.hamming_near_dup(sig, "simhash", "doc_id", 3, 4, 16)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
