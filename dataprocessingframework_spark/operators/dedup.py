@@ -80,15 +80,23 @@ def exact_dedup(
     df: DataFrame, cols: list[str], order_col: str | None = None
 ) -> DataFrame:
     """Exact dedup. With ``order_col``: deterministic keep-first via
-    min-id-wins groupBy when deduping on full content columns — a single
-    shuffle with map-side partial min, cheaper than a window sort."""
+    min-id-wins groupBy — the winning row is carried as one struct with
+    ``order_col`` as its leading field, so ``min(struct)`` picks the row
+    with the smallest ``order_col`` (remaining fields break exact ties
+    deterministically). A single shuffle with map-side partial min —
+    cheaper than a window sort, which must shuffle-sort every group
+    before discarding all but row 1. (Struct ordering requires sortable
+    payload types — no map columns.)"""
     if order_col is None:
         return df.dropDuplicates(cols)
-    w = Window.partitionBy(*cols).orderBy(F.col(order_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    rest = [c for c in df.columns if c not in cols and c != order_col]
+    packed = F.struct(F.col(order_col), *[F.col(c) for c in rest])
+    agg = df.groupBy(*[F.col(c) for c in cols]).agg(F.min(packed).alias("__r"))
+    return agg.select(
+        *[
+            F.col(c) if c in cols else F.col(f"__r.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -147,6 +155,17 @@ def minhash_lsh_candidates(
     are excluded from pair generation — their members are better handled
     as "trivially duplicated" clusters directly (the bucket id IS the
     cluster key) than through pairwise verification.
+
+    Pair generation is SINGLE-PASS: buckets are grouped once
+    (collect_set of member ids, sorted) and pairs stream out of two
+    nested generators — posexplode picks id_a, a slice-explode emits
+    every later id as id_b. Both explodes are pipelined by codegen, so
+    memory per task is one bucket's id array (8·s bytes), never the
+    s²/2 pair set. This replaces a bucket self-join that consumed the
+    whole tokenize→hash→min-agg pipeline twice (Catalyst did not reuse
+    the exchange across the join's sides) and needed a leaked persist
+    to compensate — one groupBy shuffle instead of a window plus two
+    join-side exchanges, and no cached RDD left behind.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -165,29 +184,21 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
+    )
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("__bs", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bs") <= max_bucket_size)
-            .drop("__bs")
-        )
-    # the self-join consumes buckets twice; persist so the whole
-    # tokenize->hash->min-agg pipeline runs once, not twice
-    buckets.persist()
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
     pairs = (
-        a.join(
-            b,
-            on=[
-                F.col(f"a.band") == F.col(f"b.band"),
-                F.col(f"a.bucket") == F.col(f"b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
+        grouped.filter(F.size("_ids") >= 2)
+        # posexplode is 0-based, slice is 1-based: ids after index _i
+        # start at 1-based position _i + 2
+        .select(F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("id_b"),
         )
         .distinct()
     )
@@ -355,14 +366,25 @@ def jaccard_pairs(
     Without ``candidates`` this is the quadratic verification path
     (inverted-index self-join on tokens) — correct but only for small
     slices or verification. With ``candidates`` (e.g. from
-    minhash_lsh_candidates) the join is restricted to the candidate
-    pairs, which is the scale path.
+    minhash_lsh_candidates) the token table is first SEMI-JOINED down
+    to the docs that appear in any candidate pair, so the inverted-
+    index join runs only over candidate docs, and the pair set then
+    filters the intersections with a plain (AQE-planned) semi-join —
+    the candidate set is unbounded (millions of pairs on a duplicate-
+    heavy corpus), so it must never be broadcast.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     if ngram is not None:
         words = tokenize_char_ngrams(df, text_col, id_col, n=ngram)
     else:
         words = tokenize_words(df, text_col, id_col)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        words = words.join(cand_ids, on=id_col, how="left_semi")
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = words.alias("a")
     b = words.alias("b")
@@ -380,7 +402,7 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), on=["id_a", "id_b"], how="inner")
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     out = (

@@ -43,9 +43,18 @@ def asof_join(
 
     Right rows must be unique per (key, ts) — pre-aggregate the right
     side if they are not (the match would otherwise be ambiguous).
-    Right payload columns come back with their own names; the matched
-    timestamp is exposed as ``matched_ts``. ``tolerance`` (a Column
-    interval/numeric delta) null-outs matches farther than the bound.
+    Right payload columns come back with their own names; if a payload
+    name collides with a left column it is suffixed ``_right``
+    (pandas ``merge_asof`` convention). The matched timestamp is
+    exposed as ``matched_ts``. ``tolerance`` (a Column interval/numeric
+    delta) null-outs matches farther than the bound.
+
+    All payload values are taken from the SAME matched right row: the
+    whole right row is packed into one struct that is non-null only on
+    right-side rows, and a single ``last(struct, ignorenulls=True)``
+    carries it forward — a NULL payload field in the matched row stays
+    NULL (it is never back-filled from an older right row), matching
+    pandas ``merge_asof`` and DuckDB ``ASOF JOIN``.
 
     Plan shape: union(left, right) → one shuffle on the key → running
     ``last(.., ignorenulls)`` window → filter left rows. No pair
@@ -54,23 +63,31 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     payload = [c for c in right.columns if c not in {*keys, rts}]
-    rts_type = right.schema[rts].dataType
+    out_names = {
+        c: (f"{c}_right" if c in left.columns else c) for c in payload
+    }
 
-    l_tag = left.select(
-        *[F.col(k) for k in keys],
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.struct(*left.columns).alias("_lrow"),
-        F.lit(None).cast(rts_type).alias("_rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    # One struct holding the matched right row (ts + all payload).
+    # Non-null only on right-side rows, so last(ignorenulls) can never
+    # mix fields from different right rows.
+    rmatch = F.struct(
+        F.col(rts).alias("_rts"), *[F.col(c).alias(c) for c in payload]
     )
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(rts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        F.col(rts).alias("_rts"),
-        *payload,
+        rmatch.alias("_rmatch"),
+    )
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tag.schema["_rmatch"].dataType).alias("_rmatch"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
     )
     merged = l_tag.unionByName(r_tag)
 
@@ -85,30 +102,22 @@ def asof_join(
     )
     matched = merged.select(
         "*",
-        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in payload
-        ],
+        F.last("_rmatch", ignorenulls=True).over(w).alias("_m"),
     ).filter(F.col("_side") == 1)
 
     if tolerance is not None:
         delta = (
-            F.col("_ts") - F.col("matched_ts")
+            F.col("_ts") - F.col("_m._rts")
             if asc
-            else F.col("matched_ts") - F.col("_ts")
+            else F.col("_m._rts") - F.col("_ts")
         )
-        in_tol = F.col("matched_ts").isNotNull() & (delta <= tolerance)
-        matched = matched.select(
-            *[c for c in matched.columns if c != "matched_ts" and not c.startswith("_m_")],
-            F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
-            *[F.when(in_tol, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in payload],
-        )
+        in_tol = F.col("_m").isNotNull() & (delta <= tolerance)
+        matched = matched.withColumn("_m", F.when(in_tol, F.col("_m")))
 
     out = matched.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        F.col("matched_ts"),
-        *[F.col(f"_m_{c}").alias(c) for c in payload],
+        F.col("_m._rts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(out_names[c]) for c in payload],
     )
     if how == "inner":
         out = out.filter(F.col("matched_ts").isNotNull())

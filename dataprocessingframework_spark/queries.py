@@ -938,6 +938,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_k2_phash(spark, sf_dir):
+    """K2 perceptual hash under the oracle gate (the reference's
+    flagship README demo hashes images with phash,
+    `filters/images/hash_filters.py:31-86`). Images are a pure function
+    of ``doc_id % 8`` — eight deterministic 32x32x3 patterns — hashed
+    by the real PHashFilter (decode → DCT → median threshold → hex)
+    over the real mapInPandas plumbing; the oracle is the golden
+    class→hex mapping (the phash DCT kernel itself is golden- and
+    property-tested in tests/test_filters.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dataprocessingframework_spark.filters.kernels import (
+        PHashFilter,
+        encode_fake_image,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(pdfs):
+        r = np.arange(32)[:, None, None]
+        c = np.arange(32)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        imgs = [
+            bytearray(
+                encode_fake_image(
+                    ((r * 31 + c * 7 + ch * 13 + k * 17) % 256).astype(np.uint8)
+                )
+            )
+            for k in range(8)
+        ]
+        for pdf in pdfs:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf.doc_id,
+                    "content": [imgs[int(d) % 8] for d in pdf.doc_id],
+                }
+            )
+
+    with_media = docs.mapInPandas(gen, gen_schema)
+    hashed = PHashFilter()(with_media)
+    return hashed.select("doc_id", "image_phash_8").orderBy("doc_id")
+
+
+_K2_GOLDENS = [
+    "c09fc09fc19fc097", "d397d196c295c195", "d594ff85c491c295",
+    "fac07ad56ad16ac0", "ebd76ac26ac26ac0", "ebca6bc86aca6ac0",
+    "ad4a2dcb2d4a2d6a", "a56e246b2d6a356a",
+]
+SQL_K2_PHASH = (
+    "SELECT doc_id, CASE CAST(doc_id % 8 AS INT) "
+    + " ".join(f"WHEN {k} THEN '{h}'" for k, h in enumerate(_K2_GOLDENS))
+    + " END AS image_phash_8 FROM documents ORDER BY doc_id"
+)
+
+
 def q_pipeline_stages(spark, sf_dir):
     """Pipeline runner (filter stage -> keep-first dedup stage) under
     the oracle gate (`pipelines/filter_pipeline.py` semantics)."""
@@ -1310,10 +1379,64 @@ FROM documents
 
 def q_dd_lsh_candidates(spark, sf_dir):
     """MinHash-LSH candidate pairs (scale path of near-dup dedup).
-    Non-SQL-expressible compactly -> library-tested; rows-only check."""
+    Oracle-checkable because the signatures are md5-portable: DuckDB
+    builds the identical band buckets and the identical pair set."""
     return dedup.minhash_lsh_candidates(
         T(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4
     ).orderBy("id_a", "id_b")
+
+
+SQL_DD_LSH_CANDIDATES = f"""
+WITH sig AS ({{sig16}}),
+buckets AS ({{bands16}})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_dd_jaccard_lsh(spark, sf_dir):
+    """The production near-dup verification composition: LSH candidate
+    pairs (sub-quadratic pair space) verified with exact word-set
+    Jaccard — the inverted-index join restricted to candidate docs via
+    semi-join, candidate set never broadcast (it is unbounded on a
+    duplicate-heavy corpus). Full SQL oracle: identical md5-portable
+    candidates ∩ identical Jaccard computation."""
+    docs = T(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, candidates=cand
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DD_JACCARD_LSH = f"""
+WITH sig AS ({{sig8}}),
+buckets AS ({{bands8}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+{_WORDS_CTE.removeprefix("WITH ")},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= 0.5
+ORDER BY i.id_a, i.id_b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1659,6 +1782,52 @@ WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
      p AS (SELECT user_id, ts, ROUND(MAX(value),2) AS purchase_value
            FROM events WHERE event_type='purchase' GROUP BY user_id, ts)
 SELECT c.event_id, c.user_id, p.ts AS matched_ts, p.purchase_value
+FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def q_j_asof_nulls(spark, sf_dir):
+    """As-of join with a NULLABLE right payload — regression gate for
+    the struct-packed match (`operators/joins.py:asof_join`): a NULL
+    payload field in the matched right row must stay NULL, never be
+    back-filled from an older right row. Oracle is DuckDB's native
+    ASOF JOIN, which has exactly these semantics."""
+    from dataprocessingframework_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.round(F.max("value"), 2).alias("_pv"),
+            F.count(F.lit(1)).alias("pcnt"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("_pv") > 50, F.col("_pv")).alias("pv_high"),
+            "pcnt",
+        )
+    )
+    return (
+        asof_join(clicks, purchases, on="user_id", left_ts="ts")
+        .select("event_id", "user_id", "matched_ts", "pv_high", "pcnt")
+        .orderBy("event_id")
+    )
+
+
+SQL_J_ASOF_NULLS = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts,
+                  CASE WHEN ROUND(MAX(value),2) > 50
+                       THEN ROUND(MAX(value),2) END AS pv_high,
+                  COUNT(*) AS pcnt
+           FROM events WHERE event_type='purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.ts AS matched_ts, p.pv_high, p.pcnt
 FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY c.event_id
 """

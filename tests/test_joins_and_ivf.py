@@ -322,3 +322,81 @@ def test_range_join_matches_bruteforce(spark, seed):
             for r in range_join(facts, rdf, "x", "lo", "hi", **kw).collect()
         )
         assert got == want, kw
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    """A NULL payload field in the MATCHED right row must stay NULL —
+    not be back-filled from an older right row (pandas merge_asof /
+    DuckDB ASOF semantics). Regression: per-column last(ignorenulls)
+    windows skipped the NULL and mixed rows."""
+    left = spark.createDataFrame(
+        [Row(k="A", ts=ts(10), lv=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="A", ts=ts(0), px=111.0, sz=7),
+            Row(k="A", ts=ts(5), px=None, sz=9),  # matched row, NULL px
+        ]
+    )
+    out = asof_join(left, right, on="k", left_ts="ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.matched_ts == ts(5)
+    assert r.px is None, "NULL payload must not be back-filled from ts(0)"
+    assert r.sz == 9
+
+
+def test_asof_payload_fields_from_same_right_row(spark):
+    """All payload columns must come from the single matched right row,
+    even when different columns are null in different rows."""
+    left = spark.createDataFrame(
+        [Row(k="A", ts=ts(20), lv=1), Row(k="A", ts=ts(7), lv=2)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="A", ts=ts(0), a=1, b=None),
+            Row(k="A", ts=ts(5), a=None, b=2),
+            Row(k="A", ts=ts(15), a=3, b=None),
+        ]
+    )
+    out = {r.lv: (r.a, r.b, r.matched_ts) for r in
+           asof_join(left, right, on="k", left_ts="ts").collect()}
+    assert out[1] == (3, None, ts(15))
+    assert out[2] == (None, 2, ts(5))
+
+
+def test_asof_payload_name_collision_suffixed(spark):
+    """Right payload colliding with a left column gets _right suffix
+    (merge_asof convention) instead of an ambiguous duplicate."""
+    left = spark.createDataFrame([Row(k="A", ts=ts(10), v=100)])
+    right = spark.createDataFrame([Row(k="A", ts=ts(5), v=200)])
+    out = asof_join(left, right, on="k", left_ts="ts")
+    assert out.columns.count("v") == 1
+    r = out.collect()[0]
+    assert r.v == 100 and r.v_right == 200
+
+
+def test_asof_null_payload_tolerance_and_forward(spark):
+    """Struct-packed match interacts correctly with tolerance nulling
+    and forward direction."""
+    left = spark.createDataFrame([Row(k="A", ts=ts(10), lv=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="A", ts=ts(12), px=None, sz=1),
+            Row(k="A", ts=ts(30), px=5.0, sz=2),
+        ]
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="ts", direction="forward"
+    ).collect()[0]
+    assert fwd.matched_ts == ts(12) and fwd.px is None and fwd.sz == 1
+    tol = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 MINUTE"),
+        how="left",
+    ).collect()[0]
+    assert tol.matched_ts is None and tol.px is None and tol.sz is None

@@ -146,3 +146,36 @@ def test_hamming_near_dup_is_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidates_single_pass_no_cache(spark, sf_dir):
+    """Pair generation must be the generate-based single pass: no
+    bucket self-join (the old shape consumed the signature pipeline
+    twice) and no persisted RDD left behind after materialization."""
+    from dataprocessingframework_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    pairs = dedup.minhash_lsh_candidates(
+        q.T(spark, sf_dir, "documents"), "text", "doc_id", 16, 4
+    )
+    plan = plan_of(pairs)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # sig groupBy + bucket groupBy + final distinct = 3 exchanges max
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    pairs.count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_jaccard_candidates_no_broadcast_hint(spark, sf_dir):
+    """The candidate pair set is unbounded — it must never carry an
+    explicit broadcast hint (AQE may still choose broadcast at runtime
+    from observed sizes; that is fine). Regression for the executor-OOM
+    shape `broadcast(candidates)`."""
+    from dataprocessingframework_spark.operators import dedup
+
+    docs = q.T(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4)
+    out = dedup.jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=cand)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
