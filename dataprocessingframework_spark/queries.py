@@ -40,8 +40,39 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 P = MINHASH_PRIME
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    The external driver imports ``__spark_entry__`` by path from an
+    arbitrary cwd; cloudpickle serializes mapInPandas / pandas-UDF
+    closures by *reference* to this package, so Python workers must be
+    able to import it — a driver-side ``sys.path`` entry does not
+    propagate. Shipping a zip via ``addPyFile`` fixes that identically
+    in local and cluster mode (workers prepend shipped files to their
+    ``sys.path``)."""
+    import os
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    target = os.path.join(
+        tempfile.gettempdir(), f"dpf_spark_pkg_{os.getpid()}"
+    )
+    zpath = shutil.make_archive(
+        target, "zip", root_dir=root, base_dir="dataprocessingframework_spark"
+    )
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
         # reader rejects; read nanos as long and floor-convert to micros
@@ -1387,8 +1418,8 @@ def q_dd_lsh_candidates(spark, sf_dir):
 
 
 SQL_DD_LSH_CANDIDATES = f"""
-WITH sig AS ({{sig16}}),
-buckets AS ({{bands16}})
+WITH sig AS ({_minhash_sql(16).replace(" ORDER BY doc_id", "")}),
+buckets AS ({_lsh_band_sql(16, 4)})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a
 JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
@@ -1414,8 +1445,8 @@ def q_dd_jaccard_lsh(spark, sf_dir):
 
 
 SQL_DD_JACCARD_LSH = f"""
-WITH sig AS ({{sig8}}),
-buckets AS ({{bands8}}),
+WITH sig AS ({_minhash_sql(8).replace(" ORDER BY doc_id", "")}),
+buckets AS ({_lsh_band_sql(8, 4)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a
@@ -2676,7 +2707,77 @@ ORDER BY user_id, event_type
 # registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: the driver's correctness gate checks the FIRST 50
+# entries. Entries already driver-green in CORRECTNESS_r01/r02 (the
+# original relational surface) sit below the fold; the window holds the
+# dedup / similarity / TPC-H / streaming / pipeline tier plus any newly
+# added query. New queries go in positions 1-50, never appended.
 REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
+    # -- dedup tier ---------------------------------------------------
+    "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
+    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
+    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "dd_jaccard_ngram": (q_dd_jaccard_ngram, SQL_DD_JACCARD_NGRAM),
+    "dd_hamming": (q_dd_hamming, SQL_DD_HAMMING),
+    "dd_lsh_candidates": (q_dd_lsh_candidates, SQL_DD_LSH_CANDIDATES),
+    "dd_jaccard_lsh": (q_dd_jaccard_lsh, SQL_DD_JACCARD_LSH),
+    "dd_clusters": (q_dd_clusters, SQL_DD_CLUSTERS),
+    "dd_clusters_lsh": (q_dd_clusters_lsh, SQL_DD_CLUSTERS_LSH),
+    # -- multimodal / kernels ----------------------------------------
+    "k2_phash": (q_k2_phash, SQL_K2_PHASH),
+    "u1_column_filter": (q_u1_column_filter, SQL_U1),
+    "u2_data_filter": (q_u2_data_filter, SQL_U2),
+    # -- joins beyond equi -------------------------------------------
+    "j_asof": (q_j_asof, SQL_J_ASOF),
+    "j_asof_nulls": (q_j_asof_nulls, SQL_J_ASOF_NULLS),
+    "j_range": (q_j_range, SQL_J_RANGE),
+    "j_salted": (q_j_salted, SQL_J_SALTED),
+    # -- embedding similarity ----------------------------------------
+    "emb_topk_cosine": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_near_dup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    # -- pipelines / profiling ---------------------------------------
+    "pipeline_stages": (q_pipeline_stages, SQL_PIPELINE),
+    "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
+    "profile_table": (q_profile_table, SQL_PROFILE),
+    # -- analytics surface -------------------------------------------
+    "a1_quartiles": (q_a1_quartiles, SQL_A1_QUARTILES),
+    "a_cube": (q_a_cube, SQL_A_CUBE),
+    "a_grouping_sets": (q_a_grouping_sets, SQL_GROUPING_SETS_SHARED),
+    "a_median_exact": (q_a_median_exact, SQL_A_MEDIAN),
+    "f_explode_wordcount": (q_f_explode_wordcount, SQL_EXPLODE),
+    "f_date_extract": (q_f_date_extract, SQL_F_DATE_EXTRACT),
+    "f_histogram": (q_f_histogram, SQL_F_HISTOGRAM),
+    "w_analytics": (q_w_analytics, SQL_W_ANALYTICS),
+    "sql_surface_q10": (q_sql_surface, SQL_Q10_SHARED),
+    # -- TPC-H suite (reduced schema) --------------------------------
+    "h1_pricing_summary": (q_h1_pricing_summary, SQL_H1),
+    "h3_top_orders": (q_h3_top_orders, SQL_H3),
+    "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
+    "h5_region_revenue": (q_h5_region_revenue, SQL_H5),
+    "h6_forecast_revenue": (q_h6_forecast_revenue, SQL_H6),
+    "h7_nation_volume": (q_h7_nation_volume, SQL_H7),
+    "h8_market_share": (q_h8_market_share, SQL_H8),
+    "h13_count_distribution": (q_h13_count_distribution, SQL_H13),
+    "h14_promo_revenue": (q_h14_promo_revenue, SQL_H14),
+    "h15_top_supplier": (q_h15_top_supplier, SQL_H15),
+    "h17_small_quantity": (q_h17_small_quantity, SQL_H17),
+    "h18_large_orders": (q_h18_large_orders, SQL_H18),
+    "h19_disjunctive": (q_h19_disjunctive, SQL_H19),
+    "h22_idle_customers": (q_h22_idle_customers, SQL_H22),
+    # -- streaming surface -------------------------------------------
+    "stream_sliding_window": (q_stream_sliding, SQL_STREAM_SLIDING),
+    "stream_session_window": (q_stream_session, SQL_STREAM_SESSION),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    # -- sampling / writers ------------------------------------------
+    "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
+    "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
+    # ================= driver window ends here (50) =================
+    # rows-only by design (no SQL-expressible oracle)
+    "emb_lsh_topk": (q_emb_lsh_topk, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, None),
+    "emb_kmeans": (q_emb_kmeans, None),
+    # driver-green in CORRECTNESS_r01 and r02
     "s1_files_scan": (q_s1_files_scan, SQL_S1),
     "s2_provenance": (q_s2_provenance, SQL_S2),
     "s4_inmemory": (q_s4_inmemory, SQL_S4),
@@ -2727,56 +2828,6 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "tx_quality": (q_tx_quality, SQL_TX_QUALITY),
     "tx_langid": (q_tx_langid, SQL_TX_LANGID),
     "tx_fingerprint": (q_tx_fingerprint, SQL_TX_FINGERPRINT),
-    "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
-    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
-    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
-    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
-    "dd_hamming": (q_dd_hamming, SQL_DD_HAMMING),
-    "dd_lsh_candidates": (q_dd_lsh_candidates, None),
-    "dd_clusters": (q_dd_clusters, SQL_DD_CLUSTERS),
-    "dd_clusters_lsh": (q_dd_clusters_lsh, SQL_DD_CLUSTERS_LSH),
-    "profile_table": (q_profile_table, SQL_PROFILE),
-    "emb_topk_cosine": (q_emb_topk, SQL_EMB_TOPK),
-    "emb_near_dup": (q_emb_neardup, SQL_EMB_NEARDUP),
-    "emb_lsh_topk": (q_emb_lsh_topk, None),
-    "u1_column_filter": (q_u1_column_filter, SQL_U1),
-    "u2_data_filter": (q_u2_data_filter, SQL_U2),
-    "pipeline_stages": (q_pipeline_stages, SQL_PIPELINE),
-    "a1_quartiles": (q_a1_quartiles, SQL_A1_QUARTILES),
-    "f_explode_wordcount": (q_f_explode_wordcount, SQL_EXPLODE),
-    "a_cube": (q_a_cube, SQL_A_CUBE),
-    "w_analytics": (q_w_analytics, SQL_W_ANALYTICS),
-    "f_date_extract": (q_f_date_extract, SQL_F_DATE_EXTRACT),
-    "sql_surface_q10": (q_sql_surface, SQL_Q10_SHARED),
-    "h1_pricing_summary": (q_h1_pricing_summary, SQL_H1),
-    "h3_top_orders": (q_h3_top_orders, SQL_H3),
-    "h5_region_revenue": (q_h5_region_revenue, SQL_H5),
-    "j_asof": (q_j_asof, SQL_J_ASOF),
-    "j_range": (q_j_range, SQL_J_RANGE),
-    "emb_ivf_topk": (q_emb_ivf_topk, None),
-    "stream_sliding_window": (q_stream_sliding, SQL_STREAM_SLIDING),
-    "stream_session_window": (q_stream_session, SQL_STREAM_SESSION),
-    "j_salted": (q_j_salted, SQL_J_SALTED),
-    "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
-    "h6_forecast_revenue": (q_h6_forecast_revenue, SQL_H6),
-    "h7_nation_volume": (q_h7_nation_volume, SQL_H7),
-    "h14_promo_revenue": (q_h14_promo_revenue, SQL_H14),
-    "h15_top_supplier": (q_h15_top_supplier, SQL_H15),
-    "h18_large_orders": (q_h18_large_orders, SQL_H18),
-    "h19_disjunctive": (q_h19_disjunctive, SQL_H19),
-    "h22_idle_customers": (q_h22_idle_customers, SQL_H22),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
-    "dd_jaccard_ngram": (q_dd_jaccard_ngram, SQL_DD_JACCARD_NGRAM),
-    "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
-    "a_grouping_sets": (q_a_grouping_sets, SQL_GROUPING_SETS_SHARED),
-    "f_histogram": (q_f_histogram, SQL_F_HISTOGRAM),
-    "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
-    "emb_kmeans": (q_emb_kmeans, None),
-    "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
-    "h8_market_share": (q_h8_market_share, SQL_H8),
-    "a_median_exact": (q_a_median_exact, SQL_A_MEDIAN),
-    "h13_count_distribution": (q_h13_count_distribution, SQL_H13),
-    "h17_small_quantity": (q_h17_small_quantity, SQL_H17),
 }
 
 
