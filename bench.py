@@ -64,9 +64,14 @@ def bench_queries(spark):
                 q.T(s, d, "documents"), "text", "doc_id", num_hashes=16
             )
         ),
+        # max_bucket_size=None: benchmark the exact full pair set (the
+        # oracle-checkable shape) so timings stay comparable round-over-
+        # round; the default cap would star-collapse this corpus's
+        # mega-buckets and shrink the measured work
         "minhash_lsh_candidates": big(
             lambda s, d: dedup.minhash_lsh_candidates(
-                q.T(s, d, "documents"), "text", "doc_id", num_hashes=16, bands=4
+                q.T(s, d, "documents"), "text", "doc_id",
+                num_hashes=16, bands=4, max_bucket_size=None,
             )
         ),
         # embedding similarity

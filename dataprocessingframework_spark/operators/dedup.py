@@ -133,76 +133,176 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
+# Pair generation emits at most _PAIR_BLOCK**2 pairs per block-pair row,
+# bounding per-task work independent of bucket size.
+_PAIR_BLOCK = 512
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: (id_a, id_b) with
     id_a < id_b that collide in >= 1 band.
 
     Cost model at scale: signatures (1 shuffle) -> band explode (x bands,
-    narrow) -> groupBy band bucket (1 shuffle) -> pairs within buckets.
-    Bucket sizes are bounded in practice; a hot bucket indicates true
-    mass duplication, which AQE skew-split handles.
+    narrow) -> groupBy band bucket (1 shuffle) -> blocked pair
+    generation (1 small shuffle) -> distinct (1 shuffle).
+
+    Pair generation is BLOCKED so no single task ever owns a hot
+    bucket's s²/2 pair emission: each bucket's sorted id array is cut
+    into fixed ``_PAIR_BLOCK``-sized chunks, every (chunk_i, chunk_j)
+    combination with i <= j becomes its own row, and those block-pair
+    rows are hash-repartitioned BEFORE pairs are exploded — a bucket of
+    s members fans out over (s/B)²/2 independent tasks emitting ≤ B²
+    pairs each, instead of one task emitting all s(s-1)/2. The explicit
+    partition count on the repartition matters: the pre-explode rows
+    are tiny (two id chunks each) and AQE would otherwise coalesce them
+    back into one partition, resurrecting the serialization. The extra
+    shuffle moves s²/B ids per bucket ≈ 2/B of the pair volume it
+    parallelizes. Memory per task stays one block pair (≤ 2·8·B bytes).
+
+    Cross-band dedup is FIRST-COLLIDING-BAND emission, not a global
+    ``distinct()``: each member carries its per-band bucket hashes
+    (60-bit md5 prefixes) into the pair generator, and a pair is
+    emitted only in the first band where it collides — a flat O(bands)
+    scalar comparison per candidate pair. A distinct would have to
+    shuffle the ENTIRE pre-dedup pair volume (duplicates of one pair
+    live in different bands, hence different map tasks, so map-side
+    partial aggregation removes nothing); on a duplicate-heavy corpus
+    that shuffle dominates the whole job, and it grows with the worst
+    bucket's s². The per-pair check costs bands-1 long compares and
+    ships bands extra longs per member through the small shuffles.
 
     ``max_bucket_size`` is the production guard for degenerate corpora
-    (boilerplate-heavy crawls): a bucket of size s emits s(s-1)/2 pairs,
-    so one million-doc bucket means 5e11 pairs. Buckets above the cap
-    are excluded from pair generation — their members are better handled
-    as "trivially duplicated" clusters directly (the bucket id IS the
-    cluster key) than through pairwise verification.
-
-    Pair generation is SINGLE-PASS: buckets are grouped once
-    (collect_set of member ids, sorted) and pairs stream out of two
-    nested generators — posexplode picks id_a, a slice-explode emits
-    every later id as id_b. Both explodes are pipelined by codegen, so
-    memory per task is one bucket's id array (8·s bytes), never the
-    s²/2 pair set. This replaces a bucket self-join that consumed the
-    whole tokenize→hash→min-agg pipeline twice (Catalyst did not reuse
-    the exchange across the join's sides) and needed a leaked persist
-    to compensate — one groupBy shuffle instead of a window plus two
-    join-side exchanges, and no cached RDD left behind.
+    (boilerplate-heavy crawls): a bucket of size s emits s(s-1)/2
+    pairs, so one million-doc bucket means 5e11 pairs. A bucket above
+    the cap is already a dedup verdict — its members share an entire
+    band of minhashes — so instead of pairwise verification it
+    collapses to s-1 STAR pairs (min member id vs each other member),
+    which keep connected-components clustering identical to the full
+    clique while refusing the quadratic blow-up. Pass ``None`` for the
+    exact full pair set (the oracle-checkable shape).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    band_cols = []
+    band_strs = []
     for b in range(bands):
         members = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[m.cast("string") for m in members])).alias(
-                    "bucket"
-                ),
+        band_strs.append(
+            F.md5(F.concat_ws(",", *[m.cast("string") for m in members]))
+        )
+    # one row per (doc, band): the full md5 string is the bucket key
+    # (oracle-identical); its 60-bit prefix rides along per band as
+    # h0..h{bands-1} for the first-colliding-band check at pair time
+    with_buckets = sig.select(
+        F.col(id_col), *[band_strs[b].alias(f"_bs{b}") for b in range(bands)]
+    )
+    prefix = [
+        F.conv(F.substring(F.col(f"_bs{b}"), 1, 15), 16, 10)
+        .cast("long")
+        .alias(f"h{b}")
+        for b in range(bands)
+    ]
+    member = F.struct(F.col(id_col).alias("id"), *prefix)
+    buckets = with_buckets.select(
+        member.alias("_m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_bs{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
             )
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
-    grouped = buckets.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
+        ).alias("bb"),
+    ).select("_m", "bb.band", "bb.bucket")
+    # sort_array over structs orders by leading field = id, so chunks
+    # stay id-ordered and id_a < id_b holds structurally
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(F.col("_m"))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
-    pairs = (
-        grouped.filter(F.size("_ids") >= 2)
-        # posexplode is 0-based, slice is 1-based: ids after index _i
-        # start at 1-based position _i + 2
-        .select(F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids"))
+    b_sz = _PAIR_BLOCK
+    full_chunks = (
+        f"transform(sequence(0, (size(_ids) + {b_sz - 1}) div {b_sz} - 1),"
+        f" i -> slice(_ids, i * {b_sz} + 1, {b_sz}))"
+    )
+    if max_bucket_size is None:
+        star = F.lit(False)
+        chunks_expr = F.expr(full_chunks)
+    else:
+        # star collapse stays INSIDE the one pipeline (a union of a
+        # capped branch and a starred branch would make Catalyst compute
+        # the whole signature pipeline twice): an oversized bucket's
+        # chunk 0 is just its min id, the rest is chunked normally, and
+        # only block-pairs touching chunk 0 survive — yielding exactly
+        # the s-1 star pairs, still spread over (s/B) tasks.
+        star = F.size("_ids") > F.lit(max_bucket_size)
+        star_chunks = (
+            f"concat(array(slice(_ids, 1, 1)),"
+            f" transform(sequence(0, (size(_ids) - 1 + {b_sz - 1}) div {b_sz} - 1),"
+            f" i -> slice(_ids, i * {b_sz} + 2, {b_sz})))"
+        )
+        chunks_expr = F.when(star, F.expr(star_chunks)).otherwise(
+            F.expr(full_chunks)
+        )
+    chunked = grouped.select(
+        "band", "bucket", star.alias("_star"), chunks_expr.alias("_chunks")
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    block_pairs = (
+        chunked.select(
+            "band", "bucket", "_star", "_chunks",
+            F.posexplode("_chunks").alias("_i", "_ca"),
+        )
+        # slice at 1-based position _i+1 starts at chunk _i itself, so
+        # _j == 0 is the same-chunk (triangular) case
         .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids"))
-            ).alias("id_b"),
+            "band", "bucket", "_star", "_i", "_ca",
+            F.posexplode(
+                F.slice(F.col("_chunks"), F.col("_i") + F.lit(1), F.size("_chunks"))
+            ).alias("_j", "_cb"),
         )
-        .distinct()
+        .filter(~F.col("_star") | (F.col("_i") == 0))
+        .repartition(n_part, F.col("band"), F.col("bucket"), F.col("_i"), F.col("_j"))
     )
-    return pairs
+    candidates = (
+        block_pairs
+        # posexplode is 0-based, slice is 1-based: same-chunk partners of
+        # the id at index _p start at 1-based position _p + 2; cross-chunk
+        # partners are the whole later chunk (sorted, so id_a < id_b holds)
+        .select("band", "_j", "_ca", "_cb", F.posexplode("_ca").alias("_p", "_sa"))
+        .select(
+            "band",
+            "_sa",
+            F.explode(
+                F.when(
+                    F.col("_j") == 0,
+                    F.slice(F.col("_ca"), F.col("_p") + F.lit(2), F.size("_ca")),
+                ).otherwise(F.col("_cb"))
+            ).alias("_sb"),
+        )
+    )
+    # first-colliding-band emission: drop the pair here iff it also
+    # collides in an earlier band (that band's task emits it) — a flat
+    # boolean over carried 60-bit prefixes, no distinct needed
+    earlier_collision = F.lit(False)
+    for j in range(bands - 1):
+        earlier_collision = earlier_collision | (
+            (F.col("band") > j) & (F.col(f"_sa.h{j}") == F.col(f"_sb.h{j}"))
+        )
+    return (
+        candidates.filter(~earlier_collision)
+        .select(F.col("_sa.id").alias("id_a"), F.col("_sb.id").alias("id_b"))
+    )
 
 
 def simhash(

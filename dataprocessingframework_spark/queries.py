@@ -1413,7 +1413,8 @@ def q_dd_lsh_candidates(spark, sf_dir):
     Oracle-checkable because the signatures are md5-portable: DuckDB
     builds the identical band buckets and the identical pair set."""
     return dedup.minhash_lsh_candidates(
-        T(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4
+        T(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=16, bands=4, max_bucket_size=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -1437,7 +1438,7 @@ def q_dd_jaccard_lsh(spark, sf_dir):
     candidates ∩ identical Jaccard computation."""
     docs = T(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4
+        docs, "text", "doc_id", num_hashes=8, bands=4, max_bucket_size=None
     )
     return dedup.jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, candidates=cand

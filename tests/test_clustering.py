@@ -114,6 +114,41 @@ def test_lsh_max_bucket_size_guard(spark, sf_dir):
     assert capped.exceptAll(full).count() == 0  # strict subset
 
 
+def test_lsh_star_collapse_preserves_clusters(spark):
+    """An oversized bucket collapses to s-1 star pairs (min id vs each
+    other member) instead of the s(s-1)/2 clique — connected components
+    must be IDENTICAL to the uncapped clique's."""
+    from dataprocessingframework_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    # 8 identical docs -> one bucket of 8 in every band, plus 2 unique
+    rows = [(i, "common text shared by every doc") for i in range(8)]
+    rows += [(100, "unique alpha beta"), (200, "different gamma delta")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    full = minhash_lsh_candidates(
+        docs, "text", "doc_id", 8, 4, max_bucket_size=None
+    )
+    capped = minhash_lsh_candidates(
+        docs, "text", "doc_id", 8, 4, max_bucket_size=5
+    )
+    star = sorted((r.id_a, r.id_b) for r in capped.collect())
+    # exactly the star: min member (0) vs each of 1..7
+    assert star == [(0, j) for j in range(1, 8)]
+    assert full.count() == 8 * 7 // 2
+    nodes = docs.select("doc_id")
+    cc_full = {
+        r.node: r.cluster
+        for r in connected_components(full, all_nodes=nodes).collect()
+    }
+    cc_capped = {
+        r.node: r.cluster
+        for r in connected_components(capped, all_nodes=nodes).collect()
+    }
+    assert cc_full == cc_capped
+
+
 def test_hamming_near_dup_exact_vs_bruteforce(spark):
     """Pigeonhole exactness: banded candidate generation + verify ==
     quadratic scan, on random 64-bit fingerprints with planted

@@ -160,8 +160,15 @@ def test_lsh_candidates_single_pass_no_cache(spark, sf_dir):
     )
     plan = plan_of(pairs)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # sig groupBy + bucket groupBy + final distinct = 3 exchanges max
+    # sig groupBy + bucket groupBy + block-pair repartition = 3
+    # exchanges max: first-colliding-band emission replaces the final
+    # distinct (whose shuffle carried the whole pre-dedup pair volume).
+    # The repartition is load-bearing (it spreads each hot bucket's
+    # pair emission across tasks) and must use an explicit partition
+    # count so AQE cannot coalesce it away
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "HashAggregate(keys=[id_a" not in plan, plan
     pairs.count()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
