@@ -81,6 +81,12 @@ class DataFilter(ABC):
                                 )
                             )
                             idxs.append(start + off)
+                        except NotImplementedError:
+                            # missing capability (torch/PIL/decoder not
+                            # installed) is a job error, not a corrupt
+                            # sample — silently nulling every row would
+                            # masquerade as a successful run
+                            raise
                         except Exception:  # noqa: BLE001 — is_ok drop semantics
                             continue
                     if batch:

@@ -50,24 +50,64 @@ def encode_fake_video(
 
 
 def decode_video_info(data: bytes) -> tuple[int, int, float, float]:
-    """(width, height, fps, duration_seconds); raises on garbage."""
+    """(width, height, fps, duration_seconds); raises on garbage.
+
+    Real containers probe through pyav when installed (the reference
+    probes via imageio's pyav plugin, `filters/videos/info_filter.py:
+    22-42`); the synthetic FAKEVID codec always decodes so tests run
+    without av.
+    """
     if data.startswith(_VID_MAGIC):
         header, _, _ = data[len(_VID_MAGIC):].partition(b":")
         w, h, fps, dur = header.split(b"x")
         return int(w), int(h), float(fps), int(dur) / 1000.0
     if HAVE_AV:
-        raise NotImplementedError("real pyav probe: wire here when av present")
+        import io as _io
+
+        import av
+
+        with av.open(_io.BytesIO(data)) as container:
+            stream = next(
+                s for s in container.streams if s.type == "video"
+            )
+            cc = stream.codec_context
+            fps = float(stream.average_rate) if stream.average_rate else 0.0
+            if container.duration is not None:
+                duration = container.duration / 1_000_000.0  # av.time_base
+            elif stream.duration is not None and stream.time_base is not None:
+                duration = float(stream.duration * stream.time_base)
+            else:
+                duration = 0.0
+            return int(cc.width), int(cc.height), fps, duration
     raise ValueError("undecodable video bytes")
 
 
 def extract_video_frame(data: bytes, position: float = 0.5) -> bytes:
-    """First/only embedded frame of the synthetic format (`position` is
-    honored by real decoders; the fake codec stores one frame)."""
+    """One decoded frame re-encoded as PNG bytes, taken at the given
+    relative ``position`` of the clip (the fake codec stores one
+    frame, so position is honored only by the real decoder)."""
     if data.startswith(_VID_MAGIC):
         _, _, frame = data[len(_VID_MAGIC):].partition(b":")
         if not frame:
             raise ValueError("video has no frame payload")
         return frame
+    if HAVE_AV:
+        import io as _io
+
+        import av
+
+        with av.open(_io.BytesIO(data)) as container:
+            stream = next(
+                s for s in container.streams if s.type == "video"
+            )
+            if container.duration:
+                offset = int(container.duration * min(max(position, 0.0), 1.0))
+                container.seek(offset, any_frame=False)
+            for frame in container.decode(stream):
+                buf = _io.BytesIO()
+                frame.to_image().save(buf, format="PNG")
+                return buf.getvalue()
+        raise ValueError("video has no decodable frame")
     raise ValueError("undecodable video bytes")
 
 
@@ -76,12 +116,20 @@ def encode_fake_audio(sample_rate: int, duration_ms: int) -> bytes:
 
 
 def decode_audio_info(data: bytes) -> tuple[int, float]:
+    """(sample_rate, duration_seconds); raises on garbage. Real audio
+    probes through soundfile when installed (reference:
+    `filters/audios/info_filter.py:43-89` — duration = frames/rate)."""
     if data.startswith(_AUD_MAGIC):
         header, _, _ = data[len(_AUD_MAGIC):].partition(b":")
         sr, dur = header.split(b"x")
         return int(sr), int(dur) / 1000.0
     if HAVE_SOUNDFILE:
-        raise NotImplementedError("real soundfile probe: wire here when present")
+        import io as _io
+
+        import soundfile as sf
+
+        f = sf.SoundFile(_io.BytesIO(data))
+        return int(f.samplerate), len(f) / float(f.samplerate)
     raise ValueError("undecodable audio bytes")
 
 

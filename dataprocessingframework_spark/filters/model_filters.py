@@ -1,18 +1,21 @@
-"""M-tier: ML-model-backed filters (M1-M14) — optional-deps skeletons.
+"""M-tier: ML-model-backed filters (M1-M14) — real bodies behind gates.
 
 The reference's model filters (CLIP/BLIP/LLaVA/NSFW/watermarks/RAFT,
 `filters/images/*`, `filters/text2image/*`, `filters/videos/*`) are
 U2 DataFilters whose ``process_batch`` runs GPU inference. Weights make
 them non-oracle-checkable (FIXTURES.md §3.4); per the reference's own
-CI strategy they are exercised schema-only with a dummy stand-in
-(`filters/images/dummy_gpu_filter.py:10-53`).
+CI strategy the *plumbing* is exercised with a dummy stand-in
+(`filters/images/dummy_gpu_filter.py:10-53`) while the weight-backed
+paths run only where the model stack is installed.
 
-Here each filter declares its exact result schema and batching, with
-inference behind an import-try: without torch the class constructs and
-exposes schema (so pipelines can be planned and validated) but
-``process_batch`` raises; with torch, subclasses load weights in
-``setup()`` — called lazily ONCE PER TASK inside ``mapInPandas``, the
-Spark twin of the reference's per-worker model initialization.
+Each filter declares its exact result schema and batching; inference
+is real torch code behind import-tries: without the model stack the
+class constructs and exposes schema (so pipelines can be planned and
+validated) and ``setup()``/``preprocess`` raise ``NotImplementedError``
+loudly (never silent null columns — see DataFilter's NotImplementedError
+passthrough). With the stack present, ``setup()`` loads weights lazily
+ONCE PER TASK inside ``mapInPandas`` — the Spark twin of the
+reference's per-worker model initialization.
 
 GPU topology: set ``spark.task.resource.gpu.amount=1`` so each task
 owns a device; ``repartition(n_gpus)`` replaces MultiGPUDataFilter
@@ -21,10 +24,11 @@ owns a device; ``repartition(n_gpus)`` replaces MultiGPUDataFilter
 
 from __future__ import annotations
 
+import io
 from abc import abstractmethod
 from typing import Any
 
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 from dataprocessingframework_spark.filters.data_filter import DataFilter
 
@@ -35,9 +39,34 @@ try:
 except ImportError:
     HAVE_TORCH = False
 
+try:
+    import clip  # OpenAI CLIP (public pip package) # noqa: F401
+
+    HAVE_CLIP = True
+except ImportError:
+    HAVE_CLIP = False
+
+try:
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _read_image_rgb(data: bytes) -> "Image.Image":
+    """Bytes -> PIL RGB (reference: `DPF/utils/image_utils.py`
+    read_image_rgb_from_bytes)."""
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    return img.convert("RGB")
+
 
 class ModelFilter(DataFilter):
     """Base for weight-backed filters: lazy per-task setup."""
+
+    #: import-gates this filter needs beyond torch; subclasses extend
+    requires: tuple[str, ...] = ("torch",)
 
     def __init__(self, content_column: str = "content", device: str = "cuda") -> None:
         self._content_column = content_column
@@ -48,13 +77,22 @@ class ModelFilter(DataFilter):
     def content_column(self) -> str:
         return self._content_column
 
+    def _check_available(self) -> None:
+        missing = []
+        have = {"torch": HAVE_TORCH, "clip": HAVE_CLIP, "PIL": HAVE_PIL}
+        for dep in self.requires:
+            if not have.get(dep, False):
+                missing.append(dep)
+        if missing:
+            raise NotImplementedError(
+                f"{type(self).__name__} requires {missing}; install the "
+                "model extras to run inference (schema/planning works "
+                "without)"
+            )
+
     def setup(self) -> None:
         """Load weights once per task (reference: per dataloader run)."""
-        if not HAVE_TORCH:
-            raise NotImplementedError(
-                f"{type(self).__name__} requires torch; install the model "
-                "extras to run inference (schema/planning works without)"
-            )
+        self._check_available()
 
     @abstractmethod
     def infer_batch(self, batch: list[Any]) -> dict[str, list[Any]]: ...
@@ -66,79 +104,309 @@ class ModelFilter(DataFilter):
         return self.infer_batch(batch)
 
     def preprocess(self, data, metadata):
+        self._check_available()
         return data  # CPU decode belongs in subclasses
 
 
-class AestheticFilter(ModelFilter):
-    """M1/M2 — CLIP emb -> MLP score
-    (`filters/images/aesthetic_improved_filter.py:74-152`)."""
+class _ClipImageFilter(ModelFilter):
+    """Shared CLIP plumbing: decode -> clip transform -> encode_image."""
+
+    requires = ("torch", "clip", "PIL")
+
+    def __init__(
+        self,
+        clip_model: str = "ViT-L/14",
+        weights_folder: str | None = None,
+        **kw: Any,
+    ) -> None:
+        super().__init__(**kw)
+        self.clip_model_name = clip_model
+        self.weights_folder = weights_folder
+        self._clip = None
+        self._transforms = None
+
+    def setup(self) -> None:
+        super().setup()
+        self._clip, self._transforms = clip.load(
+            self.clip_model_name,
+            device=self.device,
+            download_root=self.weights_folder,
+        )
+
+    def preprocess(self, data, metadata):
+        self._check_available()
+        if not self._ready:  # transforms needed before first batch
+            self.setup()
+            self._ready = True
+        return self._transforms(_read_image_rgb(data))
+
+    def _encode_images(self, batch: list[Any]) -> "torch.Tensor":
+        """Stack preprocessed tensors, encode, L2-normalize rows."""
+        stacked = torch.stack(batch).to(self.device)
+        with torch.no_grad():
+            feats = self._clip.encode_image(stacked)
+            feats = feats / feats.norm(dim=-1, keepdim=True)
+        return feats
+
+
+def _aesthetic_mlp(input_size: int) -> Any:
+    """Head architecture of the public improved-aesthetic-predictor
+    (github.com/christophschuhmann/improved-aesthetic-predictor), as
+    used by the reference (`aesthetic_improved_filter.py:22-40`):
+    768 -> 1024 -> 128 -> 64 -> 16 -> 1 with dropout between the wide
+    layers. Built lazily because torch may be absent at import time."""
+    import torch.nn as nn
+
+    return nn.Sequential(
+        nn.Linear(input_size, 1024),
+        nn.Dropout(0.2),
+        nn.Linear(1024, 128),
+        nn.Dropout(0.2),
+        nn.Linear(128, 64),
+        nn.Dropout(0.1),
+        nn.Linear(64, 16),
+        nn.Linear(16, 1),
+    )
+
+
+class AestheticFilter(_ClipImageFilter):
+    """M1/M2 — CLIP emb -> MLP aesthetic score
+    (`filters/images/aesthetic_improved_filter.py:74-152`).
+
+    ``weights_path`` must point at a state dict for the public
+    sac+logos+ava1-l14-linearMSE head (the reference auto-downloads it;
+    here the path is explicit — no network access from executors).
+    """
+
+    def __init__(self, weights_path: str | None = None, **kw: Any) -> None:
+        super().__init__(**kw)
+        self.weights_path = weights_path
+        self._head = None
 
     @property
     def result_schema(self):
         return [("aesthetic_score", DoubleType())]
 
+    def setup(self) -> None:
+        super().setup()
+        self._head = _aesthetic_mlp(768)
+        if self.weights_path is not None:
+            state = torch.load(self.weights_path, map_location=self.device)
+            self._head.load_state_dict(state)
+        self._head.eval()
+        self._head.to(self.device)
+
     def infer_batch(self, batch):
-        raise NotImplementedError("weights not available in this environment")
+        feats = self._encode_images(batch).float()
+        with torch.no_grad():
+            scores = self._head(feats)
+        return {"aesthetic_score": scores.cpu().reshape(-1).tolist()}
 
 
-class CLIPLabelsFilter(ModelFilter):
+class CLIPLabelsFilter(_ClipImageFilter):
     """M3 — zero-shot label scores (`filters/images/cliplabels_filter.py:18-129`):
-    one double column per label, mean-of-templates text embedding."""
+    one double column per label; the text embedding is the mean over
+    prompt templates, L2-normalized (reference ``get_text_features``)."""
 
-    def __init__(self, labels: list[str], **kw) -> None:
+    def __init__(
+        self,
+        labels: list[str],
+        templates: list[str] = ("{}", "photo of a {}"),
+        **kw: Any,
+    ) -> None:
         super().__init__(**kw)
         self.labels = labels
+        self.templates = list(templates)
+        self._text_features = None
 
     @property
     def result_schema(self):
         return [(f"clip_score_{label}", DoubleType()) for label in self.labels]
 
+    def setup(self) -> None:
+        super().setup()
+        per_template = []
+        with torch.no_grad():
+            for template in self.templates:
+                tokens = clip.tokenize(
+                    [template.format(lab.strip()) for lab in self.labels]
+                ).to(self.device)
+                per_template.append(self._clip.encode_text(tokens))
+            text = torch.stack(per_template).mean(0)
+            self._text_features = text / text.norm(dim=-1, keepdim=True)
+
     def infer_batch(self, batch):
-        raise NotImplementedError("weights not available in this environment")
+        feats = self._encode_images(batch)
+        with torch.no_grad():
+            logits = torch.matmul(feats, self._text_features.t())
+        probs = logits.cpu().numpy().tolist()
+        return {
+            f"clip_score_{label}": [row[c] for row in probs]
+            for c, label in enumerate(self.labels)
+        }
 
 
-class NSFWFilter(ModelFilter):
-    """M4 — `filters/images/nsfw_filter.py:67-137`."""
+class NSFWFilter(_ClipImageFilter):
+    """M4 — CLIP emb -> binary NSFW head
+    (`filters/images/nsfw_filter.py:67-137`).
+
+    Deviation from the reference: its head is the LAION autokeras/
+    tensorflow bundle; carrying a second ML runtime onto every executor
+    for one 2-layer head is the wrong trade, so this expects the head
+    as a torch state dict (``head_path``) of shape emb_dim -> 1.
+    """
+
+    def __init__(self, head_path: str | None = None, **kw: Any) -> None:
+        super().__init__(**kw)
+        self.head_path = head_path
+        self._head = None
 
     @property
     def result_schema(self):
         return [("nsfw_score", DoubleType())]
 
+    def setup(self) -> None:
+        super().setup()
+        import torch.nn as nn
+
+        emb_dim = 768 if "L/14" in self.clip_model_name else 512
+        self._head = nn.Sequential(nn.Linear(emb_dim, 1), nn.Sigmoid())
+        if self.head_path is not None:
+            self._head.load_state_dict(
+                torch.load(self.head_path, map_location=self.device)
+            )
+        self._head.eval()
+        self._head.to(self.device)
+
     def infer_batch(self, batch):
-        raise NotImplementedError("weights not available in this environment")
+        feats = self._encode_images(batch).float()
+        with torch.no_grad():
+            scores = self._head(feats)
+        return {"nsfw_score": scores.cpu().reshape(-1).tolist()}
 
 
 class WatermarksFilter(ModelFilter):
-    """M5 — `filters/images/watermarks_filter.py:65-149`."""
+    """M5 — resnext watermark classifier
+    (`filters/images/watermarks_filter.py:65-149`): Resize(320) ->
+    ImageNet-normalize -> 2-class resnext, argmax class as 0/1."""
+
+    requires = ("torch", "PIL")
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        arch: str = "resnext50_32x4d",
+        **kw: Any,
+    ) -> None:
+        super().__init__(**kw)
+        self.weights_path = weights_path
+        self.arch = arch
+        self._model = None
+        self._transforms = None
 
     @property
     def result_schema(self):
-        return [("watermark_score", DoubleType())]
+        return [("watermark", LongType())]
+
+    def setup(self) -> None:
+        super().setup()
+        import torch.nn as nn
+        import torchvision
+        from torchvision import transforms
+
+        model = getattr(torchvision.models, self.arch)()
+        model.fc = nn.Linear(model.fc.in_features, 2)
+        if self.weights_path is not None:
+            model.load_state_dict(
+                torch.load(self.weights_path, map_location=self.device)
+            )
+        model.eval()
+        self._model = model.to(self.device)
+        self._transforms = transforms.Compose(
+            [
+                transforms.Resize((320, 320)),
+                transforms.ToTensor(),
+                transforms.Normalize(
+                    [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]
+                ),
+            ]
+        )
+
+    def preprocess(self, data, metadata):
+        self._check_available()
+        if not self._ready:
+            self.setup()
+            self._ready = True
+        return self._transforms(_read_image_rgb(data))
 
     def infer_batch(self, batch):
-        raise NotImplementedError("weights not available in this environment")
+        stacked = torch.stack(batch).to(self.device)
+        with torch.no_grad():
+            out = self._model(stacked)
+            labels = torch.max(out, 1)[1]
+        return {"watermark": labels.cpu().reshape(-1).tolist()}
 
 
 class CaptioningFilter(ModelFilter):
-    """M8/M9/M14 — captioning (BLIP/LLaVA/VideoLLaVA...)."""
+    """M8/M9/M14 — image captioning via a HF vision2seq checkpoint
+    (reference BLIP: `filters/images/blip_filter.py`; LLaVA variants
+    follow the same batch shape)."""
 
-    def __init__(self, prompt: str = "describe", **kw) -> None:
+    requires = ("torch", "PIL")
+
+    def __init__(
+        self,
+        model_name: str = "Salesforce/blip-image-captioning-base",
+        max_new_tokens: int = 40,
+        prompt: str = "describe",
+        **kw: Any,
+    ) -> None:
         super().__init__(**kw)
+        self.model_name = model_name
+        self.max_new_tokens = max_new_tokens
         self.prompt = prompt
+        self._processor = None
+        self._model = None
 
     @property
     def result_schema(self):
         return [(f"caption_{self.prompt}", StringType())]
 
+    def setup(self) -> None:
+        super().setup()
+        try:
+            from transformers import AutoModelForVision2Seq, AutoProcessor
+        except ImportError as e:  # transformers is its own extra
+            raise NotImplementedError(
+                f"{type(self).__name__} requires transformers"
+            ) from e
+        self._processor = AutoProcessor.from_pretrained(self.model_name)
+        self._model = (
+            AutoModelForVision2Seq.from_pretrained(self.model_name)
+            .eval()
+            .to(self.device)
+        )
+
+    def preprocess(self, data, metadata):
+        self._check_available()
+        return _read_image_rgb(data)
+
     def infer_batch(self, batch):
-        raise NotImplementedError("weights not available in this environment")
+        inputs = self._processor(images=batch, return_tensors="pt").to(self.device)
+        with torch.no_grad():
+            ids = self._model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens
+            )
+        captions = self._processor.batch_decode(ids, skip_special_tokens=True)
+        return {f"caption_{self.prompt}": [c.strip() for c in captions]}
 
 
-class T2ISimilarityFilter(ModelFilter):
+class T2ISimilarityFilter(_ClipImageFilter):
     """M10-M12 — text-image similarity diag(image @ text.T)
-    (`filters/text2image/clip_filter.py:114-120`)."""
+    (`filters/text2image/clip_filter.py:114-120`): each row's image is
+    scored against its OWN caption column, not a fixed label set."""
 
-    def __init__(self, text_column: str = "caption", **kw) -> None:
+    def __init__(self, text_column: str = "caption", **kw: Any) -> None:
         super().__init__(**kw)
         self.text_column = text_column
 
@@ -150,13 +418,26 @@ class T2ISimilarityFilter(ModelFilter):
     def result_schema(self):
         return [("t2i_similarity", DoubleType())]
 
+    def preprocess(self, data, metadata):
+        tensor = super().preprocess(data, metadata)
+        return tensor, str(metadata[self.text_column] or "")
+
     def infer_batch(self, batch):
-        raise NotImplementedError("weights not available in this environment")
+        tensors, texts = zip(*batch)
+        feats = self._encode_images(list(tensors))
+        with torch.no_grad():
+            tokens = clip.tokenize(list(texts), truncate=True).to(self.device)
+            tfeats = self._clip.encode_text(tokens)
+            tfeats = tfeats / tfeats.norm(dim=-1, keepdim=True)
+            sims = (feats * tfeats).sum(dim=-1)
+        return {"t2i_similarity": sims.cpu().reshape(-1).tolist()}
 
 
 class DummyGPUFilter(ModelFilter):
     """K10 — CI stand-in (`filters/images/dummy_gpu_filter.py:10-53`):
     runs without torch, constant label, proves the M-tier plumbing."""
+
+    requires = ()
 
     @property
     def result_schema(self):

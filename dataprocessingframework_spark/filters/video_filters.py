@@ -44,13 +44,32 @@ def frame_pair_positions(duration: float, fps: float, num_pairs: int = 3) -> lis
     return out
 
 
+def farneback_mean_flow(gray_pairs: list[tuple[Any, Any]]) -> float:
+    """Mean Farneback dense-flow magnitude over grayscale frame pairs —
+    the reference's kernel and parameters verbatim
+    (`filters/videos/farneback_filter.py:95-159`: pyramid_scale=0.5,
+    levels=3, win_size=15, iterations=3, poly_n=5, poly_sigma=1.2)."""
+    import cv2
+    import numpy as np
+
+    mags = []
+    for a, b in gray_pairs:
+        flow = cv2.calcOpticalFlowFarneback(
+            a, b, None, 0.5, 3, 15, 3, 5, 1.2, 0
+        )
+        magnitude, _ = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+        mags.append(float(magnitude.mean()))
+    return float(np.mean(mags)) if mags else 0.0
+
+
 class OpticalFlowFilter(DataFilter):
     """K8 — mean optical-flow magnitude over sampled frame pairs.
 
-    With cv2: Farneback dense flow. Without: a deterministic
-    frame-difference proxy (mean abs pixel delta of the sampled pair)
-    so the full Spark plumbing (sampling, batching, schema) runs and is
-    tested; the cv2 kernel drops in unchanged.
+    With cv2: real Farneback dense flow (``farneback_mean_flow``).
+    Without: a deterministic frame-difference proxy (mean abs pixel
+    delta of the sampled pair) so the full Spark plumbing — sampling,
+    batching, schema — runs and is tested. Both paths consume the SAME
+    sampled grayscale pairs, so the kernel swap changes only the score.
     """
 
     def __init__(self, content_column: str = "content", num_pairs: int = 3) -> None:
@@ -65,29 +84,62 @@ class OpticalFlowFilter(DataFilter):
     def result_schema(self):
         return [("optical_flow_mean", DoubleType())]
 
+    def _gray_pairs(self, data: bytes, pairs: list[tuple[float, float]]):
+        """Sampled grayscale (frame_t, frame_t+1) pairs. The synthetic
+        codec carries one frame, so its pair partner is a time-shifted
+        roll; a real container decodes the true frame at each t."""
+        import numpy as np
+
+        from dataprocessingframework_spark.filters.kernels import decode_image
+
+        def to_gray(arr):
+            a = arr.astype(np.float32)
+            return a.mean(axis=2) if a.ndim == 3 else a
+
+        if data.startswith(b"FAKEVID:"):
+            frame = to_gray(decode_image(extract_video_frame(data)))
+            return [
+                (frame, np.roll(frame, shift=i + 1, axis=1))
+                for i in range(len(pairs))
+            ]
+        # real container: one seek per sample position, then two
+        # CONSECUTIVE decoded frames (the reference's frame-pair shape)
+        import io
+
+        import av
+
+        out = []
+        with av.open(io.BytesIO(data)) as container:
+            stream = next(s for s in container.streams if s.type == "video")
+            for t0, _t1 in pairs:
+                container.seek(int(t0 * 1_000_000), any_frame=False)
+                it = container.decode(stream)
+                try:
+                    a = to_gray(next(it).to_ndarray(format="rgb24"))
+                    b = to_gray(next(it).to_ndarray(format="rgb24"))
+                except StopIteration:
+                    continue
+                out.append((a, b))
+        return out
+
     def preprocess(self, data: bytes | None, metadata: dict[str, Any]):
         if data is None:
             return None
         import numpy as np
-
-        from dataprocessingframework_spark.filters.kernels import decode_image
 
         try:
             w, h, fps, duration = decode_video_info(data)
             pairs = frame_pair_positions(duration, fps, self.num_pairs)
             if not pairs:
                 return 0.0
-            # the synthetic codec carries one frame; the proxy measures
-            # per-pair deltas against a time-shifted roll of it, which a
-            # real decoder replaces with true consecutive frames
-            frame = decode_image(extract_video_frame(data)).astype(np.float64)
+            gray_pairs = self._gray_pairs(data, pairs)
             if HAVE_CV2:
-                raise NotImplementedError("wire cv2.calcOpticalFlowFarneback here")
-            mags = []
-            for i, (t0, t1) in enumerate(pairs):
-                shifted = np.roll(frame, shift=i + 1, axis=1)
-                mags.append(float(np.abs(frame - shifted).mean()))
-            return sum(mags) / len(mags)
+                return farneback_mean_flow(
+                    [(a.astype(np.uint8), b.astype(np.uint8)) for a, b in gray_pairs]
+                )
+            return float(
+                np.mean([np.abs(a - b).mean() for a, b in gray_pairs])
+            )
         except Exception:  # noqa: BLE001
             return None
 

@@ -100,3 +100,31 @@ def test_model_filter_schema_without_weights(spark):
         )
         with pytest.raises(Exception, match="torch"):
             f(df).collect()
+
+
+def test_m_tier_schemas_and_loud_gating():
+    """Every M-tier filter constructs, declares its result schema, and
+    (without the model stack) raises NotImplementedError from
+    preprocess — NEVER silently nulls rows (data_filter passthrough)."""
+    from dataprocessingframework_spark.filters.model_filters import (
+        AestheticFilter,
+        CaptioningFilter,
+        NSFWFilter,
+        T2ISimilarityFilter,
+        WatermarksFilter,
+    )
+
+    cases = [
+        (AestheticFilter(), ["aesthetic_score"]),
+        (NSFWFilter(), ["nsfw_score"]),
+        (WatermarksFilter(), ["watermark"]),
+        (CaptioningFilter(), ["caption_describe"]),
+        (T2ISimilarityFilter(), ["t2i_similarity"]),
+    ]
+    for f, names in cases:
+        assert [n for n, _ in f.result_schema] == names
+        if not HAVE_TORCH:
+            with pytest.raises(NotImplementedError):
+                f.preprocess(b"bytes", {"caption": "hi"})
+            with pytest.raises(NotImplementedError):
+                f.process_batch([b"bytes"])
