@@ -76,6 +76,20 @@ def tokenize_char_ngrams(
     )
 
 
+def _has_unorderable_type(dtype) -> bool:
+    """MapType is not orderable in Spark, so a struct containing one
+    cannot go through min()/sort."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _has_unorderable_type(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_has_unorderable_type(f.dataType) for f in dtype.fields)
+    return False
+
+
 def exact_dedup(
     df: DataFrame, cols: list[str], order_col: str | None = None
 ) -> DataFrame:
@@ -85,11 +99,22 @@ def exact_dedup(
     with the smallest ``order_col`` (remaining fields break exact ties
     deterministically). A single shuffle with map-side partial min —
     cheaper than a window sort, which must shuffle-sort every group
-    before discarding all but row 1. (Struct ordering requires sortable
-    payload types — no map columns.)"""
+    before discarding all but row 1.
+
+    Struct ordering requires orderable payload types; rows carrying a
+    map column fall back to the row_number window (shuffle + sort, same
+    result with ``order_col`` ties broken arbitrarily among identical
+    keys)."""
     if order_col is None:
         return df.dropDuplicates(cols)
     rest = [c for c in df.columns if c not in cols and c != order_col]
+    if any(_has_unorderable_type(df.schema[c].dataType) for c in rest):
+        w = Window.partitionBy(*cols).orderBy(F.col(order_col).asc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     packed = F.struct(F.col(order_col), *[F.col(c) for c in rest])
     agg = df.groupBy(*[F.col(c) for c in cols]).agg(F.min(packed).alias("__r"))
     return agg.select(

@@ -63,9 +63,17 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     payload = [c for c in right.columns if c not in {*keys, rts}]
-    out_names = {
-        c: (f"{c}_right" if c in left.columns else c) for c in payload
-    }
+    # suffix colliding payload names, re-suffixing until unique against
+    # the left columns AND every other output name (left may itself
+    # contain e.g. both v and v_right)
+    taken = set(left.columns) | {"matched_ts"}
+    out_names: dict[str, str] = {}
+    for c in payload:
+        name = c
+        while name in taken or (name != c and name in payload):
+            name = f"{name}_right"
+        taken.add(name)
+        out_names[c] = name
 
     # One struct holding the matched right row (ts + all payload).
     # Non-null only on right-side rows, so last(ignorenulls) can never

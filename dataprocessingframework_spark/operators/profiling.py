@@ -63,6 +63,10 @@ def histogram(
     on any engine — deliberately not width_bucket(), whose boundary
     semantics differ across engines.
     """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo}, hi={hi}")
     width = (hi - lo) / n_buckets
     bucket = (
         F.when(F.col(col) < lo, F.lit(-1))

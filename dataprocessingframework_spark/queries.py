@@ -2672,9 +2672,10 @@ def q_w_jsonl_roundtrip(spark, sf_dir):
             )
             .orderBy("lang")
         )
-        res = res.cache()
-        res.count()
-        return res
+        # materialize the (tiny) aggregate durably before the scratch
+        # dir is deleted — a cache() could be evicted and re-scan a
+        # directory that no longer exists
+        return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -16,6 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _committed_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:
+    """Batch ids recorded in the checkpoint's ``commits/`` dir — the
+    stream's own source of truth for what has durably completed.
+    Resolved through the Hadoop FileSystem API so the checkpoint can
+    live on any supported FS (local, HDFS, s3a), not just local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "commits")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    out: set[int] = set()
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.isdigit():
+            out.add(int(name))
+    return out
+
+
 def incremental_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -36,8 +54,11 @@ def incremental_ingest(
     runs per micro-batch. ``max_files_per_trigger`` bounds the batch
     size for backfills (bounded state + steady checkpoints instead of
     one giant batch). Returns the number of micro-batches committed in
-    this run.
+    this run, counted from the checkpoint's commit log — exact even
+    when the run spans more batches than ``recentProgress`` retains
+    (its in-memory buffer keeps only the most recent entries).
     """
+    before = _committed_batches(spark, checkpoint_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -52,12 +73,9 @@ def incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    n_batches = 0
     try:
         while q.isActive:
             q.awaitTermination(1)
-        progress = q.recentProgress
-        n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
     finally:
         q.stop()
-    return n_batches
+    return len(_committed_batches(spark, checkpoint_dir) - before)

@@ -79,6 +79,21 @@ def test_asof_tolerance(trades_quotes):
     assert got == {("A", 10): 2.0, ("B", 30): 9.0}
 
 
+def test_asof_payload_suffix_uniquified(spark):
+    """Payload rename to _right must stay collision-free even when the
+    left side already holds both v and v_right."""
+    left = spark.createDataFrame(
+        [(1, 10, 100.0, -1.0)], schema="sym long, ts long, v double, v_right double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 7.0)], schema="sym long, ts long, v double"
+    )
+    out = asof_join(left, right, on="sym", left_ts="ts")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    row = out.collect()[0]
+    assert (row.v, row.v_right, row.v_right_right) == (100.0, -1.0, 7.0)
+
+
 def test_asof_matches_duckdb_oracle(spark, sf_dir):
     """Union-window asof == DuckDB's native ASOF JOIN on real events."""
     import duckdb

@@ -157,3 +157,35 @@ def test_histogram_overflow_buckets(spark):
     )
     out = {r["bucket"]: r["cnt"] for r in histogram(df, "v", 0.0, 20.0, 2).collect()}
     assert out == {-1: 1, 0: 2, 1: 2, 2: 2}
+
+
+def test_histogram_rejects_degenerate_inputs(spark):
+    """hi <= lo or non-positive bucket count fail fast with a clear
+    error, not a divide-by-zero plan."""
+    import pytest
+
+    from dataprocessingframework_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "v", 5.0, 5.0, 4)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "v", 9.0, 2.0, 4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        histogram(df, "v", 0.0, 1.0, 0)
+
+
+def test_exact_dedup_map_payload_falls_back_to_window(spark):
+    """A MapType payload column cannot ride through min(struct); the
+    window fallback must produce the same keep-first answer."""
+    df = spark.createDataFrame(
+        [
+            (3, "a", {"k": "v3"}),
+            (1, "a", {"k": "v1"}),
+            (2, "b", {"k": "v2"}),
+        ],
+        schema="doc_id long, text string, meta map<string,string>",
+    )
+    out = dedup.exact_dedup(df, ["text"], order_col="doc_id")
+    rows = {r.text: (r.doc_id, dict(r.meta)) for r in out.collect()}
+    assert rows == {"a": (1, {"k": "v1"}), "b": (2, {"k": "v2"})}

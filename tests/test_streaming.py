@@ -122,6 +122,27 @@ def test_incremental_ingest_resumes_from_checkpoint(spark, tmp_path):
     assert spark.read.parquet(out).count() == 7
 
 
+def test_incremental_ingest_exact_batch_count(spark, tmp_path):
+    """Batch count comes from the checkpoint commit log, so with
+    maxFilesPerTrigger=1 it equals the file count EXACTLY — not the
+    recentProgress approximation, whose buffer is bounded."""
+    from dataprocessingframework_spark.streaming import incremental_ingest
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    for name, ids in [("a.json", [1]), ("b.json", [2]), ("c.json", [3])]:
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(json.dumps(
+                    {"event_id": i, "ts": "2024-01-01T00:00:00",
+                     "user_id": i, "event_type": "click", "value": 1.0}) + "\n")
+    n = incremental_ingest(
+        spark, str(src), SCHEMA, str(tmp_path / "eout"),
+        str(tmp_path / "eckpt"), max_files_per_trigger=1,
+    )
+    assert n == 3
+
+
 def test_incremental_ingest_with_transform(spark, tmp_path):
     """The transform stage runs inside the stream (per micro-batch)."""
     from dataprocessingframework_spark.streaming import incremental_ingest
