@@ -383,6 +383,12 @@ def hamming_near_dup(
     the cost of one bucket-join instead of |N|^2 comparisons. The same
     shape runs image phash dedup (the reference's README demo) once
     K2's phash hex is parsed to a long.
+
+    Cross-band dedup is first-colliding-band emission (same design as
+    ``minhash_lsh_candidates``): a pair agreeing on several slices is
+    kept only by the lowest agreeing band, decided from the carried
+    fingerprints' xor — no global ``distinct()``, whose shuffle would
+    carry the whole pre-dedup pair volume.
     """
     assert bands > max_hamming, "pigeonhole exactness needs bands > max_hamming"
     assert bits % bands == 0
@@ -401,6 +407,13 @@ def hamming_near_dup(
         F.explode(F.array(*band_structs)).alias("bb"),
     ).select(id_col, "__h", "bb.band", "bb.val")
     a, b = buckets.alias("a"), buckets.alias("b")
+    xor = F.col("a.__h").bitwiseXOR(F.col("b.__h"))
+    earlier_band_equal = F.lit(False)
+    for j in range(bands - 1):
+        earlier_band_equal = earlier_band_equal | (
+            (F.col("a.band") > j)
+            & (F.shiftrightunsigned(xor, j * w).bitwiseAND(F.lit(mask)) == 0)
+        )
     pairs = (
         a.join(
             b,
@@ -410,15 +423,13 @@ def hamming_near_dup(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
+        .filter(~earlier_band_equal)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.__h").bitwiseXOR(F.col("b.__h"))
-            ).cast("long").alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
     return pairs
 

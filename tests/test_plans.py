@@ -169,8 +169,12 @@ def test_lsh_candidates_single_pass_no_cache(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "HashAggregate(keys=[id_a" not in plan, plan
+    # other tests in the shared session may hold localCheckpoint RDDs;
+    # assert THIS pipeline adds none
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     pairs.count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after == before
 
 
 def test_jaccard_candidates_no_broadcast_hint(spark, sf_dir):
