@@ -116,7 +116,7 @@ def main() -> None:
         # pressure, inflating later timings run-to-run
         spark.catalog.clearCache()
         best = float("inf")
-        for _ in range(2):  # min-of-2: local[32] on tiny data is noisy
+        for _ in range(3):  # min-of-3: local[32] on tiny data is noisy
             t0 = time.time()
             thunk()
             best = min(best, time.time() - t0)
