@@ -433,6 +433,190 @@ class T2ISimilarityFilter(_ClipImageFilter):
         return {"t2i_similarity": sims.cpu().reshape(-1).tolist()}
 
 
+class TextDetectionFilter(ModelFilter):
+    """M6 — CRAFT text detection
+    (`filters/images/text_detection_filter.py:12-65`): per-image text
+    boxes plus derived count/area. The reference vendors the CRAFT
+    model; here the detector is pluggable (``detector`` is any
+    callable image -> list of (x0,y0,x1,y1) boxes, e.g. a loaded CRAFT
+    checkpoint) so the Spark contract — schema, downstream
+    ``text_boxes`` consumption by OCRFilter — is testable without the
+    vendored weights."""
+
+    requires = ("torch", "PIL")
+
+    def __init__(self, detector: Any | None = None, **kw: Any) -> None:
+        super().__init__(**kw)
+        self.detector = detector
+
+    @property
+    def result_schema(self):
+        return [
+            ("text_boxes", StringType()),  # JSON [[x0,y0,x1,y1],...]
+            ("num_text_boxes", LongType()),
+            ("text_area", DoubleType()),
+        ]
+
+    def setup(self) -> None:
+        super().setup()
+        if self.detector is None:
+            raise NotImplementedError(
+                "TextDetectionFilter needs a detector callable (the "
+                "reference vendors CRAFT; pass a loaded model here)"
+            )
+
+    def preprocess(self, data, metadata):
+        self._check_available()
+        return _read_image_rgb(data)
+
+    def infer_batch(self, batch):
+        import json
+
+        boxes_col, n_col, area_col = [], [], []
+        for img in batch:
+            boxes = [list(map(float, b)) for b in self.detector(img)]
+            w, h = img.size
+            area = sum(
+                max(0.0, (x1 - x0)) * max(0.0, (y1 - y0))
+                for x0, y0, x1, y1 in boxes
+            ) / max(1.0, float(w * h))
+            boxes_col.append(json.dumps(boxes))
+            n_col.append(len(boxes))
+            area_col.append(round(area, 6))
+        return {
+            "text_boxes": boxes_col,
+            "num_text_boxes": n_col,
+            "text_area": area_col,
+        }
+
+
+class OCRFilter(ModelFilter):
+    """M7 — recognition over detected boxes
+    (`filters/images/ocr_filter.py:20-150`, box input `:93-102`): the
+    contract worth keeping is that it CONSUMES another filter's output
+    column (``text_boxes``) through ``metadata_columns`` — the
+    DataFilter composition pattern. The recognizer is pluggable
+    (callable crop-image -> str)."""
+
+    requires = ("torch", "PIL")
+
+    def __init__(
+        self,
+        recognizer: Any | None = None,
+        boxes_column: str = "text_boxes",
+        **kw: Any,
+    ) -> None:
+        super().__init__(**kw)
+        self.recognizer = recognizer
+        self.boxes_column = boxes_column
+
+    @property
+    def metadata_columns(self):
+        return [self.boxes_column]
+
+    @property
+    def result_schema(self):
+        return [("ocr_text", StringType())]
+
+    def setup(self) -> None:
+        super().setup()
+        if self.recognizer is None:
+            raise NotImplementedError(
+                "OCRFilter needs a recognizer callable (the reference "
+                "vendors ~900 LoC of ocr_model; pass a loaded model)"
+            )
+
+    def preprocess(self, data, metadata):
+        import json
+
+        self._check_available()
+        img = _read_image_rgb(data)
+        boxes = json.loads(metadata[self.boxes_column] or "[]")
+        return img, boxes
+
+    def infer_batch(self, batch):
+        texts = []
+        for img, boxes in batch:
+            parts = []
+            for x0, y0, x1, y1 in boxes:
+                crop = img.crop((int(x0), int(y0), int(x1), int(y1)))
+                parts.append(str(self.recognizer(crop)))
+            texts.append(" ".join(p for p in parts if p))
+        return {"ocr_text": texts}
+
+
+class RAFTOpticalFlowFilter(ModelFilter):
+    """M13 — RAFT mean optical flow
+    (`filters/videos/raft_filter.py:74-200`; the reference vendors
+    ~1500 LoC of raft_core): torchvision ships the same RAFT
+    architecture publicly, so setup() loads
+    ``torchvision.models.optical_flow.raft_large`` with its published
+    weights — no vendoring. Frame pairs come from the same sampling as
+    the Farneback filter (K8)."""
+
+    requires = ("torch", "PIL")
+
+    def __init__(self, num_pairs: int = 3, **kw: Any) -> None:
+        super().__init__(**kw)
+        self.num_pairs = num_pairs
+        self._model = None
+
+    @property
+    def result_schema(self):
+        return [("mean_optical_flow_raft", DoubleType())]
+
+    def setup(self) -> None:
+        super().setup()
+        from torchvision.models.optical_flow import (
+            Raft_Large_Weights,
+            raft_large,
+        )
+
+        self._model = (
+            raft_large(weights=Raft_Large_Weights.DEFAULT)
+            .eval()
+            .to(self.device)
+        )
+
+    def preprocess(self, data, metadata):
+        self._check_available()
+        import numpy as np
+
+        from dataprocessingframework_spark.filters.video_filters import (
+            OpticalFlowFilter,
+        )
+
+        # reuse K8's sampling: grayscale pairs -> stack to 3-channel
+        helper = OpticalFlowFilter(num_pairs=self.num_pairs)
+        from dataprocessingframework_spark.filters.media_kernels import (
+            decode_video_info,
+        )
+        from dataprocessingframework_spark.filters.video_filters import (
+            frame_pair_positions,
+        )
+
+        w, h, fps, duration = decode_video_info(data)
+        pairs = frame_pair_positions(duration, fps, self.num_pairs)
+        gray_pairs = helper._gray_pairs(data, pairs)
+        return [
+            (np.stack([a] * 3, axis=0), np.stack([b] * 3, axis=0))
+            for a, b in gray_pairs
+        ]
+
+    def infer_batch(self, batch):
+        out = []
+        with torch.no_grad():
+            for gray_pairs in batch:
+                mags = []
+                for a, b in gray_pairs:
+                    ta = torch.from_numpy(a).float().unsqueeze(0).to(self.device)
+                    tb = torch.from_numpy(b).float().unsqueeze(0).to(self.device)
+                    flow = self._model(ta, tb)[-1]  # final refinement
+                    mags.append(float(flow.norm(dim=1).mean()))
+                out.append(sum(mags) / len(mags) if mags else 0.0)
+        return {"mean_optical_flow_raft": out}
+
+
 class DummyGPUFilter(ModelFilter):
     """K10 — CI stand-in (`filters/images/dummy_gpu_filter.py:10-53`):
     runs without torch, constant label, proves the M-tier plumbing."""

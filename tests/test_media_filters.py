@@ -114,13 +114,28 @@ def test_m_tier_schemas_and_loud_gating():
         WatermarksFilter,
     )
 
+    from dataprocessingframework_spark.filters.model_filters import (
+        OCRFilter,
+        RAFTOpticalFlowFilter,
+        TextDetectionFilter,
+    )
+
     cases = [
         (AestheticFilter(), ["aesthetic_score"]),
         (NSFWFilter(), ["nsfw_score"]),
         (WatermarksFilter(), ["watermark"]),
         (CaptioningFilter(), ["caption_describe"]),
         (T2ISimilarityFilter(), ["t2i_similarity"]),
+        (
+            TextDetectionFilter(),
+            ["text_boxes", "num_text_boxes", "text_area"],
+        ),
+        (OCRFilter(), ["ocr_text"]),
+        (RAFTOpticalFlowFilter(), ["mean_optical_flow_raft"]),
     ]
+    # M7 consumes M6's output column through metadata_columns — the
+    # DataFilter composition contract
+    assert OCRFilter().metadata_columns == ["text_boxes"]
     for f, names in cases:
         assert [n for n, _ in f.result_schema] == names
         if not HAVE_TORCH:
