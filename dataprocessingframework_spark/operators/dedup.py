@@ -451,6 +451,12 @@ def connected_components(
     (neighbor-min groupBy); near-dup graphs have small diameters, so
     convergence is a handful of rounds. localCheckpoint truncates the
     lineage each round so plans stay bounded.
+
+    Convergence check: labels only ever DECREASE under min-propagation,
+    so the label sum is monotone non-increasing and unchanged iff no
+    node moved — one cheap aggregate per round instead of a
+    new-vs-old join+count (which would double the per-round shuffles).
+    Decimal(38) accumulation cannot overflow on 64-bit ids.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     bidir = fwd.union(
@@ -464,6 +470,13 @@ def connected_components(
         else bidir.select(F.col("src").alias("node")).distinct()
     )
     labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
+
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         msgs = (
             bidir.join(labels, bidir["src"] == labels["node"])
@@ -476,15 +489,11 @@ def connected_components(
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -40,7 +40,7 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 P = MINHASH_PRIME
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -58,7 +58,8 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    app_id = sc.applicationId  # unique per context, unlike id(sc)
+    if app_id in _SHIPPED:
         return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     target = os.path.join(
@@ -68,7 +69,7 @@ def _ship_package(spark: SparkSession) -> None:
         target, "zip", root_dir=root, base_dir="dataprocessingframework_spark"
     )
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(app_id)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
