@@ -207,21 +207,30 @@ def lsh_topk(
     equi-join on bucket (shuffle on bucket id, AQE-skew-splittable).
     """
     planes = _hyperplanes(dim, n_planes)
+    # norms precomputed per SIDE (as in cosine_topk): the fold runs once
+    # per row, not once per same-bucket pair
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("nbr_id") != F.col("q_id"))
         .select(
-            "q_id", "nbr_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw")
+            "q_id",
+            "nbr_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
