@@ -210,8 +210,17 @@ def minhash_lsh_candidates(
     band of minhashes — so instead of pairwise verification it
     collapses to s-1 STAR pairs (min member id vs each other member),
     which keep connected-components clustering identical to the full
-    clique while refusing the quadratic blow-up. Pass ``None`` for the
-    exact full pair set (the oracle-checkable shape).
+    clique while refusing the quadratic blow-up. Oversized buckets are
+    detected by a cheap pre-count and their members STREAM through a
+    broadcast join against the per-bucket min — they never enter the
+    ``collect_set``, so aggregate memory is bounded by the cap
+    (cap × ~40 B per bucket row), not by the worst bucket's size; a
+    100M-member boilerplate bucket flows through without a 4 GB agg
+    buffer. (The broadcast side holds one row per OVERSIZED bucket —
+    small by construction; a corpus with millions of such buckets
+    needs exact dedup first, not LSH.) Pass ``None`` for the exact
+    full pair set (the oracle-checkable shape, memory ∝ largest
+    bucket).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -248,10 +257,36 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_m", "bb.band", "bb.bucket")
+    star_pairs = None
+    grouped_src = buckets
+    if max_bucket_size is not None:
+        # cheap pre-count pass (rows shrink to one per bucket via
+        # map-side partial agg); oversized buckets' members then STREAM
+        # through a broadcast star-join — never collected into an array
+        stats = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("_m").alias("_min")
+        )
+        big = stats.filter(F.col("_n") > max_bucket_size).select(
+            "band", "bucket", "_min"
+        )
+        star_pairs = (
+            buckets.join(F.broadcast(big), on=["band", "bucket"])
+            .filter(F.col("_m.id") != F.col("_min.id"))
+            .select(
+                "band",
+                F.col("_min").alias("_sa"),
+                F.col("_m").alias("_sb"),
+            )
+        )
+        grouped_src = buckets.join(
+            F.broadcast(big.select("band", "bucket")),
+            on=["band", "bucket"],
+            how="left_anti",
+        )
     # sort_array over structs orders by leading field = id, so chunks
     # stay id-ordered and id_a < id_b holds structurally
     grouped = (
-        buckets.groupBy("band", "bucket")
+        grouped_src.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set(F.col("_m"))).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
@@ -260,43 +295,23 @@ def minhash_lsh_candidates(
         f"transform(sequence(0, (size(_ids) + {b_sz - 1}) div {b_sz} - 1),"
         f" i -> slice(_ids, i * {b_sz} + 1, {b_sz}))"
     )
-    if max_bucket_size is None:
-        star = F.lit(False)
-        chunks_expr = F.expr(full_chunks)
-    else:
-        # star collapse stays INSIDE the one pipeline (a union of a
-        # capped branch and a starred branch would make Catalyst compute
-        # the whole signature pipeline twice): an oversized bucket's
-        # chunk 0 is just its min id, the rest is chunked normally, and
-        # only block-pairs touching chunk 0 survive — yielding exactly
-        # the s-1 star pairs, still spread over (s/B) tasks.
-        star = F.size("_ids") > F.lit(max_bucket_size)
-        star_chunks = (
-            f"concat(array(slice(_ids, 1, 1)),"
-            f" transform(sequence(0, (size(_ids) - 1 + {b_sz - 1}) div {b_sz} - 1),"
-            f" i -> slice(_ids, i * {b_sz} + 2, {b_sz})))"
-        )
-        chunks_expr = F.when(star, F.expr(star_chunks)).otherwise(
-            F.expr(full_chunks)
-        )
     chunked = grouped.select(
-        "band", "bucket", star.alias("_star"), chunks_expr.alias("_chunks")
+        "band", "bucket", F.expr(full_chunks).alias("_chunks")
     )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     block_pairs = (
         chunked.select(
-            "band", "bucket", "_star", "_chunks",
+            "band", "bucket", "_chunks",
             F.posexplode("_chunks").alias("_i", "_ca"),
         )
         # slice at 1-based position _i+1 starts at chunk _i itself, so
         # _j == 0 is the same-chunk (triangular) case
         .select(
-            "band", "bucket", "_star", "_i", "_ca",
+            "band", "bucket", "_i", "_ca",
             F.posexplode(
                 F.slice(F.col("_chunks"), F.col("_i") + F.lit(1), F.size("_chunks"))
             ).alias("_j", "_cb"),
         )
-        .filter(~F.col("_star") | (F.col("_i") == 0))
         .repartition(n_part, F.col("band"), F.col("bucket"), F.col("_i"), F.col("_j"))
     )
     candidates = (
@@ -316,6 +331,10 @@ def minhash_lsh_candidates(
             ).alias("_sb"),
         )
     )
+    if star_pairs is not None:
+        # both branches hang off the same signature/bucket subtree, so
+        # exchange reuse feeds them from one shuffle write
+        candidates = candidates.unionByName(star_pairs)
     # first-colliding-band emission: drop the pair here iff it also
     # collides in an earlier band (that band's task emits it) — a flat
     # boolean over carried 60-bit prefixes, no distinct needed

@@ -156,19 +156,30 @@ def test_lsh_candidates_single_pass_no_cache(spark, sf_dir):
 
     spark.catalog.clearCache()
     pairs = dedup.minhash_lsh_candidates(
-        q.T(spark, sf_dir, "documents"), "text", "doc_id", 16, 4
+        q.T(spark, sf_dir, "documents"), "text", "doc_id", 16, 4,
+        max_bucket_size=None,
     )
     plan = plan_of(pairs)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # sig groupBy + bucket groupBy + block-pair repartition = 3
-    # exchanges max: first-colliding-band emission replaces the final
-    # distinct (whose shuffle carried the whole pre-dedup pair volume).
-    # The repartition is load-bearing (it spreads each hot bucket's
-    # pair emission across tasks) and must use an explicit partition
-    # count so AQE cannot coalesce it away
+    # exact path: sig groupBy + bucket groupBy + block-pair repartition
+    # = 3 exchanges max: first-colliding-band emission replaces the
+    # final distinct (whose shuffle carried the whole pre-dedup pair
+    # volume). The repartition is load-bearing (it spreads each hot
+    # bucket's pair emission across tasks) and must use an explicit
+    # partition count so AQE cannot coalesce it away
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "HashAggregate(keys=[id_a" not in plan, plan
+    # capped path: the oversized-bucket stats and star join must be
+    # BROADCAST (members stream map-side; no bucket member array for
+    # oversized buckets), never a shuffle join of the member table
+    capped = dedup.minhash_lsh_candidates(
+        q.T(spark, sf_dir, "documents"), "text", "doc_id", 16, 4,
+        max_bucket_size=10,
+    )
+    cplan = plan_of(capped)
+    assert "BroadcastHashJoin" in cplan, cplan
+    assert "SortMergeJoin" not in cplan, cplan
     # other tests in the shared session may hold localCheckpoint RDDs;
     # assert THIS pipeline adds none
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
@@ -185,7 +196,12 @@ def test_jaccard_candidates_no_broadcast_hint(spark, sf_dir):
     from dataprocessingframework_spark.operators import dedup
 
     docs = q.T(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4)
+    # max_bucket_size=None: the exact candidate set (what the oracle
+    # composition uses) carries no hints of its own, so ANY hint in the
+    # composed plan would be one jaccard_pairs added
+    cand = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", 16, 4, max_bucket_size=None
+    )
     out = dedup.jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=cand)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
