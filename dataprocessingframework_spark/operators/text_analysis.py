@@ -111,6 +111,151 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-grams as space-joined strings (array<string>).
+
+    Guarded: a doc with fewer than n tokens yields an EMPTY array.
+    (Spark's ``sequence(1, 0)`` counts DOWN — it is not empty — so the
+    short-doc case must be branched, not clamped.)
+    """
+    toks = tokens(col)
+    ntok = F.size(toks)
+    seq = F.sequence(F.lit(1), ntok - F.lit(n - 1))
+    grams = F.transform(
+        seq, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.when(ntok >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public), adapted
+    word-level because the synthetic corpus has no line structure:
+
+    - ``distinct_word_ratio``: |distinct words| / |words| (type-token
+      ratio; boilerplate-heavy docs score low),
+    - ``top_word_fraction``: occurrences of the most frequent word /
+      |words| (the "top n-gram fraction" family for n=1),
+    - ``dup_bigram_fraction``: 1 - |distinct bigrams| / |bigrams|
+      (fraction of repeated word-bigram instances).
+
+    All three are per-row array expressions — a narrow projection with
+    NO shuffle, so the pass is embarrassingly parallel at any scale.
+    The per-row cost of ``top_word_fraction`` is O(d·n) (d = distinct
+    words); for pathological single-row megadocs cap upstream with a
+    length filter, not here.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(uniq, lambda w: F.size(F.filter(toks, lambda x: x == w)))
+    )
+    bi = word_ngrams(t, 2)
+    nbi = F.size(bi)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(n > 0, F.size(uniq) / n).otherwise(F.lit(0.0)), 4
+        ).alias("distinct_word_ratio"),
+        F.round(
+            F.when(n > 0, top / n).otherwise(F.lit(0.0)), 4
+        ).alias("top_word_fraction"),
+        F.round(
+            F.when(nbi > 0, F.lit(1.0) - F.size(F.array_distinct(bi)) / nbi)
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_bigram_fraction"),
+    )
+
+
+# PII patterns: ASCII-only, no lookarounds — identical semantics under
+# Java regex (Spark) and RE2 (DuckDB), which keeps the scrub
+# oracle-checkable. Order matters: emails first (they contain dots and
+# digits that the looser patterns could nibble at).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; count each redaction type.
+
+    Counterpart of the curation step every published web-scale text
+    pipeline runs (C4, RefinedWeb). Pure ``regexp_replace`` /
+    ``regexp_extract_all`` — JVM-side, codegen, no shuffle; at 100 TB
+    this is a map-only pass fused into whatever scan precedes it.
+    Output: ``<id>, n_email, n_ipv4, n_phone, scrubbed``.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct word
+    n-grams shared with a benchmark set, plus a ``contaminated`` flag.
+
+    The standard guard against test-set leakage into training data
+    (GPT-3 appendix C / PaLM-style n-gram overlap, public method). Scale
+    shape: the benchmark side collapses to DISTINCT n-grams — tiny by
+    construction (benchmarks are KBs, corpora are TBs) — and is
+    broadcast, so corpus n-grams are filtered map-side during their
+    explode; the only shuffle is the final groupBy(doc_id) count, which
+    partial-aggregates map-side. The corpus is never re-shuffled by
+    n-gram.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    c = (
+        corpus.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .distinct()
+    )
+    b = (
+        benchmark.select(F.explode(grams).alias("_g"))
+        .distinct()
+    )
+    overlap = (
+        c.join(F.broadcast(b), on="_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def analyze(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -189,3 +189,68 @@ def test_exact_dedup_map_payload_falls_back_to_window(spark):
     out = dedup.exact_dedup(df, ["text"], order_col="doc_id")
     rows = {r.text: (r.doc_id, dict(r.meta)) for r in out.collect()}
     assert rows == {"a": (1, {"k": "v1"}), "b": (2, {"k": "v2"})}
+
+
+# -------------------------------------------------------------------------
+# curation signals: repetition / PII scrub / decontamination
+# -------------------------------------------------------------------------
+
+
+def test_repetition_metrics_goldens(spark):
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w v"), (3, ""), (4, "q")],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.distinct_word_ratio,
+            r.top_word_fraction,
+            r.dup_bigram_fraction,
+        )
+        for r in tx.repetition_metrics(df).collect()
+    }
+    # doc 1: 5 words {a:3,b:2}; bigrams [ab,ba,ab,ba] -> 2 distinct of 4
+    assert got[1] == (5, 0.4, 0.6, 0.5)
+    assert got[2] == (5, 1.0, 0.2, 0.0)
+    assert got[3] == (0, 0.0, 0.0, 0.0)  # empty doc: all guards fire
+    assert got[4] == (1, 1.0, 1.0, 0.0)  # 1 token -> no bigrams
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.co.uk or 10.2.3.4 call +44 123-4567"),
+            (2, "nothing sensitive here"),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.pii_scrub(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 1, 1)
+    assert rows[1].scrubbed == "mail <EMAIL> or <IP> call <PHONE>"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+    assert rows[2].scrubbed == "nothing sensitive here"
+
+
+def test_decontaminate_overlap_and_plan(spark):
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w v"), (3, "a b c d e")],
+        schema="doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "a b a b c")], schema="doc_id long, text string"
+    )
+    out = tx.decontaminate(corpus, bench, n=2, threshold=2)
+    got = {r.doc_id: (r.n_overlap, r.contaminated) for r in out.collect()}
+    # bench bigrams {ab, ba, bc}; doc1 {ab, ba} -> 2; doc3 {ab, bc, cd, de} -> 2
+    assert got == {1: (2, True), 2: (0, False), 3: (2, True)}
+    # scale shape: benchmark n-gram set must be BROADCAST (corpus grams
+    # are filtered map-side, never shuffled by n-gram)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
