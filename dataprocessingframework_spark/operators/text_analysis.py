@@ -49,6 +49,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the lookahead-free core of the GPT-2 pattern, restricted to ASCII
+# classes so Java regex (Spark) and RE2 (DuckDB) agree and the count
+# stays oracle-checkable. Real-subword counts are ~1.3x this; as a
+# curation signal (tokens-per-doc budgeting) the run-level count is the
+# standard cheap proxy.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenizer regex (JVM-side)."""
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    )
+
+
 def char_count(col: Column | str) -> Column:
     return F.length(_c(col))
 

@@ -1071,6 +1071,9 @@ def q_tx_token_stats(spark, sf_dir):
         .select(
             "doc_id",
             text_analysis.token_count("text").cast("long").alias("n_tokens"),
+            text_analysis.bpe_token_count("text")
+            .cast("long")
+            .alias("n_bpe_tokens"),
             text_analysis.char_count("text").cast("long").alias("n_chars_computed"),
         )
         .orderBy("doc_id")
@@ -1080,7 +1083,10 @@ def q_tx_token_stats(spark, sf_dir):
 
 SQL_TX_TOKENS = (
     "SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) "
-    "AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_computed "
+    "AS BIGINT) AS n_tokens, "
+    f"CAST(len(regexp_extract_all(text, '{text_analysis.BPE_TOKEN_PATTERN}')) "
+    "AS BIGINT) AS n_bpe_tokens, "
+    "CAST(length(text) AS BIGINT) AS n_chars_computed "
     "FROM documents ORDER BY doc_id LIMIT 200"
 )
 

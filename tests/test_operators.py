@@ -254,3 +254,24 @@ def test_decontaminate_overlap_and_plan(spark):
     # are filtered map-side, never shuffled by n-gram)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_token_count_splits_runs(spark):
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    df = spark.createDataFrame(
+        [(1, "don't stop, it's 42km!"), (2, ""), (3, "abc")],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            tx.token_count("text").alias("ws"),
+            tx.bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    # don[']t stop[,] it[']s 42|km[!] -> 11 runs vs 4 whitespace tokens
+    assert got[1] == (4, 11)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 1)
