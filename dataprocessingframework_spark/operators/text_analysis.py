@@ -272,6 +272,49 @@ def decontaminate(
     )
 
 
+def budget_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 2000,
+) -> DataFrame:
+    """Quality-weighted data mixing: per group (source/domain/lang),
+    keep the highest-quality docs until a token budget is filled.
+
+    The mixture-curation step of a training pipeline (C4/Pile-style
+    source weighting, public recipe): docs are ranked by
+    ``quality_score`` (ties broken by id so the cut is deterministic)
+    and kept while the RUNNING token sum stays within ``token_budget``.
+
+    One hash exchange on the group key, then a linear in-partition
+    window scan — the same shape as any top-k-per-group. Group count is
+    what bounds skew: per-source corpora at 100 TB are themselves
+    large, so a hot source's partition holds that source's rows only;
+    for single-source corpora partition the budget by (source, shard)
+    upstream instead.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(F.col(text_col))
+    ntok = token_count(F.col(text_col)).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            q.alias("quality"),
+            ntok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= token_budget)
+    )
+
+
 def analyze(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

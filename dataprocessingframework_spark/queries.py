@@ -1300,6 +1300,46 @@ WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
 """
 
 
+def q_tx_budget_mix(spark, sf_dir):
+    """Quality-weighted mixing: per source, best docs until a 700-token
+    budget is filled (running window sum, deterministic tie-break)."""
+    return (
+        text_analysis.budget_mix(
+            T(spark, sf_dir, "documents"), token_budget=700
+        )
+        .withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+        .orderBy("source", "cum_tokens", "doc_id")
+    )
+
+
+SQL_TX_BUDGET_MIX = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+    length(text) AS total,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+    len(list_filter(string_split(text,' '), x -> x IN ({_STOPS_SQL}))) AS hits
+  FROM documents
+), s AS (
+  SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+    ROUND((LEAST(n/20.0, 1.0)
+         + LEAST(CASE WHEN n > 0 THEN CAST(hits AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0)
+         + (1.0 - LEAST(CASE WHEN total > 0 THEN CAST(punct AS DOUBLE)/total ELSE 0.0 END * 4.0, 1.0)))/3.0,
+      4) AS quality
+  FROM t
+), r AS (
+  SELECT doc_id, source, quality, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM s
+)
+SELECT doc_id, source, quality, n_tokens, cum_tokens FROM r
+WHERE cum_tokens <= 700 ORDER BY source, cum_tokens, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: dedup sketches (north star)
 # --------------------------------------------------------------------------
@@ -2911,6 +2951,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
     "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
     "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
+    # new in round 3, below-window (judge-local oracle; rotate in r4)
+    "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     # rows-only by design (no SQL-expressible oracle)
     "emb_lsh_topk": (q_emb_lsh_topk, None),
     "emb_ivf_topk": (q_emb_ivf_topk, None),

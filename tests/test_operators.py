@@ -275,3 +275,20 @@ def test_bpe_token_count_splits_runs(spark):
     assert got[1] == (4, 11)
     assert got[2] == (0, 0)
     assert got[3] == (1, 1)
+
+
+def test_budget_mix_cuts_per_group(spark):
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    # quality is equal within a group (same shape docs), so the rank
+    # falls to the doc_id tie-break: keep low ids until budget spent
+    rows = [
+        (1, "g1", "the cat and the dog sat"),   # 6 tokens
+        (2, "g1", "the cat and the dog ran"),   # 6 tokens
+        (3, "g1", "the cat and the dog hid"),   # 6 tokens -> over 15
+        (4, "g2", "a b"),                       # tiny group, all kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = tx.budget_mix(df, token_budget=15)
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    assert got == {1: 6, 2: 12, 4: 2}
