@@ -125,6 +125,29 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-deduped corpus: drop batch
+    rows whose key already exists in the corpus (anti-join), then
+    keep-first within the batch itself.
+
+    The production shape of continuous ingest — the 100 TB corpus is
+    never re-deduped per arrival; only the (small) batch moves. The
+    anti-join shuffles on the dedup key; when the batch is small AQE
+    plans it as a broadcast of the BATCH side against corpus partitions
+    (corpus stays put either way, and the corpus side prunes to the key
+    columns only). Within-batch dedup reuses :func:`exact_dedup`'s
+    single-shuffle min-struct path.
+    """
+    seen = corpus.select(*cols).dropDuplicates(cols)
+    fresh = batch.join(seen, on=cols, how="left_anti")
+    return exact_dedup(fresh, cols, order_col=order_col)
+
+
 def reduced_word_hash(word_col: Column) -> Column:
     """hash64 reduced mod p — the integer each minhash permutes."""
     return hash64(word_col) % F.lit(MINHASH_PRIME)

@@ -62,3 +62,33 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (seeded, approximate sizes)."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, int],
+    denom: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """DETERMINISTIC stratified sample: per-stratum keep rates over the
+    same engine-portable key hash as :func:`hash_sample`.
+
+    ``rates`` maps stratum value -> numerator out of ``denom`` (e.g.
+    ``{"en": 50, "de": 100}`` keeps half the English docs and all the
+    German ones — the standard up/down-weighting move when balancing a
+    multilingual corpus). Unlisted strata are DROPPED (rate 0).
+    Membership is a pure function of (salt, key), so the same rows
+    survive on any engine, partitioning, or rerun. Still a narrow
+    filter: no shuffle, pushdown-friendly.
+    """
+    pairs: list[Column] = []
+    for stratum, num in rates.items():
+        pairs += [F.lit(stratum), F.lit(int(num))]
+    num_col = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)), F.lit(0)
+    )
+    c = F.col(key_col).cast("string")
+    keyed = F.concat(F.lit(salt), c) if salt else c
+    return df.filter(hash64(keyed) % denom < num_col)

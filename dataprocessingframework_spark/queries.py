@@ -2193,6 +2193,67 @@ ORDER BY o_orderkey
 """
 
 
+def q_d_stratified_sample(spark, sf_dir):
+    """Deterministic STRATIFIED sampling: per-lang keep rates over the
+    portable key hash — the corpus-rebalancing move (down-weight the
+    dominant language, keep the rest whole), rerun- and
+    engine-reproducible unlike seeded sampleBy."""
+    from dataprocessingframework_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    return (
+        stratified_hash_sample(
+            T(spark, sf_dir, "documents"),
+            "lang",
+            "doc_id",
+            rates={"en": 30, "de": 100, "es": 100, "fr": 100},
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_D_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+           AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100
+                  WHEN 'es' THEN 100 WHEN 'fr' THEN 100 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def q_dd_incremental(spark, sf_dir):
+    """Incremental ingest dedup: the doc_id>=400 'new batch' against the
+    doc_id<400 'existing corpus' — corpus rows never move, only batch
+    keys are checked (anti-join) then batch-internal keep-first. Keyed
+    on the n_chars metadata column (the reference's canonical dedup is
+    a metadata column too, image_phash_8)."""
+    from dataprocessingframework_spark.operators.dedup import incremental_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        ["n_chars"],
+        order_col="doc_id",
+    )
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+SQL_DD_INCREMENTAL = """
+WITH corpus AS (SELECT DISTINCT n_chars FROM documents WHERE doc_id < 400),
+fresh AS (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id >= 400
+    AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.n_chars = d.n_chars)
+)
+SELECT MIN(doc_id) AS doc_id, n_chars FROM fresh GROUP BY n_chars
+ORDER BY doc_id
+"""
+
+
 def q_h6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape — the canonical predicate-pushdown query: every
     filter reaches the parquet scan (row-group pruning at 100 TB), and
@@ -2953,6 +3014,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
+    "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),
+    "dd_incremental": (q_dd_incremental, SQL_DD_INCREMENTAL),
     # rows-only by design (no SQL-expressible oracle)
     "emb_lsh_topk": (q_emb_lsh_topk, None),
     "emb_ivf_topk": (q_emb_ivf_topk, None),

@@ -292,3 +292,44 @@ def test_budget_mix_cuts_per_group(spark):
     out = tx.budget_mix(df, token_budget=15)
     got = {r.doc_id: r.cum_tokens for r in out.collect()}
     assert got == {1: 6, 2: 12, 4: 2}
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    from dataprocessingframework_spark.functions.hashing import hash64_py
+    from dataprocessingframework_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = stratified_hash_sample(
+        df, "lang", "doc_id", rates={"en": 30, "de": 100}
+    )
+    got = {(r.doc_id, r.lang) for r in out.collect()}
+    want = {
+        (i, "en" if i % 2 == 0 else "de")
+        for i in range(100)
+        if hash64_py(str(i)) % 100 < (30 if i % 2 == 0 else 100)
+    }
+    assert got == want  # python twin agrees -> engine-portable
+    # all odd (de) rows kept; en rows thinned
+    assert sum(1 for _, l in got if l == "de") == 50
+    assert 0 < sum(1 for _, l in got if l == "en") < 50
+
+
+def test_incremental_dedup_anti_join_and_keep_first(spark):
+    from dataprocessingframework_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "k1"), (2, "k2")], "doc_id long, key string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "k2"), (11, "k3"), (12, "k3"), (13, "k4")],
+        "doc_id long, key string",
+    )
+    out = incremental_dedup(batch, corpus, ["key"], order_col="doc_id")
+    got = {(r.doc_id, r.key) for r in out.collect()}
+    # k2 dropped (already in corpus); k3 keeps first arrival only
+    assert got == {(11, "k3"), (13, "k4")}
