@@ -97,3 +97,61 @@ def test_char_ngram_python_parity(spark):
     for i, c in enumerate(cases):
         want = {c[j : j + n] for j in range(max(len(c) - n + 1, 0))}
         assert got.get(i, set()) == want, (c, got.get(i, set()), want)
+
+
+def test_curation_signals_python_parity(spark):
+    """JVM expressions vs python twins over seeded random ASCII texts:
+    repetition metrics (Counter-based), BPE-ish token count (re), PII
+    counts (re). One Spark job for the whole batch."""
+    import random
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    rng = random.Random(7)
+    vocab = ["the", "cat", "dog", "a", "b,b", "x.y", "42", "it's", ""]
+    rows = []
+    for i in range(150):
+        n = rng.randint(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows += [(900, ""), (901, "   "), (902, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: r
+        for r in tx.repetition_metrics(df)
+        .join(
+            df.select(
+                "doc_id",
+                tx.bpe_token_count("text").alias("bpe"),
+                F.size(
+                    F.regexp_extract_all(
+                        "text", F.lit(tx.PII_PATTERNS[0][1]), F.lit(0)
+                    )
+                ).alias("n_email"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    }
+    bpe_re = re.compile(tx.BPE_TOKEN_PATTERN)
+    email_re = re.compile(tx.PII_PATTERNS[0][1])
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t != ""]
+        n = len(toks)
+        cnt = Counter(toks)
+        bis = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[doc_id]
+        assert r.n_words == n
+        assert r.distinct_word_ratio == round(len(cnt) / n, 4) if n else r.distinct_word_ratio == 0.0
+        assert r.top_word_fraction == (round(max(cnt.values()) / n, 4) if n else 0.0)
+        assert r.dup_bigram_fraction == (
+            round(1.0 - len(set(bis)) / len(bis), 4) if bis else 0.0
+        )
+        assert r.bpe == len(bpe_re.findall(text))
+        assert r.n_email == len(email_re.findall(text))
+        for v in (r.distinct_word_ratio, r.top_word_fraction, r.dup_bigram_fraction):
+            assert 0.0 <= v <= 1.0
