@@ -759,6 +759,62 @@ SQL_STREAM_TUMBLING = (
 )
 
 
+def q_stream_enriched(spark, sf_dir):
+    """Stream-static enrichment under the oracle gate: the events
+    stream joins the static customer dim (broadcast per micro-batch,
+    stateless) before a windowed agg — the standard dimension-
+    enrichment topology. Real readStream run, availableNow trigger."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.streaming import (
+        stream_static_enrich,
+        tumbling_window_agg,
+    )
+
+    events = T(spark, sf_dir, "events")
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stage_dir = f"/root/repo/.scratch/stream_enrich_{uuid.uuid4().hex[:8]}"
+    qname = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    events.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stage_dir)
+    agg = tumbling_window_agg(
+        stream_static_enrich(stream, cust, ["user_id"]),
+        ts_col="ts",
+        window="1 hour",
+        group_cols=["c_mktsegment"],
+    ).select(
+        "win_start",
+        "c_mktsegment",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+    try:
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        out = spark.table(qname).orderBy("win_start", "c_mktsegment").cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+SQL_STREAM_ENRICHED = (
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, c_mktsegment, "
+    "COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY win_start, c_mktsegment ORDER BY win_start, c_mktsegment"
+)
+
+
 # --------------------------------------------------------------------------
 # §2.11 validators as queries
 # --------------------------------------------------------------------------
@@ -3016,6 +3072,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),
     "dd_incremental": (q_dd_incremental, SQL_DD_INCREMENTAL),
+    "stream_enriched_agg": (q_stream_enriched, SQL_STREAM_ENRICHED),
     # rows-only by design (no SQL-expressible oracle)
     "emb_lsh_topk": (q_emb_lsh_topk, None),
     "emb_ivf_topk": (q_emb_ivf_topk, None),

