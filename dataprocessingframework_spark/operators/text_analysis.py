@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataprocessingframework_spark.functions.hashing import hash64
+
 STOPWORDS_EN = ["the", "a", "an", "and", "of", "is", "to", "in"]
 
 # marker-word vote tables; order = deterministic tie-break priority
@@ -268,6 +270,114 @@ def decontaminate(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) >= threshold).alias(
                 "contaminated"
             ),
+        )
+    )
+
+
+def duplicate_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level duplication signal (Lee et al. 2021, public
+    "Deduplicating Training Data" method, gram-level form): per doc,
+    how many of its word n-grams also appear in ≥ ``min_docs-1`` OTHER
+    docs, and the fraction of its n-grams that are such cross-doc
+    repeats. High-fraction docs are boilerplate/templates.
+
+    Shape: explode distinct (doc, gram) pairs → gram doc-frequency
+    (one groupBy whose volume is map-side combined) → join back →
+    per-doc counts. Both shuffles key on the gram; the doc-frequency
+    side is reduced to one row per gram BEFORE the join-back, so the
+    join is pair-vs-(gram,df) — never doc-vs-doc. At 100 TB the hot
+    grams are exactly the duplicated ones (that's the signal), and the
+    join-back is AQE-skew-splittable.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    pairs = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("_g")
+    )
+    gram_df = pairs.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    per_doc = (
+        pairs.join(gram_df, on="_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context_len: int = 1024,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing: assign docs to fixed
+    ``context_len``-token bins by running token count, in a stable
+    order — the batch-construction step between curation and training.
+
+    ``bin_id = floor((cum_tokens - n_tokens) / context_len)`` (i.e. the
+    bin where the doc STARTS; docs straddling a boundary belong to the
+    bin they start in — the greedy streaming packing rule). A single
+    global ordering would serialize at 100 TB, so the window is
+    partitioned by a shard key (md5 bucket of the id): packing is
+    per-shard, which is exactly how distributed loaders shard anyway.
+    """
+    order = F.col(order_col) if order_col else F.col(id_col)
+    shard = hash64(F.col(id_col).cast("string")) % F.lit(64)
+    ntok = token_count(F.col(text_col)).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col), shard.alias("shard"), ntok.alias("n_tokens")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                / F.lit(context_len)
+            )
+            .cast("long")
+            .alias("bin_id"),
         )
     )
 

@@ -1356,6 +1356,73 @@ WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
 """
 
 
+def q_tx_dup_passages(spark, sf_dir):
+    """Passage-duplication signal: per doc, fraction of its 5-grams
+    appearing in >=2 docs (boilerplate/template detector)."""
+    return text_analysis.duplicate_passage_stats(
+        T(spark, sf_dir, "documents"), n=5, min_docs=2
+    ).orderBy("doc_id")
+
+
+SQL_TX_DUP_PASSAGES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t
+  FROM documents
+), ng AS (
+  SELECT doc_id, CASE WHEN len(t) >= 5
+    THEN list_distinct(list_transform(generate_series(1, len(t)-4),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+    ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM toks
+), pairs AS (
+  SELECT doc_id, unnest(gs) AS g FROM ng
+), gdf AS (
+  SELECT g, count(*) AS df FROM pairs GROUP BY g
+), per_doc AS (
+  SELECT p.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+  FROM pairs p JOIN gdf USING (g) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  ROUND(CASE WHEN COALESCE(pd.n_grams, 0) > 0
+    THEN CAST(pd.n_dup_grams AS DOUBLE)/pd.n_grams ELSE 0.0 END, 4)
+    AS dup_fraction
+FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_tx_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing into 1024-token bins, sharded by
+    md5 bucket of the doc id (per-shard packing, the loader layout)."""
+    return text_analysis.pack_sequences(
+        T(spark, sf_dir, "documents"), context_len=1024
+    ).orderBy("shard", "doc_id")
+
+
+SQL_TX_PACK_SEQUENCES = """
+WITH s AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      % 64 AS shard,
+    CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM s
+)
+SELECT doc_id, shard, n_tokens,
+  CAST(FLOOR((cum_tokens - n_tokens) / 1024.0) AS BIGINT) AS bin_id
+FROM r ORDER BY shard, doc_id
+"""
+
+
 def q_tx_budget_mix(spark, sf_dir):
     """Quality-weighted mixing: per source, best docs until a 700-token
     budget is filled (running window sum, deterministic tie-break)."""
@@ -3073,6 +3140,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),
     "dd_incremental": (q_dd_incremental, SQL_DD_INCREMENTAL),
     "stream_enriched_agg": (q_stream_enriched, SQL_STREAM_ENRICHED),
+    "tx_dup_passages": (q_tx_dup_passages, SQL_TX_DUP_PASSAGES),
+    "tx_pack_sequences": (q_tx_pack_sequences, SQL_TX_PACK_SEQUENCES),
     # rows-only by design (no SQL-expressible oracle)
     "emb_lsh_topk": (q_emb_lsh_topk, None),
     "emb_ivf_topk": (q_emb_ivf_topk, None),

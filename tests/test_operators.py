@@ -333,3 +333,42 @@ def test_incremental_dedup_anti_join_and_keep_first(spark):
     got = {(r.doc_id, r.key) for r in out.collect()}
     # k2 dropped (already in corpus); k3 keeps first arrival only
     assert got == {(11, "k3"), (13, "k4")}
+
+
+def test_duplicate_passage_stats_golden(spark):
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    rows = [
+        (1, "a b c d e f"),      # grams: abcde, bcdef
+        (2, "a b c d e x"),      # grams: abcde, bcdex -> shares abcde with 1
+        (3, "p q r s t u"),      # unique grams
+        (4, "tiny"),             # < n tokens -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_fraction)
+        for r in tx.duplicate_passage_stats(df, n=5).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_pack_sequences_bins(spark):
+    from dataprocessingframework_spark.functions.hashing import hash64_py
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    rows = [(i, " ".join(["w"] * 10)) for i in range(40)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.pack_sequences(df, context_len=25)
+    got = {r.doc_id: (r.shard, r.n_tokens, r.bin_id) for r in out.collect()}
+    # python twin: per shard, docs in id order, bin = start_cum // 25
+    from collections import defaultdict
+
+    cums = defaultdict(int)
+    for i in range(40):
+        shard = hash64_py(str(i)) % 64
+        start = cums[shard]
+        cums[shard] += 10
+        assert got[i] == (shard, 10, start // 25), (i, got[i], shard, start)
