@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from dataprocessingframework_spark.dataset import Dataset
 from dataprocessingframework_spark.functions.hashing import (
@@ -75,13 +76,21 @@ def _ship_package(spark: SparkSession) -> None:
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as long and floor-convert to micros
-        # with integer division (a double division would lose precision
-        # on epoch-nanos ~1.7e18 > 2^53).
+        # events.parquet has shipped as either TIMESTAMP(NANOS) — which the
+        # Spark parquet reader rejects unless read as long — or plain
+        # timestamp[us]. Enable nanosAsLong (a no-op for micros files) and
+        # convert only when the column actually arrives as a long: integer
+        # division, because a double division would lose precision on
+        # epoch-nanos ~1.7e18 > 2^53.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Watermarks/event-time require TimestampType; the cast keeps
+            # the wall-clock value (session tz interprets it, UTC here).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
