@@ -2688,6 +2688,151 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_h10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    a quarter. Fact-side filters (returnflag, order-date window) push
+    into the scans; customer & nation broadcast into the lineitem-side
+    agg; top-20 by revenue is a single takeOrdered, not a global sort.
+
+    Reference parity: analytics surface of DPF datasets
+    (`/root/reference/DPF/dataset_reader.py` filter/agg pipelines);
+    query text is the standard public TPC-H Q10 reduced to the
+    generator's schema (no address/phone/comment columns).
+    """
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_H10 = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q_h12_priority_by_status(spark, sf_dir):
+    """TPC-H Q12 shape (reduced schema): per-linestatus counts of
+    high- vs low-priority orders over a ship-date year. The generator
+    omits l_shipmode/commitdate/receiptdate, so linestatus stands in
+    for shipmode; the CASE-sum pivot and the orders⋈lineitem shape are
+    Q12's. One broadcast join (orders side is filtered by the fact's
+    date window only after the join, so lineitem drives), one groupBy.
+    """
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = T(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_H12 = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+"""
+
+
+def q_h21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (reduced schema): suppliers that solely 'failed'
+    a multi-supplier order. The generator omits commit/receipt dates,
+    so l_returnflag='R' marks the failing lineitem. Shape preserved:
+    the EXISTS (another supplier in the order) and NOT EXISTS (another
+    failing supplier in the order) correlated subqueries become two
+    aggregated per-order key sets semi-joined back into the fact — one
+    shuffle each on l_orderkey (the same key, so AQE reuses the
+    exchange partitioning), never a correlated per-row re-scan; AQE
+    picks broadcast when a key set lands small.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = T(spark, sf_dir, "supplier")
+    fail = li.filter(F.col("l_returnflag") == "R")
+    # orders with >1 distinct supplier overall
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    # orders where exactly one supplier failed
+    solo_fail = (
+        fail.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("nf"))
+        .filter(F.col("nf") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        fail.join(o, fail["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .join(multi, "l_orderkey", "left_semi")
+        .join(solo_fail, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), fail["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_H21 = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_returnflag = 'R'
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100
+"""
+
+
 def q_h8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_3 suppliers' share of region-0 customer
     revenue by year — 7-way join (both nation legs + region broadcast)
@@ -3144,6 +3289,9 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
     "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
     "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
+    "h10_returned_items": (q_h10_returned_items, SQL_H10),
+    "h12_priority_by_status": (q_h12_priority_by_status, SQL_H12),
+    "h21_waiting_suppliers": (q_h21_waiting_suppliers, SQL_H21),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

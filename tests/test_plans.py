@@ -206,3 +206,20 @@ def test_jaccard_candidates_no_broadcast_hint(spark, sf_dir):
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
     assert "UnresolvedHint" not in analyzed
+
+
+def test_h10_filters_pushed_dims_broadcast(spark, sf_dir):
+    plan = formatted(q.q_h10_returned_items(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("l_returnflag" in ln for ln in pushed), pushed
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_h21_exists_shapes_are_semi_joins(spark, sf_dir):
+    """Both correlated EXISTS become key-set semi-joins, never a
+    correlated re-scan or cartesian pairing."""
+    plan = plan_of(q.q_h21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 3, plan.count("LeftSemi")
+    assert "CartesianProduct" not in plan
