@@ -288,6 +288,41 @@ def cosine_near_dup_pairs(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding, long format (label, pos, centroid).
+
+    The supervised sibling of the IVF coarse quantizer: class
+    prototypes for centroid-distance outlier pruning and per-topic
+    corpus balancing. Long format keeps it oracle-checkable
+    value-by-value (no float-array stringification ambiguity).
+
+    Shape at 100 TB: posexplode multiplies rows by dim, but every
+    (label, pos) partial sum is map-side combined, so the shuffle
+    carries only n_labels x dim aggregate rows per task — the corpus
+    itself never moves. This beats an array-valued groupBy(label)
+    agg of F.transform sums, which would put whole vectors in the
+    aggregation buffer without partial aggregation over elements.
+    """
+    ex = df.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return (
+        ex.groupBy(label_col, "pos")
+        .agg(F.round(F.avg("v"), 4).alias("centroid"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col(label_col).cast("long").alias("label"),
+            F.col("pos").cast("long").alias("pos"),
+            "centroid",
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # --------------------------------------------------------------------------

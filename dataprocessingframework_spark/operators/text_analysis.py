@@ -20,7 +20,7 @@ tokenizers) slot in as U1 ColumnFilters (filters/column_filter.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataprocessingframework_spark.functions.hashing import hash64
@@ -144,6 +144,82 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     )
     return F.when(ntok >= n, grams).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Keyword extraction for curation dashboards and topic-balance
+    sampling (the reference surfaces per-document metadata columns the
+    same way, `/root/reference/DPF/dataset_reader.py` column stages).
+
+    Shape at 100 TB: one explode + groupBy(doc, term) with map-side
+    partial counts; the document-frequency side reduces to vocabulary
+    size (corpus-sublinear, Heaps' law) before joining back — the big
+    tf side shuffles once on term, AQE broadcasts df when it lands
+    small. Ranking is a window partitioned BY DOCUMENT — no global
+    sort anywhere. tf stays integral and idf is a single ln() so the
+    doubles are bit-reproducible against the DuckDB oracle.
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus' top-n terms: the OLS
+    slope of ln(freq) on ln(rank). Natural corpora sit near -1; a
+    machine-generated or boilerplate-heavy corpus drifts — a cheap
+    whole-corpus health signal (Gopher, Rae et al. 2021 §A1 uses the
+    same distributional-sanity framing).
+
+    Shape at 100 TB: wordcount groupBy (map-side combined), then
+    orderBy().limit(top_n) — a distributed TakeOrdered, each partition
+    keeps top_n then the driver merges — so ranking never funnels the
+    vocabulary through one sort; the row_number window runs on ≤ top_n
+    rows. slope = covar_pop/var_pop, the same estimator as DuckDB's
+    regr_slope.
+    """
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_terms"),
     )
 
 

@@ -1403,6 +1403,59 @@ ORDER BY d.doc_id
 """
 
 
+def q_tx_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf-idf (keyword
+    extraction for curation dashboards / topic-balance sampling)."""
+    return text_analysis.tfidf_top_terms(
+        T(spark, sf_dir, "documents"), k=3
+    ).orderBy("doc_id", "rnk")
+
+
+SQL_TX_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf * ln(n.n_docs / d.df) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, ROUND(tfidf,4) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+def q_tx_zipf(spark, sf_dir):
+    """Corpus Zipf rank-frequency slope over the top-1000 terms."""
+    return text_analysis.zipf_slope(T(spark, sf_dir, "documents"), top_n=1000)
+
+
+SQL_TX_ZIPF = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+), top AS (
+  SELECT term, freq FROM freq ORDER BY freq DESC, term LIMIT 1000
+), ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+)
+SELECT ROUND(regr_slope(y, x),4) AS zipf_slope, CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM ranked
+"""
+
+
 def q_tx_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing into 1024-token bins, sharded by
     md5 bucket of the doc id (per-shard packing, the loader layout)."""
@@ -1817,6 +1870,24 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) /
   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 ORDER BY id_a, id_b
+"""
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding in long format — class prototypes for
+    centroid-distance pruning and topic balancing."""
+    return similarity.label_centroids(T(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+)
+SELECT label, pos, ROUND(AVG(v),4) AS centroid, COUNT(*) AS n_vecs
+FROM ex GROUP BY label, pos ORDER BY label, pos
 """
 
 
@@ -3292,6 +3363,9 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "h10_returned_items": (q_h10_returned_items, SQL_H10),
     "h12_priority_by_status": (q_h12_priority_by_status, SQL_H12),
     "h21_waiting_suppliers": (q_h21_waiting_suppliers, SQL_H21),
+    "tx_tfidf": (q_tx_tfidf, SQL_TX_TFIDF),
+    "tx_zipf": (q_tx_zipf, SQL_TX_ZIPF),
+    "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

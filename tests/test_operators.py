@@ -372,3 +372,72 @@ def test_pack_sequences_bins(spark):
         start = cums[shard]
         cums[shard] += 10
         assert got[i] == (shard, 10, start // 25), (i, got[i], shard, start)
+
+
+def test_tfidf_top_terms_golden(spark):
+    import math
+
+    from dataprocessingframework_spark.operators import text_analysis
+
+    rows = [
+        (0, "apple apple banana"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        (r.doc_id, r.term): (r.tfidf, r.rnk)
+        for r in text_analysis.tfidf_top_terms(df, k=2).collect()
+    }
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert out[(0, "apple")] == (round(2 * math.log(3.0), 4), 1)
+    assert out[(0, "banana")] == (round(math.log(1.5), 4), 2)
+    # doc 2: cherry tf=3 df=2 ranks above date tf=1 df=1
+    assert out[(2, "cherry")][1] == 1
+    assert out[(2, "date")] == (round(math.log(3.0), 4), 2)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A corpus whose rank-r term appears floor(100/r) times has
+    ln(freq) ~ -1*ln(rank) (exactly at ranks dividing 100): slope
+    must land near -1; and the estimator must equal the closed-form
+    OLS slope on the realized (ln rank, ln freq) points."""
+    import math
+
+    import numpy as np
+
+    from dataprocessingframework_spark.operators import text_analysis
+
+    words = []
+    for r in range(1, 26):
+        words += [f"w{r:02d}"] * (100 // r)
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], schema="doc_id long, text string"
+    )
+    row = text_analysis.zipf_slope(df, top_n=1000).collect()[0]
+    assert row.n_terms == 25
+    x = np.log(np.arange(1, 26, dtype=float))
+    y = np.log(np.array([100 // r for r in range(1, 26)], dtype=float))
+    expect = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+    assert abs(row.zipf_slope - round(expect, 4)) <= 1e-4
+    assert -1.15 < row.zipf_slope < -0.85
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, rng.normal(size=4).astype("float32").tolist(), int(i % 2))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.label_centroids(df).collect()
+    assert len(out) == 8  # 2 labels x 4 dims
+    vecs = {lab: [r[1] for r in rows if r[2] == lab] for lab in (0, 1)}
+    for r in out:
+        expect = float(np.mean([v[r.pos] for v in vecs[r.label]]))
+        assert abs(r.centroid - round(expect, 4)) <= 1e-4
+        assert r.n_vecs == 10
