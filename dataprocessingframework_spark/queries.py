@@ -824,6 +824,68 @@ SQL_STREAM_ENRICHED = (
 )
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream time-interval join under the oracle gate:
+    click-attribution — clicks within 30 minutes after a purchase by
+    the same user. Both sides replayed through readStream from one
+    staged directory, watermarked, joined with a closed range condition
+    (bounded state), append-mode memory sink, availableNow trigger.
+    The batch oracle is the identical range join in DuckDB."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    events = T(spark, sf_dir, "events")
+    stage_dir = f"/root/repo/.scratch/stream_ssj_{uuid.uuid4().hex[:8]}"
+    qname = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    events.write.mode("overwrite").parquet(stage_dir)
+
+    def side(event_type, prefix):
+        s = spark.readStream.schema(events.schema).parquet(stage_dir)
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    joined = stream_stream_interval_join(
+        side("purchase", "p"),
+        side("click", "c"),
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        horizon="30 minutes",
+    ).select("user_id", "p_id", "c_id", "p_ts", "c_ts")
+    try:
+        sq = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        out = spark.table(qname).orderBy("p_id", "c_id").cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+       p.ts AS p_ts, c.ts AS c_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+ORDER BY p_id, c_id
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.11 validators as queries
 # --------------------------------------------------------------------------
@@ -3366,6 +3428,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "tx_tfidf": (q_tx_tfidf, SQL_TX_TFIDF),
     "tx_zipf": (q_tx_zipf, SQL_TX_ZIPF),
     "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
+    "stream_interval_join": (q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

@@ -3,6 +3,7 @@ from dataprocessingframework_spark.streaming.events import (
     sliding_window_agg,
     stream_dedup,
     stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 from dataprocessingframework_spark.streaming.ingest import incremental_ingest
@@ -13,5 +14,6 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "incremental_ingest",
 ]

@@ -108,6 +108,37 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), on=join_keys, how=how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Time-interval stream-stream inner join: right events within
+    [left_ts, left_ts + horizon] for the same key (click-attribution
+    topology). Both sides are watermarked and the range condition is
+    closed on both ends, so Spark can bound join state: a buffered left
+    row is dropped once the right watermark passes l_ts + horizon —
+    state is O(horizon x rate), not O(stream). The two ts columns must
+    be pre-renamed distinct (no ambiguity inside the join condition).
+    Works identically on batch DataFrames, which the oracle checks.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    r = right.withColumnRenamed(key, "__rkey")
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return left.join(r, cond).drop("__rkey")
+
+
 def stream_dedup(
     df: DataFrame,
     key_cols: list[str],

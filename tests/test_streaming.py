@@ -181,3 +181,64 @@ def test_stream_static_enrich_broadcasts_dim(spark, sf_dir):
     joined = out.count()
     plain = events.join(cust, "user_id").count()
     assert joined == plain
+
+
+def test_stream_stream_interval_join_real_stream(spark, tmp_path):
+    """Real two-sided readStream through the interval join: matches the
+    batch-mode result exactly, and only pairs inside the horizon
+    survive."""
+    import uuid
+
+    from dataprocessingframework_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "purchase", 10.0),
+        (2, "2024-01-01 00:10:00", 1, "click", 0.0),   # inside 30m
+        (3, "2024-01-01 00:40:00", 1, "click", 0.0),   # outside 30m
+        (4, "2024-01-01 00:05:00", 2, "click", 0.0),   # other user
+        (5, "2024-01-01 00:20:00", 2, "purchase", 5.0),
+        (6, "2024-01-01 00:20:00", 2, "click", 0.0),   # boundary: == p_ts
+    ]
+    batch = spark.createDataFrame(
+        rows, schema=SCHEMA.replace("timestamp", "string")
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "ssj_src"
+    batch.write.parquet(str(src))
+
+    def sides(df_source):
+        def side(etype, prefix):
+            return df_source.filter(F.col("event_type") == etype).select(
+                "user_id",
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+
+        return side("purchase", "p"), side("click", "c")
+
+    expected = {(1, 2), (5, 6)}
+
+    p, c = sides(batch)
+    batch_out = stream_stream_interval_join(
+        p, c, left_ts="p_ts", right_ts="c_ts", horizon="30 minutes"
+    )
+    assert {(r.p_id, r.c_id) for r in batch_out.collect()} == expected
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    sp, sc = sides(stream)
+    joined = stream_stream_interval_join(
+        sp, sc, left_ts="p_ts", right_ts="c_ts", horizon="30 minutes"
+    )
+    qname = f"ssj_test_{uuid.uuid4().hex[:8]}"
+    sq = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    assert {
+        (r.p_id, r.c_id) for r in spark.table(qname).collect()
+    } == expected
