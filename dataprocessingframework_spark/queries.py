@@ -3328,6 +3328,103 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_w_convert_formats(spark, sf_dir):
+    """W3 convert-format chain across every supported table format:
+    documents parquet -> ORC -> CSV (quote-all, explicit schema back)
+    -> aggregate. Round-trip identity through the row-major AND the
+    second columnar format; each hop is a map-only scan-to-write
+    plan."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.formats import (
+        convert_format,
+        read_table,
+        write_table,
+    )
+
+    base = f"/root/repo/.scratch/fmt_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        write_table(docs, f"{base}/orc", "orc", max_records_per_file=200)
+        convert_format(
+            spark, f"{base}/orc", f"{base}/csv", "orc", "csv",
+            max_records_per_file=200,
+        )
+        back = read_table(spark, f"{base}/csv", "csv", schema=docs.schema)
+        res = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.length("text")).alias("sum_text_chars"),
+            )
+            .orderBy("source")
+        )
+        # materialize before deleting scratch (cache could be evicted)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_W_CONVERT_FORMATS = """
+SELECT source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_a_approx_sketches(spark, sf_dir):
+    """Sketch aggregates for 100 TB profiling: HLL++ distinct counts
+    and quantile sketches run in ONE map-side-combinable pass with
+    KB-sized state, where exact distinct/percentile would shuffle the
+    full column. Self-auditing output: each approximate value is
+    paired with its exact twin and relative error, and the pytest gate
+    asserts the error bounds (rsd<=0.05 for HLL, 1% accuracy for the
+    quantile sketch). rows-only in the oracle gate: sketch internals
+    are engine-specific by design (DuckDB's HLL gives different
+    estimates), so cross-engine value equality is the wrong contract —
+    the error-vs-exact bound is the portable one."""
+    li = T(spark, sf_dir, "lineitem")
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("ad_orderkey"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("ad_partkey"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "pct"
+        ),
+    )
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("ed_orderkey"),
+        F.count_distinct("l_partkey").alias("ed_partkey"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+        ).alias("epct"),
+    )
+    return (
+        approx.crossJoin(F.broadcast(exact))
+        .select(
+            "ad_orderkey",
+            "ed_orderkey",
+            F.round(
+                F.abs(F.col("ad_orderkey") - F.col("ed_orderkey"))
+                / F.col("ed_orderkey"),
+                4,
+            ).alias("err_orderkey"),
+            "ad_partkey",
+            "ed_partkey",
+            F.round(
+                F.abs(F.col("ad_partkey") - F.col("ed_partkey"))
+                / F.col("ed_partkey"),
+                4,
+            ).alias("err_partkey"),
+            F.round(F.col("pct")[0], 2).alias("p50_approx"),
+            F.round(F.col("epct")[0], 2).alias("p50_exact"),
+            F.round(F.col("pct")[2], 2).alias("p99_approx"),
+            F.round(F.col("epct")[2], 2).alias("p99_exact"),
+        )
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """§2.12 stateful dedup surface, batch-checked: dropDuplicates on
     the key columns (streaming twin: dropDuplicatesWithinWatermark —
@@ -3429,6 +3526,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "tx_zipf": (q_tx_zipf, SQL_TX_ZIPF),
     "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_LABEL_CENTROIDS),
     "stream_interval_join": (q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "w_convert_formats": (q_w_convert_formats, SQL_W_CONVERT_FORMATS),
+    "a_approx_sketches": (q_a_approx_sketches, None),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

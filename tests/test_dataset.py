@@ -124,3 +124,15 @@ def test_dataset_delegation_surface(spark, sf_dir, tmp_path):
 
     cands = docs.near_dup_candidates("text", "doc_id", num_hashes=8, bands=2)
     assert {"id_a", "id_b"} <= set(cands.columns)
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    from dataprocessingframework_spark import queries as q
+
+    r = q.q_a_approx_sketches(spark, sf_dir).collect()[0]
+    assert r.err_orderkey <= 0.05 * 3  # 3 sigma of rsd=0.05
+    assert r.err_partkey <= 0.05 * 3
+    # percentile_approx with accuracy 10000 -> within 1% rank error;
+    # on this distribution value error stays small
+    assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.02
+    assert abs(r.p99_approx - r.p99_exact) / r.p99_exact < 0.02

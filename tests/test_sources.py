@@ -336,3 +336,39 @@ def test_range_partitioned_layout_prunes(spark, tmp_path, sf_dir):
     overlapping_all = [r for r in sc if not (r[2] < lo or r[1] > hi)]
     assert len(overlapping_all) == len(sc)  # no pruning possible
     assert full_lo <= lo and full_hi >= hi
+
+
+def test_format_roundtrip_orc_and_csv_adversarial_text(spark, tmp_path):
+    """ORC and CSV round-trips preserve rows exactly, including text
+    containing the CSV delimiter, quotes, and embedded newlines."""
+    from dataprocessingframework_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    rows = [
+        (0, 'plain text', 'web'),
+        (1, 'comma, separated, text', 'web'),
+        (2, 'she said "quoted"', 'books'),
+        (3, 'line one\nline two', 'books'),
+        (4, '', 'web'),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, source string")
+    for fmt in ("orc", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(df, path, fmt)
+        back = read_table(spark, path, fmt, schema=df.schema)
+        got = {(r.doc_id, r.text, r.source) for r in back.collect()}
+        want = {(i, t if t != "" else None, s) if fmt == "csv" else (i, t, s)
+                for i, t, s in rows}
+        assert got == want, (fmt, got)
+
+
+def test_convert_format_rejects_unknown(spark, tmp_path):
+    import pytest as _pytest
+
+    from dataprocessingframework_spark.sources.formats import write_table
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "x"), "avroish")
