@@ -824,6 +824,71 @@ SQL_STREAM_ENRICHED = (
 )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_a_pivot(spark, sf_dir):
+    """Pivot (long->wide): daily value totals per event type as
+    columns. The pivot values are passed EXPLICITLY — omitting them
+    makes Spark run an eager distinct over 100 TB just to discover
+    column names; with the list supplied the plan is a two-level
+    aggregate — partial (day,type) sums map-side combined before the
+    first exchange, then the per-day pivot rollup — plus the
+    presentation sort. Observed: 2 hash exchanges + 1 range, no
+    distinct pass."""
+    ev = T(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("day")
+    )
+    return out
+
+
+SQL_A_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       ROUND(SUM(CASE WHEN event_type='click' THEN value END),2) AS click,
+       ROUND(SUM(CASE WHEN event_type='error' THEN value END),2) AS error,
+       ROUND(SUM(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+       ROUND(SUM(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+       ROUND(SUM(CASE WHEN event_type='view' THEN value END),2) AS view
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+def q_f_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide->long): lineitem measure columns into
+    (metric, val) rows. The melt itself is a zero-shuffle Expand —
+    each input row fans out to n_measures rows inside its task; the
+    only exchange in the plan is the presentation sort."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+SQL_F_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey < 100
+)
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
 def q_ev_funnel(spark, sf_dir):
     """Conversion-funnel analytics over the events stream: users whose
     earliest view is followed by a click, then a purchase (strict
@@ -3612,6 +3677,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "w_convert_formats": (q_w_convert_formats, SQL_W_CONVERT_FORMATS),
     "a_approx_sketches": (q_a_approx_sketches, None),
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
+    "a_pivot": (q_a_pivot, SQL_A_PIVOT),
+    "f_unpivot": (q_f_unpivot, SQL_F_UNPIVOT),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),
