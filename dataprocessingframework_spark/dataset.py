@@ -377,3 +377,40 @@ class Dataset:
         )
 
         return self._wrap(analyze(self.df, text_col, id_col))
+
+    def write_table(self, path: str, fmt: str = "parquet", **kwargs) -> None:
+        """Generic format sink (parquet/ORC/CSV/JSONL) — see
+        sources/formats.py."""
+        from dataprocessingframework_spark.sources.formats import write_table
+
+        write_table(self.df, path, fmt, **kwargs)
+
+    def top_terms(
+        self, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    ) -> DataFrame:
+        """Per-document tf-idf keywords — see
+        operators/text_analysis.py tfidf_top_terms."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+
+        return tfidf_top_terms(self.df, text_col, id_col, k)
+
+    def zipf(self, text_col: str = "text", top_n: int = 1000) -> DataFrame:
+        """Corpus Zipf rank-frequency slope — see
+        operators/text_analysis.py zipf_slope."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            zipf_slope,
+        )
+
+        return zipf_slope(self.df, text_col, top_n)
+
+    def label_centroids(
+        self, vec_col: str = "embedding", label_col: str = "label"
+    ) -> DataFrame:
+        """Per-label mean embedding — see operators/similarity.py."""
+        from dataprocessingframework_spark.operators.similarity import (
+            label_centroids,
+        )
+
+        return label_centroids(self.df, vec_col, label_col)

@@ -136,3 +136,28 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
     # on this distribution value error stays small
     assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.02
     assert abs(r.p99_approx - r.p99_exact) / r.p99_exact < 0.02
+
+
+def test_facade_round3_delegates(spark, tmp_path):
+    from dataprocessingframework_spark.dataset import Dataset
+
+    docs = Dataset(
+        spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha gamma gamma")],
+            schema="doc_id long, text string",
+        )
+    )
+    assert docs.top_terms(k=1).count() == 2
+    z = docs.zipf().collect()[0]
+    assert z.n_terms == 3
+    docs.write_table(str(tmp_path / "t_orc"), "orc")
+    assert spark.read.orc(str(tmp_path / "t_orc")).count() == 2
+
+    emb = Dataset(
+        spark.createDataFrame(
+            [(0, [1.0, 2.0], 0), (1, [3.0, 4.0], 0)],
+            schema="vec_id long, embedding array<float>, label int",
+        )
+    )
+    cents = {r.pos: r.centroid for r in emb.label_centroids().collect()}
+    assert cents == {0: 2.0, 1: 3.0}
