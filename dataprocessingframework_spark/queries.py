@@ -889,6 +889,70 @@ ORDER BY l_orderkey, l_linenumber, metric
 """
 
 
+def q_stream_curation(spark, sf_dir):
+    """Continuous corpus curation under the oracle gate: documents
+    arrive in two waves (doc_id ranges), each folded in by
+    incremental_curation — quality gate (n_chars >= 200), dedup
+    against the already-curated corpus, keep-first within batch,
+    idempotent batch-dir append. Because wave 1 holds the lower
+    doc_id range, first-occurrence-per-batch composed with
+    min-within-batch equals a GLOBAL keep-min-doc_id per text, which
+    is exactly the row_number oracle. Final aggregate by lang."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_curation,
+        read_corpus,
+    )
+
+    base = f"/root/repo/.scratch/stream_cur_{uuid.uuid4().hex[:8]}"
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    schema = "doc_id long, text string, lang string, n_chars long"
+
+    def run():
+        return incremental_curation(
+            spark, src, schema, corpus, ckpt,
+            dedup_cols=["text"], order_col="doc_id",
+            curate=lambda df: df.filter(F.col("n_chars") >= 200),
+        )
+
+    try:
+        docs.filter(F.col("doc_id") < cut).write.mode("append").json(src)
+        run()
+        docs.filter(F.col("doc_id") >= cut).write.mode("append").json(src)
+        run()
+        res = (
+            read_corpus(spark, corpus)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .orderBy("lang")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_CURATION = """
+WITH kept AS (
+  SELECT doc_id, text, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents WHERE n_chars >= 200
+)
+SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id
+FROM kept WHERE rn = 1 GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ev_funnel(spark, sf_dir):
     """Conversion-funnel analytics over the events stream: users whose
     earliest view is followed by a click, then a purchase (strict
@@ -3679,6 +3743,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
     "a_pivot": (q_a_pivot, SQL_A_PIVOT),
     "f_unpivot": (q_f_unpivot, SQL_F_UNPIVOT),
+    "stream_curation": (q_stream_curation, SQL_STREAM_CURATION),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

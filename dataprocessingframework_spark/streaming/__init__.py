@@ -6,6 +6,10 @@ from dataprocessingframework_spark.streaming.events import (
     stream_stream_interval_join,
     tumbling_window_agg,
 )
+from dataprocessingframework_spark.streaming.curation import (
+    incremental_curation,
+    read_corpus,
+)
 from dataprocessingframework_spark.streaming.ingest import incremental_ingest
 
 __all__ = [
@@ -16,4 +20,6 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "incremental_ingest",
+    "incremental_curation",
+    "read_corpus",
 ]

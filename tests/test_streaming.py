@@ -242,3 +242,58 @@ def test_stream_stream_interval_join_real_stream(spark, tmp_path):
     assert {
         (r.p_id, r.c_id) for r in spark.table(qname).collect()
     } == expected
+
+
+def test_incremental_curation_end_to_end(spark, tmp_path):
+    """Continuous curation: batch 1 curates + dedups, batch 2 drops
+    docs already in the corpus, a rerun with no new files is a no-op,
+    and the quality filter applies per batch."""
+    import json as _json
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_curation,
+        read_corpus,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def put(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def curate(df):
+        return df.filter(F.length("text") >= 5)
+
+    def run():
+        return incremental_curation(
+            spark, str(src), schema, corpus, ckpt,
+            dedup_cols=["text"], order_col="doc_id", curate=curate,
+        )
+
+    put("a.jsonl", [
+        {"doc_id": 0, "text": "alpha document"},
+        {"doc_id": 1, "text": "beta document"},
+        {"doc_id": 2, "text": "x"},                   # fails curation
+        {"doc_id": 3, "text": "alpha document"},      # in-batch dup of 0
+    ])
+    assert run() >= 1
+    got = {(r.doc_id, r.text) for r in read_corpus(spark, corpus).collect()}
+    assert got == {(0, "alpha document"), (1, "beta document")}
+
+    put("b.jsonl", [
+        {"doc_id": 4, "text": "beta document"},       # already in corpus
+        {"doc_id": 5, "text": "gamma document"},      # new
+    ])
+    assert run() >= 1
+    got = {(r.doc_id, r.text) for r in read_corpus(spark, corpus).collect()}
+    assert got == {
+        (0, "alpha document"), (1, "beta document"), (5, "gamma document"),
+    }
+
+    assert run() == 0  # no new files -> no new batches, corpus unchanged
+    assert read_corpus(spark, corpus).count() == 3
