@@ -198,14 +198,24 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket pairs.
+    """Approximate top-k: score only pairs sharing a probed LSH bucket.
 
     With n_planes=8 the corpus splits into <=256 buckets, cutting scored
-    pairs ~256x at matching recall cost. At 100 TB this is the only
-    viable shape: bucket assignment is a narrow map, the join is an
-    equi-join on bucket (shuffle on bucket id, AQE-skew-splittable).
+    pairs ~256x. ``probe_radius=1`` is multi-probe LSH (Lv et al. 2007,
+    public): each QUERY also probes the n_planes buckets at Hamming
+    distance 1 from its own — the likeliest homes of near neighbors
+    that fell on the other side of one hyperplane. Only the (tiny)
+    query side fans out x(n_planes+1); the corpus keeps exactly one
+    bucket per row, so each candidate pair still arises once and the
+    corpus-side shuffle volume is unchanged. probe_radius=0 restores
+    single-bucket probing. At 100 TB the shape stays the only viable
+    one: bucket assignment is a narrow map, the join is an equi-join
+    on bucket (shuffle on bucket id, AQE-skew-splittable).
     """
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
     planes = _hyperplanes(dim, n_planes)
     # norms precomputed per SIDE (as in cosine_topk): the fold runs once
     # per row, not once per same-bucket pair
@@ -215,6 +225,17 @@ def lsh_topk(
         norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
+    if probe_radius == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "q_id", "q_vec", "q_norm", F.explode(probes).alias("bucket")
+        )
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("c_vec"),

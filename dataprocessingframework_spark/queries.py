@@ -2165,6 +2165,54 @@ FROM ex GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def q_emb_ann_recall(spark, sf_dir):
+    """Self-auditing ANN quality: recall@k of the two approximate
+    scale paths (hyperplane-LSH, IVF) against the exact cosine top-k,
+    over 50 query vectors. The same measure-don't-guess contract as
+    a_approx_sketches — approximate results are engine-specific so
+    cross-engine value equality is the wrong oracle; the recall bound
+    (gated in pytest) is the portable one. All set arithmetic is
+    distributed: the exact/approx lists semi-join per (q_id, nbr_id),
+    only per-query counts aggregate."""
+    from dataprocessingframework_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    k = 10
+    exact = cosine_topk(emb, qs, k=k).select("q_id", "nbr_id")
+
+    def recall_of(approx):
+        hits = (
+            exact.join(
+                approx.select("q_id", "nbr_id"), ["q_id", "nbr_id"], "left_semi"
+            )
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        # left-join back onto the full query set: a query with zero
+        # hits must count as recall 0, not vanish from the average
+        per_q = (
+            exact.select("q_id")
+            .distinct()
+            .join(hits, "q_id", "left")
+            .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
+        )
+        return per_q.agg(
+            F.round(F.avg(F.col("n_hit") / F.lit(k)), 4)
+        ).collect()[0][0]
+
+    r_lsh = recall_of(lsh_topk(emb, qs, k=k))
+    r_ivf = recall_of(ivf_topk(emb, qs, k=k, n_cells=16, n_probe=4))
+    return spark.createDataFrame(
+        [(k, 50, float(r_lsh), float(r_ivf))],
+        schema="k int, n_queries int, recall_lsh double, recall_ivf double",
+    )
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (scale path) — approximate by design; rows-only."""
     emb = T(spark, sf_dir, "embeddings")
@@ -3744,6 +3792,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "a_pivot": (q_a_pivot, SQL_A_PIVOT),
     "f_unpivot": (q_f_unpivot, SQL_F_UNPIVOT),
     "stream_curation": (q_stream_curation, SQL_STREAM_CURATION),
+    "emb_ann_recall": (q_emb_ann_recall, None),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

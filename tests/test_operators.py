@@ -441,3 +441,30 @@ def test_label_centroids_match_numpy(spark):
         expect = float(np.mean([v[r.pos] for v in vecs[r.label]]))
         assert abs(r.centroid - round(expect, 4)) <= 1e-4
         assert r.n_vecs == 10
+
+
+def test_lsh_multi_probe_improves_recall_on_planted_neighbors(spark):
+    """Plant an exact near-duplicate for every query vector; radius-1
+    multi-probe must recover strictly more planted neighbors than
+    single-bucket probing (it catches pairs split by one hyperplane)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16)).astype("float64")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.astype("float32").tolist()))
+        # planted neighbor: tiny perturbation, cosine ~ 1
+        rows.append((1000 + i, (v + rng.normal(scale=0.05, size=16)).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 1000)
+
+    def planted_hits(probe_radius):
+        out = similarity.lsh_topk(
+            df, qs, k=1, dim=16, n_planes=8, probe_radius=probe_radius
+        )
+        return sum(1 for r in out.collect() if r.nbr_id == r.q_id + 1000)
+
+    h0, h1 = planted_hits(0), planted_hits(1)
+    assert h1 > h0
+    assert h1 >= 30  # multi-probe recovers most planted pairs
