@@ -48,6 +48,10 @@ class DatasetReader:
             return self.read_sharded_files(config)
         raise TypeError(f"unknown config type: {type(config).__name__}")
 
+    # drop-in name parity with the reference's entry point
+    # (`dataset_reader.py:297-325`)
+    read_from_config = read
+
     def read_metadata_shards(self, path: str) -> Dataset:
         """Csv-only shard directory (metadata without media archives):
         the distributed concat + split_name injection of S2 alone."""
