@@ -155,3 +155,70 @@ def test_curation_signals_python_parity(spark):
         assert r.n_email == len(email_re.findall(text))
         for v in (r.distinct_word_ratio, r.top_word_fraction, r.dup_bigram_fraction):
             assert 0.0 <= v <= 1.0
+
+
+def test_tfidf_python_parity_random_corpora(spark):
+    """tfidf_top_terms agrees with a plain-python twin on random
+    word-soup corpora (scores, ranks, tie-breaks)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataprocessingframework_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 15))))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        got = {
+            (r.doc_id, r.rnk): (r.term, r.tfidf)
+            for r in tfidf_top_terms(df, k=2).collect()
+        }
+        # python twin
+        tf: dict[tuple[int, str], int] = {}
+        for i, text in docs:
+            for w in text.split():
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+        dfreq: dict[str, int] = {}
+        for (_, w) in tf:
+            dfreq[w] = dfreq.get(w, 0) + 1
+        n = len(docs)
+        want = {}
+        for i, _ in docs:
+            scored = sorted(
+                (
+                    (-tf[(i, w)] * math.log(n / dfreq[w]), w)
+                    for (d, w) in tf
+                    if d == i
+                ),
+            )
+            for rnk, (neg, w) in enumerate(scored[:2], start=1):
+                want[(i, rnk)] = (w, round(-neg, 4))
+        assert got == want, trial
+
+
+def test_zipf_slope_is_negative_and_bounded(spark):
+    """Any corpus with a strictly decreasing rank-frequency curve has
+    a negative slope; a perfectly uniform corpus has slope 0."""
+    from dataprocessingframework_spark.operators.text_analysis import (
+        zipf_slope,
+    )
+
+    uniform = spark.createDataFrame(
+        [(0, "a b c d e")], schema="doc_id long, text string"
+    )
+    assert zipf_slope(uniform).collect()[0].zipf_slope == 0.0
+
+    decreasing = spark.createDataFrame(
+        [(0, " ".join(["x"] * 8 + ["y"] * 4 + ["z"] * 2))],
+        schema="doc_id long, text string",
+    )
+    s = zipf_slope(decreasing).collect()[0].zipf_slope
+    assert s < 0
