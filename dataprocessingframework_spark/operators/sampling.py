@@ -92,3 +92,60 @@ def stratified_hash_sample(
     c = F.col(key_col).cast("string")
     keyed = F.concat(F.lit(salt), c) if salt else c
     return df.filter(hash64(keyed) % denom < num_col)
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    denom: int = 1_000_000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing: sample so group g's share
+    of the output follows p_g ~ n_g^alpha (the multilingual sampling
+    exponent of mBERT/XLM-R/mT5, public), with total output ~=
+    ``target_fraction`` of the input. alpha=1 preserves shares, 0
+    equalizes; over-represented groups are down-sampled, small groups
+    kept whole (a filter cannot up-sample, so rates cap at 1 — the
+    usual data-mixing convention).
+
+    Per-group keep rates are DERIVED FROM THE DATA inside the plan:
+    one tiny groupBy(strata) count (map-side combined), a scalar
+    total, then the rate table — group-cardinality rows — broadcasts
+    back onto the corpus, where membership is the same engine-portable
+    integral-threshold hash predicate as :func:`hash_sample`
+    (``hash64 % denom < floor(rate * denom)``). The corpus itself is
+    never shuffled: count-side shuffle volume is one row per
+    (task x group).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_g"))
+    tot = counts.agg(
+        F.sum("n_g").alias("n_tot"),
+        F.sum(F.pow("n_g", F.lit(alpha))).alias("z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction)
+                * F.col("n_tot")
+                * F.pow("n_g", F.lit(alpha))
+                / F.col("z")
+                / F.col("n_g"),
+            ).alias("__keep_rate"),
+        )
+    )
+    c = F.col(key_col).cast("string")
+    keyed = F.concat(F.lit(salt), c) if salt else c
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(
+            hash64(keyed) % denom
+            < F.floor(F.col("__keep_rate") * denom).cast("long")
+        )
+        .drop("__keep_rate")
+    )

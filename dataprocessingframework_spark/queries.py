@@ -2718,6 +2718,48 @@ ORDER BY o_orderkey
 """
 
 
+def q_d_temperature_sample(spark, sf_dir):
+    """Temperature sampling (alpha=0.5) of documents by source: the
+    multilingual-corpus rebalancing move, with rates derived from the
+    per-source counts inside the plan and membership on the portable
+    integral-threshold hash — the full sampled row set is
+    oracle-checkable."""
+    from dataprocessingframework_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    return (
+        temperature_sample(
+            T(spark, sf_dir, "documents"),
+            "source",
+            "doc_id",
+            alpha=0.5,
+            target_fraction=0.5,
+        )
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+SQL_D_TEMPERATURE_SAMPLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_g) AS n_tot, SUM(pow(n_g, 0.5)) AS z FROM counts
+), rates AS (
+  SELECT source,
+         LEAST(1.0, 0.5 * t.n_tot * pow(c.n_g, 0.5) / t.z / c.n_g) AS r
+  FROM counts c CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates USING (source)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))
+           AS BIGINT) % 1000000
+      < CAST(floor(r * 1000000) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
 def q_d_stratified_sample(spark, sf_dir):
     """Deterministic STRATIFIED sampling: per-lang keep rates over the
     portable key hash — the corpus-rebalancing move (down-weight the
@@ -3793,6 +3835,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "f_unpivot": (q_f_unpivot, SQL_F_UNPIVOT),
     "stream_curation": (q_stream_curation, SQL_STREAM_CURATION),
     "emb_ann_recall": (q_emb_ann_recall, None),
+    "d_temperature_sample": (q_d_temperature_sample, SQL_D_TEMPERATURE_SAMPLE),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

@@ -468,3 +468,29 @@ def test_lsh_multi_probe_improves_recall_on_planted_neighbors(spark):
     h0, h1 = planted_hits(0), planted_hits(1)
     assert h1 > h0
     assert h1 >= 30  # multi-probe recovers most planted pairs
+
+
+def test_temperature_sample_rebalances_toward_uniform(spark):
+    """alpha=0 equalizes expected group sizes: the dominant group is
+    down-sampled toward the smallest; small groups keep every row
+    (rate caps at 1). Membership must be deterministic across calls."""
+    from dataprocessingframework_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, grp string")
+    out = temperature_sample(
+        df, "grp", "doc_id", alpha=0.0, target_fraction=0.2
+    )
+    sizes = {r.grp: r.n for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected 100 per group (0.2 * 1000 * 1/2); hash noise allowed,
+    # but "big" must be cut hard and "small" kept whole (rate 1.0)
+    assert sizes["small"] == 100
+    assert 60 <= sizes["big"] <= 140
+    again = temperature_sample(
+        df, "grp", "doc_id", alpha=0.0, target_fraction=0.2
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
