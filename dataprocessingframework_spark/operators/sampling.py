@@ -149,3 +149,31 @@ def temperature_sample(
         )
         .drop("__keep_rate")
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, n_g) rows per group, chosen pseudo-randomly but
+    deterministically: rank rows within each group by the portable key
+    hash and keep the first k. The fixed-size-per-stratum eval-subset
+    primitive (hash_sample gives fixed RATES, this gives fixed
+    COUNTS). One shuffle on the group key; the per-group sort ranks
+    within partitions only — no global order.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(key_col).cast("string")
+    keyed = F.concat(F.lit(salt), c) if salt else c
+    w = Window.partitionBy(strata_col).orderBy(
+        hash64(keyed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

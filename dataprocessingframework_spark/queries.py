@@ -2760,6 +2760,35 @@ ORDER BY d.doc_id
 """
 
 
+def q_d_per_group_sample(spark, sf_dir):
+    """Exactly-k-per-source deterministic sample (fixed COUNTS where
+    d_temperature_sample fixes rates): rank by portable key hash
+    within each group, keep 20 — the per-stratum eval-subset cut."""
+    from dataprocessingframework_spark.operators.sampling import (
+        per_group_sample,
+    )
+
+    return (
+        per_group_sample(T(spark, sf_dir, "documents"), "source", "doc_id", k=20)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_D_PER_GROUP_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                         AS BIGINT) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 20 ORDER BY source, doc_id
+"""
+
+
 def q_d_stratified_sample(spark, sf_dir):
     """Deterministic STRATIFIED sampling: per-lang keep rates over the
     portable key hash — the corpus-rebalancing move (down-weight the
@@ -3836,6 +3865,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_curation": (q_stream_curation, SQL_STREAM_CURATION),
     "emb_ann_recall": (q_emb_ann_recall, None),
     "d_temperature_sample": (q_d_temperature_sample, SQL_D_TEMPERATURE_SAMPLE),
+    "d_per_group_sample": (q_d_per_group_sample, SQL_D_PER_GROUP_SAMPLE),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),
