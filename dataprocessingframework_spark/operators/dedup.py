@@ -603,3 +603,89 @@ def jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
     return out
+
+
+def lsh_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH index rows for a document set — the
+    MATERIALIZABLE half of near-dup detection. In continuous ingestion
+    this table is written to parquet once per corpus and APPENDED per
+    accepted batch, so each new batch probes the corpus in one
+    equi-join instead of re-hashing 100 TB of history. Bucket ids are
+    the same md5-portable band hashes as minhash_lsh_candidates
+    (oracle-identical)."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    entries = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rpb + j}") for j in range(rpb)]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[m.cast("string") for m in members])
+                ).alias("bucket"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Drop batch docs that NEAR-duplicate the corpus — the fuzzy twin
+    of :func:`incremental_dedup` (which is exact-key only): batch LSH
+    buckets probe the (materialized) corpus index, the candidate pairs
+    are verified with exact Jaccard, and any batch doc with a verified
+    match >= threshold is dropped.
+
+    Scale shape: the corpus is touched only through its index
+    (``corpus_index``, normally a parquet table appended per batch —
+    recomputed here when not supplied) and through the verification
+    texts of CANDIDATE docs only (semi-joined down inside
+    jaccard_pairs). Shuffle volume is batch-sized plus the collided
+    candidates, never corpus-sized. Within-batch near-dups are NOT
+    removed here — run minhash_lsh_candidates on the batch for that.
+    """
+    if corpus_index is None:
+        corpus_index = lsh_index(corpus, text_col, id_col, num_hashes, bands)
+    bidx = lsh_index(batch, text_col, id_col, num_hashes, bands)
+    bid = F.col(f"b.{id_col}")
+    cid = F.col(f"c.{id_col}")
+    cand = (
+        bidx.alias("b")
+        .join(corpus_index.alias("c"), ["band", "bucket"])
+        .select(
+            F.least(bid, cid).alias("id_a"),
+            F.greatest(bid, cid).alias("id_b"),
+        )
+        .distinct()
+    )
+    docs = batch.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = jaccard_pairs(
+        docs, text_col, id_col, threshold=threshold, candidates=cand
+    )
+    matched = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+        .join(batch.select(id_col), on=id_col, how="left_semi")
+    )
+    return batch.join(matched, on=id_col, how="left_anti")

@@ -2013,6 +2013,58 @@ SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dd_incremental_near_dup(spark, sf_dir):
+    """Continuous-ingest NEAR-dup gate under the full oracle: the
+    lower doc_id half plays the corpus, the upper half the arriving
+    batch; batch LSH buckets probe the corpus index, candidates verify
+    with exact Jaccard >= 0.5, matched batch docs drop. DuckDB derives
+    the identical md5-portable buckets, candidates, and Jaccard —
+    whole composition value-checked."""
+    docs = T(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.5)")).cast("long")
+    ).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    kept = dedup.incremental_near_dup(
+        batch, corpus, "text", "doc_id",
+        threshold=0.5, num_hashes=8, bands=4,
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_DD_INCREMENTAL_NEAR_DUP = f"""
+WITH sig AS ({_minhash_sql(8).replace(" ORDER BY doc_id", "")}),
+buckets AS ({_lsh_band_sql(8, 4)}),
+cutv AS (SELECT CAST(floor(median(doc_id)) AS BIGINT) AS cut FROM documents),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < (SELECT cut FROM cutv)
+    AND b.doc_id >= (SELECT cut FROM cutv)),
+{_WORDS_CTE.removeprefix("WITH ")},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= 0.5
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id >= (SELECT cut FROM cutv)
+  AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+ORDER BY d.doc_id
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """Dataset profiling op: one-pass column statistics."""
     from dataprocessingframework_spark.operators.profiling import profile_table
@@ -3866,6 +3918,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ann_recall": (q_emb_ann_recall, None),
     "d_temperature_sample": (q_d_temperature_sample, SQL_D_TEMPERATURE_SAMPLE),
     "d_per_group_sample": (q_d_per_group_sample, SQL_D_PER_GROUP_SAMPLE),
+    "dd_incremental_near_dup": (
+        q_dd_incremental_near_dup,
+        SQL_DD_INCREMENTAL_NEAR_DUP,
+    ),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

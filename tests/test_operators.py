@@ -494,3 +494,37 @@ def test_temperature_sample_rebalances_toward_uniform(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_incremental_near_dup_drops_fuzzy_matches_only(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely unrelated corpus text here today"),
+        ],
+        schema="doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of 0 (one word changed -> jaccard 0.8)
+            (10, "the quick brown fox jumps over the lazy cat"),
+            # novel
+            (11, "entirely new subject matter nothing shared"),
+        ],
+        schema="doc_id long, text string",
+    )
+    kept = dedup.incremental_near_dup(
+        batch, corpus, "text", "doc_id", threshold=0.5,
+        num_hashes=8, bands=4,
+    )
+    assert [r.doc_id for r in kept.collect()] == [11]
+
+    # materialized-index path gives the identical result
+    idx_path = str(tmp_path / "lsh_idx")
+    dedup.lsh_index(corpus, "text", "doc_id", 8, 4).write.parquet(idx_path)
+    kept2 = dedup.incremental_near_dup(
+        batch, corpus, "text", "doc_id", threshold=0.5,
+        num_hashes=8, bands=4,
+        corpus_index=spark.read.parquet(idx_path),
+    )
+    assert [r.doc_id for r in kept2.collect()] == [11]
