@@ -223,6 +223,37 @@ def zipf_slope(
     )
 
 
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus'
+    own unigram distribution — the cheap fluency/outlier signal (a
+    document of globally rare words scores high; boilerplate scores
+    low). The degenerate-but-useful end of the KenLM-style
+    perplexity-filter family (CCNet, Wenzek et al. 2019, public);
+    model-backed perplexity slots in as a U1 ColumnFilter.
+
+    Shape at 100 TB: word counts reduce to vocabulary size before
+    joining back onto the per-doc words (AQE broadcasts when small),
+    then one groupBy(doc) mean — the same two-reduction pattern as
+    tfidf_top_terms; no global sort, corpus shuffled once on term.
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"))
+    return (
+        toks.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n_total"))), 4
+            ).alias("mean_nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

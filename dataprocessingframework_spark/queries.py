@@ -1730,6 +1730,53 @@ FROM ranked
 """
 
 
+def q_tx_unigram_nll(spark, sf_dir):
+    """Per-doc mean unigram NLL (fluency/outlier curation signal)."""
+    return text_analysis.unigram_nll(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+SQL_TX_UNIGRAM_NLL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+  FROM documents
+), cnt AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), tot AS (SELECT SUM(c) AS n_total FROM cnt)
+SELECT t.doc_id,
+       ROUND(AVG(-ln(cnt.c / tot.n_total)), 4) AS mean_nll,
+       COUNT(*) AS n_tokens
+FROM toks t JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def q_a_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregation pass (no per-pair scans): corr is a partial/final
+    combinable aggregate, so the exchange carries a fixed handful of
+    moment rows regardless of table size."""
+    li = T(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 4).alias(f"corr_{a}_{b}"))
+    return li.agg(*aggs)
+
+
+SQL_A_CORR_MATRIX = """
+SELECT ROUND(corr(l_quantity, l_extendedprice),4) AS corr_l_quantity_l_extendedprice,
+       ROUND(corr(l_quantity, l_discount),4) AS corr_l_quantity_l_discount,
+       ROUND(corr(l_quantity, l_tax),4) AS corr_l_quantity_l_tax,
+       ROUND(corr(l_extendedprice, l_discount),4) AS corr_l_extendedprice_l_discount,
+       ROUND(corr(l_extendedprice, l_tax),4) AS corr_l_extendedprice_l_tax,
+       ROUND(corr(l_discount, l_tax),4) AS corr_l_discount_l_tax
+FROM lineitem
+"""
+
+
 def q_tx_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing into 1024-token bins, sharded by
     md5 bucket of the doc id (per-shard packing, the loader layout)."""
@@ -3922,6 +3969,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_dd_incremental_near_dup,
         SQL_DD_INCREMENTAL_NEAR_DUP,
     ),
+    "tx_unigram_nll": (q_tx_unigram_nll, SQL_TX_UNIGRAM_NLL),
+    "a_corr_matrix": (q_a_corr_matrix, SQL_A_CORR_MATRIX),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

@@ -528,3 +528,21 @@ def test_incremental_near_dup_drops_fuzzy_matches_only(spark, tmp_path):
         corpus_index=spark.read.parquet(idx_path),
     )
     assert [r.doc_id for r in kept2.collect()] == [11]
+
+
+def test_unigram_nll_golden(spark):
+    import math
+
+    from dataprocessingframework_spark.operators import text_analysis
+
+    # corpus: 4 tokens total — a:2, b:1, c:1
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "c")], schema="doc_id long, text string"
+    )
+    out = {r.doc_id: (r.mean_nll, r.n_tokens)
+           for r in text_analysis.unigram_nll(df).collect()}
+    nll_a, nll_b, nll_c = (-math.log(2 / 4), -math.log(1 / 4), -math.log(1 / 4))
+    assert out[0] == (round((2 * nll_a + nll_b) / 3, 4), 3)
+    assert out[1] == (round(nll_c, 4), 1)
+    # rare-word doc scores strictly higher than common-word doc
+    assert out[1][0] > out[0][0]
