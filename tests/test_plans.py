@@ -223,3 +223,14 @@ def test_h21_exists_shapes_are_semi_joins(spark, sf_dir):
     plan = plan_of(q.q_h21_waiting_suppliers(spark, sf_dir))
     assert plan.count("LeftSemi") >= 3, plan.count("LeftSemi")
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_sample_corpus_not_shuffled(spark, sf_dir):
+    """The rate table broadcasts back onto the corpus — the corpus
+    itself must pass through a BroadcastHashJoin, never a sort-merge
+    join or its exchange (only the tiny count side and the
+    presentation sort may exchange)."""
+    plan = plan_of(q.q_d_temperature_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
