@@ -3944,8 +3944,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "tx_pii_scrub": (q_tx_pii_scrub, SQL_TX_PII_SCRUB),
     "tx_decontaminate": (q_tx_decontaminate, SQL_TX_DECONTAMINATE),
     # ================= driver window ends here (50) =================
-    # displaced to below-window by the three new curation queries;
-    # judge-local-green in r2, rotate back into the window in r4
+    # ROTATION PLAN FOR r4: everything between here and the
+    # "driver-green in CORRECTNESS_r01 and r02" marker has a local
+    # oracle pass but no driver-green row yet — move these into
+    # positions 1-50 next round (the current window entries should be
+    # driver-green after r3 and rotate down).
     "d_hash_sample": (q_d_hash_sample, SQL_D_HASH_SAMPLE),
     "w_jsonl_roundtrip": (q_w_jsonl_roundtrip, SQL_W_JSONL_ROUNDTRIP),
     "h4_priority_exists": (q_h4_priority_exists, SQL_H4),
