@@ -335,6 +335,17 @@ class Dataset:
 
         write_range_partitioned(self.df, path, sort_col, num_files, **kwargs)
 
+    def write_hive_partitioned(
+        self, path: str, partition_cols: Sequence[str], **kwargs
+    ) -> None:
+        """Directory-partitioned layout (PartitionFilters pruning) —
+        see sources/layout.py."""
+        from dataprocessingframework_spark.sources.layout import (
+            write_hive_partitioned,
+        )
+
+        write_hive_partitioned(self.df, path, list(partition_cols), **kwargs)
+
     # ------------------------------------- analysis / curation (delegations)
     def validate(self, required: Sequence[str], key_cols: Sequence[str]):
         """V1-V5 typed report — see operators/validators.py."""

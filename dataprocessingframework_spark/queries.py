@@ -1752,6 +1752,50 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_w_hive_partitioned(spark, sf_dir):
+    """Hive-partitioned layout round-trip: events written into
+    event_type=... directories, re-read with a partition predicate
+    (pruned at the DIRECTORY level — PartitionFilters, no footer
+    reads in pruned dirs), aggregated per day."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.layout import (
+        write_hive_partitioned,
+    )
+
+    out = f"/root/repo/.scratch/hive_{uuid.uuid4().hex[:8]}"
+    try:
+        write_hive_partitioned(
+            T(spark, sf_dir, "events"), out, ["event_type"]
+        )
+        back = spark.read.parquet(out).filter(
+            F.col("event_type").isin("purchase", "signup")
+        )
+        res = (
+            back.groupBy(
+                F.to_date("ts").alias("day"),
+                F.col("event_type").cast("string").alias("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .orderBy("day", "event_type")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_HIVE_PARTITIONED = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value
+FROM events WHERE event_type IN ('purchase','signup')
+GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
 def q_a_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlations of the lineitem measures in ONE
     aggregation pass (no per-pair scans): corr is a partial/final
@@ -3974,6 +4018,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     ),
     "tx_unigram_nll": (q_tx_unigram_nll, SQL_TX_UNIGRAM_NLL),
     "a_corr_matrix": (q_a_corr_matrix, SQL_A_CORR_MATRIX),
+    "w_hive_partitioned": (q_w_hive_partitioned, SQL_W_HIVE_PARTITIONED),
     # new in round 3, below-window (judge-local oracle; rotate in r4)
     "tx_budget_mix": (q_tx_budget_mix, SQL_TX_BUDGET_MIX),
     "d_stratified_sample": (q_d_stratified_sample, SQL_D_STRATIFIED),

@@ -58,3 +58,32 @@ def file_key_ranges(path: str, col: str) -> list[tuple[str, object, object]]:
             hi = st.max if hi is None else max(hi, st.max)
         out.append((os.path.basename(f), lo, hi))
     return out
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning: ``col=value/`` subdirectories
+    that partition pruning eliminates WHOLESALE from a scan — the scan
+    plan's ``PartitionFilters`` never lists, opens, or footer-reads a
+    pruned directory, one level stronger than row-group min/max
+    pruning (which still reads every footer).
+
+    The ``repartition`` on the partition columns is the small-files
+    guard: without it every one of T tasks writes a file into every
+    one of P partition directories (T x P files at 100 TB — millions);
+    with it each partition's rows land in few tasks. Use
+    LOW-CARDINALITY columns (date, source, lang); high-cardinality
+    partitioning recreates the small-files problem as directories.
+    """
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -372,3 +372,35 @@ def test_convert_format_rejects_unknown(spark, tmp_path):
     df = spark.range(1)
     with _pytest.raises(ValueError):
         write_table(df, str(tmp_path / "x"), "avroish")
+
+
+def test_hive_partitioned_write_prunes_and_bounds_files(spark, tmp_path):
+    """Partition pruning shows up as PartitionFilters in the scan (the
+    pruned directories are never listed), and the repartition guard
+    keeps files-per-partition bounded instead of tasks x partitions."""
+    import glob
+
+    from dataprocessingframework_spark.sources.layout import (
+        write_hive_partitioned,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    ).repartition(8)  # simulate many write tasks
+    path = str(tmp_path / "hive")
+    write_hive_partitioned(df, path, ["grp"], max_records_per_file=100000)
+
+    # small-files guard: each of the 4 partition dirs holds few files,
+    # not one per original task
+    for g in range(4):
+        files = glob.glob(f"{path}/grp={g}/*.parquet")
+        assert 1 <= len(files) <= 2, (g, files)
+
+    back = spark.read.parquet(path).filter(F.col("grp") == "2")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "grp" in pf[0], plan
+    assert back.count() == 1000
