@@ -661,7 +661,21 @@ def incremental_near_dup(
     jaccard_pairs). Shuffle volume is batch-sized plus the collided
     candidates, never corpus-sized. Within-batch near-dups are NOT
     removed here — run minhash_lsh_candidates on the batch for that.
+
+    PRECONDITION: batch and corpus id spaces must be disjoint (the
+    normal case for ingest ids). A shared id would orient to a
+    degenerate (x, x) pair that the verifier's ``id_a < id_b`` join
+    silently skips — so it is checked, not assumed.
     """
+    overlap = batch.select(id_col).join(
+        corpus.select(id_col), on=id_col, how="left_semi"
+    )
+    if overlap.limit(1).count() > 0:
+        raise ValueError(
+            "incremental_near_dup requires disjoint batch/corpus ids; "
+            f"found shared {id_col} values (e.g. "
+            f"{[r[0] for r in overlap.limit(3).collect()]})"
+        )
     if corpus_index is None:
         corpus_index = lsh_index(corpus, text_col, id_col, num_hashes, bands)
     bidx = lsh_index(batch, text_col, id_col, num_hashes, bands)

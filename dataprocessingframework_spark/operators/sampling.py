@@ -141,13 +141,19 @@ def temperature_sample(
     )
     c = F.col(key_col).cast("string")
     keyed = F.concat(F.lit(salt), c) if salt else c
+    # eqNullSafe: a null stratum is a group like any other (groupBy
+    # keeps it); a plain equi-join would silently drop those rows
+    rates = rates.withColumnRenamed(strata_col, "__strata")
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("__strata")),
+        )
         .filter(
             hash64(keyed) % denom
             < F.floor(F.col("__keep_rate") * denom).cast("long")
         )
-        .drop("__keep_rate")
+        .drop("__keep_rate", "__strata")
     )
 
 

@@ -546,3 +546,26 @@ def test_unigram_nll_golden(spark):
     assert out[1] == (round(nll_c, 4), 1)
     # rare-word doc scores strictly higher than common-word doc
     assert out[1][0] > out[0][0]
+
+
+def test_temperature_sample_keeps_null_stratum(spark):
+    from dataprocessingframework_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, None if i % 2 else "src") for i in range(200)]
+    df = spark.createDataFrame(rows, schema="doc_id long, grp string")
+    out = temperature_sample(df, "grp", "doc_id", alpha=1.0, target_fraction=1.0)
+    # alpha=1, target=1 -> every rate is 1.0: nothing may be dropped,
+    # including the null-stratum rows
+    assert out.count() == 200
+
+
+def test_incremental_near_dup_rejects_overlapping_ids(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, "same id space")], schema="doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="disjoint"):
+        dedup.incremental_near_dup(df, df, "text", "doc_id")
