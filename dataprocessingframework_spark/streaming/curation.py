@@ -35,7 +35,10 @@ def _batch_dirs(
     spark: SparkSession, corpus_dir: str, exclude: str | None = None
 ) -> list[str]:
     """Existing ``batch-*`` subdirectories of the corpus (Hadoop FS, so
-    any supported scheme works), minus ``exclude``."""
+    any supported scheme works), minus ``exclude``. Directories with no
+    data files are skipped: a micro-batch whose rows were ALL filtered
+    or deduped away writes only a _SUCCESS marker, and
+    ``spark.read.parquet`` fails on a part-less directory."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(corpus_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -44,7 +47,15 @@ def _batch_dirs(
     out = []
     for status in fs.listStatus(path):
         name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("batch-") and name != exclude:
+        if not (
+            status.isDirectory() and name.startswith("batch-") and name != exclude
+        ):
+            continue
+        has_data = any(
+            not f.getPath().getName().startswith(("_", "."))
+            for f in fs.listStatus(status.getPath())
+        )
+        if has_data:
             out.append(str(status.getPath().toUri().getPath()))
     return sorted(out)
 
