@@ -130,12 +130,12 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
     from dataprocessingframework_spark import queries as q
 
     r = q.q_a_approx_sketches(spark, sf_dir).collect()[0]
-    assert r.err_orderkey <= 0.05 * 3  # 3 sigma of rsd=0.05
-    assert r.err_partkey <= 0.05 * 3
-    # percentile_approx with accuracy 10000 -> within 1% rank error;
-    # on this distribution value error stays small
-    assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.02
-    assert abs(r.p99_approx - r.p99_exact) / r.p99_exact < 0.02
+    # 3 sigma of rsd=0.05 for HLL; 2% value tolerance for the
+    # rank-1e-4 quantile sketch — the same bounds the DuckDB oracle
+    # pins to TRUE (SQL_A_APPROX_SKETCHES)
+    assert r.ok_orderkey and r.ok_partkey
+    assert r.ok_p50 and r.ok_p99
+    assert r.ed_orderkey > 0 and r.p50_exact > 0
 
 
 def test_facade_round3_delegates(spark, tmp_path):
