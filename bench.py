@@ -74,6 +74,14 @@ def bench_queries(spark):
                 num_hashes=16, bands=4, max_bucket_size=None,
             )
         ),
+        # ... and the PRODUCTION shape with the default bucket cap, so
+        # the star-join collapse path is perf-guarded too (VERDICT r3)
+        "minhash_lsh_candidates_capped": big(
+            lambda s, d: dedup.minhash_lsh_candidates(
+                q.T(s, d, "documents"), "text", "doc_id",
+                num_hashes=16, bands=4,
+            )
+        ),
         # embedding similarity
         "ann_topk_cosine": small(q.q_emb_topk),
         "ann_topk_blas": small(
@@ -110,17 +118,22 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name, thunk in bench_queries(spark).items():
         # isolate queries: persisted intermediates from earlier queries
         # (LSH bucket tables etc.) otherwise pile up and add eviction
         # pressure, inflating later timings run-to-run
         spark.catalog.clearCache()
-        best = float("inf")
+        runs = []
         for _ in range(3):  # min-of-3: local[32] on tiny data is noisy
             t0 = time.time()
             thunk()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        # per-trial times recorded so a one-off outlier in the minima
+        # (e.g. background contention) is self-diagnosing in the
+        # BENCH_r{N}.json artifact rather than needing a re-run
+        trials[name] = runs
+        timings[name] = min(runs)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -130,6 +143,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "trials": trials,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -401,6 +401,68 @@ class CaptioningFilter(ModelFilter):
         return {f"caption_{self.prompt}": [c.strip() for c in captions]}
 
 
+class VideoCaptioningFilter(CaptioningFilter):
+    """M14 — video-captioning family (VideoLLaVA / LITA / GroundingGPT:
+    `filters/videos/video_llava_filter.py:109-110`,
+    `lita_filter.py:201-202`, `grounding_gpt_filter.py`; result column
+    `caption {model} prompt {prompt}` — here ``video_caption_{prompt}``
+    per the repo's stable-name convention). Documented deviation: the
+    reference vendors ~14k LoC of model code; this filter instead
+    samples ``num_frames`` frames uniformly (same decode path as K9's
+    FrameFilterAdapter) and runs any public HF vision2seq checkpoint —
+    video-native processors (``videos=`` kwarg, e.g. Video-LLaVA on
+    the hub) get the full frame sequence, image-only ones get the
+    middle frame. Spark-side shape is identical to every M-tier
+    filter: BinaryType in, mapInPandas, weights loaded once per task."""
+
+    requires = ("torch", "PIL")
+
+    def __init__(
+        self,
+        model_name: str = "llava-hf/LLaVA-NeXT-Video-7B-hf",
+        num_frames: int = 8,
+        prompt: str = "describe",
+        **kw: Any,
+    ) -> None:
+        super().__init__(model_name=model_name, prompt=prompt, **kw)
+        self.num_frames = num_frames
+
+    @property
+    def result_schema(self):
+        return [(f"video_caption_{self.prompt}", StringType())]
+
+    def preprocess(self, data, metadata):
+        self._check_available()
+        from dataprocessingframework_spark.filters.media_kernels import (
+            extract_video_frame,
+        )
+
+        n = max(1, self.num_frames)
+        return [
+            _read_image_rgb(extract_video_frame(data, (i + 1) / (n + 1)))
+            for i in range(n)
+        ]
+
+    def infer_batch(self, batch):
+        col = f"video_caption_{self.prompt}"
+        try:  # video-native checkpoint: frames as one video sequence
+            inputs = self._processor(
+                videos=batch, text=[self.prompt] * len(batch),
+                return_tensors="pt", padding=True,
+            ).to(self.device)
+        except TypeError:  # image-only checkpoint: middle frame
+            inputs = self._processor(
+                images=[frames[len(frames) // 2] for frames in batch],
+                return_tensors="pt",
+            ).to(self.device)
+        with torch.no_grad():
+            ids = self._model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens
+            )
+        captions = self._processor.batch_decode(ids, skip_special_tokens=True)
+        return {col: [c.strip() for c in captions]}
+
+
 class T2ISimilarityFilter(_ClipImageFilter):
     """M10-M12 — text-image similarity diag(image @ text.T)
     (`filters/text2image/clip_filter.py:114-120`): each row's image is
@@ -437,11 +499,13 @@ class TextDetectionFilter(ModelFilter):
     """M6 — CRAFT text detection
     (`filters/images/text_detection_filter.py:12-65`): per-image text
     boxes plus derived count/area. The reference vendors the CRAFT
-    model; here the detector is pluggable (``detector`` is any
-    callable image -> list of (x0,y0,x1,y1) boxes, e.g. a loaded CRAFT
-    checkpoint) so the Spark contract — schema, downstream
-    ``text_boxes`` consumption by OCRFilter — is testable without the
-    vendored weights."""
+    net + weights; instead of vendoring, ``setup()`` loads a public
+    CRAFT port when no detector is injected — ``craft_text_detector``
+    (pip) first, then easyocr's bundled CRAFT — matching the M5/M13
+    no-vendoring treatment. ``detector`` stays pluggable (any callable
+    image -> list of (x0,y0,x1,y1)) so the Spark contract — schema,
+    downstream ``text_boxes`` consumption by OCRFilter — is testable
+    without any weights."""
 
     requires = ("torch", "PIL")
 
@@ -457,13 +521,64 @@ class TextDetectionFilter(ModelFilter):
             ("text_area", DoubleType()),
         ]
 
+    def _default_detector(self) -> Any:
+        """Public CRAFT ports, tried in order. Returns
+        image -> [(x0,y0,x1,y1), ...] over axis-aligned hulls of the
+        detector's polygons (the reference derives its box stats the
+        same way: `text_detection_filter.py:33-35`)."""
+        import numpy as np
+
+        try:
+            from craft_text_detector import Craft
+
+            craft = Craft(
+                output_dir=None,
+                crop_type="box",
+                cuda=self.device not in ("cpu",),
+            )
+
+            def detect(img):
+                polys = craft.detect_text(np.asarray(img))["boxes"]
+                return [
+                    (
+                        float(min(p[0] for p in poly)),
+                        float(min(p[1] for p in poly)),
+                        float(max(p[0] for p in poly)),
+                        float(max(p[1] for p in poly)),
+                    )
+                    for poly in polys
+                ]
+
+            return detect
+        except ImportError:
+            pass
+        try:
+            import easyocr
+
+            reader = easyocr.Reader(
+                ["en"], gpu=self.device not in ("cpu",), recognizer=False
+            )
+
+            def detect(img):
+                # horizontal_list entries are [x_min, x_max, y_min, y_max]
+                horizontal, _free = reader.detect(np.asarray(img))
+                return [
+                    (float(x0), float(y0), float(x1), float(y1))
+                    for x0, x1, y0, y1 in horizontal[0]
+                ]
+
+            return detect
+        except ImportError as e:
+            raise NotImplementedError(
+                "TextDetectionFilter needs a CRAFT port "
+                "(pip craft_text_detector or easyocr) or an injected "
+                "detector callable"
+            ) from e
+
     def setup(self) -> None:
         super().setup()
         if self.detector is None:
-            raise NotImplementedError(
-                "TextDetectionFilter needs a detector callable (the "
-                "reference vendors CRAFT; pass a loaded model here)"
-            )
+            self.detector = self._default_detector()
 
     def preprocess(self, data, metadata):
         self._check_available()

@@ -619,7 +619,10 @@ def lsh_index(
     equi-join instead of re-hashing 100 TB of history. Bucket ids are
     the same md5-portable band hashes as minhash_lsh_candidates
     (oracle-identical)."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rpb = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
     entries = []

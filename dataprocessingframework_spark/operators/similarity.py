@@ -199,6 +199,7 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 8,
     probe_radius: int = 1,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a probed LSH bucket.
 
@@ -213,6 +214,17 @@ def lsh_topk(
     single-bucket probing. At 100 TB the shape stays the only viable
     one: bucket assignment is a narrow map, the join is an equi-join
     on bucket (shuffle on bucket id, AQE-skew-splittable).
+
+    Comparability note: the default changed 0 -> 1 in round 3, so
+    lsh_topk recall and bench timings before/after that round are not
+    directly comparable (the query side scores ~(n_planes+1)x more
+    candidate pairs; recall only improves).
+
+    The query side is broadcast only while its post-probe row count
+    stays under ``broadcast_threshold``; a large probe batch (say 10M
+    rows against a corpus) instead flows through a plain equi-join on
+    bucket, which shuffles both sides but cannot OOM the driver or
+    executors on broadcast materialization.
     """
     if probe_radius not in (0, 1):
         raise ValueError("probe_radius must be 0 or 1")
@@ -242,8 +254,14 @@ def lsh_topk(
         norm(F.col(vec_col)).alias("c_norm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
+    fanout = (n_planes + 1) if probe_radius == 1 else 1
+    q_side = (
+        F.broadcast(q)
+        if queries.count() * fanout <= broadcast_threshold
+        else q
+    )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(q_side, on="bucket")
         .filter(F.col("nbr_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -217,8 +217,15 @@ def zipf_slope(
         F.log(F.row_number().over(w).cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
+    # var_pop('x') == 0 when the corpus has a single distinct term —
+    # emit an explicit 0.0 rather than a silent NULL-by-division
     return ranked.agg(
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("zipf_slope"),
+        F.when(
+            F.var_pop("x") > 0,
+            F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zipf_slope"),
         F.count(F.lit(1)).alias("n_terms"),
     )
 

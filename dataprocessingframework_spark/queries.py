@@ -1725,7 +1725,8 @@ WITH toks AS (
          ln(CAST(freq AS DOUBLE)) AS y
   FROM top
 )
-SELECT ROUND(regr_slope(y, x),4) AS zipf_slope, CAST(COUNT(*) AS BIGINT) AS n_terms
+SELECT COALESCE(ROUND(regr_slope(y, x),4), 0.0) AS zipf_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
 FROM ranked
 """
 
@@ -2952,7 +2953,8 @@ WITH counts AS (
   FROM counts c CROSS JOIN tot t
 )
 SELECT d.doc_id, d.source, d.lang
-FROM documents d JOIN rates USING (source)
+FROM documents d
+JOIN rates ON d.source IS NOT DISTINCT FROM rates.source
 WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))
            AS BIGINT) % 1000000
       < CAST(floor(r * 1000000) AS BIGINT)

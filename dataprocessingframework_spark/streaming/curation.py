@@ -56,7 +56,11 @@ def _batch_dirs(
             for f in fs.listStatus(status.getPath())
         )
         if has_data:
-            out.append(str(status.getPath().toUri().getPath()))
+            # Full URI (scheme + authority), not just the path part:
+            # with a non-default filesystem (s3a:// corpus on an HDFS
+            # defaultFS) a bare path would resolve against the wrong
+            # FS and the dedup-vs-corpus anti-join would read nothing.
+            out.append(str(status.getPath().toString()))
     return sorted(out)
 
 

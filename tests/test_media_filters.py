@@ -143,3 +143,53 @@ def test_m_tier_schemas_and_loud_gating():
                 f.preprocess(b"bytes", {"caption": "hi"})
             with pytest.raises(NotImplementedError):
                 f.process_batch([b"bytes"])
+
+
+def test_video_captioning_filter_schema_and_sampling(spark):
+    """M14 contract: schema declared without weights, frame sampling
+    runs through the same decode path as K9, gating is loud."""
+    from dataprocessingframework_spark.filters.model_filters import (
+        VideoCaptioningFilter,
+    )
+
+    f = VideoCaptioningFilter(num_frames=4, prompt="describe")
+    assert [n for n, _ in f.result_schema] == ["video_caption_describe"]
+    if not HAVE_TORCH:
+        with pytest.raises(NotImplementedError):
+            f.preprocess(b"bytes", {})
+        with pytest.raises(NotImplementedError):
+            f.process_batch([b"bytes"])
+
+
+def test_text_detection_default_body_is_gated_not_absent(spark):
+    """M6: with no injected detector, setup() must try to LOAD a public
+    CRAFT port (craft_text_detector / easyocr) — i.e. raise the loud
+    NotImplementedError only because the stack is absent here, not
+    because the body is a stub. With an injected detector the full
+    kernel must run without any model stack... except PIL decode."""
+    from dataprocessingframework_spark.filters.model_filters import (
+        HAVE_PIL,
+        TextDetectionFilter,
+    )
+
+    f = TextDetectionFilter()
+    if not HAVE_TORCH:
+        with pytest.raises(NotImplementedError):
+            f.setup()
+    # injected-detector seam still composes with OCRFilter downstream
+    fake = TextDetectionFilter(detector=lambda img: [(0, 0, 2, 2)])
+    assert [n for n, _ in fake.result_schema] == [
+        "text_boxes",
+        "num_text_boxes",
+        "text_area",
+    ]
+    if HAVE_PIL:  # pragma: no cover - stack not in this sandbox
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4)).save(buf, format="PNG")
+        img = fake.preprocess(buf.getvalue(), {})
+        out = fake.infer_batch([img])
+        assert out["num_text_boxes"] == [1]
