@@ -183,3 +183,42 @@ def per_group_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 90),
+        ("val", 5),
+        ("test", 5),
+    ),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic named train/val/test assignment: bucket =
+    hash64(salt||key) % total_weight, mapped to the first split whose
+    cumulative weight exceeds it. Pure function of the key — the same
+    row lands in the same split on any engine, partitioning, or rerun,
+    and disjointness/coverage are structural. Narrow (no shuffle);
+    the assignment column is codegen'd JVM-side.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(w for _, w in splits)
+    c = F.col(key_col).cast("string")
+    keyed = F.concat(F.lit(salt), c) if salt else c
+    bucket = hash64(keyed) % total
+    chain = None
+    acc = 0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = bucket < acc
+        chain = (
+            F.when(cond, F.lit(name))
+            if chain is None
+            else chain.when(cond, F.lit(name))
+        )
+    last = F.lit(splits[-1][0])
+    chain = last if chain is None else chain.otherwise(last)
+    return df.withColumn(out_col, chain)

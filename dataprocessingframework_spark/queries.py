@@ -4013,6 +4013,539 @@ ORDER BY user_id, event_type
 
 
 # --------------------------------------------------------------------------
+# round 4: event analytics (sessionize / retention / attribution /
+# paths), interval windows, corpus mix & funnel reports, bigram
+# profile, bucketed co-located join, full-outer merge, split assign
+# --------------------------------------------------------------------------
+
+
+def q_ev_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    the canonical event-analytics operator the reference's batch
+    surface lacks. Two windows over the SAME (user_id, ts, event_id)
+    ordering — lag to flag session starts, running sum to number them
+    — so Spark plans ONE shuffle on user_id and both windows run in
+    the same sort. At 100 TB: partition count scales with users, no
+    global sort, skewed users AQE-splittable."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            is_new.alias("is_new"),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wc))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max(F.col("ts").cast("long"))
+                - F.min(F.col("ts").cast("long"))
+            ).alias("dur_sec"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_EV_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS dur_sec,
+       COUNT(DISTINCT event_type) AS n_types
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q_ev_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (cohort week x weeks-since),
+    distinct users — the product-analytics staple. Cohort derivation
+    is a user-keyed agg joined back; both shuffles are user-sized,
+    never event-sized."""
+    ev = T(spark, sf_dir, "events")
+    per = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    )
+    cohort = per.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        per.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_EV_RETENTION = """
+WITH per AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), coh AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM per GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(floor(date_diff('day', cohort_week, week) / 7) AS INTEGER)
+         AS week_offset,
+       COUNT(DISTINCT per.user_id) AS n_users
+FROM per JOIN coh USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q_ev_attribution(spark, sf_dir):
+    """First-touch / last-touch attribution: per user the first and
+    last event_type by (ts, event_id), then the user count per
+    (first, last) pair. Both row_number windows share one ordering
+    family on user_id — a single shuffle."""
+    ev = T(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wl = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    first = marked.filter(F.col("rf") == 1).select(
+        "user_id", F.col("event_type").alias("first_touch")
+    )
+    last = marked.filter(F.col("rl") == 1).select(
+        "user_id", F.col("event_type").alias("last_touch")
+    )
+    return (
+        first.join(last, "user_id")
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+SQL_EV_ATTRIBUTION = """
+WITH marked AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events
+)
+SELECT f.event_type AS first_touch, l.event_type AS last_touch,
+       COUNT(DISTINCT f.user_id) AS n_users
+FROM marked f JOIN marked l
+  ON f.user_id = l.user_id AND f.rf = 1 AND l.rl = 1
+GROUP BY first_touch, last_touch
+ORDER BY first_touch, last_touch
+"""
+
+
+def q_ev_top_paths(spark, sf_dir):
+    """Top event-type transitions (src -> next) via lead() — the
+    navigation-path profile. Deterministic top-20 tie-break."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(20)
+    )
+
+
+SQL_EV_TOP_PATHS = """
+WITH t AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, COUNT(*) AS n FROM t WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY n DESC, src, dst LIMIT 20
+"""
+
+
+def q_w_rolling_revenue(spark, sf_dir):
+    """RANGE-interval window: per-customer trailing-90-day revenue on
+    every order (RANGE frame over epoch seconds == DuckDB's
+    INTERVAL-89-DAY frame for midnight-stamped dates). Range frames
+    are the time-series surface ROWS frames can't express when order
+    density varies per key."""
+    od = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ-safe epoch: NTZ -> TIMESTAMP -> long (a direct NTZ->long
+        # cast is rejected); dates are midnight-stamped so the RANGE
+        # frame matches DuckDB's INTERVAL 89 DAY exactly
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-89 * 86400, 0)
+    )
+    return (
+        od.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rev_90d"),
+        )
+        .orderBy("o_custkey", "o_date", "o_orderkey")
+    )
+
+
+SQL_W_ROLLING_REVENUE = """
+SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 89 DAY PRECEDING AND CURRENT ROW), 2)
+    AS rev_90d
+FROM orders WHERE o_custkey % 100 = 0
+ORDER BY o_custkey, o_date, o_orderkey
+"""
+
+
+def q_tx_lang_mix(spark, sf_dir):
+    """Corpus language-mix report: docs, whitespace tokens, and doc
+    share per declared language — the first table anyone asks of a
+    multilingual corpus. Single agg pass + broadcast total."""
+    docs = T(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text_analysis.token_count("text")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("tot"), 4).alias("doc_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TX_LANG_MIX = """
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+    CAST(SUM(len(list_filter(string_split(text,' '), x -> x <> '')))
+         AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 4) AS doc_share
+FROM per ORDER BY lang
+"""
+
+
+def q_tx_filter_funnel(spark, sf_dir):
+    """Curation-funnel survival report: one conditional-aggregate pass
+    emits how many docs survive each cumulative stage (length ->
+    quality -> language -> exact near-dup). The operational 'where did
+    my corpus go' query; all stages evaluate in ONE scan, the dedup
+    stage is a conditional count-distinct on the fingerprint."""
+    docs = T(spark, sf_dir, "documents")
+    feat = docs.select(
+        "n_chars",
+        text_analysis.quality_score("text").alias("quality"),
+        text_analysis.lang_id("text").alias("lang_pred"),
+        text_analysis.fingerprint("text").alias("fingerprint"),
+    )
+    len_ok = F.col("n_chars") >= 200
+    q_ok = len_ok & (F.col("quality") >= 0.5)
+    en_ok = q_ok & (F.col("lang_pred") == "en")
+    return feat.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(len_ok, 1)).alias("n_len"),
+        F.count(F.when(q_ok, 1)).alias("n_quality"),
+        F.count(F.when(en_ok, 1)).alias("n_english"),
+        F.count_distinct(F.when(en_ok, F.col("fingerprint"))).alias(
+            "n_dedup"
+        ),
+    )
+
+
+SQL_TX_FILTER_FUNNEL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+    length(text) AS total,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+    len(list_filter(string_split(text,' '), x -> x IN ({_STOPS_SQL}))) AS hits,
+    {_lang_hits_sql('en')},
+    {_lang_hits_sql('es')},
+    {_lang_hits_sql('de')},
+    {_lang_hits_sql('fr')},
+    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+feat AS (
+  SELECT n_chars, fingerprint,
+    CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+         WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+         WHEN h_fr > 0 THEN 'fr'
+         ELSE 'unk' END AS lang_pred,
+    ROUND((LEAST(n/20.0, 1.0)
+         + LEAST(CASE WHEN n > 0 THEN CAST(hits AS DOUBLE)/n ELSE 0.0 END * 5.0, 1.0)
+         + (1.0 - LEAST(CASE WHEN total > 0 THEN CAST(punct AS DOUBLE)/total ELSE 0.0 END * 4.0, 1.0)))/3.0,
+      4) AS quality
+  FROM t
+)
+SELECT COUNT(*) AS n_all,
+  COUNT(*) FILTER (WHERE n_chars >= 200) AS n_len,
+  COUNT(*) FILTER (WHERE n_chars >= 200 AND quality >= 0.5) AS n_quality,
+  COUNT(*) FILTER (WHERE n_chars >= 200 AND quality >= 0.5
+                     AND lang_pred = 'en') AS n_english,
+  COUNT(DISTINCT CASE WHEN n_chars >= 200 AND quality >= 0.5
+                        AND lang_pred = 'en'
+                      THEN fingerprint END) AS n_dedup
+FROM feat
+"""
+
+
+def q_f_ngram_profile(spark, sf_dir):
+    """Top-20 word bigrams (zip_with over adjacent token slices — no
+    self-join): the n-gram corpus profile. Explode is the only wide
+    op; counts combine map-side."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), ' '), x -> x != '')")
+    bi = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+SQL_F_NGRAM_PROFILE = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text),' '), x -> x <> '') AS t
+  FROM documents
+), bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, COUNT(*) AS freq FROM bi GROUP BY bigram
+ORDER BY freq DESC, bigram LIMIT 20
+"""
+
+
+def q_a_mode_per_group(spark, sf_dir):
+    """Per-source modal language (mode with deterministic tie-break) —
+    group-by + one window over group-sized data, never row-sized."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc_nulls_last("lang")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("mode_lang"), "n")
+        .orderBy("source")
+    )
+
+
+SQL_A_MODE_PER_GROUP = """
+WITH cnt AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY source, lang
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY n DESC, lang ASC NULLS LAST) AS rn
+  FROM cnt
+)
+SELECT source, lang AS mode_lang, n FROM ranked WHERE rn = 1
+ORDER BY source
+"""
+
+
+def q_w_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: orders and customer written bucketed
+    by custkey (8 buckets, sorted), then joined WITHOUT an exchange on
+    either side — the pre-shuffle layout that turns every future join
+    on the key into a map-side merge. At 100 TB this is the difference
+    between shuffling the fact table per query and shuffling it once
+    at ingest. tests/test_bucketed.py pins the no-Exchange plan; here
+    the result feeds the driver oracle."""
+    import shutil
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
+    base = f"/root/repo/.scratch/bucketed_{tag}"
+    try:
+        (
+            T(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{base}/{ot}")
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+        (
+            T(spark, sf_dir, "customer")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{base}/{ct}")
+            .mode("overwrite")
+            .saveAsTable(ct)
+        )
+        res = (
+            spark.table(ot)
+            .join(
+                spark.table(ct),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {ct}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_W_BUCKETED_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_j_full_outer(spark, sf_dir):
+    """Full-outer merge of two daily aggregates (orders vs events) —
+    the reconciliation-report join shape; unmatched days survive from
+    BOTH sides with zero-filled counts."""
+    od = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        od.join(ed, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("d")
+    )
+
+
+SQL_J_FULL_OUTER = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY d
+), ed AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY d
+)
+SELECT COALESCE(od.d, ed.d) AS d,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events
+FROM od FULL JOIN ed ON od.d = ed.d
+ORDER BY d
+"""
+
+
+def q_d_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment on the portable
+    key hash — the reproducible-split primitive (hash_sample's named
+    sibling): disjoint, covering, engine-portable, shuffle-free."""
+    from dataprocessingframework_spark.operators.sampling import split_assign
+
+    return (
+        split_assign(T(spark, sf_dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_D_SPLIT_ASSIGN = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN h < 90 THEN 'train'
+         WHEN h < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+      CAST(concat('0x',
+        substr(md5(concat('split', CAST(doc_id AS VARCHAR))),1,15))
+        AS BIGINT) % 100 AS h
+    FROM documents) t
+)
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4065,7 +4598,18 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ivf_topk": (q_emb_ivf_topk, None),
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
     # -- new in round 4 ----------------------------------------------
-    # (new queries insert here, staying inside the first 50)
+    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
+    "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
+    "ev_attribution": (q_ev_attribution, SQL_EV_ATTRIBUTION),
+    "ev_top_paths": (q_ev_top_paths, SQL_EV_TOP_PATHS),
+    "w_rolling_revenue": (q_w_rolling_revenue, SQL_W_ROLLING_REVENUE),
+    "tx_lang_mix": (q_tx_lang_mix, SQL_TX_LANG_MIX),
+    "tx_filter_funnel": (q_tx_filter_funnel, SQL_TX_FILTER_FUNNEL),
+    "f_ngram_profile": (q_f_ngram_profile, SQL_F_NGRAM_PROFILE),
+    "a_mode_per_group": (q_a_mode_per_group, SQL_A_MODE_PER_GROUP),
+    "w_bucketed_join": (q_w_bucketed_join, SQL_W_BUCKETED_JOIN),
+    "j_full_outer": (q_j_full_outer, SQL_J_FULL_OUTER),
+    "d_split_assign": (q_d_split_assign, SQL_D_SPLIT_ASSIGN),
     # ================= driver window ends here (50) =================
     # ROTATION LEDGER: window A (relational surface) driver-green in
     # r1/r2; window B (dedup/similarity/TPC-H/streaming/curation)

@@ -569,3 +569,56 @@ def test_incremental_near_dup_rejects_overlapping_ids(spark):
     )
     with _pytest.raises(ValueError, match="disjoint"):
         dedup.incremental_near_dup(df, df, "text", "doc_id")
+
+
+def test_split_assign_disjoint_covering_deterministic(spark):
+    """90/5/5 named splits: every key gets exactly one split, the same
+    split on re-run, and custom weights are honored."""
+    from dataprocessingframework_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = split_assign(df, "k")
+    counts = {r.split: r.n for r in a.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # covering, disjoint by CASE
+    assert counts["train"] > counts["val"]  # 90 >> 5 at n=2000
+    b = split_assign(df, "k")
+    assert a.exceptAll(b).count() == 0  # pure function of the key
+    half = split_assign(df, "k", splits=(("a", 1), ("b", 1)))
+    got = {r.split for r in half.select("split").distinct().collect()}
+    assert got == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assign(df, "k", splits=())
+
+
+def test_sessionize_gap_semantics(spark):
+    """30-min gap closes a session; <=30-min keeps it open."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base, "a", 0.0, ""),
+        (1, 2, base + dt.timedelta(minutes=29), "b", 0.0, ""),
+        (1, 3, base + dt.timedelta(minutes=29 + 31), "c", 0.0, ""),
+        (2, 4, base, "a", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="user_id long, event_id long, ts timestamp, "
+        "event_type string, value double, props string",
+    )
+    import dataprocessingframework_spark.queries as q
+
+    orig = q.T
+    try:
+        q.T = lambda s, d, name: df  # noqa: E731 - inject fixture table
+        out = {
+            (r.user_id, r.session_id): r.n_events
+            for r in q.q_ev_sessionize(spark, "ignored").collect()
+        }
+    finally:
+        q.T = orig
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
