@@ -1753,6 +1753,60 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_tx_nll_buckets(spark, sf_dir):
+    """CCNet-style corpus split into head/middle/tail thirds by
+    unigram-NLL (the perplexity-bucketing curation move). Scale-safe
+    formulation: thresholds come from ONE percentile aggregate
+    broadcast back over the corpus — never a global ntile window,
+    which would sort the whole corpus into a single partition at
+    100 TB."""
+    nll = text_analysis.unigram_nll(T(spark, sf_dir, "documents"))
+    thr = nll.agg(
+        F.expr(
+            "percentile(mean_nll, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("t")
+    )
+    bucket = (
+        F.when(F.col("mean_nll") <= F.col("t")[0], "head")
+        .when(F.col("mean_nll") <= F.col("t")[1], "middle")
+        .otherwise("tail")
+    )
+    return (
+        nll.crossJoin(F.broadcast(thr))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mean_nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_TX_NLL_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+  FROM documents
+), cnt AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), tot AS (SELECT SUM(c) AS n_total FROM cnt),
+nll AS (
+  SELECT t.doc_id, ROUND(AVG(-ln(cnt.c / tot.n_total)), 4) AS mean_nll
+  FROM toks t JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+), thr AS (
+  SELECT quantile_cont(mean_nll, 1.0/3) AS t1,
+         quantile_cont(mean_nll, 2.0/3) AS t2
+  FROM nll
+)
+SELECT CASE WHEN mean_nll <= t1 THEN 'head'
+            WHEN mean_nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs, ROUND(AVG(mean_nll), 4) AS avg_nll
+FROM nll CROSS JOIN thr
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_w_hive_partitioned(spark, sf_dir):
     """Hive-partitioned layout round-trip: events written into
     event_type=... directories, re-read with a partition predicate
@@ -4123,31 +4177,21 @@ ORDER BY cohort_week, week_offset
 def q_ev_attribution(spark, sf_dir):
     """First-touch / last-touch attribution: per user the first and
     last event_type by (ts, event_id), then the user count per
-    (first, last) pair. Both row_number windows share one ordering
-    family on user_id — a single shuffle."""
+    (first, last) pair. min_by/max_by over a lexicographic (ts,
+    event_id) struct — ONE map-side-combinable aggregate instead of
+    the window/self-join formulation (which plans 5 exchanges and
+    sorts every user's events); per-user state is two structs, so the
+    shuffle carries users, not events. The oracle keeps the
+    row_number formulation — same result, independent derivation."""
     ev = T(spark, sf_dir, "events")
-    wf = Window.partitionBy("user_id").orderBy(
-        F.asc("ts"), F.asc("event_id")
-    )
-    wl = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    marked = ev.select(
-        "user_id",
-        "event_type",
-        F.row_number().over(wf).alias("rf"),
-        F.row_number().over(wl).alias("rl"),
-    )
-    first = marked.filter(F.col("rf") == 1).select(
-        "user_id", F.col("event_type").alias("first_touch")
-    )
-    last = marked.filter(F.col("rl") == 1).select(
-        "user_id", F.col("event_type").alias("last_touch")
+    ord_key = F.struct("ts", "event_id")
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("event_type", ord_key).alias("first_touch"),
+        F.max_by("event_type", ord_key).alias("last_touch"),
     )
     return (
-        first.join(last, "user_id")
-        .groupBy("first_touch", "last_touch")
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        per_user.groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("first_touch", "last_touch")
     )
 
@@ -4610,6 +4654,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "w_bucketed_join": (q_w_bucketed_join, SQL_W_BUCKETED_JOIN),
     "j_full_outer": (q_j_full_outer, SQL_J_FULL_OUTER),
     "d_split_assign": (q_d_split_assign, SQL_D_SPLIT_ASSIGN),
+    "tx_nll_buckets": (q_tx_nll_buckets, SQL_TX_NLL_BUCKETS),
     # ================= driver window ends here (50) =================
     # ROTATION LEDGER: window A (relational surface) driver-green in
     # r1/r2; window B (dedup/similarity/TPC-H/streaming/curation)

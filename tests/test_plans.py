@@ -256,3 +256,20 @@ def test_lsh_topk_broadcast_gated_by_query_size(spark, sf_dir):
     assert "ResolvedHint" not in analyzed
     assert "UnresolvedHint" not in analyzed
     assert "CartesianProduct" not in plan_of(large)
+
+
+def test_sessionize_single_data_shuffle(spark, sf_dir):
+    """Both sessionize windows and the per-session agg reuse ONE
+    hash exchange on user_id; only the presentation sort adds a
+    range exchange."""
+    plan = plan_of(q.q_ev_sessionize(spark, sf_dir))
+    assert plan.count("hashpartitioning") <= 1, plan.count("hashpartitioning")
+
+
+def test_attribution_is_two_level_aggregate(spark, sf_dir):
+    """min_by/max_by formulation: no window sort over events, no
+    self-join — two hash aggregates with map-side partials."""
+    plan = plan_of(q.q_ev_attribution(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
