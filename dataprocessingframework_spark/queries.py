@@ -4589,6 +4589,212 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+def q_ev_anomaly_days(spark, sf_dir):
+    """Outlier days by z-score (daily total value vs the corpus mean):
+    the monitoring query. Global stats come from ONE aggregate
+    broadcast back over the (already day-sized) daily table."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    stats = daily.agg(
+        F.avg("total").alias("mu"), F.stddev_pop("total").alias("sd")
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "d",
+            "total",
+            F.round(
+                F.abs(F.col("total") - F.col("mu")) / F.col("sd"), 4
+            ).alias("z"),
+        )
+        .orderBy(F.desc("z"), F.asc("d"))
+        .limit(10)
+    )
+
+
+SQL_EV_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY d
+), stats AS (
+  SELECT AVG(total) AS mu, stddev_pop(total) AS sd FROM daily
+)
+SELECT d, total, ROUND(ABS(total - mu) / sd, 4) AS z
+FROM daily CROSS JOIN stats
+ORDER BY z DESC, d LIMIT 10
+"""
+
+
+def q_ev_quartiles_by_type(spark, sf_dir):
+    """Exact grouped quantiles (per event_type): the grouped twin of
+    a1_quartiles; interpolating percentile == DuckDB quantile_cont."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EV_QUARTILES_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_tx_keyword_search(spark, sf_dir):
+    """Term search ranked by term frequency — the corpus-search
+    primitive (inverted-index probe shape): per-row token counts are
+    narrow array expressions, ranking is a distributed TakeOrdered
+    top-25, never a global sort."""
+    docs = T(spark, sf_dir, "documents")
+    toks = text_analysis.tokens("text")
+    hits = F.size(F.filter(toks, lambda x: x == F.lit("join")))
+    return (
+        docs.select(
+            "doc_id",
+            hits.alias("hits"),
+            F.round(hits / F.size(toks), 4).alias("tf"),
+        )
+        .filter(F.col("hits") > 0)
+        .orderBy(F.desc("tf"), F.desc("hits"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+SQL_TX_KEYWORD_SEARCH = """
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '), x -> x = 'join')) AS hits,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS n
+  FROM documents
+)
+SELECT doc_id, hits, ROUND(CAST(hits AS DOUBLE) / n, 4) AS tf
+FROM t WHERE hits > 0
+ORDER BY tf DESC, hits DESC, doc_id LIMIT 25
+"""
+
+
+def q_w_merge_upsert(spark, sf_dir):
+    """MERGE/upsert semantics as a full-outer coalesce: a changes
+    batch (updates for key%7 rows, inserts above the snapshot's key
+    space) applied to the snapshot — matched rows take the change,
+    unmatched keep the snapshot, new keys append. ONE shuffle family
+    on the merge key; at 100 TB the same plan bucket-joins if the
+    snapshot is bucketed by key (w_bucketed_join layout)."""
+    snap = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    # +10.0 (not a multiplier): a multiplicative bump lands updated
+    # prices on half-cent rounding boundaries where double-rounding
+    # diverges across engines; an additive delta preserves the 2dp
+    # values exactly in both
+    updates = snap.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("new_status"),
+        (F.col("o_totalprice") + 10.0).alias("new_price"),
+    )
+    inserts = snap.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = updates.unionByName(inserts)
+    return (
+        snap.join(changes, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("new_status", "o_orderstatus").alias("status"),
+            F.coalesce("new_price", "o_totalprice").alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_W_MERGE_UPSERT = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders
+), changes AS (
+  SELECT o_orderkey, 'U' AS new_status,
+         o_totalprice + 10.0 AS new_price
+  FROM snap WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM snap WHERE o_orderkey % 11 = 0
+)
+SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+       COALESCE(new_status, o_orderstatus) AS status,
+       COALESCE(new_price, o_totalprice) AS price
+FROM snap s FULL JOIN changes c ON s.o_orderkey = c.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+def q_a_top_docs_per_source(spark, sf_dir):
+    """Ordered string aggregation: the 3 largest docs per source as a
+    comma-joined id list (rank-sorted structs -> array_sort ->
+    array_join, so the aggregation order is deterministic without any
+    global sort) — the grouped-top-k presentation shape."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "rn",
+                                F.col("doc_id").cast("string").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                ",",
+            ).alias("top_docs"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_A_TOP_DOCS_PER_SOURCE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs,
+       MAX(n_chars) AS max_chars
+FROM ranked WHERE rn <= 3
+GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4655,6 +4861,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "j_full_outer": (q_j_full_outer, SQL_J_FULL_OUTER),
     "d_split_assign": (q_d_split_assign, SQL_D_SPLIT_ASSIGN),
     "tx_nll_buckets": (q_tx_nll_buckets, SQL_TX_NLL_BUCKETS),
+    "ev_anomaly_days": (q_ev_anomaly_days, SQL_EV_ANOMALY_DAYS),
+    "ev_quartiles_by_type": (q_ev_quartiles_by_type, SQL_EV_QUARTILES_BY_TYPE),
+    "tx_keyword_search": (q_tx_keyword_search, SQL_TX_KEYWORD_SEARCH),
+    "w_merge_upsert": (q_w_merge_upsert, SQL_W_MERGE_UPSERT),
+    "a_top_docs_per_source": (q_a_top_docs_per_source, SQL_A_TOP_DOCS_PER_SOURCE),
     # ================= driver window ends here (50) =================
     # ROTATION LEDGER: window A (relational surface) driver-green in
     # r1/r2; window B (dedup/similarity/TPC-H/streaming/curation)
