@@ -622,3 +622,77 @@ def test_sessionize_gap_semantics(spark):
     finally:
         q.T = orig
     assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_invariants_on_real_events(spark, sf_dir):
+    """Structural invariants of gap-based sessionization on the real
+    events table: sessions PARTITION each user's events; intra-session
+    consecutive gaps are <= 1800s; inter-session gaps are > 1800s."""
+    import dataprocessingframework_spark.queries as q
+
+    ev = q.T(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    sess = (
+        q.q_ev_sessionize(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+    )
+    # sessions partition events: per-user event counts match
+    by_user_events = pdf.groupby("user_id").size()
+    by_user_sess = sess.groupby("user_id")["n_events"].sum()
+    assert by_user_events.to_dict() == by_user_sess.to_dict()
+    # recompute boundaries in pandas and compare session counts
+    gaps = pdf.groupby("user_id")["ts"].diff().dt.total_seconds()
+    starts = (gaps.isna() | (gaps > 1800)).groupby(pdf["user_id"]).sum()
+    n_sessions = sess.groupby("user_id").size()
+    assert starts.astype(int).to_dict() == n_sessions.to_dict()
+
+
+def test_sessionize_matches_streaming_session_window(spark):
+    """The batch gap-based sessionize and Spark's session_window agree
+    on session membership for gaps strictly inside/outside the
+    timeout (the exact-boundary event differs by design:
+    session_window's window is [start, last+gap) so a gap == timeout
+    opens a NEW session, while the batch lag formulation keeps it —
+    crafted data avoids the boundary)."""
+    import datetime as dt
+
+    from dataprocessingframework_spark.streaming import session_window_agg
+    import dataprocessingframework_spark.queries as q
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows, eid = [], 0
+    # user 1: two sessions (41-min gap); user 2: one session
+    for mins in [0, 10, 20, 61, 70]:
+        eid += 1
+        rows.append((1, eid, base + dt.timedelta(minutes=mins), "a", 0.0, ""))
+    for mins in [0, 29, 58]:
+        eid += 1
+        rows.append((2, eid, base + dt.timedelta(minutes=mins), "b", 0.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        schema="user_id long, event_id long, ts timestamp, "
+        "event_type string, value double, props string",
+    )
+    stream_sessions = (
+        session_window_agg(df, gap="30 minutes", key_col="user_id")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .to_dict()
+    )
+    orig = q.T
+    try:
+        q.T = lambda s, d, name: df  # noqa: E731
+        batch_sessions = (
+            q.q_ev_sessionize(spark, "ignored")
+            .groupBy("user_id")
+            .count()
+            .toPandas()
+            .set_index("user_id")["count"]
+            .to_dict()
+        )
+    finally:
+        q.T = orig
+    assert stream_sessions == batch_sessions == {1: 2, 2: 1}
