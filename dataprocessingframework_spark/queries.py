@@ -4795,6 +4795,206 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_ev_props_json(spark, sf_dir):
+    """JSON property analytics: extract a typed field from the raw
+    props JSON string per event (get_json_object — JVM-side JSON path,
+    no UDF) and aggregate per event_type. The semi-structured-column
+    surface."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EV_PROPS_JSON = """
+SELECT event_type, COUNT(k) AS n, ROUND(AVG(k), 4) AS avg_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events) t
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_tx_ngram_entropy(spark, sf_dir):
+    """Corpus unigram/bigram Shannon entropy (bits) — the
+    information-density health metric that pairs with tx_zipf: low
+    entropy flags templated/duplicated corpora. Two explode+agg
+    passes; the p·log2(p) fold runs over gram-cardinality rows."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), ' '), x -> x != '')")
+    uni = (
+        docs.select(F.explode(toks).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def entropy(cnt):
+        tot = cnt.agg(F.sum("c").alias("tot"))
+        return cnt.crossJoin(F.broadcast(tot)).agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("tot"))
+                    * F.log2(F.col("c") / F.col("tot"))
+                ),
+                4,
+            ).alias("h_bits"),
+        )
+
+    u = entropy(uni).select(
+        F.col("n_grams").alias("n_unigrams"),
+        F.col("h_bits").alias("h_unigram"),
+    )
+    b = entropy(bi).select(
+        F.col("n_grams").alias("n_bigrams"),
+        F.col("h_bits").alias("h_bigram"),
+    )
+    return u.crossJoin(b)
+
+
+SQL_TX_NGRAM_ENTROPY = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text),' '), x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT g, COUNT(*) AS c FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g
+), bi AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS g
+    FROM toks WHERE len(t) >= 2) GROUP BY g
+),
+ue AS (
+  SELECT COUNT(*) AS n_unigrams,
+    ROUND(-SUM((CAST(c AS DOUBLE)/tot) * log2(CAST(c AS DOUBLE)/tot)), 4)
+      AS h_unigram
+  FROM uni CROSS JOIN (SELECT SUM(c) AS tot FROM uni)
+),
+be AS (
+  SELECT COUNT(*) AS n_bigrams,
+    ROUND(-SUM((CAST(c AS DOUBLE)/tot) * log2(CAST(c AS DOUBLE)/tot)), 4)
+      AS h_bigram
+  FROM bi CROSS JOIN (SELECT SUM(c) AS tot FROM bi)
+)
+SELECT n_unigrams, h_unigram, n_bigrams, h_bigram FROM ue CROSS JOIN be
+"""
+
+
+def q_f_regex_extract_all(spark, sf_dir):
+    """regexp_extract_all surface: pull the digit run out of every
+    customer name and reconcile it against the key — the
+    data-consistency audit shape (extraction is a narrow JVM regex,
+    the report is one aggregate)."""
+    cust = T(spark, sf_dir, "customer")
+    extracted = F.expr(
+        "CAST(regexp_extract_all(c_name, '[0-9]+', 0)[0] AS BIGINT)"
+    )
+    return cust.select(
+        (extracted == F.col("c_custkey")).alias("ok")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_match"),
+    )
+
+
+SQL_F_REGEX_EXTRACT_ALL = """
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (
+         WHERE CAST(regexp_extract_all(c_name, '[0-9]+')[1] AS BIGINT)
+               = c_custkey) AS n_match
+FROM customer
+"""
+
+
+def q_a_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics on l_orderkey: distinct keys, max and
+    mean per-key frequency, heaviest key's share — the profiling query
+    that predicts shuffle-skew BEFORE a 100 TB join is attempted (its
+    verdict decides salting / AQE skew-join settings)."""
+    cnt = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_freq"),
+        F.round(F.avg("c"), 4).alias("avg_freq"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top1_share"),
+    )
+
+
+SQL_A_SKEW_REPORT = """
+WITH cnt AS (
+  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys, MAX(c) AS max_freq,
+       ROUND(AVG(c), 4) AS avg_freq,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share
+FROM cnt
+"""
+
+
+def q_ev_transition_latency(spark, sf_dir):
+    """Mean seconds between consecutive events per (src -> dst)
+    transition — ev_top_paths with timing: the funnel-latency
+    profile. Same single user_id window family."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    t = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.lead(epoch).over(w) - epoch).alias("gap_sec"),
+    ).filter(F.col("dst").isNotNull())
+    return (
+        t.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+SQL_EV_TRANSITION_LATENCY = """
+WITH t AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER w AS dst,
+    date_diff('second', ts, LEAD(ts) OVER w) AS gap_sec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT src, dst, COUNT(*) AS n, ROUND(AVG(gap_sec), 4) AS avg_gap_sec
+FROM t WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4871,7 +5071,20 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # r1/r2; window B (dedup/similarity/TPC-H/streaming/curation)
     # driver-green in r3; window C (above) is the r4 window. Standing
     # rule: new queries enter positions 1-50 the round they are
-    # written.
+    # written; when the window is already full of never-checked
+    # entries (as in r4), late additions queue HERE at the top of the
+    # below-window block and lead the r5 rotation.
+    # ROTATION PLAN FOR r5: promote these 5 (locally oracle-verified,
+    # no driver row yet) into positions 1-50; the r4 window entries
+    # should be driver-green after r4 and rotate down.
+    "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
+    "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
+    "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
+    "a_skew_report": (q_a_skew_report, SQL_A_SKEW_REPORT),
+    "ev_transition_latency": (
+        q_ev_transition_latency,
+        SQL_EV_TRANSITION_LATENCY,
+    ),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
