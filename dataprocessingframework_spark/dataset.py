@@ -252,6 +252,28 @@ class Dataset:
             self.df.sampleBy(strata_col, dict(fractions), seed=seed)
         )
 
+    def split_assign(
+        self,
+        key_col: str,
+        splits: tuple[tuple[str, int], ...] = (
+            ("train", 90),
+            ("val", 5),
+            ("test", 5),
+        ),
+        salt: str = "split",
+        out_col: str = "split",
+    ) -> "Dataset":
+        """Deterministic named train/val/test assignment on the
+        portable key hash (operators/sampling.split_assign): disjoint,
+        covering, engine-portable, shuffle-free."""
+        from dataprocessingframework_spark.operators.sampling import (
+            split_assign,
+        )
+
+        return self._wrap(
+            split_assign(self.df, key_col, splits, salt, out_col)
+        )
+
     def random_sample(self, fraction: float, seed: int = 42) -> "Dataset":
         """D3 — `processors/processor.py:295-320`."""
         return self._wrap(self.df.sample(fraction=fraction, seed=seed))

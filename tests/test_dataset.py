@@ -161,3 +161,12 @@ def test_facade_round3_delegates(spark, tmp_path):
     )
     cents = {r.pos: r.centroid for r in emb.label_centroids().collect()}
     assert cents == {0: 2.0, 1: 3.0}
+
+
+def test_facade_split_assign(spark):
+    from dataprocessingframework_spark.dataset import Dataset
+
+    ds = Dataset(spark.range(0, 100).withColumnRenamed("id", "k"))
+    out = ds.split_assign("k").df
+    assert "split" in out.columns
+    assert out.count() == 100

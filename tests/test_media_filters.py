@@ -193,3 +193,27 @@ def test_text_detection_default_body_is_gated_not_absent(spark):
         img = fake.preprocess(buf.getvalue(), {})
         out = fake.infer_batch([img])
         assert out["num_text_boxes"] == [1]
+
+
+def test_frame_adapter_composes_captioning_filter(spark):
+    """M14/K9 composition: the IMAGE CaptioningFilter wrapped in
+    FrameFilterAdapter becomes a single-frame video captioner — the
+    adapter must surface the wrapped schema and (without torch) the
+    wrapped filter's loud gate, never silent nulls."""
+    from dataprocessingframework_spark.filters.media_kernels import (
+        FrameFilterAdapter,
+    )
+    from dataprocessingframework_spark.filters.model_filters import (
+        CaptioningFilter,
+    )
+
+    wrapped = FrameFilterAdapter(CaptioningFilter(prompt="describe"))
+    assert [n for n, _ in wrapped.result_schema] == ["caption_describe"]
+    assert wrapped.content_column == "content"
+    if not HAVE_TORCH:
+        # decode succeeds (synthetic codec); the wrapped filter's gate
+        # must fire on the extracted frame
+        frame = encode_fake_image(np.zeros((4, 6, 3), dtype=np.uint8))
+        video = encode_fake_video(640, 480, 30.0, 1000, frame)
+        with pytest.raises(NotImplementedError):
+            wrapped.preprocess(video, {})
