@@ -4995,6 +4995,71 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_dd_source_overlap(spark, sf_dir):
+    """Pairwise source-level vocabulary Jaccard — the cross-corpus
+    contamination/similarity matrix. The self-join runs on the
+    DISTINCT (source, token) table, so its volume is vocabulary-sized,
+    never corpus-sized; output is sources², tiny at any scale."""
+    docs = T(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(text_analysis.tokens("text")).alias("tok")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        st.alias("a")
+        .join(st.alias("b"), "tok")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SQL_DD_SOURCE_OVERLAP = """
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5085,6 +5150,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_ev_transition_latency,
         SQL_EV_TRANSITION_LATENCY,
     ),
+    "dd_source_overlap": (q_dd_source_overlap, SQL_DD_SOURCE_OVERLAP),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
