@@ -4995,6 +4995,43 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """§2.12 custom stateful operator, batch-checked: the
+    applyInPandasWithState gap-sessionizer's batch twin (identical
+    close rule, gap > 1800s). The streaming body — keyed state, append
+    emission on close, event-time timeout for the final open session —
+    runs in tests/test_video_and_stateful.py with a real two-batch
+    readStream."""
+    from dataprocessingframework_spark.streaming import stateful_sessionize
+
+    return stateful_sessionize(T(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start"
+    )
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def q_dd_source_overlap(spark, sf_dir):
     """Pairwise source-level vocabulary Jaccard — the cross-corpus
     contamination/similarity matrix. The self-join runs on the
@@ -5151,6 +5188,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         SQL_EV_TRANSITION_LATENCY,
     ),
     "dd_source_overlap": (q_dd_source_overlap, SQL_DD_SOURCE_OVERLAP),
+    "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),

@@ -11,6 +11,10 @@ from dataprocessingframework_spark.streaming.curation import (
     read_corpus,
 )
 from dataprocessingframework_spark.streaming.ingest import incremental_ingest
+from dataprocessingframework_spark.streaming.stateful import (
+    running_user_totals,
+    stateful_sessionize,
+)
 
 __all__ = [
     "tumbling_window_agg",
@@ -22,4 +26,6 @@ __all__ = [
     "incremental_ingest",
     "incremental_curation",
     "read_corpus",
+    "running_user_totals",
+    "stateful_sessionize",
 ]

@@ -107,3 +107,60 @@ def test_running_user_totals_streaming(spark, tmp_path):
         assert (rows[0].n_events, rows[0].total_value) == (3, 10.0)
     finally:
         q.stop()
+
+
+def test_stateful_sessionize_batch_parity(spark, sf_dir):
+    """Batch fallback of the stateful sessionizer reproduces the
+    lag/cumsum query's session partition on the real events table."""
+    import dataprocessingframework_spark.queries as q
+    from dataprocessingframework_spark.streaming import stateful_sessionize
+
+    ev = q.T(spark, sf_dir, "events")
+    mine = stateful_sessionize(ev).groupBy("user_id").count()
+    ref = q.q_ev_sessionize(spark, sf_dir).groupBy("user_id").count()
+    a = {r.user_id: r["count"] for r in mine.collect()}
+    b = {r.user_id: r["count"] for r in ref.collect()}
+    assert a == b
+
+
+def test_stateful_sessionize_streaming_closes_on_gap(spark, tmp_path):
+    """Two micro-batches: the first session closes (append-emitted)
+    when a later event arrives past the gap; the open session stays in
+    state, not in the sink."""
+    from dataprocessingframework_spark.streaming import stateful_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T12:00:00"}) + "\n")
+        f.write(json.dumps({"user_id": 1, "ts": "2024-01-01T12:10:00"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_sessionize(stream, gap_sec=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # next event 2h later -> closes the first session
+        with open(src / "b1.json", "w") as f:
+            f.write(
+                json.dumps({"user_id": 1, "ts": "2024-01-01T14:10:00"}) + "\n"
+            )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM sessions_out ORDER BY session_start"
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_events == 2
+        assert r.session_end - r.session_start == 600
+    finally:
+        q.stop()
