@@ -4995,6 +4995,47 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_w_zorder_layout(spark, sf_dir):
+    """Z-order layout round-trip: lineitem written Morton-ordered on
+    (l_orderkey, l_partkey), re-read with predicates on BOTH columns
+    (each prunes via footer min/max — the multi-column data-skipping
+    layout), aggregated. Oracle = the same predicate aggregate on the
+    unmoved source table."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.layout import (
+        write_zorder_layout,
+    )
+
+    out = f"/root/repo/.scratch/zorder_{uuid.uuid4().hex[:8]}"
+    li = T(spark, sf_dir, "lineitem")
+    try:
+        write_zorder_layout(
+            li.select("l_orderkey", "l_partkey", "l_quantity"),
+            out,
+            ["l_orderkey", "l_partkey"],
+            num_files=16,
+        )
+        back = spark.read.parquet(out).filter(
+            (F.col("l_orderkey") < 1000) & (F.col("l_partkey") < 100)
+        )
+        res = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_ZORDER_LAYOUT = """
+SELECT COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_orderkey < 1000 AND l_partkey < 100
+"""
+
+
 def q_stream_sessionize(spark, sf_dir):
     """§2.12 custom stateful operator, batch-checked: the
     applyInPandasWithState gap-sessionizer's batch twin (identical
@@ -5189,6 +5230,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     ),
     "dd_source_overlap": (q_dd_source_overlap, SQL_DD_SOURCE_OVERLAP),
     "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
+    "w_zorder_layout": (q_w_zorder_layout, SQL_W_ZORDER_LAYOUT),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),

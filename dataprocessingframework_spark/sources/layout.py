@@ -87,3 +87,74 @@ def write_hive_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def zorder_value(cols, mins, maxs, bits: int = 8):
+    """Morton z-value expression over numeric columns: each column is
+    equi-width bucketed to [0, 2^bits) against its broadcast min/max,
+    then the bucket bits interleave. Pure JVM bit arithmetic
+    (whole-stage codegen); no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    levels = (1 << bits) - 1
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(levels)
+        )
+        b = F.least(
+            F.greatest(F.floor(scaled).cast("long"), F.lit(0).cast("long")),
+            F.lit(levels).cast("long"),
+        )
+        buckets.append(b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet z-ordered on MULTIPLE columns: rows sort along the
+    Morton curve, so every file covers a compact hyper-rectangle of
+    the (col1, col2, ...) domain and parquet min/max footer statistics
+    prune on ANY of the z-ordered columns — where a plain sort key
+    only prunes its leading column. The Delta/Iceberg OPTIMIZE ZORDER
+    move, built from repartitionByRange + codegen bit interleave.
+
+    Column min/max come from ONE tiny aggregate (driver-collected,
+    2 x len(cols) scalars); the only shuffle is the range partition on
+    the z-value.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [stats[f"lo_{c}"] for c in cols]
+    maxs = [stats[f"hi_{c}"] for c in cols]
+    z = zorder_value(cols, mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -404,3 +404,42 @@ def test_hive_partitioned_write_prunes_and_bounds_files(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "grp" in pf[0], plan
     assert back.count() == 1000
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path, sf_dir):
+    """Z-order: every file covers a compact rectangle of the
+    (l_orderkey, l_partkey) domain, so footer min/max prune predicates
+    on EITHER column; a single-key range layout only prunes its own
+    sort key and spans the full secondary domain in every file."""
+    from dataprocessingframework_spark.sources.layout import (
+        file_key_ranges,
+        write_range_partitioned,
+        write_zorder_layout,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zorder_layout(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+    rpath = str(tmp_path / "bykey")
+    write_range_partitioned(li, rpath, "l_orderkey", num_files=16)
+
+    def overlap_fraction(path, col, frac=0.125):
+        ranges = [r for r in file_key_ranges(path, col) if r[1] is not None]
+        dom_lo = min(r[1] for r in ranges)
+        dom_hi = max(r[2] for r in ranges)
+        hi = dom_lo + (dom_hi - dom_lo) * frac
+        hit = [r for r in ranges if not (r[2] < dom_lo or r[1] > hi)]
+        return len(hit) / len(ranges)
+
+    # secondary column: z-order must prune where single-key cannot
+    z_partkey = overlap_fraction(zpath, "l_partkey")
+    r_partkey = overlap_fraction(rpath, "l_partkey")
+    assert z_partkey < r_partkey, (z_partkey, r_partkey)
+    assert r_partkey == 1.0  # every by-key file spans the partkey domain
+    # primary column still prunes under z-order (coarser than pure
+    # range layout but far from full-scan)
+    assert overlap_fraction(zpath, "l_orderkey") < 1.0
+    # layout preserves the data
+    assert spark.read.parquet(zpath).count() == li.count()
