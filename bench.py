@@ -54,6 +54,9 @@ def bench_queries(spark):
         "update_columns": small(q.q_w4_update_columns),
         # events / streaming shape
         "event_window_agg": small(q.q_f_time_bucket),
+        # event analytics (lag/cumsum windows + session agg, one
+        # user_id exchange — the sessionization cost class)
+        "event_sessionize": big(q.q_ev_sessionize),
         # text analytics (narrow projection, codegen)
         "text_quality": big(lambda s, d: q.q_tx_quality(s, d)),
         # flagship curation pipeline (features -> filter -> dedup -> stats)
