@@ -4995,6 +4995,79 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the event-transition graph (10 fixed
+    iterations, damping 0.85): which event types accumulate
+    navigational mass. Fixed iteration count keeps the result
+    deterministic, so the DuckDB oracle replays the identical
+    recurrence through chained CTEs — the iterative-algorithm tier's
+    full-oracle representative (k-means stays invariant-checked)."""
+    from dataprocessingframework_spark.operators.graph import pagerank
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, weight="w").orderBy("node")
+
+
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Chained-CTE DuckDB replay of the exact pagerank() recurrence."""
+    head = """
+WITH edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT event_type AS src,
+      LEAD(event_type) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events) t
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+out_w AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+norm AS (SELECT src, dst, w/ow AS nw FROM edges JOIN out_w USING (src)),
+r0 AS (SELECT node, 1.0/n AS rank FROM nodes CROSS JOIN nn)"""
+    parts = [head]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        # MATERIALIZED: each rank CTE is referenced twice (contrib +
+        # dangling); inlining would square the plan per iteration —
+        # the DuckDB twin of the Spark side's per-iteration checkpoint
+        parts.append(
+            f""",
+{cur} AS MATERIALIZED (
+  SELECT nodes.node,
+    (1 - {damping})/nn.n
+      + {damping} * (COALESCE(c.contrib, 0) + dang.d/nn.n) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT norm.dst AS node, SUM(r.rank * norm.nw) AS contrib
+    FROM norm JOIN {prev} r ON r.node = norm.src GROUP BY norm.dst) c
+    ON c.node = nodes.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0) AS d
+    FROM {prev} r LEFT JOIN out_w ON out_w.src = r.node
+    WHERE out_w.src IS NULL) dang
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iterations} "
+        "ORDER BY node"
+    )
+    return "".join(parts)
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql()
+
+
 def q_w_zorder_layout(spark, sf_dir):
     """Z-order layout round-trip: lineitem written Morton-ordered on
     (l_orderkey, l_partkey), re-read with predicates on BOTH columns
@@ -5231,6 +5304,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_source_overlap": (q_dd_source_overlap, SQL_DD_SOURCE_OVERLAP),
     "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
     "w_zorder_layout": (q_w_zorder_layout, SQL_W_ZORDER_LAYOUT),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),

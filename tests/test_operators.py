@@ -696,3 +696,19 @@ def test_sessionize_matches_streaming_session_window(spark):
     finally:
         q.T = orig
     assert stream_sessions == batch_sessions == {1: 2, 2: 1}
+
+
+def test_pagerank_invariants(spark):
+    """Rank mass conserves (sums to 1), dangling nodes redistribute,
+    higher in-degree earns higher rank, ValueError on bad iterations."""
+    from dataprocessingframework_spark.operators.graph import pagerank
+
+    # star: a,b,c -> hub; hub dangles
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")], schema="src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out["hub"] > out["a"] == out["b"] == out["c"]
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
