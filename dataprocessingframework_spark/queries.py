@@ -4995,6 +4995,51 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_a_sketch_union(spark, sf_dir):
+    """Mergeable-sketch architecture (DataSketches HLL): per-source
+    sketches built in one partial-aggregated pass, UNIONED to a global
+    distinct estimate — the 100 TB profiling pattern where sketches
+    are stored per partition/day and merged at query time instead of
+    rescanning history. Oracle pattern as a_approx_sketches: the exact
+    twin value-matches DuckDB, the estimate collapses to a
+    within-error boolean (default lgConfigK=12 -> ~1.6% rse; 5%
+    bound)."""
+    docs = T(spark, sf_dir, "documents")
+    fp = text_analysis.fingerprint("text")
+    sk = (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("fp").alias("sk"))
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    # n_sources via count_distinct (null-excluded) to match the
+    # oracle's COUNT(DISTINCT source) even if a null source appears
+    exact = docs.agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct(fp).alias("exact_global"),
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_sources",
+        "exact_global",
+        (
+            F.abs(F.col("est") - F.col("exact_global"))
+            / F.col("exact_global")
+            <= 0.05
+        ).alias("ok_global"),
+    )
+
+
+SQL_A_SKETCH_UNION = """
+SELECT COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS exact_global,
+       TRUE AS ok_global
+FROM documents
+"""
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the event-transition graph (10 fixed
     iterations, damping 0.85): which event types accumulate
@@ -5305,6 +5350,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
     "w_zorder_layout": (q_w_zorder_layout, SQL_W_ZORDER_LAYOUT),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "a_sketch_union": (q_a_sketch_union, SQL_A_SKETCH_UNION),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
