@@ -4995,6 +4995,100 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_j_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy string join: corrupted probe terms (deterministic
+    first-char drop of the 20 most frequent words) matched back to the
+    corpus vocabulary by levenshtein <= 2 — the vocabulary-repair /
+    entity-resolution shape. The theta condition evaluates only inside
+    a length band (|len diff| <= 2) with the tiny probe side
+    broadcast, so the candidate space is banded, never vocabulary x
+    probes."""
+    docs = T(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(text_analysis.tokens("text")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    probes = (
+        vocab.orderBy(F.desc("freq"), F.asc("term"))
+        .limit(20)
+        .filter(F.length("term") >= 3)
+        .select(F.expr("substr(term, 2)").alias("probe"))
+        .distinct()
+    )
+    cand = vocab.join(
+        F.broadcast(probes),
+        (
+            F.abs(F.length("term") - F.length("probe")) <= 2
+        )
+        & (F.levenshtein("term", "probe") <= 2),
+    )
+    return (
+        cand.select(
+            "probe",
+            "term",
+            F.levenshtein("term", "probe").alias("dist"),
+            "freq",
+        )
+        .orderBy("probe", "term")
+    )
+
+
+SQL_J_FUZZY_MATCH = """
+WITH vocab AS (
+  SELECT term, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+      AS term
+    FROM documents) t
+  GROUP BY term
+), probes AS (
+  SELECT DISTINCT substr(term, 2) AS probe FROM (
+    SELECT term FROM vocab ORDER BY freq DESC, term LIMIT 20)
+  WHERE length(term) >= 3
+)
+SELECT probe, term, levenshtein(term, probe) AS dist, freq
+FROM vocab JOIN probes
+  ON abs(length(term) - length(probe)) <= 2
+ AND levenshtein(term, probe) <= 2
+ORDER BY probe, term
+"""
+
+
+def q_ev_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct users per day (the WAU metric): exact
+    windowed count-distinct via the (day, user) DISTINCT table joined
+    to its 7-day horizon — shuffle volume is |daily actives| x 7, not
+    events x 7, and never a per-row distinct window (which Spark
+    rightly refuses)."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct().select(F.col("d").alias("d2"))
+    return (
+        daily.join(
+            days,
+            (F.col("d") <= F.col("d2"))
+            & (F.col("d") >= F.date_sub(F.col("d2"), 6)),
+        )
+        .groupBy(F.col("d2").alias("d"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("d")
+    )
+
+
+SQL_EV_ROLLING_DISTINCT_USERS = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d AS d2 FROM daily)
+SELECT d2 AS d, COUNT(DISTINCT user_id) AS wau
+FROM daily JOIN days ON d <= d2 AND d >= d2 - INTERVAL 6 DAY
+GROUP BY d2 ORDER BY d
+"""
+
+
 def q_a_sketch_union(spark, sf_dir):
     """Mergeable-sketch architecture (DataSketches HLL): per-source
     sketches built in one partial-aggregated pass, UNIONED to a global
@@ -5351,6 +5445,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "w_zorder_layout": (q_w_zorder_layout, SQL_W_ZORDER_LAYOUT),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "a_sketch_union": (q_a_sketch_union, SQL_A_SKETCH_UNION),
+    "j_fuzzy_match": (q_j_fuzzy_match, SQL_J_FUZZY_MATCH),
+    "ev_rolling_distinct_users": (
+        q_ev_rolling_distinct_users,
+        SQL_EV_ROLLING_DISTINCT_USERS,
+    ),
     # driver-green in CORRECTNESS_r03
     "dd_exact_text": (q_dd_exact_text, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
