@@ -4995,6 +4995,74 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def q_w_distribution_ranks(spark, sf_dir):
+    """Distribution-rank window family (percent_rank, cume_dist,
+    ntile) per order priority over a fully-determined ordering
+    (totalprice, orderkey — ties broken so ntile is cross-engine
+    deterministic). Output bounded to the custkey%200 slice."""
+    od = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 200 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        od.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_W_DISTRIBUTION_RANKS = """
+SELECT o_orderkey, o_orderpriority,
+  ROUND(percent_rank() OVER w, 4) AS pct_rank,
+  ROUND(cume_dist() OVER w, 4) AS cume,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WHERE o_custkey % 200 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_tx_dup_family_sizes(spark, sf_dir):
+    """Duplicate-family size histogram: how much of the corpus sits in
+    exact-dup families of size k (fingerprint groupBy -> size
+    histogram) — the dedup-planning metric that sizes the win BEFORE
+    running removal. Two group-bys, second over family-cardinality
+    rows."""
+    docs = T(spark, sf_dir, "documents")
+    fams = (
+        docs.select(text_analysis.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("family_size"))
+    )
+    return (
+        fams.groupBy("family_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_families"),
+            F.sum("family_size").alias("n_docs"),
+        )
+        .orderBy("family_size")
+    )
+
+
+SQL_TX_DUP_FAMILY_SIZES = """
+WITH fams AS (
+  SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         COUNT(*) AS family_size
+  FROM documents GROUP BY fp
+)
+SELECT family_size, COUNT(*) AS n_families,
+       CAST(SUM(family_size) AS BIGINT) AS n_docs
+FROM fams GROUP BY family_size ORDER BY family_size
+"""
+
+
 def q_j_fuzzy_match(spark, sf_dir):
     """Blocked fuzzy string join: corrupted probe terms (deterministic
     first-char drop of the 20 most frequent words) matched back to the
@@ -5446,6 +5514,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "a_sketch_union": (q_a_sketch_union, SQL_A_SKETCH_UNION),
     "j_fuzzy_match": (q_j_fuzzy_match, SQL_J_FUZZY_MATCH),
+    "w_distribution_ranks": (
+        q_w_distribution_ranks,
+        SQL_W_DISTRIBUTION_RANKS,
+    ),
+    "tx_dup_family_sizes": (q_tx_dup_family_sizes, SQL_TX_DUP_FAMILY_SIZES),
     "ev_rolling_distinct_users": (
         q_ev_rolling_distinct_users,
         SQL_EV_ROLLING_DISTINCT_USERS,
