@@ -32,9 +32,11 @@ def resize_dims(
 ) -> tuple[int, int]:
     """New (width, height) under the given policy."""
     if policy == ResizePolicy.FIXED:
-        assert isinstance(size, tuple)
+        if not isinstance(size, tuple):
+            raise ValueError("FIXED policy requires size=(width, height)")
         return size
-    assert isinstance(size, int)
+    if not isinstance(size, int):
+        raise ValueError(f"{policy.name} policy requires an int size")
     if policy == ResizePolicy.MIN_SIZE:
         short = min(width, height)
         if downscale_only and short <= size:

@@ -245,7 +245,10 @@ def minhash_lsh_candidates(
     full pair set (the oracle-checkable shape, memory ∝ largest
     bucket).
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
     band_strs = []
@@ -432,8 +435,13 @@ def hamming_near_dup(
     fingerprints' xor — no global ``distinct()``, whose shuffle would
     carry the whole pre-dedup pair volume.
     """
-    assert bands > max_hamming, "pigeonhole exactness needs bands > max_hamming"
-    assert bits % bands == 0
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole exactness needs bands ({bands}) > "
+            f"max_hamming ({max_hamming})"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
     w = bits // bands
     mask = (1 << w) - 1
     h = F.col(hash_col)
