@@ -127,6 +127,11 @@ def main() -> None:
         # (LSH bucket tables etc.) otherwise pile up and add eviction
         # pressure, inflating later timings run-to-run
         spark.catalog.clearCache()
+        # drop accumulated JVM garbage (codegen classes, shuffle file
+        # buffers, noop-write leftovers from earlier queries): without
+        # this, the late ANN-tier queries measure 3-8x slower in the
+        # full run than in isolation purely from GC pressure
+        spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(3):  # min-of-3: local[32] on tiny data is noisy
             t0 = time.time()
