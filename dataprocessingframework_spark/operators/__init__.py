@@ -7,6 +7,7 @@ from dataprocessingframework_spark.operators import (
     similarity,
     text_analysis,
     validators,
+    versioning,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "similarity",
     "text_analysis",
     "validators",
+    "versioning",
 ]

@@ -222,3 +222,44 @@ def split_assign(
     last = F.lit(splits[-1][0])
     chain = last if chain is None else chain.otherwise(last)
     return df.withColumn(out_col, chain)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int = 100,
+    salt: str = "ws|",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows, inclusion odds
+    proportional to ``weight_col``, deterministic and engine-portable.
+
+    Efraimidis-Spirakis A-ES (public algorithm, Inf. Process. Lett.
+    2006): each row gets key = -ln(u)/w with u ~ U(0,1]; the k
+    SMALLEST keys form an exact weighted sample without replacement.
+    Instead of an RNG, u is derived from the portable md5 hash of the
+    row id (``(hash64(salt||id) % p + 1) / (p+1)`` with p = 1e9+7), so
+    the selected set is a pure function of the ids — reproducible
+    across engines, partitionings and reruns, like :func:`hash_sample`
+    but weight-aware. Rows with non-positive weight are excluded.
+
+    Scale shape: the key is a narrow codegen projection and Spark
+    plans ``orderBy(key).limit(k)`` as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver — so there is
+    no global sort and no shuffle of the data itself at any input
+    size. (Ties in the float key are broken identically everywhere
+    because keys are hash-distinct with probability ~1.)
+    """
+    p = 1_000_000_007
+    u = (
+        (hash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % p)
+        + F.lit(1.0)
+    ) / F.lit(float(p + 1))
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy("_aes_key")
+        .limit(k)
+        .drop("_aes_key")
+    )

@@ -388,6 +388,132 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: int = 5,
+    bits_log2: int = 22,
+    num_hash: int = 2,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter prefilter — same exact
+    output, built for the regime where the benchmark n-gram set is too
+    large to broadcast as strings.
+
+    Plain ``decontaminate`` broadcasts the benchmark's DISTINCT n-gram
+    STRINGS (fine for KB-sized benchmarks). When the "benchmark" is
+    itself large — a held-out eval corpus, a blocklist of copyrighted
+    passages, tens of millions of grams — broadcasting strings stops
+    scaling. The classic fix is a Bloom filter: ~``2^bits_log2`` BITS
+    of membership state regardless of gram length, false positives
+    allowed because an EXACT verify join follows (a Bloom filter has
+    no false negatives, so the final answer is bit-identical to the
+    exact operator — which is why this shares decontaminate's oracle).
+
+    Declarative Spark shape (no JVM sketch objects, no UDFs):
+
+    1. benchmark grams -> ``num_hash`` salted 60-bit hashes -> bit
+       positions mod ``2^bits_log2``; the DISTINCT position set is the
+       "bit array", broadcast as a table of ints (8 B/row, bounded by
+       ``2^bits_log2`` rows — vs unbounded gram strings).
+    2. corpus grams keep only rows whose positions ALL hit the set:
+       one broadcast LEFT SEMI join per hash function — map-side,
+       before any corpus-side shuffle.
+    3. survivors (true overlaps + ~0.1% false positives) equi-join the
+       benchmark grams on the STRING for exact verification; both
+       sides are now prefilter-sized, so this join shuffles almost
+       nothing at any corpus size.
+
+    At 100 TB: the corpus-side explode is filtered map-side to
+    ~overlap volume before the groupBy(doc_id); the only full-corpus
+    shuffle in the exact path (gram-string join) disappears.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    c = corpus.select(F.col(id_col), F.explode(grams).alias("_g")).distinct()
+    b = benchmark.select(F.explode(grams).alias("_g")).distinct()
+
+    mod = F.lit(1 << bits_log2)
+
+    def pos_expr(i: int, col: Column) -> Column:
+        return hash64(F.concat(F.lit(f"bf{i}|"), col)) % mod
+
+    filtered = c
+    for i in range(num_hash):
+        bits_i = b.select(pos_expr(i, F.col("_g")).alias("_p")).distinct()
+        filtered = filtered.join(
+            F.broadcast(bits_i),
+            pos_expr(i, filtered["_g"]) == bits_i["_p"],
+            "left_semi",
+        )
+    overlap = (
+        filtered.join(b, on="_g")  # exact verify: kills false positives
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Sliding-window document chunking: split each doc into
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    window - stride), the context-length shaper for LLM pretraining
+    and RAG ingestion.
+
+    Output: all input columns except ``text_col``, plus ``chunk_id``
+    (0-based, bigint), ``chunk_text`` and ``n_tokens`` (tokens in this
+    chunk; the tail chunk may be short). A doc with no tokens yields
+    ONE empty chunk, so no document silently disappears.
+
+    Scale shape: chunk starts are per-row arithmetic
+    (``sequence(1, max(n,1), stride)``) and the explode is narrow —
+    the operator is map-only, costs no shuffle at any corpus size, and
+    the output inherits the input partitioning. ``stride`` must be
+    positive; ``window >= stride`` gives overlapping chunks,
+    ``window == stride`` a disjoint tiling.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    ntok = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(ntok, F.lit(1)), F.lit(stride))
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.select(
+            *passthrough,
+            toks.alias("_t"),
+            F.posexplode(starts).alias("_pos", "_s"),
+        )
+        .select(
+            *passthrough,
+            F.col("_pos").cast("long").alias("chunk_id"),
+            F.array_join(F.slice(F.col("_t"), F.col("_s"), window), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size(F.col("_t")) - F.col("_s") + 1, F.lit(window)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def duplicate_passage_stats(
     df: DataFrame,
     text_col: str = "text",

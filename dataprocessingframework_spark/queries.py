@@ -5419,6 +5419,219 @@ ORDER BY src_a, src_b
 
 
 # --------------------------------------------------------------------------
+# round 4 additions: bloom-prefiltered decontamination, sliding-window
+# document chunking, weighted sampling without replacement, snapshot
+# diff, near-dup cluster representatives
+# --------------------------------------------------------------------------
+
+
+def q_tx_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered benchmark decontamination: EXACT same answer
+    as tx_decontaminate (Bloom filters have no false negatives and an
+    exact verify join kills false positives), but the benchmark side
+    is broadcast as ~2^18 bit positions instead of gram strings — the
+    shape that survives a benchmark set too big to broadcast. Shares
+    tx_decontaminate's oracle for that reason."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return text_analysis.bloom_decontaminate(
+        corpus, bench, n=3, threshold=5, bits_log2=18, num_hash=2
+    ).orderBy("doc_id")
+
+
+SQL_TX_BLOOM_DECONTAMINATE = SQL_TX_DECONTAMINATE
+
+
+def q_tx_chunk_windows(spark, sf_dir):
+    """Sliding-window document chunking (window=32 tokens, stride=24):
+    the context-length shaper for LLM training/RAG ingestion. One
+    narrow projection + posexplode — chunk boundaries are pure
+    per-row arithmetic, so the operator is map-only at any corpus
+    size; no shuffle until a downstream consumer asks for one."""
+    from dataprocessingframework_spark.operators.text_analysis import (
+        chunk_windows,
+    )
+
+    return (
+        chunk_windows(
+            T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000),
+            window=32,
+            stride=24,
+        )
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SQL_TX_CHUNK_WINDOWS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 2000
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, GREATEST(len(t), 1), 24)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+       array_to_string(t[s:s+31], ' ') AS chunk_text,
+       CAST(LEAST(len(t) - s + 1, 32) AS INT) AS n_tokens
+FROM starts
+WHERE s = 1 OR s <= len(t)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_d_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, public algorithm): top-k docs by key = -ln(u)/w with u a
+    portable md5-derived uniform and w = n_chars, so long docs are
+    proportionally likelier but every selection is deterministic and
+    engine-portable. Spark plans TakeOrderedAndProject — per-partition
+    top-k then a k-row merge, never a global sort."""
+    from dataprocessingframework_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return (
+        weighted_sample(
+            T(spark, sf_dir, "documents"),
+            weight_col="n_chars",
+            id_col="doc_id",
+            k=100,
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_D_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(concat('0x', substr(md5(concat('ws|',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000007
+              + 1.0) / 1000000008.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars FROM keyed
+ORDER BY k LIMIT 100
+"""
+
+
+def q_w_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning diff between two snapshots (added / removed
+    / changed rows + equality hash check on the compare columns): the
+    audit primitive behind incremental corpus releases. Synthesized
+    snapshots: OLD drops doc_id%11==0, NEW drops doc_id%13==0 and
+    rewrites text for doc_id%7==0. One full-outer equi-join on the
+    key — at 100 TB both sides hash-partition on doc_id and AQE
+    handles skew; nothing is broadcast or collected."""
+    from dataprocessingframework_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.upper(F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    return (
+        snapshot_diff(old, new, key_cols=["doc_id"], compare_cols=["text"])
+        .filter(F.col("status") != "unchanged")
+        .orderBy("doc_id")
+    )
+
+
+SQL_W_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+ORDER BY doc_id
+"""
+
+
+def q_dd_cluster_representatives(spark, sf_dir):
+    """Near-dup cluster representative selection: the `keep best, drop
+    rest` step that follows every dedup clustering in a training-data
+    pipeline. Reuses the verified Jaccard>=0.8 edges -> connected
+    components composition (dd_clusters), then ONE window over
+    cluster_id keeps the best doc (max n_chars, doc_id tiebreak).
+    Adds a single cluster-keyed window on top of the clustering — no
+    new scale surface."""
+    docs = T(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    cc = dedup.connected_components(
+        edges, all_nodes=docs.select("doc_id"), id_a="id_a", id_b="id_b"
+    )
+    ranked = cc.select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    ).join(docs.select("doc_id", "n_chars"), on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "n_chars")
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DD_CLUSTER_REPRESENTATIVES = """
+WITH RECURSIVE
+words AS (SELECT DISTINCT doc_id, w FROM
+  (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+  WHERE w <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL SELECT id_b, id_a FROM edges),
+cc AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT b.dst AS doc_id, LEAST(cc.label, b.dst) AS label
+  FROM cc JOIN bidir b ON cc.doc_id = b.src
+),
+clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id),
+ranked AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id, doc_id, n_chars FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5497,9 +5710,20 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # written; when the window is already full of never-checked
     # entries (as in r4), late additions queue HERE at the top of the
     # below-window block and lead the r5 rotation.
-    # ROTATION PLAN FOR r5: promote these 5 (locally oracle-verified,
-    # no driver row yet) into positions 1-50; the r4 window entries
-    # should be driver-green after r4 and rotate down.
+    # ROTATION PLAN FOR r5: promote this whole block (locally
+    # oracle-verified, no driver row yet) into positions 1-50; the r4
+    # window entries should be driver-green after r4 and rotate down.
+    "tx_bloom_decontaminate": (
+        q_tx_bloom_decontaminate,
+        SQL_TX_BLOOM_DECONTAMINATE,
+    ),
+    "tx_chunk_windows": (q_tx_chunk_windows, SQL_TX_CHUNK_WINDOWS),
+    "d_weighted_sample": (q_d_weighted_sample, SQL_D_WEIGHTED_SAMPLE),
+    "w_snapshot_diff": (q_w_snapshot_diff, SQL_W_SNAPSHOT_DIFF),
+    "dd_cluster_representatives": (
+        q_dd_cluster_representatives,
+        SQL_DD_CLUSTER_REPRESENTATIVES,
+    ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

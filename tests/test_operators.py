@@ -712,3 +712,113 @@ def test_pagerank_invariants(spark):
     assert out["hub"] > out["a"] == out["b"] == out["c"]
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_bloom_decontaminate_exact_under_fp_pressure(spark):
+    """With a tiny bit array (2^6 bits, heavy false-positive rate) the
+    Bloom path must STILL match the exact operator — the verify join
+    is what guarantees exactness, not the filter's fp rate."""
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared alpha beta gamma")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    exact = sorted(
+        tx.decontaminate(corpus, bench, n=2, threshold=2).collect()
+    )
+    bloom = sorted(
+        tx.bloom_decontaminate(
+            corpus, bench, n=2, threshold=2, bits_log2=6, num_hash=2
+        ).collect()
+    )
+    assert bloom == exact
+
+
+def test_chunk_windows_coverage_and_tail(spark):
+    from dataprocessingframework_spark.operators.text_analysis import (
+        chunk_windows,
+    )
+
+    toks = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "a b c"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 0: starts at tokens 0,3,6,9 -> 4 chunks, tail is short
+    assert [rows[(0, i)].chunk_text for i in range(4)] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert rows[(0, 3)].n_tokens == 1
+    # every token of doc 0 appears in at least one chunk
+    covered = set()
+    for i in range(4):
+        covered.update(rows[(0, i)].chunk_text.split())
+    assert covered == set(toks)
+    # doc 1 fits in one window
+    assert rows[(1, 0)].chunk_text == "a b c" and rows[(1, 0)].n_tokens == 3
+    assert (1, 1) not in rows
+    # empty doc yields exactly one empty chunk, not zero rows
+    assert rows[(2, 0)].chunk_text == "" and rows[(2, 0)].n_tokens == 0
+
+
+def test_chunk_windows_disjoint_tiling_reconstructs(spark):
+    from dataprocessingframework_spark.operators.text_analysis import (
+        chunk_windows,
+    )
+
+    text = " ".join(f"t{i}" for i in range(11))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = chunk_windows(docs, window=4, stride=4).orderBy("chunk_id").collect()
+    assert " ".join(r.chunk_text for r in out) == text
+    assert [r.n_tokens for r in out] == [4, 4, 3]
+
+
+def test_weighted_sample_deterministic_and_weight_aware(spark):
+    from dataprocessingframework_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # two strata: heavy rows weight 1000, light rows weight 1
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1100)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sorted(
+        r.id for r in weighted_sample(df, "w", "id", k=50).collect()
+    )
+    again = sorted(
+        r.id
+        for r in weighted_sample(df.repartition(7), "w", "id", k=50).collect()
+    )
+    assert got == again  # partitioning-independent, rerun-stable
+    heavy = sum(1 for i in got if i < 100)
+    # heavy stratum carries ~99% of total weight; expect dominance
+    assert heavy >= 40
+    # zero/negative weights are excluded
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "id long, w long")
+    assert [r.id for r in weighted_sample(df2, "w", "id", k=10).collect()] == [3]
+
+
+def test_snapshot_diff_statuses_and_null_compare(spark):
+    from dataprocessingframework_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "k long, v string"
+    )
+    got = {r.k: r.status for r in snapshot_diff(
+        old, new, key_cols=["k"], compare_cols=["v"]
+    ).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",   # NULL -> value counts as a change (null-safe)
+        4: "removed",
+        5: "added",
+    }

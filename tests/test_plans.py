@@ -273,3 +273,31 @@ def test_attribution_is_two_level_aggregate(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES top-k must plan TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a global Sort + Limit."""
+    from dataprocessingframework_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    plan = plan_of(
+        weighted_sample(
+            q.T(spark, sf_dir, "documents"), "n_chars", "doc_id", k=100
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_decontaminate_prefilters_map_side(spark, sf_dir):
+    """Both Bloom position probes must be BROADCAST semi-joins (the
+    corpus-side explode is filtered map-side before any shuffle); a
+    shuffled semi-join here would move the full corpus gram set."""
+    plan = plan_of(q.q_tx_bloom_decontaminate(spark, sf_dir))
+    semi = [
+        ln for ln in plan.splitlines()
+        if "LeftSemi" in ln
+    ]
+    assert len(semi) >= 2
+    assert all("BroadcastHashJoin" in ln for ln in semi)
