@@ -2469,11 +2469,55 @@ FROM topk
 
 
 def q_emb_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path) — approximate by design; rows-only."""
+    """LSH-bucketed ANN (scale path). Approximate vs exact top-k by
+    design, but fully DETERMINISTIC — the hyperplanes are md5-derived
+    (similarity._hyperplanes), so the whole pipeline (sign-pattern
+    buckets, multi-probe radius 1, cosine scoring, k=5 ranking) is
+    replicated in the DuckDB oracle below: a FULL cross-engine check,
+    not rows-only. The oracle recomputes the planes from the same
+    md5 formula rather than pasting float literals."""
     emb = T(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).orderBy(
         "q_id", "nbr_id"
     )
+
+
+SQL_EMB_LSH_TOPK = """
+WITH pl AS (
+  SELECT p, list_transform(range(0, 64), d ->
+      (CAST(concat('0x', substr(md5('plane:' || p || ':' || d), 1, 15))
+            AS BIGINT) % 2000001) / 1000000.0 - 1.0) AS v
+  FROM range(0, 8) t(p)
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (
+  SELECT e.vec_id, e.v,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.v) >= 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
+),
+q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn,
+             bucket
+      FROM bucketed WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, qv, qn, xor(bucket, m.mask) AS bucket
+  FROM q CROSS JOIN (
+    SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask) m
+),
+c AS (SELECT vec_id AS nbr_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn,
+             bucket
+      FROM bucketed),
+scored AS (
+  SELECT q_id, nbr_id, list_dot_product(qv, cv) / (qn * cn) AS cos_raw
+  FROM c JOIN probes USING (bucket)
+  WHERE nbr_id <> q_id
+)
+SELECT q_id, nbr_id, ROUND(cos_raw, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM scored) WHERE rn <= 5
+ORDER BY q_id, nbr_id
+"""
 
 
 def q_d3_sample(spark, sf_dir):
@@ -5679,8 +5723,13 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_enriched_agg": (q_stream_enriched, SQL_STREAM_ENRICHED),
     "tx_dup_passages": (q_tx_dup_passages, SQL_TX_DUP_PASSAGES),
     "tx_pack_sequences": (q_tx_pack_sequences, SQL_TX_PACK_SEQUENCES),
-    # rows-only by design (driver records a rows-only check)
-    "emb_lsh_topk": (q_emb_lsh_topk, None),
+    # emb_lsh_topk was rows-only through r3; the multi-probe LSH path
+    # is deterministic (md5-derived hyperplanes), so r4 gives it a
+    # FULL oracle that recomputes planes/buckets/probes in DuckDB.
+    "emb_lsh_topk": (q_emb_lsh_topk, SQL_EMB_LSH_TOPK),
+    # rows-only by design (driver records a rows-only check):
+    # IVF centroids come from distributed Lloyd averaging whose
+    # float-sum order is partitioning-dependent — no bit-stable twin.
     "emb_ivf_topk": (q_emb_ivf_topk, None),
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
     # -- new in round 4 ----------------------------------------------
