@@ -132,6 +132,105 @@ def asof_join(
     return out
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    tolerance: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the right row NEAREST in time in
+    EITHER direction within the key group (|right_ts - left_ts|
+    minimal; exact tie -> the earlier right row). The bidirectional
+    sibling of :func:`asof_join` — "closest reading to this event",
+    not "latest reading before it".
+
+    Same contract as asof_join: right rows unique per (key, ts),
+    payload suffixed on collision, matched timestamp exposed as
+    ``matched_ts``, ``tolerance`` null-outs matches farther than the
+    bound, ``how='inner'`` drops unmatched left rows.
+
+    Plan shape: the SAME single union + shuffle + sort as asof_join —
+    the backward candidate is ``last(struct, ignorenulls)`` over
+    (unbounded preceding, current) and the forward candidate is
+    ``first(struct, ignorenulls)`` over (current, unbounded
+    following); both windows share one partitioning and one sort, so
+    Catalyst plans ONE exchange and ONE sort for the pair. Still zero
+    pair explosion, linear in |left| + |right|.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in {*keys, rts}]
+    taken = set(left.columns) | {"matched_ts"}
+    out_names: dict[str, str] = {}
+    for c in payload:
+        name = c
+        while name in taken or (name != c and name in payload):
+            name = f"{name}_right"
+        taken.add(name)
+        out_names[c] = name
+
+    rmatch = F.struct(
+        F.col(rts).alias("_rts"), *[F.col(c).alias(c) for c in payload]
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        rmatch.alias("_rmatch"),
+    )
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tag.schema["_rmatch"].dataType).alias("_rmatch"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
+    )
+    merged = l_tag.unionByName(r_tag)
+
+    # right rows sort before left rows at equal ts, so an equal-ts
+    # right row is seen by the BACKWARD window (diff 0); the forward
+    # window then never needs it.
+    base = Window.partitionBy(*keys).orderBy(F.asc("_ts"), F.asc("_side"))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    matched = merged.select(
+        "*",
+        F.last("_rmatch", ignorenulls=True).over(wb).alias("_mb"),
+        F.first("_rmatch", ignorenulls=True).over(wf).alias("_mf"),
+    ).filter(F.col("_side") == 1)
+
+    db = F.col("_ts") - F.col("_mb._rts")
+    df_ = F.col("_mf._rts") - F.col("_ts")
+    chosen = (
+        F.when(F.col("_mb").isNull(), F.col("_mf"))
+        .when(F.col("_mf").isNull(), F.col("_mb"))
+        .when(df_ < db, F.col("_mf"))
+        .otherwise(F.col("_mb"))  # tie -> backward = earlier right row
+    )
+    matched = matched.withColumn("_m", chosen)
+    if tolerance is not None:
+        dist = F.greatest(
+            F.col("_m._rts") - F.col("_ts"), F.col("_ts") - F.col("_m._rts")
+        )
+        in_tol = F.col("_m").isNotNull() & (dist <= tolerance)
+        matched = matched.withColumn("_m", F.when(in_tol, F.col("_m")))
+
+    out = matched.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        F.col("_m._rts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(out_names[c]) for c in payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col("matched_ts").isNotNull())
+    return out
+
+
 def range_join(
     facts: DataFrame,
     ranges: DataFrame,

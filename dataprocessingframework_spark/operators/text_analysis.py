@@ -465,6 +465,77 @@ def bloom_decontaminate(
     )
 
 
+def remove_dup_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: delete every ``n``-token
+    passage that occurs in >= ``min_docs`` DISTINCT docs, preserving
+    the order of what remains (CCNet-style paragraph dedup, public
+    method — here on fixed ``n``-token tiles since the synthetic docs
+    have no paragraph marks).
+
+    Output: ``id_col``, ``clean_text`` (kept tiles rejoined in
+    original order; '' when everything was boilerplate), ``n_removed``
+    tiles. Every input doc appears exactly once.
+
+    Scale shape: tiles explode narrowly (disjoint tiling, ~1 row per
+    n tokens); the passage doc-frequency is ONE groupBy on the tile
+    string with map-side partial agg, joined back tile-to-frequency as
+    a plain equi-join (never doc-vs-doc); reassembly is one
+    groupBy(id) whose per-doc state is the doc's own kept tiles. Three
+    shuffles total, all linear in corpus token count.
+    """
+    toks = tokens(F.col(text_col))
+    ntok = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(ntok, F.lit(1)), F.lit(n))
+    tiles = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("_pos", "_s"),
+        toks.alias("_t"),
+    ).select(
+        id_col,
+        "_pos",
+        F.array_join(F.slice(F.col("_t"), F.col("_s"), n), " ").alias("_p"),
+    )
+    freq = (
+        tiles.select(id_col, "_p")
+        .distinct()
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    flagged = tiles.join(freq, on="_p")
+    kept = flagged.filter(F.col("_docs") < min_docs)
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_p")))
+                ),
+                lambda s: s["_p"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_tiles")
+    )
+    return (
+        totals.join(clean, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.col("_n_tiles") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     text_col: str = "text",

@@ -5675,6 +5675,257 @@ ORDER BY cluster_id
 """
 
 
+def q_j_nearest(spark, sf_dir):
+    """Nearest-in-time join (bidirectional as-of): for each click, the
+    purchase closest in EITHER direction per user, tie -> earlier.
+    Same one-shuffle union-window machinery as j_asof, with backward
+    last() and forward first() sharing a single sort. Oracle is the
+    min-|delta| specification via a plain join + rank."""
+    from dataprocessingframework_spark.operators.joins import nearest_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return (
+        nearest_join(clicks, purchases, on="user_id", left_ts="ts")
+        .select("event_id", "user_id", "matched_ts", "purchase_value")
+        .orderBy("event_id")
+    )
+
+
+SQL_J_NEAREST = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+p AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS purchase_value
+      FROM events WHERE event_type='purchase' GROUP BY user_id, ts),
+ranked AS (
+  SELECT c.event_id, c.user_id, p.ts AS matched_ts, p.purchase_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch(c.ts) - epoch(p.ts)), p.ts
+         ) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id
+)
+SELECT event_id, user_id, matched_ts, purchase_value
+FROM ranked WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def q_tx_remove_dup_passages(spark, sf_dir):
+    """Corpus boilerplate REMOVAL (CCNet-style paragraph dedup on
+    8-token tiles): passages occurring in >=2 distinct docs are cut
+    and the survivors rejoined in original order. The mutation twin of
+    tx_dup_passages (which only reports)."""
+    return text_analysis.remove_dup_passages(
+        T(spark, sf_dir, "documents"), n=8, min_docs=2
+    ).orderBy("doc_id")
+
+
+SQL_TX_REMOVE_DUP_PASSAGES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), tiles AS (
+  SELECT doc_id, s, array_to_string(t[s:s+7], ' ') AS p
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, GREATEST(len(t), 1), 8)) AS s
+        FROM toks)
+), freq AS (
+  SELECT p, COUNT(DISTINCT doc_id) AS docs FROM tiles GROUP BY p
+), flagged AS (
+  SELECT doc_id, s, tiles.p, docs FROM tiles JOIN freq USING (p)
+), clean AS (
+  SELECT doc_id, string_agg(p, ' ' ORDER BY s) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM flagged WHERE docs < 2 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_tiles FROM flagged GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+       CAST(t.n_tiles - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN clean c USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def q_a_winsorize(spark, sf_dir):
+    """Winsorization report: exact p01/p99 of l_extendedprice, mean
+    before/after clipping, clip count. The outlier-robust feature-prep
+    step. Exact percentile keeps the oracle bit-stable; at 100 TB the
+    same shape runs on percentile_approx (a_approx_sketches pins that
+    path's error bound)."""
+    li = T(spark, sf_dir, "lineitem")
+    pct = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("p")
+    )
+    clipped = li.crossJoin(F.broadcast(pct)).select(
+        F.col("l_extendedprice").alias("x"),
+        F.col("p")[0].alias("p01"),
+        F.col("p")[1].alias("p99"),
+    )
+    return clipped.agg(
+        F.round(F.first("p01"), 2).alias("p01"),
+        F.round(F.first("p99"), 2).alias("p99"),
+        F.round(F.avg("x"), 2).alias("avg_raw"),
+        F.round(
+            F.avg(F.greatest(F.least(F.col("x"), F.col("p99")), F.col("p01"))),
+            2,
+        ).alias("avg_winsorized"),
+        F.sum(
+            F.when(
+                (F.col("x") < F.col("p01")) | (F.col("x") > F.col("p99")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clipped"),
+    )
+
+
+SQL_A_WINSORIZE = """
+WITH p AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem
+)
+SELECT ROUND(ANY_VALUE(p01), 2) AS p01, ROUND(ANY_VALUE(p99), 2) AS p99,
+       ROUND(AVG(l_extendedprice), 2) AS avg_raw,
+       ROUND(AVG(GREATEST(LEAST(l_extendedprice, p99), p01)), 2)
+         AS avg_winsorized,
+       CAST(SUM(CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM lineitem, p
+"""
+
+
+def q_a_group_zscore(spark, sf_dir):
+    """Per-group standardization + outlier pick: z-score of n_chars
+    within each source (population stddev), keep |z| > 2. One window
+    over source — group-local moments, no global pass."""
+    w = Window.partitionBy("source")
+    docs = T(spark, sf_dir, "documents")
+    z = (F.col("n_chars") - F.avg("n_chars").over(w)) / F.stddev_pop(
+        "n_chars"
+    ).over(w)
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", z.alias("_z")
+        )
+        .filter((F.col("_z") > 2) | (F.col("_z") < -2))
+        .select(
+            "doc_id", "source", "n_chars", F.round("_z", 3).alias("z")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_A_GROUP_ZSCORE = """
+SELECT doc_id, source, n_chars, ROUND(z, 3) AS z FROM (
+  SELECT doc_id, source, n_chars,
+         (n_chars - AVG(n_chars) OVER (PARTITION BY source))
+           / stddev_pop(n_chars) OVER (PARTITION BY source) AS z
+  FROM documents
+) WHERE z > 2 OR z < -2 ORDER BY doc_id
+"""
+
+
+def q_w_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: release v1 lacks the `quality` column,
+    release v2 adds it; one mergeSchema read unions both with NULLs
+    for the missing column — the additive-column upgrade path every
+    long-lived corpus needs (parquet-native; no table format
+    required). Aggregated per lang with per-release null accounting."""
+    import shutil
+    import uuid
+
+    docs = T(spark, sf_dir, "documents")
+    base = f"/root/repo/.scratch/schema_ev_{uuid.uuid4().hex[:8]}"
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).write.parquet(f"{base}/v1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") / 100.0).alias("quality"),
+        ).write.parquet(f"{base}/v2")
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/v1", f"{base}/v2"
+        )
+        res = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("quality").alias("n_with_quality"),
+                F.round(F.avg("quality"), 4).alias("avg_quality"),
+            )
+            .orderBy("lang")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_W_SCHEMA_EVOLUTION = """
+WITH merged AS (
+  SELECT lang, CAST(NULL AS DOUBLE) AS quality FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, n_chars / 100.0 AS quality FROM documents
+  WHERE doc_id % 2 = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(COUNT(quality) AS BIGINT) AS n_with_quality,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
+def q_w_compact_small_files(spark, sf_dir):
+    """Small-file compaction round-trip: fragment documents into 47
+    tiny files, compact to ~5k-row files, verify CONTENT preservation
+    per source (the file-count collapse itself is pinned by a pytest —
+    file counts are not SQL-observable)."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.layout import compact_files
+
+    base = f"/root/repo/.scratch/compact_{uuid.uuid4().hex[:8]}"
+    try:
+        T(spark, sf_dir, "documents").repartition(47).write.parquet(
+            f"{base}/small"
+        )
+        compact_files(
+            spark, f"{base}/small", f"{base}/compacted",
+            target_rows_per_file=5000,
+        )
+        back = spark.read.parquet(f"{base}/compacted")
+        res = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.count_distinct("doc_id").alias("n_ids"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_W_COMPACT_SMALL_FILES = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5772,6 +6023,18 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_cluster_representatives": (
         q_dd_cluster_representatives,
         SQL_DD_CLUSTER_REPRESENTATIVES,
+    ),
+    "j_nearest": (q_j_nearest, SQL_J_NEAREST),
+    "tx_remove_dup_passages": (
+        q_tx_remove_dup_passages,
+        SQL_TX_REMOVE_DUP_PASSAGES,
+    ),
+    "a_winsorize": (q_a_winsorize, SQL_A_WINSORIZE),
+    "a_group_zscore": (q_a_group_zscore, SQL_A_GROUP_ZSCORE),
+    "w_schema_evolution": (q_w_schema_evolution, SQL_W_SCHEMA_EVOLUTION),
+    "w_compact_small_files": (
+        q_w_compact_small_files,
+        SQL_W_COMPACT_SMALL_FILES,
     ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),

@@ -822,3 +822,86 @@ def test_snapshot_diff_statuses_and_null_compare(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_nearest_join_picks_closer_side_and_breaks_ties_earlier(spark):
+    from dataprocessingframework_spark.operators.joins import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 205), (3, 390)], "id long, ts long"
+    ).withColumnRenamed("id", "event_id")
+    right = spark.createDataFrame(
+        [(90, "a"), (110, "b"), (200, "c"), (210, "d"), (400, "e")],
+        "ts long, v string",
+    )
+    l = left.withColumn("k", F.lit(1))
+    r = right.withColumn("k", F.lit(1))
+    got = {
+        r_.event_id: (r_.matched_ts, r_.v)
+        for r_ in nearest_join(l, r, on="k", left_ts="ts").collect()
+    }
+    # 100: 90 and 110 both at distance 10 -> earlier (90) wins
+    assert got[1] == (90, "a")
+    # 205: 200 and 210 both at distance 5 -> earlier (200) wins
+    assert got[2] == (200, "c")
+    # 390: forward neighbor 400 (dist 10) beats backward 210 (dist 180)
+    assert got[3] == (400, "e")
+
+
+def test_nearest_join_tolerance_and_forward_only(spark):
+    from dataprocessingframework_spark.operators.joins import nearest_join
+
+    left = spark.createDataFrame([(1, 0), (2, 500)], "event_id long, ts long")
+    right = spark.createDataFrame([(40, "x")], "ts long, v string")
+    l = left.withColumn("k", F.lit(1))
+    r = right.withColumn("k", F.lit(1))
+    # left row at ts=0 only has a FORWARD neighbor; inner join keeps it
+    got = nearest_join(l, r, on="k", left_ts="ts").collect()
+    assert {(r_.event_id, r_.matched_ts) for r_ in got} == {(1, 40), (2, 40)}
+    # tolerance 100 drops the ts=500 row (distance 460)
+    tol = nearest_join(l, r, on="k", left_ts="ts", tolerance=F.lit(100)).collect()
+    assert [(r_.event_id, r_.matched_ts) for r_ in tol] == [(1, 40)]
+
+
+def test_remove_dup_passages_cuts_shared_tiles_preserves_order(spark):
+    from dataprocessingframework_spark.operators.text_analysis import (
+        remove_dup_passages,
+    )
+
+    boiler = "subscribe to our newsletter now"  # 5 tokens -> tile of 5
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique alpha beta gamma delta {boiler} tail one two aa"),
+            (1, f"other words here entirely five {boiler} end bit xx yy"),
+            (2, boiler),  # all boilerplate -> empty output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_passages(
+        docs, n=5, min_docs=2
+    ).collect()}
+    # tiles of 5: doc0 = [unique..delta, boiler, tail..aa]; middle cut
+    assert out[0].clean_text == "unique alpha beta gamma delta tail one two aa"
+    assert out[0].n_removed == 1
+    assert out[1].clean_text == "other words here entirely five end bit xx yy"
+    assert out[2].clean_text == "" and out[2].n_removed == 1
+    assert set(out) == {0, 1, 2}  # every doc present
+
+
+def test_compact_files_collapses_file_count_preserves_rows(spark, tmp_path):
+    from dataprocessingframework_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(src)
+    n = compact_files(spark, src, dst, target_rows_per_file=4000)
+    assert n == 3  # ceil(10000/4000)
+    import glob
+
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == 3
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 9999 * 10_000

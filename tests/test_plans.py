@@ -301,3 +301,17 @@ def test_bloom_decontaminate_prefilters_map_side(spark, sf_dir):
     ]
     assert len(semi) >= 2
     assert all("BroadcastHashJoin" in ln for ln in semi)
+
+
+def test_nearest_join_single_exchange_single_sort(spark, sf_dir):
+    """Backward last() and forward first() must share ONE partitioning
+    and ONE sort — two exchanges here would mean the bidirectional
+    formulation degenerated into two separate asof passes."""
+    plan = plan_of(q.q_j_nearest(spark, sf_dir))
+    # count shuffle exchanges attributable to the window (exclude the
+    # final orderBy's range exchange)
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) <= 2  # union-window + purchases groupBy
+    assert plan.count("Window") <= 2  # one Window op computes both
