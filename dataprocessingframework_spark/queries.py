@@ -5886,22 +5886,25 @@ FROM merged GROUP BY lang ORDER BY lang
 
 def q_w_compact_small_files(spark, sf_dir):
     """Small-file compaction round-trip: fragment documents into 47
-    tiny files, compact to ~5k-row files, verify CONTENT preservation
-    per source (the file-count collapse itself is pinned by a pytest —
-    file counts are not SQL-observable)."""
+    tiny files, compact back to target-sized files (sources/compact.py
+    compact_parquet: Hadoop-FS size stats, coalesce-preferred), verify
+    CONTENT preservation per source. The file-count collapse itself is
+    pinned by test_compact_parquet_reduces_file_count — file counts
+    are not SQL-observable."""
     import shutil
     import uuid
 
-    from dataprocessingframework_spark.sources.layout import compact_files
+    from dataprocessingframework_spark.sources.compact import (
+        compact_parquet,
+    )
 
     base = f"/root/repo/.scratch/compact_{uuid.uuid4().hex[:8]}"
     try:
         T(spark, sf_dir, "documents").repartition(47).write.parquet(
             f"{base}/small"
         )
-        compact_files(
-            spark, f"{base}/small", f"{base}/compacted",
-            target_rows_per_file=5000,
+        compact_parquet(
+            spark, f"{base}/small", f"{base}/compacted", target_file_mb=64
         )
         back = spark.read.parquet(f"{base}/compacted")
         res = (

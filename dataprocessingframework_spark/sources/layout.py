@@ -159,31 +159,3 @@ def write_zorder_layout(
         .parquet(path)
     )
 
-
-def compact_files(
-    spark,
-    path: str,
-    out_path: str,
-    target_rows_per_file: int = 1_000_000,
-) -> int:
-    """Small-file compaction: rewrite a parquet directory into
-    ``ceil(rows / target_rows_per_file)`` evenly-sized files.
-
-    The operational fix for the classic small-files problem (a
-    streaming sink or over-parallel writer leaving thousands of KB
-    files whose footer/open overhead dominates scans at 100 TB).
-    Round-robin ``repartition(n)`` gives even output sizes without a
-    shuffle key; content is preserved exactly — only the physical
-    layout changes. Returns the output file count.
-
-    At scale, prefer compacting partition-by-partition (compose with
-    the hive layout) so a single compaction never rewrites the whole
-    table.
-    """
-    import math
-
-    df = spark.read.parquet(path)
-    n_rows = df.count()
-    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
-    return n_files

@@ -887,21 +887,3 @@ def test_remove_dup_passages_cuts_shared_tiles_preserves_order(spark):
     assert out[2].clean_text == "" and out[2].n_removed == 1
     assert set(out) == {0, 1, 2}  # every doc present
 
-
-def test_compact_files_collapses_file_count_preserves_rows(spark, tmp_path):
-    from dataprocessingframework_spark.sources.layout import compact_files
-
-    src = str(tmp_path / "small")
-    dst = str(tmp_path / "compacted")
-    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
-        40
-    ).write.parquet(src)
-    n = compact_files(spark, src, dst, target_rows_per_file=4000)
-    assert n == 3  # ceil(10000/4000)
-    import glob
-
-    files = glob.glob(f"{dst}/part-*.parquet")
-    assert len(files) == 3
-    back = spark.read.parquet(dst)
-    assert back.count() == 10_000
-    assert back.agg(F.sum("v")).collect()[0][0] == 9999 * 10_000
