@@ -447,3 +447,66 @@ class Dataset:
         )
 
         return label_centroids(self.df, vec_col, label_col)
+
+    def weighted_sample(
+        self, weight_col: str, id_col: str, k: int = 100
+    ) -> "Dataset":
+        """k-row weighted sample without replacement (A-ES on the
+        portable hash) — see operators/sampling.weighted_sample."""
+        from dataprocessingframework_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        return self._wrap(weighted_sample(self.df, weight_col, id_col, k))
+
+    def chunk(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        window: int = 512,
+        stride: int = 384,
+    ) -> "Dataset":
+        """Sliding-window document chunking (map-only) — see
+        operators/text_analysis.chunk_windows."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            chunk_windows,
+        )
+
+        return self._wrap(
+            chunk_windows(self.df, text_col, id_col, window, stride)
+        )
+
+    def diff_against(
+        self,
+        new: "Dataset | DataFrame",
+        key_cols: Sequence[str],
+        compare_cols: Sequence[str],
+    ) -> DataFrame:
+        """Snapshot diff (added/removed/changed/unchanged per key),
+        treating SELF as the old snapshot — see
+        operators/versioning.snapshot_diff."""
+        from dataprocessingframework_spark.operators.versioning import (
+            snapshot_diff,
+        )
+
+        other = new.df if isinstance(new, Dataset) else new
+        return snapshot_diff(
+            self.df, other, list(key_cols), list(compare_cols)
+        )
+
+    def remove_boilerplate(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 8,
+        min_docs: int = 2,
+    ) -> "Dataset":
+        """Corpus-level duplicate-passage removal — see
+        operators/text_analysis.remove_dup_passages."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            remove_dup_passages,
+        )
+
+        return self._wrap(
+            remove_dup_passages(self.df, text_col, id_col, n, min_docs)
+        )

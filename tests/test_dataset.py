@@ -170,3 +170,26 @@ def test_facade_split_assign(spark):
     out = ds.split_assign("k").df
     assert "split" in out.columns
     assert out.count() == 100
+
+
+def test_facade_round4_methods(spark):
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.dataset import Dataset
+
+    docs = Dataset(spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3, (i + 1) * 10) for i in range(20)],
+        "doc_id long, text string, n_chars long",
+    ))
+    assert docs.weighted_sample("n_chars", "doc_id", k=5).count() == 5
+    chunks = docs.chunk(window=4, stride=4)
+    assert chunks.df.columns == ["doc_id", "n_chars", "chunk_id",
+                                 "chunk_text", "n_tokens"]
+    assert chunks.count() == 20 * 3  # 12 tokens / window 4
+    cleaned = docs.remove_boilerplate(n=4, min_docs=2)
+    assert cleaned.count() == 20  # every doc kept (as empty here)
+    diff = docs.diff_against(
+        docs.df.filter(F.col("doc_id") < 10), ["doc_id"], ["text"]
+    )
+    statuses = {r.status for r in diff.collect()}
+    assert statuses == {"unchanged", "removed"}
