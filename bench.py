@@ -85,6 +85,9 @@ def bench_queries(spark):
                 num_hashes=16, bands=4,
             )
         ),
+        # corpus boilerplate removal (tile df join-back + ordered
+        # reassembly — the 3-linear-shuffle text-mutation cost class)
+        "text_remove_dup_passages": big(q.q_tx_remove_dup_passages),
         # embedding similarity
         "ann_topk_cosine": small(q.q_emb_topk),
         "ann_topk_blas": small(
