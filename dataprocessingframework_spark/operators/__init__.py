@@ -1,6 +1,7 @@
 from dataprocessingframework_spark.operators import (
     clustering,
     dedup,
+    drift,
     joins,
     profiling,
     sampling,
@@ -13,6 +14,7 @@ from dataprocessingframework_spark.operators import (
 __all__ = [
     "clustering",
     "dedup",
+    "drift",
     "joins",
     "profiling",
     "sampling",

@@ -5929,6 +5929,90 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_a_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift check between src0's and
+    the rest's length distribution — the exact rank-based tripwire
+    for "did this source shift?". Full-data work is ONE map-side-
+    combinable groupBy(value); the ECDF window runs over the
+    value-cardinality table only."""
+    from dataprocessingframework_spark.operators.drift import ks_statistic
+
+    docs = T(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "n_chars",
+    )
+
+
+SQL_A_KS_DRIFT = """
+WITH u AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v,
+         CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS s
+  FROM documents
+), per_v AS (
+  SELECT v, SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS db
+  FROM u GROUP BY v
+), e AS (
+  SELECT v, SUM(da) OVER (ORDER BY v) AS ca,
+         SUM(db) OVER (ORDER BY v) AS cb
+  FROM per_v
+), t AS (
+  SELECT CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                     - CAST(cb AS DOUBLE) / n_b)), 6) AS ks_d
+FROM e, t GROUP BY n_a, n_b
+"""
+
+
+def q_a_psi_drift(spark, sf_dir):
+    """Population Stability Index between the even- and odd-doc_id
+    halves of the corpus on n_chars (10 bins on [0,400], Laplace 0.5)
+    — the binned drift score for release-over-release monitoring. Two
+    aggregate passes over portable floor bins; bin table is
+    bins-sized."""
+    from dataprocessingframework_spark.operators.drift import psi
+
+    docs = T(spark, sf_dir, "documents")
+    return psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        lo=0.0,
+        hi=400.0,
+        bins=10,
+    )
+
+
+SQL_A_PSI_DRIFT = """
+WITH binned AS (
+  SELECT LEAST(GREATEST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 40.0),
+               0), 9) AS bin,
+         doc_id % 2 AS side
+  FROM documents
+), counts AS (
+  SELECT t.bin,
+         COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) + 0.5 AS ca,
+         COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) + 0.5 AS cb
+  FROM (SELECT unnest(range(0, 10)) AS bin) t
+  LEFT JOIN binned ON binned.bin = t.bin
+  GROUP BY t.bin
+), tot AS (
+  SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM counts
+)
+SELECT ROUND(SUM((ca / ta - cb / tb) * (ln(ca / ta) - ln(cb / tb))), 6)
+         AS psi,
+       CAST(ANY_VALUE(ta) - 5.0 AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(tb) - 5.0 AS BIGINT) AS n_b
+FROM counts, tot
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6039,6 +6123,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_w_compact_small_files,
         SQL_W_COMPACT_SMALL_FILES,
     ),
+    "a_ks_drift": (q_a_ks_drift, SQL_A_KS_DRIFT),
+    "a_psi_drift": (q_a_psi_drift, SQL_A_PSI_DRIFT),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

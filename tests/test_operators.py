@@ -887,3 +887,33 @@ def test_remove_dup_passages_cuts_shared_tiles_preserves_order(spark):
     assert out[2].clean_text == "" and out[2].n_removed == 1
     assert set(out) == {0, 1, 2}  # every doc present
 
+
+
+def test_ks_statistic_golden_against_scipy_formula(spark):
+    """Hand-computable golden: a = [1,2,3,4], b = [3,4,5,6].
+    ECDFs diverge most at v=2 (a: 0.5, b: 0) -> D = 0.5."""
+    from dataprocessingframework_spark.operators.drift import ks_statistic
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "x long")
+    b = spark.createDataFrame([(v,) for v in [3, 4, 5, 6]], "x long")
+    row = ks_statistic(a, b, "x").collect()[0]
+    assert (row.n_a, row.n_b) == (4, 4)
+    assert row.ks_d == 0.5
+    # identical samples -> D = 0
+    same = ks_statistic(a, a, "x").collect()[0]
+    assert same.ks_d == 0.0
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from dataprocessingframework_spark.operators.drift import psi
+
+    a = spark.createDataFrame([(float(i % 50),) for i in range(500)], "x double")
+    b = spark.createDataFrame([(float(i % 50) + 30,) for i in range(500)], "x double")
+    same = psi(a, a, "x", lo=0, hi=100, bins=10).collect()[0]
+    assert same.psi == 0.0 and same.n_a == 500
+    shifted = psi(a, b, "x", lo=0, hi=100, bins=10).collect()[0]
+    assert shifted.psi > 0.25  # a 30-unit shift is "major drift"
+    # empty bins stay finite thanks to smoothing
+    import math
+
+    assert math.isfinite(shifted.psi)
