@@ -261,6 +261,64 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document mean NLL under the corpus' own add-alpha-smoothed
+    BIGRAM model: -mean_i ln((c(w_{i-1} w_i) + alpha) /
+    (c(w_{i-1}) + alpha * V)). One step up the KenLM ladder from
+    :func:`unigram_nll` — sensitive to word-ORDER scrambling that a
+    unigram model cannot see (same public perplexity-filter family,
+    CCNet / Wenzek et al. 2019). Docs with fewer than 2 tokens have no
+    bigrams and are omitted.
+
+    Shape at 100 TB: bigram and unigram counts each reduce to
+    vocabulary-sized tables before joining back onto the per-doc
+    bigram stream (two equi-joins, AQE broadcasts when small); V and
+    nothing else crosses as a broadcast scalar; one final
+    groupBy(doc) mean. No global sort, corpus shuffled once per count
+    table.
+    """
+    toks = tokens(F.col(text_col))
+    ntok = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(ntok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(ntok - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("prev"), F.concat_ws(" ", x, y).alias("bg")),
+    )
+    bi = (
+        df.filter(ntok >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("_b"))
+        .select(id_col, F.col("_b.prev").alias("prev"), F.col("_b.bg").alias("bg"))
+    )
+    uni = df.select(F.explode(toks).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("uc")
+    )
+    bc = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        bi.join(bc, "bg")
+        .join(uni, bi["prev"] == uni["term"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("bc") + F.lit(alpha))
+                        / (F.col("uc") + F.lit(alpha) * F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("mean_nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

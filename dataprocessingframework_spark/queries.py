@@ -6013,6 +6013,37 @@ FROM counts, tot
 """
 
 
+def q_tx_bigram_nll(spark, sf_dir):
+    """Per-doc mean NLL under the corpus' add-0.1-smoothed bigram
+    model — the word-ORDER-sensitive fluency signal one rung above
+    tx_unigram_nll on the KenLM ladder."""
+    return text_analysis.bigram_nll(
+        T(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+SQL_TX_BIGRAM_NLL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT term, COUNT(*) AS uc
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+), v AS (SELECT COUNT(*) AS v FROM uni),
+bi AS (
+  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i+1] AS bg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+), bc AS (SELECT bg, COUNT(*) AS bc FROM bi GROUP BY bg)
+SELECT doc_id,
+       ROUND(AVG(-ln((bc.bc + 0.1) / (uni.uc + 0.1 * v.v))), 4)
+         AS mean_nll,
+       COUNT(*) AS n_bigrams
+FROM bi JOIN bc USING (bg) JOIN uni ON bi.prev = uni.term CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6125,6 +6156,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     ),
     "a_ks_drift": (q_a_ks_drift, SQL_A_KS_DRIFT),
     "a_psi_drift": (q_a_psi_drift, SQL_A_PSI_DRIFT),
+    "tx_bigram_nll": (q_tx_bigram_nll, SQL_TX_BIGRAM_NLL),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

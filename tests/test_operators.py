@@ -917,3 +917,32 @@ def test_psi_zero_for_identical_and_positive_for_shifted(spark):
     import math
 
     assert math.isfinite(shifted.psi)
+
+
+def test_bigram_nll_order_sensitive_closed_form(spark):
+    """Two docs with the same unigram bag but different word order:
+    the scrambled doc must score HIGHER bigram NLL (unigram_nll gives
+    them identical scores by construction). Plus a closed-form check
+    on a deterministic corpus."""
+    from dataprocessingframework_spark.operators import text_analysis as tx
+
+    rows = [
+        (0, "a b a b a b"),      # repeated natural order
+        (1, "a b a b a b"),
+        (2, "a a a b b b"),      # same bag, scrambled transitions
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.mean_nll for r in tx.unigram_nll(docs).collect()}
+    assert uni[0] == uni[2]  # unigram is order-blind
+    bi = {r.doc_id: r.mean_nll for r in tx.bigram_nll(docs).collect()}
+    assert bi[2] > bi[0]     # bigram sees the scrambling
+    assert bi[0] == bi[1]    # identical docs identical scores
+
+    # closed form: corpus = one doc "x y", alpha=0.1
+    # V=2; c('x y')=1; c('x')=1; nll = -ln(1.1 / 1.2)
+    import math
+
+    one = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    row = tx.bigram_nll(one).collect()[0]
+    assert row.n_bigrams == 1
+    assert row.mean_nll == round(-math.log(1.1 / 1.2), 4)
