@@ -6044,6 +6044,65 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_emb_quantize(spark, sf_dir):
+    """SQ8 embedding quantization (FAISS-style scalar min/max codes):
+    the 4x storage cut for a 100 TB embedding store. Codes are pure
+    floor arithmetic — bit-portable — so the oracle recomputes the
+    whole codebook in SQL. Output collapses the code vector to a
+    position-weighted checksum + end codes (array columns stringify
+    differently across engines)."""
+    q = similarity.quantize_embeddings(T(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(1), F.size("codes")),
+                lambda c, i: c.cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("code_checksum"),
+        F.col("codes")[0].alias("c_first"),
+        F.element_at(F.col("codes"), -1).alias("c_last"),
+        F.round("mse", 8).alias("mse"),
+    ).orderBy("vec_id")
+
+
+SQL_EMB_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+       GROUP BY i),
+b AS (SELECT list(mn ORDER BY pos) AS mins,
+             list(mx ORDER BY pos) AS maxs FROM pe),
+coded AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN maxs[i] > mins[i]
+        THEN LEAST(255, CAST(FLOOR((v[i] - mins[i])
+                   / (maxs[i] - mins[i]) * 256.0) AS BIGINT))
+        ELSE 0 END) AS codes,
+    list_transform(range(1, 65), i ->
+      CASE WHEN maxs[i] > mins[i]
+        THEN pow(v[i] - (mins[i]
+             + (LEAST(255, CAST(FLOOR((v[i] - mins[i])
+                     / (maxs[i] - mins[i]) * 256.0) AS BIGINT)) + 0.5)
+               * (maxs[i] - mins[i]) / 256.0), 2)
+        ELSE pow(v[i] - (mins[i] + 0.5 * (maxs[i] - mins[i]) / 256.0), 2)
+      END) AS errs
+  FROM e CROSS JOIN b
+)
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(1, 65),
+       i -> codes[i] * i)) AS BIGINT) AS code_checksum,
+  CAST(codes[1] AS INT) AS c_first,
+  CAST(codes[64] AS INT) AS c_last,
+  ROUND(list_sum(errs) / 64.0, 8) AS mse
+FROM coded ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6157,6 +6216,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "a_ks_drift": (q_a_ks_drift, SQL_A_KS_DRIFT),
     "a_psi_drift": (q_a_psi_drift, SQL_A_PSI_DRIFT),
     "tx_bigram_nll": (q_tx_bigram_nll, SQL_TX_BIGRAM_NLL),
+    "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

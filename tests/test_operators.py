@@ -946,3 +946,27 @@ def test_bigram_nll_order_sensitive_closed_form(spark):
     row = tx.bigram_nll(one).collect()[0]
     assert row.n_bigrams == 1
     assert row.mean_nll == round(-math.log(1.1 / 1.2), 4)
+
+
+def test_quantize_embeddings_error_bound_and_roundtrip(spark):
+    """SQ8 error bound: with per-dim min/max scaling the midpoint
+    dequantizer's per-dim error is at most half a quantization step,
+    so mse <= (range/levels)^2 / 4 per dim. Also: codes within
+    [0, levels-1] and degenerate dims code to 0."""
+    from dataprocessingframework_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (i, [float(i), float(i) * 2.0, 7.0]) for i in range(16)
+    ]  # dim 3: ranges 15, 30, 0 (degenerate)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_embeddings(df, levels=256).collect()
+    worst_step = max(15.0, 30.0) / 256
+    for r in out:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.codes[2] == 0            # degenerate dim
+        assert r.mse <= (worst_step ** 2) / 4 + 1e-12
+    # extremes hit the code range ends
+    by_id = {r.vec_id: r.codes for r in out}
+    assert by_id[0][0] == 0 and by_id[15][0] == 255
