@@ -6103,6 +6103,60 @@ FROM coded ORDER BY vec_id
 """
 
 
+def q_stream_psi_monitor(spark, sf_dir):
+    """§2.12 + drift tier: per-hour PSI of the event value
+    distribution against the full-corpus baseline — the streaming
+    drift tripwire. ONE watermarked windowed aggregation (bins as
+    conditional sums — no chained stateful ops), baseline broadcast
+    as one smoothed-fraction row. Batch twin under the oracle; the
+    real readStream run is pinned in
+    test_windowed_psi_streaming_matches_batch."""
+    from dataprocessingframework_spark.streaming import windowed_psi
+
+    ev = T(spark, sf_dir, "events")
+    return windowed_psi(
+        ev, ev, window="1 hour", lo=0.0, hi=500.0, bins=10
+    ).orderBy("win_start")
+
+
+SQL_STREAM_PSI_MONITOR = """
+WITH b AS (
+  SELECT LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS bin FROM events
+), bc AS (
+  SELECT t.bin, COALESCE(COUNT(b.bin), 0) + 0.5 AS c
+  FROM (SELECT unnest(range(0, 10)) AS bin) t
+  LEFT JOIN b ON b.bin = t.bin GROUP BY t.bin
+), bt AS (SELECT SUM(c) AS tc FROM bc),
+wb AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+         LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS bin
+  FROM events
+), wins AS (
+  SELECT win_start, COUNT(*) AS n_events FROM wb GROUP BY win_start
+), wcnt AS (
+  SELECT win_start, bin, COUNT(*) AS c FROM wb GROUP BY win_start, bin
+), grid AS (
+  SELECT w.win_start, t.bin
+  FROM wins w CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) t
+), wsm AS (
+  SELECT g.win_start, g.bin, COALESCE(wcnt.c, 0) + 0.5 AS c
+  FROM grid g LEFT JOIN wcnt
+    ON wcnt.win_start = g.win_start AND wcnt.bin = g.bin
+), wtot AS (
+  SELECT win_start, SUM(c) AS tc FROM wsm GROUP BY win_start
+)
+SELECT wsm.win_start, ANY_VALUE(wins.n_events) AS n_events,
+       ROUND(SUM((wsm.c / wtot.tc - bc.c / bt.tc)
+                 * (ln(wsm.c / wtot.tc) - ln(bc.c / bt.tc))), 6) AS psi
+FROM wsm
+JOIN wtot ON wtot.win_start = wsm.win_start
+JOIN bc ON bc.bin = wsm.bin
+CROSS JOIN bt
+JOIN wins ON wins.win_start = wsm.win_start
+GROUP BY wsm.win_start ORDER BY wsm.win_start
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6217,6 +6271,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "a_psi_drift": (q_a_psi_drift, SQL_A_PSI_DRIFT),
     "tx_bigram_nll": (q_tx_bigram_nll, SQL_TX_BIGRAM_NLL),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "stream_psi_monitor": (q_stream_psi_monitor, SQL_STREAM_PSI_MONITOR),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

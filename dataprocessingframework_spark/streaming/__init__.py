@@ -5,6 +5,7 @@ from dataprocessingframework_spark.streaming.events import (
     stream_static_enrich,
     stream_stream_interval_join,
     tumbling_window_agg,
+    windowed_psi,
 )
 from dataprocessingframework_spark.streaming.curation import (
     incremental_curation,
@@ -23,6 +24,7 @@ __all__ = [
     "stream_dedup",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "windowed_psi",
     "incremental_ingest",
     "incremental_curation",
     "read_corpus",

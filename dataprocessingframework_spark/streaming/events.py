@@ -152,3 +152,118 @@ def stream_dedup(
             key_cols
         )
     return df.dropDuplicates(key_cols)
+
+
+def windowed_psi(
+    events: DataFrame,
+    baseline: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    bins: int = 10,
+    smooth: float = 0.5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-tumbling-window drift monitor: PSI of ``value_col``'s
+    distribution in each event-time window against a STATIC baseline
+    sample — the streaming tripwire that pages before a bad upstream
+    poisons a continuously-ingested corpus.
+
+    Streaming-safe by construction: the per-window bin histogram is
+    computed as ``bins`` conditional sums inside ONE watermarked
+    windowed aggregation (no chained stateful operators), and the
+    baseline collapses to a single broadcast row of smoothed bin
+    fractions joined on a constant key (stream-static broadcast
+    join). Everything after the aggregation is a narrow projection.
+    Works identically on a batch DataFrame, which the oracle checks.
+
+    Returns (win_start, n_events, psi) per window, Laplace-smoothed
+    like operators/drift.psi (empty bins finite).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    width = (hi - lo) / bins
+
+    def bucket(col):
+        return F.least(
+            F.greatest(F.floor((col.cast("double") - lo) / width), F.lit(0)),
+            F.lit(bins - 1),
+        )
+
+    base_row = (
+        baseline.select(bucket(F.col(value_col)).alias("bin"))
+        .groupBy()
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.when(F.col("bin") == i, 1).otherwise(0)
+                    ).cast("double")
+                    + F.lit(smooth)
+                ).alias(f"_c{i}")
+                for i in range(bins)
+            ]
+        )
+        .select(
+            F.lit(1).alias("_k"),
+            F.array(*[F.col(f"_c{i}") for i in range(bins)]).alias("bc"),
+        )
+        .select(
+            "_k",
+            F.transform(
+                F.col("bc"),
+                lambda c: c
+                / F.aggregate(F.col("bc"), F.lit(0.0), lambda a, x: a + x),
+            ).alias("base_frac"),
+        )
+    )
+
+    ev = events
+    if ev.isStreaming:
+        ev = ev.withWatermark(ts_col, watermark)
+    hist = (
+        ev.select(F.col(ts_col), bucket(F.col(value_col)).alias("bin"))
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).alias(
+                    f"_b{i}"
+                )
+                for i in range(bins)
+            ],
+        )
+    )
+    win_counts = hist.select(
+        F.col("w.start").alias("win_start"),
+        "n_events",
+        F.array(
+            *[
+                (F.col(f"_b{i}").cast("double") + F.lit(smooth))
+                for i in range(bins)
+            ]
+        ).alias("wc"),
+        F.lit(1).alias("_k"),
+    )
+    tot = F.aggregate(F.col("wc"), F.lit(0.0), lambda a, x: a + x)
+    win_frac = win_counts.select(
+        "win_start",
+        "n_events",
+        F.transform(F.col("wc"), lambda c: c / tot).alias("win_frac"),
+        "_k",
+    )
+    joined = win_frac.join(F.broadcast(base_row), on="_k")
+    term = F.zip_with(
+        F.col("win_frac"),
+        F.col("base_frac"),
+        lambda pw, pb: (pw - pb) * (F.log(pw) - F.log(pb)),
+    )
+    return joined.select(
+        "win_start",
+        "n_events",
+        F.round(
+            F.aggregate(term, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("psi"),
+    )

@@ -297,3 +297,59 @@ def test_incremental_curation_end_to_end(spark, tmp_path):
 
     assert run() == 0  # no new files -> no new batches, corpus unchanged
     assert read_corpus(spark, corpus).count() == 3
+
+
+def test_windowed_psi_streaming_matches_batch(spark, tmp_path):
+    """Real readStream through the drift monitor: per-window PSI from
+    the availableNow run equals the batch twin, and a window drawn
+    from a shifted distribution scores higher drift than one drawn
+    from the baseline itself."""
+    import uuid
+
+    from dataprocessingframework_spark.streaming import windowed_psi
+
+    rows = []
+    # hour 0: values match the baseline shape (0..90)
+    for i in range(60):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "m", float(i % 10) * 10))
+    # hour 1: values shifted high (400..490)
+    for i in range(60):
+        rows.append((100 + i, f"2024-01-01 01:{i:02d}:00", 1, "m",
+                     400.0 + float(i % 10) * 10))
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    baseline = batch.filter("event_id < 100")  # hour-0 distribution
+
+    batch_out = {
+        str(r.win_start): (r.n_events, r.psi)
+        for r in windowed_psi(
+            batch, baseline, window="1 hour", lo=0.0, hi=500.0, bins=10
+        ).collect()
+    }
+    assert batch_out["2024-01-01 00:00:00"][0] == 60
+    assert batch_out["2024-01-01 01:00:00"][1] > batch_out["2024-01-01 00:00:00"][1]
+    assert batch_out["2024-01-01 01:00:00"][1] > 0.25  # major drift
+
+    src = tmp_path / "psi_src"
+    batch.write.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    mon = windowed_psi(
+        stream, baseline, window="1 hour", lo=0.0, hi=500.0, bins=10
+    )
+    qname = f"psi_test_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would hold every window open until the
+    # watermark passes it, which a single availableNow batch never does
+    sq = (
+        mon.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    stream_out = {
+        str(r.win_start): (r.n_events, r.psi)
+        for r in spark.table(qname).collect()
+    }
+    assert stream_out == batch_out
