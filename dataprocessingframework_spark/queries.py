@@ -6157,6 +6157,59 @@ GROUP BY wsm.win_start ORDER BY wsm.win_start
 """
 
 
+def q_a_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of l_extendedprice: the
+    classic synthetic-data / fraud tripwire. Per digit: observed share
+    vs the Benford expectation log10(1 + 1/d) and the chi-square
+    contribution. One narrow projection + one 9-group aggregate."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("l_extendedprice").cast("double"), 10),
+            "[^1-9]",
+            "",
+        ),
+        1,
+        1,
+    ).cast("int")
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    observed = F.col("cnt") / F.col("n")
+    return per.select(
+        "digit",
+        "cnt",
+        F.round(observed, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.pow(observed - expected, F.lit(2.0)) / expected * F.col("n"), 4
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+SQL_A_BENFORD = """
+WITH base AS (
+  SELECT CAST(substr(regexp_replace(
+           format('{:.10f}', CAST(l_extendedprice AS DOUBLE)),
+           '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+), tot AS (SELECT COUNT(*) AS n FROM base)
+SELECT digit, COUNT(*) AS cnt,
+       ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS observed,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND(pow(COUNT(*) / CAST(n AS DOUBLE)
+                 - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit) * n, 4) AS chi2_term
+FROM base CROSS JOIN tot
+GROUP BY digit, n ORDER BY digit
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6272,6 +6325,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "tx_bigram_nll": (q_tx_bigram_nll, SQL_TX_BIGRAM_NLL),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "stream_psi_monitor": (q_stream_psi_monitor, SQL_STREAM_PSI_MONITOR),
+    "a_benford": (q_a_benford, SQL_A_BENFORD),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
