@@ -222,3 +222,95 @@ def test_zipf_slope_is_negative_and_bounded(spark):
     )
     s = zipf_slope(decreasing).collect()[0].zipf_slope
     assert s < 0
+
+
+def test_chunk_windows_python_parity_random_docs(spark):
+    """Python-twin parity for the chunker over random docs (incl. the
+    empty doc), for several (window, stride) shapes — one Spark call
+    per shape, all docs batched."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataprocessingframework_spark.operators.text_analysis import (
+        chunk_windows,
+    )
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(30):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 34])
+        docs.append((i, " ".join(f"t{i}_{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def py_chunks(text, window, stride):
+        toks = [t for t in text.split(" ") if t]
+        out = []
+        s = 0
+        while True:
+            out.append((len(out), " ".join(toks[s:s + window]),
+                        max(0, min(len(toks) - s, window))))
+            s += stride
+            if s >= max(len(toks), 1):
+                break
+        return out
+
+    for window, stride in [(4, 4), (5, 3), (1, 1), (8, 2)]:
+        got = {}
+        for r in chunk_windows(df, window=window, stride=stride).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_text, r.n_tokens)
+            )
+        for i, text in docs:
+            expected = py_chunks(text, window, stride)
+            assert sorted(got[i]) == expected, (window, stride, i)
+
+
+def test_snapshot_diff_partitions_keyspace(spark):
+    """diff(a, a) is all-unchanged; statuses always partition the
+    union of both keyspaces."""
+    from dataprocessingframework_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(40)], "k long, v string"
+    )
+    same = snapshot_diff(a, a, ["k"], ["v"])
+    assert same.count() == 40
+    assert {r.status for r in same.collect()} == {"unchanged"}
+
+    b = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(20, 60)], "k long, v string"
+    )
+    d = {r.k: r.status for r in snapshot_diff(a, b, ["k"], ["v"]).collect()}
+    assert set(d) == set(range(60))  # every key classified exactly once
+    assert all(d[k] == "removed" for k in range(20))
+    assert all(d[k] == "added" for k in range(40, 60))
+    assert all(d[k] in ("changed", "unchanged") for k in range(20, 40))
+
+
+def test_weighted_sample_is_subset_and_exhaustive_when_k_large(spark):
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(50)], "id long, w long"
+    )
+    got = [r.id for r in weighted_sample(df, "w", "id", k=10).collect()]
+    assert len(got) == 10 and len(set(got)) == 10  # without replacement
+    assert set(got) <= set(range(50))
+    # k >= n returns every positive-weight row
+    all_rows = weighted_sample(df, "w", "id", k=100).count()
+    assert all_rows == 50
+    # sample is invariant to adding an irrelevant column
+    got2 = [
+        r.id
+        for r in weighted_sample(
+            df.withColumn("junk", F.lit("x")), "w", "id", k=10
+        ).collect()
+    ]
+    assert sorted(got) == sorted(got2)
