@@ -3,7 +3,7 @@
 A continuously-ingesting 100 TB corpus needs cheap statistical
 tripwires: "did this source's length distribution shift since the
 last release?" before a bad crawl poisons a training mix. Two
-standard public metrics:
+standard public metrics plus an inequality audit:
 
 - ``ks_statistic``: two-sample Kolmogorov-Smirnov D = max |ECDF_a -
   ECDF_b|. Exact, rank-based — one union + one sort-shuffle on the
@@ -13,6 +13,8 @@ standard public metrics:
   (pa - pb) * ln(pa / pb)). One aggregate pass per side over
   engine-portable floor bins; bins are Laplace-smoothed so empty
   bins never produce infinities.
+- ``gini``: concentration/inequality coefficient from the grouped
+  closed form — the "how skewed is the token budget" audit.
 
 Both return tiny DataFrames (one row / one row per bin) — nothing is
 collected; both are linear and shuffle only group-sized state.
@@ -148,4 +150,41 @@ def psi(
             F.first("_na").cast("long").alias("n_a"),
             F.first("_nb").cast("long").alias("n_b"),
         )
+    )
+
+
+def gini(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini coefficient of ``value_col`` (0 = perfectly equal, ->1 =
+    fully concentrated) — the budget-concentration metric for corpus
+    audits ("do 1% of sources carry 90% of the tokens?").
+
+    Closed form over the per-distinct-value count table: with S the
+    value sum, n the row count, c_v the count of value v and C_v the
+    running count through v (ascending), G = sum_v v*c_v*(2*C_v -
+    c_v + 1) / (n*S) - (n+1)/n — algebraically identical to the
+    sorted-rank formula (2*sum i*x_i)/(n*S) - (n+1)/n with ties
+    grouped. Same scale posture as :func:`ks_statistic`: the full data
+    collapses to per-value counts in ONE map-side-combinable groupBy;
+    the running-count window sees only the distinct-value table.
+    Requires non-negative values; returns one row (n, gini).
+    """
+    per_v = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v", "c", F.sum("c").over(w).alias("_cum")
+    )
+    return cum.groupBy().agg(
+        F.sum("c").cast("long").alias("n"),
+        F.round(
+            F.sum(
+                F.col("v") * F.col("c") * (2 * F.col("_cum") - F.col("c") + 1)
+            )
+            / (F.sum("c") * F.sum(F.col("v") * F.col("c")))
+            - (F.sum("c") + 1) / F.sum("c"),
+            6,
+        ).alias("gini"),
     )

@@ -6210,6 +6210,29 @@ GROUP BY digit, n ORDER BY digit
 """
 
 
+def q_a_gini(spark, sf_dir):
+    """Gini inequality of document lengths — the budget-concentration
+    audit. Grouped closed form over the per-distinct-value table (one
+    map-side-combinable groupBy; window sees distinct values only)."""
+    from dataprocessingframework_spark.operators.drift import gini
+
+    return gini(T(spark, sf_dir, "documents"), "n_chars")
+
+
+SQL_A_GINI = """
+WITH per_v AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+  FROM documents GROUP BY v
+), cum AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v) AS rc FROM per_v
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n,
+       ROUND(SUM(v * c * (2 * rc - c + 1)) / (SUM(c) * SUM(v * c))
+             - (SUM(c) + 1.0) / SUM(c), 6) AS gini
+FROM cum
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6326,6 +6349,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "stream_psi_monitor": (q_stream_psi_monitor, SQL_STREAM_PSI_MONITOR),
     "a_benford": (q_a_benford, SQL_A_BENFORD),
+    "a_gini": (q_a_gini, SQL_A_GINI),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

@@ -970,3 +970,19 @@ def test_quantize_embeddings_error_bound_and_roundtrip(spark):
     # extremes hit the code range ends
     by_id = {r.vec_id: r.codes for r in out}
     assert by_id[0][0] == 0 and by_id[15][0] == 255
+
+
+def test_gini_golden_extremes(spark):
+    from dataprocessingframework_spark.operators.drift import gini
+
+    equal = spark.createDataFrame([(5.0,)] * 20, "x double")
+    assert gini(equal, "x").collect()[0].gini == 0.0
+    # one holder of everything: G = (n-1)/n = 0.9 for n=10
+    conc = spark.createDataFrame(
+        [(0.0,)] * 9 + [(100.0,)], "x double"
+    )
+    row = gini(conc, "x").collect()[0]
+    assert row.n == 10 and row.gini == 0.9
+    # hand case [1,2,3,4]: G = (2*(1+4+9+16))/(4*10) - 5/4 = 0.25
+    hand = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    assert gini(hand, "x").collect()[0].gini == 0.25
