@@ -82,3 +82,109 @@ def snapshot_diff(
         ],
         status.alias(status_col),
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    eff_col: str = "eff_ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply a change batch to a slowly-changing-dimension Type 2
+    history table: close the open row of every key whose attributes
+    actually changed (``valid_to`` = the change's effective ts), append
+    the new open version, keep closed history untouched — the standard
+    warehouse pattern for corpus metadata that must stay auditable
+    ("what license did this source have when we trained?").
+
+    ``current`` must carry ``key_cols + attr_cols + valid_from/
+    valid_to/is_current``; ``changes`` carries ``key_cols + attr_cols
+    + eff_col``. If several changes share a key, only the LATEST
+    (max ``eff_col``) is applied — intermediate versions within one
+    batch are collapsed (run batches in order to keep them). A change
+    whose attributes null-safely equal the open row's is a no-op.
+
+    Scale shape: one window to pick the latest change per key (change-
+    batch-sized) + one left join of the history against that batch on
+    the key — the history shuffles once, nothing is collected, closed
+    rows stream through untouched (their join match is ignored).
+    """
+    from pyspark.sql import Window
+
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(eff_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ch = latest.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in key_cols],
+        *[F.col(a).alias(f"_ca_{a}") for a in attr_cols],
+        F.col(eff_col).alias("_eff"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [current[k] == ch[f"_ck_{k}"] for k in key_cols],
+    )
+    joined = current.join(ch, cond, "left")
+    differs = ~reduce(
+        lambda a, b: a & b,
+        [
+            current[a].eqNullSafe(ch[f"_ca_{a}"])
+            for a in attr_cols
+        ],
+        F.lit(True),
+    )
+    hit = F.col("_eff").isNotNull() & F.col(current_col) & differs
+    closed_or_kept = joined.select(
+        *key_cols,
+        *attr_cols,
+        F.col(valid_from_col),
+        F.when(hit, F.col("_eff")).otherwise(F.col(valid_to_col)).alias(
+            valid_to_col
+        ),
+        F.when(hit, F.lit(False)).otherwise(F.col(current_col)).alias(
+            current_col
+        ),
+    )
+    # open-row attrs renamed (shared lineage with `changes` would make
+    # same-named references ambiguous in the self-join)
+    open_rows = current.filter(F.col(current_col)).select(
+        *key_cols,
+        *[F.col(a).alias(f"_open_{a}") for a in attr_cols],
+        F.lit(True).alias("_exists"),
+    )
+    new_versions = (
+        latest.join(open_rows, on=key_cols, how="left")
+        .filter(
+            # key is new, or attrs differ from the open version (the
+            # _exists marker keeps a null->null "change" a no-op)
+            (
+                F.col("_exists").isNotNull()
+                & reduce(
+                    lambda a, b: a | b,
+                    [
+                        ~F.col(a).eqNullSafe(F.col(f"_open_{a}"))
+                        for a in attr_cols
+                    ],
+                )
+            )
+            | F.col("_exists").isNull()
+        )
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col(eff_col).alias(valid_from_col),
+            F.lit(None).cast(current.schema[valid_to_col].dataType).alias(
+                valid_to_col
+            ),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return closed_or_kept.unionByName(new_versions)

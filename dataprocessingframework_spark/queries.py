@@ -6233,6 +6233,70 @@ FROM cum
 """
 
 
+def q_w_scd2(spark, sf_dir):
+    """SCD Type-2 history apply: a change batch (relabels to 'zz',
+    no-op re-assertions, brand-new keys, plus an older superseded
+    change that latest-wins must drop) applied to an open history
+    built from documents. Closed rows get valid_to = eff ts; new open
+    versions append; no-ops leave history untouched. One change-batch
+    window + one key join — see operators/versioning.scd2_apply."""
+    from dataprocessingframework_spark.operators.versioning import scd2_apply
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    current = docs.select(
+        "doc_id",
+        "lang",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    eff = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    old_eff = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    relabel = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("zz").alias("lang"), eff.alias("eff_ts")
+    )
+    noop = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select("doc_id", "lang", eff.alias("eff_ts"))
+    fresh = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        eff.alias("eff_ts"),
+    )
+    superseded = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("de").alias("lang"), old_eff.alias("eff_ts")
+    )
+    changes = relabel.unionByName(noop).unionByName(fresh).unionByName(
+        superseded
+    )
+    return scd2_apply(
+        current, changes, key_cols=["doc_id"], attr_cols=["lang"]
+    ).orderBy("doc_id", "valid_from")
+
+
+SQL_W_SCD2 = """
+WITH docs AS (SELECT doc_id, lang FROM documents WHERE doc_id < 3000)
+SELECT doc_id, lang,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN doc_id % 5 = 0 AND lang <> 'zz'
+            THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+       NOT (doc_id % 5 = 0 AND lang <> 'zz') AS is_current
+FROM docs
+UNION ALL
+SELECT doc_id, 'zz' AS lang,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM docs WHERE doc_id % 5 = 0 AND lang <> 'zz'
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, 'xx' AS lang,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM docs WHERE doc_id < 50
+ORDER BY doc_id, valid_from
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6350,6 +6414,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_psi_monitor": (q_stream_psi_monitor, SQL_STREAM_PSI_MONITOR),
     "a_benford": (q_a_benford, SQL_A_BENFORD),
     "a_gini": (q_a_gini, SQL_A_GINI),
+    "w_scd2": (q_w_scd2, SQL_W_SCD2),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

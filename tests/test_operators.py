@@ -986,3 +986,52 @@ def test_gini_golden_extremes(spark):
     # hand case [1,2,3,4]: G = (2*(1+4+9+16))/(4*10) - 5/4 = 0.25
     hand = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
     assert gini(hand, "x").collect()[0].gini == 0.25
+
+
+def test_scd2_apply_semantics(spark):
+    """Close-on-change, append new version, no-op equal change,
+    brand-new key, latest-change-wins within a batch."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.versioning import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, "en", "2024-01-01 00:00:00", None, True),
+            (2, "de", "2024-01-01 00:00:00", None, True),
+            # key 3 already has history: a closed row + an open row
+            (3, "fr", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+            (3, "es", "2024-02-01 00:00:00", None, True),
+        ],
+        "k long, lang string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "lang",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "zz", "2024-06-01 00:00:00"),   # real change
+            (1, "yy", "2024-03-01 00:00:00"),   # superseded (earlier)
+            (2, "de", "2024-06-01 00:00:00"),   # no-op
+            (9, "xx", "2024-06-01 00:00:00"),   # new key
+        ],
+        "k long, lang string, eff_ts string",
+    ).withColumn("eff_ts", F.to_timestamp("eff_ts"))
+    out = scd2_apply(current, changes, ["k"], ["lang"])
+    rows = sorted(
+        (r.k, r.lang, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in out.collect()
+    )
+    assert rows == sorted([
+        (1, "en", "2024-01-01 00:00:00", "2024-06-01 00:00:00", False),
+        (1, "zz", "2024-06-01 00:00:00", "None", True),
+        (2, "de", "2024-01-01 00:00:00", "None", True),
+        (3, "fr", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+        (3, "es", "2024-02-01 00:00:00", "None", True),
+        (9, "xx", "2024-06-01 00:00:00", "None", True),
+    ])
+    # exactly one open row per key, always
+    opens = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
