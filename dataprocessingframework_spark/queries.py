@@ -6297,6 +6297,101 @@ ORDER BY doc_id, valid_from
 """
 
 
+def q_ev_ab_metrics(spark, sf_dir):
+    """A/B experiment readout on deterministic assignment: users split
+    into control/treatment by the portable hash (the same primitive as
+    d_split_assign, so assignment is reproducible on any engine), then
+    per-arm user counts, conversion to 'purchase', mean per-user
+    purchase value, and the Welch t statistic — all from ONE user-level
+    aggregate + one single-row conditional aggregate."""
+    from dataprocessingframework_spark.functions.hashing import hash64
+
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("purchase_value"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    armed = per_user.withColumn(
+        "arm",
+        hash64(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2,
+    )
+    agg = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treat"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_control"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_treat"),
+        F.avg(F.when(F.col("arm") == 0, F.col("purchase_value"))).alias("m0"),
+        F.avg(F.when(F.col("arm") == 1, F.col("purchase_value"))).alias("m1"),
+        F.var_samp(
+            F.when(F.col("arm") == 0, F.col("purchase_value"))
+        ).alias("v0"),
+        F.var_samp(
+            F.when(F.col("arm") == 1, F.col("purchase_value"))
+        ).alias("v1"),
+    )
+    return agg.select(
+        "n_control",
+        "n_treat",
+        "conv_control",
+        "conv_treat",
+        F.round("m0", 4).alias("mean_control"),
+        F.round("m1", 4).alias("mean_treat"),
+        F.round(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(
+                F.col("v1") / F.col("n_treat")
+                + F.col("v0") / F.col("n_control")
+            ),
+            4,
+        ).alias("t_welch"),
+    )
+
+
+SQL_EV_AB_METRICS = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+           AS purchase_value,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % 2 AS arm
+  FROM per_user
+), agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+    SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_control,
+    SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_treat,
+    AVG(CASE WHEN arm = 0 THEN purchase_value END) AS m0,
+    AVG(CASE WHEN arm = 1 THEN purchase_value END) AS m1,
+    var_samp(CASE WHEN arm = 0 THEN purchase_value END) AS v0,
+    var_samp(CASE WHEN arm = 1 THEN purchase_value END) AS v1
+  FROM armed
+)
+SELECT CAST(n_control AS BIGINT) AS n_control,
+       CAST(n_treat AS BIGINT) AS n_treat,
+       CAST(conv_control AS BIGINT) AS conv_control,
+       CAST(conv_treat AS BIGINT) AS conv_treat,
+       ROUND(m0, 4) AS mean_control, ROUND(m1, 4) AS mean_treat,
+       ROUND((m1 - m0) / sqrt(v1 / n_treat + v0 / n_control), 4) AS t_welch
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6415,6 +6510,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "a_benford": (q_a_benford, SQL_A_BENFORD),
     "a_gini": (q_a_gini, SQL_A_GINI),
     "w_scd2": (q_w_scd2, SQL_W_SCD2),
+    "ev_ab_metrics": (q_ev_ab_metrics, SQL_EV_AB_METRICS),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
