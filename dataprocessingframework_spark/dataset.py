@@ -510,3 +510,31 @@ class Dataset:
         return self._wrap(
             remove_dup_passages(self.df, text_col, id_col, n, min_docs)
         )
+
+    def gini(self, col: str) -> DataFrame:
+        """Concentration audit — see operators/drift.gini."""
+        from dataprocessingframework_spark.operators.drift import gini
+
+        return gini(self.df, col)
+
+    def ks_against(self, other: "Dataset | DataFrame", col: str) -> DataFrame:
+        """Two-sample KS drift check — see operators/drift.ks_statistic."""
+        from dataprocessingframework_spark.operators.drift import ks_statistic
+
+        o = other.df if isinstance(other, Dataset) else other
+        return ks_statistic(self.df, o, col)
+
+    def psi_against(
+        self,
+        other: "Dataset | DataFrame",
+        col: str,
+        lo: float,
+        hi: float,
+        bins: int = 10,
+    ) -> DataFrame:
+        """PSI drift score with SELF as baseline — see
+        operators/drift.psi."""
+        from dataprocessingframework_spark.operators.drift import psi
+
+        o = other.df if isinstance(other, Dataset) else other
+        return psi(self.df, o, col, lo, hi, bins)

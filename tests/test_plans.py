@@ -315,3 +315,18 @@ def test_nearest_join_single_exchange_single_sort(spark, sf_dir):
     ]
     assert len(hash_exchanges) <= 2  # union-window + purchases groupBy
     assert plan.count("Window") <= 2  # one Window op computes both
+
+
+def test_remove_dup_passages_linear_shuffles(spark, sf_dir):
+    """Tile df + join-back + reassembly must stay a bounded linear
+    shuffle family — no cartesian, no broadcast of the corpus-sized
+    frequency table forced by hint."""
+    plan = plan_of(q.q_tx_remove_dup_passages(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_no_cartesian_single_key_family(spark, sf_dir):
+    plan = plan_of(q.q_w_scd2(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
