@@ -594,6 +594,106 @@ def remove_dup_passages(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal at every token offset — the
+    token-granular approximation of suffix-array ExactSubstr dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public method). Unlike :func:`remove_dup_passages`
+    (disjoint tiles), windows slide at stride 1, so a duplicated
+    passage is caught at ANY alignment; overlapping/adjacent
+    duplicated windows merge into maximal spans and every covered
+    token is removed.
+
+    Output per input doc: ``clean_text`` (surviving tokens in order),
+    ``n_removed`` tokens, ``n_spans`` maximal removed regions.
+
+    Scale shape: stride-1 grams explode ~1 row per token; duplicated-
+    gram detection is one groupBy(gram) with map-side combine plus a
+    semi-join back (both linear); span merging is a lag/cumsum window
+    per doc (the sessionize pattern — one doc-keyed exchange); the
+    reassembly joins each doc's merged-span ARRAY (spans, not tokens)
+    back and filters positions in codegen. No pair explosion anywhere;
+    cost is O(corpus tokens) per stage.
+    """
+    toks = tokens(F.col(text_col))
+    grams = word_ngrams(F.col(text_col), n)
+    occ = df.select(
+        F.col(id_col), F.posexplode(grams).alias("_i", "_g")
+    )
+    dupg = (
+        occ.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_g")
+    )
+    hits = occ.join(dupg, on="_g", how="left_semi").select(
+        id_col, F.col("_i").alias("_s"), (F.col("_i") + n - 1).alias("_e")
+    )
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        id_col,
+        "_s",
+        "_e",
+        F.when(
+            prev_max_end.isNull() | (F.col("_s") > prev_max_end + 1), 1
+        ).otherwise(0).alias("_new"),
+    )
+    spans = (
+        flagged.withColumn("_span", F.sum("_new").over(w))
+        .groupBy(id_col, "_span")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_s"), F.col("_e")))
+            ).alias("_spans")
+        )
+    )
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    joined = base.join(spans, on=id_col, how="left").select(
+        id_col,
+        "_t",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<_s:int,_e:int>>"),
+        ).alias("_spans"),
+    )
+    keep = F.filter(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(0), F.size("_t") - 1),
+            lambda t, i: F.struct(t.alias("tok"), i.alias("idx")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (sp["_s"] <= s["idx"]) & (s["idx"] <= sp["_e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(keep, lambda s: s["tok"]), " "
+        ).alias("clean_text"),
+        F.aggregate(
+            F.col("_spans"),
+            F.lit(0),
+            lambda acc, sp: acc + (sp["_e"] - sp["_s"] + F.lit(1)),
+        ).cast("long").alias("n_removed"),
+        F.size("_spans").cast("long").alias("n_spans"),
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     text_col: str = "text",

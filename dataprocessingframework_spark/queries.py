@@ -6392,6 +6392,73 @@ FROM agg
 """
 
 
+def q_tx_remove_dup_spans(spark, sf_dir):
+    """Exact duplicated-span removal (Lee et al. ExactSubstr at token
+    granularity): 5-token windows at EVERY offset, windows duplicated
+    across >=2 docs merge into maximal spans whose tokens are cut.
+    The alignment-robust big sibling of tx_remove_dup_passages."""
+    return text_analysis.remove_dup_spans(
+        T(spark, sf_dir, "documents"), n=5, min_docs=2
+    ).orderBy("doc_id")
+
+
+SQL_TX_REMOVE_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, i - 1 AS s, i + 3 AS e,
+         array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)
+), dupg AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d FROM occ GROUP BY g)
+  WHERE d >= 2
+), hits AS (
+  SELECT doc_id, s, e FROM occ SEMI JOIN dupg USING (g)
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new
+  FROM hits
+), spans AS (
+  SELECT doc_id, span, MIN(s) AS s, MAX(e) AS e
+  FROM (SELECT doc_id, s, e,
+               SUM(new) OVER (PARTITION BY doc_id ORDER BY s) AS span
+        FROM flagged)
+  GROUP BY doc_id, span
+), tokidx AS (
+  SELECT doc_id, j - 1 AS idx, t[j] AS tok
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, GREATEST(len(t), 1))) AS j
+        FROM toks)
+  WHERE j <= len(t)
+), kept AS (
+  SELECT ti.doc_id, ti.idx, ti.tok FROM tokidx ti
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = ti.doc_id AND sp.s <= ti.idx AND ti.idx <= sp.e)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+), rem AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN rem r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6511,6 +6578,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "a_gini": (q_a_gini, SQL_A_GINI),
     "w_scd2": (q_w_scd2, SQL_W_SCD2),
     "ev_ab_metrics": (q_ev_ab_metrics, SQL_EV_AB_METRICS),
+    "tx_remove_dup_spans": (
+        q_tx_remove_dup_spans,
+        SQL_TX_REMOVE_DUP_SPANS,
+    ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

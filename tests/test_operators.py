@@ -1035,3 +1035,38 @@ def test_scd2_apply_semantics(spark):
     # exactly one open row per key, always
     opens = out.filter("is_current").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_remove_dup_spans_alignment_and_merge(spark):
+    """Stride-1 semantics: a shared passage is caught at ANY offset
+    (tiles would miss misaligned copies); overlapping windows merge
+    into ONE maximal span; non-duplicated docs pass through intact."""
+    from dataprocessingframework_spark.operators.text_analysis import (
+        remove_dup_spans,
+    )
+
+    shared = "one two three four five six"  # 6 tokens: two 5-windows
+    docs = spark.createDataFrame(
+        [
+            (0, f"aa bb {shared} cc dd"),       # shared at offset 2
+            (1, f"xx {shared} yy zz ww"),       # shared at offset 1
+            (2, "totally different words here live nothing matches at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(
+        docs, n=5, min_docs=2
+    ).collect()}
+    # both 5-windows of the shared run overlap -> one merged span of 6
+    assert out[0].clean_text == "aa bb cc dd"
+    assert out[0].n_removed == 6 and out[0].n_spans == 1
+    assert out[1].clean_text == "xx yy zz ww"
+    assert out[1].n_removed == 6 and out[1].n_spans == 1
+    assert out[2].clean_text.startswith("totally different")
+    assert out[2].n_removed == 0 and out[2].n_spans == 0
+    # every doc present, incl. short/empty
+    short = spark.createDataFrame(
+        [(0, "a b"), (1, "")], "doc_id long, text string"
+    )
+    s_out = {r.doc_id: r for r in remove_dup_spans(short, n=5).collect()}
+    assert s_out[0].clean_text == "a b" and s_out[1].clean_text == ""
