@@ -88,6 +88,9 @@ def bench_queries(spark):
         # corpus boilerplate removal (tile df join-back + ordered
         # reassembly — the 3-linear-shuffle text-mutation cost class)
         "text_remove_dup_passages": big(q.q_tx_remove_dup_passages),
+        # stride-1 exact-span dedup (ExactSubstr class: ~1 gram/token,
+        # span-merge window, array join-back — the heaviest text path)
+        "text_remove_dup_spans": big(q.q_tx_remove_dup_spans),
         # embedding similarity
         "ann_topk_cosine": small(q.q_emb_topk),
         "ann_topk_blas": small(
