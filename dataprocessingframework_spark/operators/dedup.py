@@ -613,6 +613,71 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+    ngram: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-containment pairs: |A∩B| / min(|A|, |B|) >=
+    ``threshold`` — catches "doc B is doc A plus a header" and
+    quote-heavy subsets that symmetric Jaccard misses (a 30-token doc
+    fully inside a 300-token doc has Jaccard 0.1 but containment 1.0).
+    Same inverted-index shape, candidate restriction, and scale
+    posture as :func:`jaccard_pairs` (use LSH candidates at scale —
+    one-sided containment also collides in MinHash buckets when the
+    smaller side dominates a band).
+
+    Returns (id_a, id_b, containment) with id_a < id_b; the score is
+    the containment of the SMALLER token set in the larger.
+    """
+    if ngram is not None:
+        words = tokenize_char_ngrams(df, text_col, id_col, n=ngram)
+    else:
+        words = tokenize_words(df, text_col, id_col)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        words = words.join(cand_ids, on=id_col, how="left_semi")
+    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.word") == F.col("b.word"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment", F.col("i") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("containment", 4).alias("containment")
+        )
+    )
+
+
 def lsh_index(
     df: DataFrame,
     text_col: str,

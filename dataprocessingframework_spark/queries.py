@@ -6459,6 +6459,42 @@ ORDER BY d.doc_id
 """
 
 
+def q_dd_containment(spark, sf_dir):
+    """Asymmetric near-containment pairs (|A∩B|/min sets >= 0.9):
+    the quote/subset detector symmetric Jaccard misses. Quadratic
+    verification shape here (oracle parity); compose with LSH
+    candidates at scale like dd_jaccard_lsh."""
+    return dedup.containment_pairs(
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000),
+        "text",
+        "doc_id",
+        threshold=0.9,
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DD_CONTAINMENT = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id < 2000
+  ) WHERE w <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6582,6 +6618,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_tx_remove_dup_spans,
         SQL_TX_REMOVE_DUP_SPANS,
     ),
+    "dd_containment": (q_dd_containment, SQL_DD_CONTAINMENT),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

@@ -1070,3 +1070,20 @@ def test_remove_dup_spans_alignment_and_merge(spark):
     )
     s_out = {r.doc_id: r for r in remove_dup_spans(short, n=5).collect()}
     assert s_out[0].clean_text == "a b" and s_out[1].clean_text == ""
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from dataprocessingframework_spark.operators import dedup
+
+    big = " ".join(f"w{i}" for i in range(60))
+    small = " ".join(f"w{i}" for i in range(6))  # subset of big
+    docs = spark.createDataFrame(
+        [(0, big), (1, small), (2, "entirely unrelated tokens right here")],
+        "doc_id long, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment for r in dedup.containment_pairs(
+        docs, "text", "doc_id", threshold=0.9
+    ).collect()}
+    assert cont == {(0, 1): 1.0}  # small fully contained in big
+    jac = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    assert jac == []  # symmetric jaccard (0.1) misses it
