@@ -6579,9 +6579,16 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # written; when the window is already full of never-checked
     # entries (as in r4), late additions queue HERE at the top of the
     # below-window block and lead the r5 rotation.
-    # ROTATION PLAN FOR r5: promote this whole block (locally
-    # oracle-verified, no driver row yet) into positions 1-50; the r4
-    # window entries should be driver-green after r4 and rotate down.
+    # ROTATION PLAN FOR r5: this queue now holds the 13 pre-r4 entries
+    # plus the ~22 round-4 additions (bloom decontamination, chunking,
+    # A-ES sampling, snapshot diff/SCD2, nearest join, drift tier
+    # KS/PSI/Gini/Benford/stream monitor, bigram NLL, SQ8 quantization,
+    # dup-span/passage removal, containment, A/B readout, schema
+    # evolution, compaction, winsorize, z-score, cluster reps) — all
+    # locally oracle-verified, no driver row yet. Promote the first 50
+    # of this block into positions 1-50 for r5; the r4 window entries
+    # should be driver-green after r4 and rotate down; any overflow
+    # leads the r6 window.
     "tx_bloom_decontaminate": (
         q_tx_bloom_decontaminate,
         SQL_TX_BLOOM_DECONTAMINATE,
