@@ -488,6 +488,10 @@ def bloom_decontaminate(
     ~overlap volume before the groupBy(doc_id); the only full-corpus
     shuffle in the exact path (gram-string join) disappears.
     """
+    if num_hash < 1:
+        raise ValueError("num_hash must be >= 1")
+    if not 8 <= bits_log2 <= 40:
+        raise ValueError("bits_log2 must be in [8, 40]")
     grams = word_ngrams(F.col(text_col), n)
     c = corpus.select(F.col(id_col), F.explode(grams).alias("_g")).distinct()
     b = benchmark.select(F.explode(grams).alias("_g")).distinct()

@@ -184,6 +184,8 @@ def windowed_psi(
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
     width = (hi - lo) / bins
 
     def bucket(col):
