@@ -715,7 +715,7 @@ def test_pagerank_invariants(spark):
 
 
 def test_bloom_decontaminate_exact_under_fp_pressure(spark):
-    """With a tiny bit array (2^6 bits, heavy false-positive rate) the
+    """With a tiny bit array (2^8 bits, heavy false-positive rate) the
     Bloom path must STILL match the exact operator — the verify join
     is what guarantees exactness, not the filter's fp rate."""
     from dataprocessingframework_spark.operators import text_analysis as tx
@@ -730,7 +730,7 @@ def test_bloom_decontaminate_exact_under_fp_pressure(spark):
     )
     bloom = sorted(
         tx.bloom_decontaminate(
-            corpus, bench, n=2, threshold=2, bits_log2=6, num_hash=2
+            corpus, bench, n=2, threshold=2, bits_log2=8, num_hash=2
         ).collect()
     )
     assert bloom == exact
