@@ -6495,6 +6495,116 @@ ORDER BY id_a, id_b
 """
 
 
+def q_f_lag_features(spark, sf_dir):
+    """Per-customer order lag features (order index, previous total,
+    delta, days since previous order) — the classic supervised-ML
+    feature build. One customer-keyed window family: every feature
+    shares a single shuffle + sort."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("order_idx"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_total"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "order_idx")
+    )
+
+
+SQL_F_LAG_FEATURES = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROW_NUMBER() OVER w AS order_idx,
+       ROUND(LAG(o_totalprice) OVER w, 2) AS prev_total,
+       ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2) AS delta_total,
+       CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT)
+         AS days_since_prev
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_idx
+"""
+
+
+def q_emb_code_dedup(spark, sf_dir):
+    """Quantization-bucketed embedding near-dup: coarse SQ codes over
+    the first 4 dims (levels=4 -> 256 buckets) bucket the corpus; only
+    same-bucket pairs are cosine-verified at >= 0.3 — a deterministic
+    ANN-dedup path that needs no training and no broadcast of vectors
+    (approximate-by-bucketing, exact-on-verified-pairs). Fully
+    oracled: codes are floor arithmetic, cosine is the proven fold."""
+    emb = T(spark, sf_dir, "embeddings")
+    coded = similarity.quantize_embeddings(emb, levels=4).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.slice(F.col("codes"), 1, 4).cast("array<string>")
+        ).alias("code_key"),
+    )
+    a = coded.alias("a")
+    b = coded.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.code_key") == F.col("b.code_key"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+        ],
+    ).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.join(e1, "id_a")
+        .join(e2, "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMB_CODE_DEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t GROUP BY i),
+b AS (SELECT list(mn ORDER BY pos) AS mins,
+             list(mx ORDER BY pos) AS maxs FROM pe),
+coded AS (
+  SELECT vec_id, v,
+    array_to_string(list_transform(range(1, 5), i ->
+      CASE WHEN maxs[i] > mins[i]
+        THEN LEAST(3, CAST(FLOOR((v[i] - mins[i])
+                   / (maxs[i] - mins[i]) * 4.0) AS BIGINT))
+        ELSE 0 END), ',') AS code_key
+  FROM e CROSS JOIN b
+), pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+  FROM coded a JOIN coded b2
+    ON a.code_key = b2.code_key AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(va, vb) /
+             (sqrt(list_dot_product(va, va))
+              * sqrt(list_dot_product(vb, vb))), 4) AS cos
+FROM pairs
+WHERE ROUND(list_dot_product(va, vb) /
+      (sqrt(list_dot_product(va, va))
+       * sqrt(list_dot_product(vb, vb))), 4) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6626,6 +6736,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         SQL_TX_REMOVE_DUP_SPANS,
     ),
     "dd_containment": (q_dd_containment, SQL_DD_CONTAINMENT),
+    "f_lag_features": (q_f_lag_features, SQL_F_LAG_FEATURES),
+    "emb_code_dedup": (q_emb_code_dedup, SQL_EMB_CODE_DEDUP),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
