@@ -6605,6 +6605,67 @@ ORDER BY id_a, id_b
 """
 
 
+def q_a_sketch_intersection(spark, sf_dir):
+    """Sketch-level overlap estimate by inclusion-exclusion:
+    |A∩B| ≈ |A| + |B| - |A∪B| from per-half HLL sketches of user_id
+    (events split by event_id parity) — the cross-dataset overlap
+    audit without a join. Oracle pattern as a_sketch_union: exact
+    twins value-match; the estimate collapses to a within-bound
+    boolean (inclusion-exclusion compounds the ~1.6% rse of three
+    sketches, so the bound is 10% of the union)."""
+    ev = T(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    sk = (
+        a.select(F.col("user_id").alias("u")).agg(
+            F.hll_sketch_agg("u").alias("ska")
+        )
+    ).crossJoin(
+        b.select(F.col("user_id").alias("u")).agg(
+            F.hll_sketch_agg("u").alias("skb")
+        )
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("ska").alias("ea"),
+        F.hll_sketch_estimate("skb").alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("ska", "skb")
+        ).alias("eu"),
+    )
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+        .crossJoin(
+            ev.agg(F.count_distinct("user_id").alias("exact_union"))
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_overlap",
+        "exact_union",
+        (
+            F.abs(
+                (F.col("ea") + F.col("eb") - F.col("eu"))
+                - F.col("exact_overlap")
+            )
+            / F.col("exact_union")
+            <= 0.10
+        ).alias("ok_overlap"),
+    )
+
+
+SQL_A_SKETCH_INTERSECTION = """
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT user_id FROM events WHERE event_id % 2 = 0
+     INTERSECT
+     SELECT user_id FROM events WHERE event_id % 2 = 1))
+    AS exact_overlap,
+  (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_union,
+  TRUE AS ok_overlap
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6738,6 +6799,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_containment": (q_dd_containment, SQL_DD_CONTAINMENT),
     "f_lag_features": (q_f_lag_features, SQL_F_LAG_FEATURES),
     "emb_code_dedup": (q_emb_code_dedup, SQL_EMB_CODE_DEDUP),
+    "a_sketch_intersection": (
+        q_a_sketch_intersection,
+        SQL_A_SKETCH_INTERSECTION,
+    ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
