@@ -231,3 +231,70 @@ def write_sharded_files(
     summary = summary.cache()
     summary.count()
     return summary
+
+
+def atomic_publish(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    expected_rows: int | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Write-verify-rename atomic publish: the dataset is written to a
+    hidden staging dir, re-read and row-counted, and only then MOVED
+    into place — readers of ``out_dir`` never observe a half-written
+    or failed dataset (the classic publish pattern for corpora shared
+    between teams; object stores get the same effect from a manifest
+    flip).
+
+    If ``expected_rows`` is given and the re-read count differs, the
+    staging dir is removed and ValueError raises — a torn write never
+    becomes visible. Returns the published row count. Uses the Hadoop
+    FileSystem rename (atomic on HDFS/posix; on S3 prefer a manifest
+    pointer instead — documented, not silently emulated).
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    staging = out_dir.rstrip("/") + "._staging"
+    path = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = path.getFileSystem(hconf)
+    if fs.exists(path):
+        fs.delete(path, True)
+    df.write.format(fmt).save(staging)
+    back = spark.read.format(fmt).load(staging)
+    n = back.count()
+    if expected_rows is not None and n != expected_rows:
+        fs.delete(path, True)
+        raise ValueError(
+            f"atomic_publish verification failed: wrote {n} rows, "
+            f"expected {expected_rows}; staging removed, {out_dir} untouched"
+        )
+    dest = jvm.org.apache.hadoop.fs.Path(out_dir)
+    if fs.exists(dest):
+        fs.delete(dest, True)
+    if not fs.rename(path, dest):
+        raise IOError(f"rename {staging} -> {out_dir} failed")
+    return n
+
+
+def write_with_metrics(
+    df: DataFrame, out_dir: str, metric_cols: list[str], fmt: str = "parquet"
+) -> dict:
+    """Write with in-flight data-quality metrics via ``df.observe``:
+    row count plus a null count per requested column are accumulated
+    DURING the write (no second scan — the observation rides the same
+    job), returned as a dict. The cheap ingest-audit hook: a pipeline
+    can refuse to publish when null rates jump.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in metric_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    df.observe(obs, *metrics).write.format(fmt).mode("overwrite").save(
+        out_dir
+    )
+    return dict(obs.get)

@@ -443,3 +443,43 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path, sf_dir):
     assert overlap_fraction(zpath, "l_orderkey") < 1.0
     # layout preserves the data
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_atomic_publish_rename_and_verification(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.sources.writers import atomic_publish
+
+    out = str(tmp_path / "published")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    n = atomic_publish(spark, df, out, expected_rows=100)
+    assert n == 100
+    assert spark.read.parquet(out).count() == 100
+    import os
+
+    assert not os.path.exists(out + "._staging")  # staging moved away
+
+    # verification failure leaves the published dataset untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verification failed"):
+        atomic_publish(spark, spark.range(5), out, expected_rows=99)
+    assert spark.read.parquet(out).count() == 100  # old data still there
+    assert not os.path.exists(out + "._staging")
+
+
+def test_write_with_metrics_observes_nulls_in_flight(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.sources.writers import (
+        write_with_metrics,
+    )
+
+    df = spark.range(50).select(
+        "id",
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    m = write_with_metrics(df, out, metric_cols=["v"])
+    assert m["rows"] == 50 and m["nulls_v"] == 10
+    assert spark.read.parquet(out).count() == 50
