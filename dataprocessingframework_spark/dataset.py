@@ -149,6 +149,19 @@ class Dataset:
         right = other.df if isinstance(other, Dataset) else other
         return self._wrap(asof_join(self.df, right, on, **kwargs))
 
+    def nearest_join(
+        self, other: "Dataset | DataFrame", on: Any, **kwargs: Any
+    ) -> "Dataset":
+        """Bidirectional nearest-in-time join
+        (operators/joins.nearest_join): closest right row in either
+        direction, exact tie -> the earlier right row."""
+        from dataprocessingframework_spark.operators.joins import (
+            nearest_join,
+        )
+
+        right = other.df if isinstance(other, Dataset) else other
+        return self._wrap(nearest_join(self.df, right, on, **kwargs))
+
     def range_join(
         self, ranges: "Dataset | DataFrame", point_col: str,
         lo_col: str, hi_col: str, **kwargs: Any,
