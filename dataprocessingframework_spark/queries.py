@@ -6666,6 +6666,69 @@ SELECT
 """
 
 
+def q_w_time_travel(spark, sf_dir):
+    """Versioned-table commit log + time travel (sources/versioned.py,
+    the Delta/Iceberg mechanic in miniature): three commits (base
+    slice, append, overwrite), then every HISTORICAL version is read
+    back through its manifest and aggregated — proving old snapshots
+    stay exactly readable after later commits. Oracle derives the same
+    three version states from the base table."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.versioned import (
+        commit,
+        read_version,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    base = f"/root/repo/.scratch/vtable_{uuid.uuid4().hex[:8]}"
+    try:
+        commit(spark, docs.filter(F.col("doc_id") % 3 == 0), base)
+        commit(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == 1),
+            base,
+            mode="append",
+        )
+        commit(
+            spark,
+            docs.filter(F.col("doc_id") < 100),
+            base,
+            mode="overwrite",
+        )
+        stats = []
+        for v in (0, 1, 2):
+            r = (
+                read_version(spark, base, v)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("n_chars").alias("sum_chars"),
+                )
+                .collect()[0]
+            )
+            stats.append((v, r["rows"], r["sum_chars"]))
+        return spark.createDataFrame(
+            stats, "version int, rows bigint, sum_chars bigint"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_W_TIME_TRAVEL = """
+SELECT 0 AS version, COUNT(*) AS rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM documents WHERE doc_id < 100
+ORDER BY version
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6803,6 +6866,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_a_sketch_intersection,
         SQL_A_SKETCH_INTERSECTION,
     ),
+    "w_time_travel": (q_w_time_travel, SQL_W_TIME_TRAVEL),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

@@ -1,0 +1,166 @@
+"""Minimal versioned-table layer: an append-only JSON commit log over
+plain parquet files, giving atomic commits, time travel, and an
+auditable history — the core mechanics (in miniature, file-listing
+based) that table formats like Delta Lake / Iceberg provide at object-
+store scale (public designs). The reference rewrites shard directories
+in place (`DPF/processors/writers/shards_writer.py`) with no history;
+a 100 TB corpus shared across teams needs "read exactly the snapshot
+release 41 was trained on" as a first-class operation.
+
+Layout::
+
+    <path>/_log/00000000.json   one manifest per version:
+                                {"version", "mode", "rows", "files"}
+    <path>/data/v0_<uuid>/...   immutable parquet written per commit
+
+Commit protocol: data files are written first (immutable, never
+rewritten), then the manifest is written to a temp name and RENAMED to
+``_log/{version:08d}.json`` — the rename is the commit point, so a
+reader either sees a complete version or the previous one. Renames are
+atomic on HDFS/posix; on S3 use a pointer object instead (documented,
+as in atomic_publish). Concurrent writers are last-rename-wins; this
+layer does not implement optimistic locking.
+
+Readers never list ``data/`` — the manifest is the source of truth, so
+stray files from failed commits are invisible (and can be vacuumed by
+comparing the listing against all manifests).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    jvm, fs = _fs(spark, path)
+    mp = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{version:08d}.json")
+    if not fs.exists(mp):
+        raise FileNotFoundError(f"version {version} not found under {path}")
+    stream = fs.open(mp)
+    try:
+        # stream-level byte copy (ByteBuffer reads are unsupported on
+        # some Hadoop FS impls, e.g. the local ChecksumFileSystem)
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return json.loads(bytes(raw).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def latest_version(spark: SparkSession, path: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    jvm, fs = _fs(spark, path)
+    log = jvm.org.apache.hadoop.fs.Path(f"{path}/_log")
+    if not fs.exists(log):
+        return None
+    versions = []
+    for st in fs.listStatus(log):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                versions.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return max(versions) if versions else None
+
+
+def commit(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new version of the table at ``path``.
+
+    ``mode='append'`` adds the new files to the previous manifest;
+    ``mode='overwrite'`` starts the manifest fresh (old files stay on
+    disk for time travel — this is versioning, not deletion). Returns
+    the committed version number. The manifest rename is the atomic
+    commit point; a crash before it leaves only invisible data files.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+    prev = latest_version(spark, path)
+    version = 0 if prev is None else prev + 1
+    data_dir = f"{path}/data/v{version}_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(data_dir)
+
+    jvm, fs = _fs(spark, path)
+    new_files = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            new_files.append(str(st.getPath().toString()))
+    rows = spark.read.parquet(*new_files).count()
+    files = list(new_files)
+    total = rows
+    if mode == "append" and prev is not None:
+        pm = _read_manifest(spark, path, prev)
+        files = pm["files"] + files
+        total = pm["rows"] + rows
+
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "rows": total,
+        "files": sorted(files),
+    }
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_log/.tmp_{uuid.uuid4().hex[:8]}.json"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{version:08d}.json")
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/_log"))
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"commit of version {version} lost a rename race at {path}"
+        )
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF ``version`` (default: latest). Time travel
+    is just reading an older manifest's file list — old versions stay
+    readable until explicitly vacuumed."""
+    if version is None:
+        version = latest_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+    m = _read_manifest(spark, path, version)
+    return spark.read.parquet(*m["files"])
+
+
+def history(spark: SparkSession, path: str) -> list[dict]:
+    """All manifests (version, mode, rows, n_files), oldest first."""
+    last = latest_version(spark, path)
+    if last is None:
+        return []
+    out = []
+    for v in range(last + 1):
+        m = _read_manifest(spark, path, v)
+        out.append(
+            {
+                "version": m["version"],
+                "mode": m["mode"],
+                "rows": m["rows"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out

@@ -483,3 +483,43 @@ def test_write_with_metrics_observes_nulls_in_flight(spark, tmp_path):
     m = write_with_metrics(df, out, metric_cols=["v"])
     assert m["rows"] == 50 and m["nulls_v"] == 10
     assert spark.read.parquet(out).count() == 50
+
+
+def test_versioned_table_commit_time_travel_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.sources.versioned import (
+        commit,
+        history,
+        latest_version,
+        read_version,
+    )
+
+    path = str(tmp_path / "vtable")
+    assert latest_version(spark, path) is None
+
+    v0 = commit(spark, spark.range(10).withColumn("v", F.lit("a")), path)
+    v1 = commit(spark, spark.range(5).withColumn("v", F.lit("b")), path,
+                mode="append")
+    v2 = commit(spark, spark.range(3).withColumn("v", F.lit("c")), path,
+                mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    # time travel: every version still readable with its exact content
+    assert read_version(spark, path, 0).count() == 10
+    r1 = read_version(spark, path, 1)
+    assert r1.count() == 15
+    assert {x.v for x in r1.select("v").distinct().collect()} == {"a", "b"}
+    assert read_version(spark, path, 2).count() == 3
+    assert read_version(spark, path).count() == 3  # latest = overwrite
+
+    h = history(spark, path)
+    assert [(e["version"], e["mode"], e["rows"]) for e in h] == [
+        (0, "append", 10), (1, "append", 15), (2, "overwrite", 3),
+    ]
+
+    # readers trust the manifest, not the directory listing: a stray
+    # uncommitted file is invisible
+    stray = tmp_path / "vtable" / "data" / "stray"
+    spark.range(99).withColumn("v", F.lit("x")).write.parquet(str(stray))
+    assert read_version(spark, path).count() == 3
