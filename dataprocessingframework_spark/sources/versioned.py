@@ -164,3 +164,64 @@ def history(spark: SparkSession, path: str) -> list[dict]:
             }
         )
     return out
+
+
+def read_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Rows ADDED between two versions: read only the files present in
+    ``to_version``'s manifest but not in ``from_version``'s — the
+    incremental-consumption primitive (a downstream pipeline processes
+    each release's delta instead of rescanning the table). For an
+    overwrite commit the whole new manifest is the delta (files are
+    never reused across an overwrite). Raises on an empty delta.
+    """
+    if to_version <= from_version:
+        raise ValueError("to_version must be > from_version")
+    old = set(_read_manifest(spark, path, from_version)["files"])
+    new = _read_manifest(spark, path, to_version)["files"]
+    added = [f for f in new if f not in old]
+    if not added:
+        raise ValueError(
+            f"no files added between v{from_version} and v{to_version}"
+        )
+    return spark.read.parquet(*added)
+
+
+def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
+    """Delete data files not referenced by any of the newest
+    ``keep_versions`` manifests (and drop the older manifests), plus
+    stray files from failed commits. Returns the number of deleted
+    data directories/files. After vacuum, time travel reaches only the
+    kept versions — the storage-reclaim half of the versioning
+    contract, split from commit() so retention is an explicit
+    operational decision.
+    """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    last = latest_version(spark, path)
+    if last is None:
+        return 0
+    keep_from = max(0, last - keep_versions + 1)
+    referenced: set[str] = set()
+    for v in range(keep_from, last + 1):
+        referenced.update(_read_manifest(spark, path, v)["files"])
+    jvm, fs = _fs(spark, path)
+    deleted = 0
+    data = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    if fs.exists(data):
+        it = fs.listFiles(data, True)
+        while it.hasNext():
+            st = it.next()
+            f = str(st.getPath().toString())
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if f.endswith(".parquet") and f not in referenced:
+                fs.delete(st.getPath(), False)
+                deleted += 1
+    for v in range(0, keep_from):
+        mp = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json")
+        if fs.exists(mp):
+            fs.delete(mp, False)
+    return deleted

@@ -523,3 +523,34 @@ def test_versioned_table_commit_time_travel_history(spark, tmp_path):
     stray = tmp_path / "vtable" / "data" / "stray"
     spark.range(99).withColumn("v", F.lit("x")).write.parquet(str(stray))
     assert read_version(spark, path).count() == 3
+
+
+def test_versioned_read_changes_and_vacuum(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.sources.versioned import (
+        commit,
+        read_changes,
+        read_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vt2")
+    commit(spark, spark.range(10).withColumn("v", F.lit("a")), path)
+    commit(spark, spark.range(100, 104).withColumn("v", F.lit("b")), path,
+           mode="append")
+    delta = read_changes(spark, path, 0, 1)
+    assert sorted(r.id for r in delta.collect()) == [100, 101, 102, 103]
+
+    # vacuum keeping only the latest: v0-only files die, v1 readable
+    n = vacuum(spark, path, keep_versions=1)
+    assert n == 0  # append reuses v0's files in v1's manifest -> all kept
+    commit(spark, spark.range(3).withColumn("v", F.lit("c")), path,
+           mode="overwrite")
+    n = vacuum(spark, path, keep_versions=1)
+    assert n > 0  # the pre-overwrite files are unreferenced now
+    assert read_version(spark, path).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, path, 0)  # vacuumed manifest is gone
