@@ -6729,6 +6729,51 @@ ORDER BY version
 """
 
 
+def q_w_incremental_read(spark, sf_dir):
+    """Per-release delta consumption on the versioned table: commit a
+    base slice then an append; read_changes(0, 1) must surface EXACTLY
+    the appended rows by reading only the files new in v1's manifest —
+    the incremental-downstream primitive (no rescan of the base)."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.versioned import (
+        commit,
+        read_changes,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    base = f"/root/repo/.scratch/vdelta_{uuid.uuid4().hex[:8]}"
+    try:
+        commit(spark, docs.filter(F.col("doc_id") % 3 == 0), base)
+        commit(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == 1),
+            base,
+            mode="append",
+        )
+        delta = (
+            read_changes(spark, base, 0, 1)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(delta.collect(), delta.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_W_INCREMENTAL_READ = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 = 1
+GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6867,6 +6912,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         SQL_A_SKETCH_INTERSECTION,
     ),
     "w_time_travel": (q_w_time_travel, SQL_W_TIME_TRAVEL),
+    "w_incremental_read": (q_w_incremental_read, SQL_W_INCREMENTAL_READ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

@@ -79,6 +79,7 @@ def commit(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    tag: str | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
@@ -87,10 +88,19 @@ def commit(
     disk for time travel — this is versioning, not deletion). Returns
     the committed version number. The manifest rename is the atomic
     commit point; a crash before it leaves only invisible data files.
+
+    ``tag`` (e.g. a streaming batch id) is recorded in the manifest
+    and deduplicated: committing a tag that any existing manifest
+    already carries is a NO-OP returning that version — the
+    idempotence hook that makes foreachBatch replays exactly-once.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     prev = latest_version(spark, path)
+    if tag is not None and prev is not None:
+        for v in range(prev + 1):
+            if _read_manifest(spark, path, v).get("tag") == tag:
+                return v
     version = 0 if prev is None else prev + 1
     data_dir = f"{path}/data/v{version}_{uuid.uuid4().hex[:8]}"
     df.write.parquet(data_dir)
@@ -114,6 +124,7 @@ def commit(
         "mode": mode,
         "rows": total,
         "files": sorted(files),
+        "tag": tag,
     }
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path}/_log/.tmp_{uuid.uuid4().hex[:8]}.json"

@@ -79,3 +79,34 @@ def incremental_ingest(
     finally:
         q.stop()
     return len(_committed_batches(spark, checkpoint_dir) - before)
+
+
+def stream_to_versioned(
+    stream, path: str, checkpoint: str, spark=None
+):
+    """Sink a stream into the versioned table: every micro-batch
+    becomes one append COMMIT (sources/versioned.py), tagged with the
+    batch id so a foreachBatch replay after a crash is a no-op —
+    exactly-once at the commit-log level on top of the checkpoint's
+    at-least-once. Downstream consumers read per-release deltas with
+    ``read_changes`` instead of rescanning. Returns the started
+    StreamingQuery (availableNow trigger)."""
+    from dataprocessingframework_spark.sources.versioned import commit
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            mode="append",
+            tag=f"batch-{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

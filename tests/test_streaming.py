@@ -353,3 +353,48 @@ def test_windowed_psi_streaming_matches_batch(spark, tmp_path):
         for r in spark.table(qname).collect()
     }
     assert stream_out == batch_out
+
+
+def test_stream_to_versioned_commits_batches_idempotently(spark, tmp_path):
+    """Two ingest waves -> two versions; re-running the stream over the
+    same checkpoint commits nothing new; a manual replay of a seen tag
+    is a no-op (exactly-once at the commit log)."""
+    from dataprocessingframework_spark.sources.versioned import (
+        commit,
+        history,
+        read_version,
+    )
+    from dataprocessingframework_spark.streaming.ingest import (
+        stream_to_versioned,
+    )
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    table = str(tmp_path / "vtab")
+    ckpt = str(tmp_path / "vckpt")
+    spark.range(10).toDF("id").write.json(str(src / "w1"))
+
+    def run():
+        stream = spark.readStream.schema("id long").json(str(src / "*"))
+        q = stream_to_versioned(stream, table, ckpt)
+        q.awaitTermination()
+
+    run()
+    assert read_version(spark, table).count() == 10
+    n_versions = len(history(spark, table))
+
+    spark.range(100, 105).toDF("id").write.json(str(src / "w2"))
+    run()
+    assert read_version(spark, table).count() == 15
+    assert len(history(spark, table)) == n_versions + 1
+
+    # idle rerun: checkpoint says nothing new -> no commits
+    run()
+    assert len(history(spark, table)) == n_versions + 1
+
+    # manual replay of an already-seen tag is a no-op
+    seen_tag_version = commit(
+        spark, spark.range(999).toDF("id"), table, tag="batch-0"
+    )
+    assert seen_tag_version == 0  # returned the original commit
+    assert read_version(spark, table).count() == 15
