@@ -314,3 +314,50 @@ def test_weighted_sample_is_subset_and_exhaustive_when_k_large(spark):
         ).collect()
     ]
     assert sorted(got) == sorted(got2)
+
+
+def test_gini_python_twin_random_multisets(spark):
+    """Spark gini == the sorted-rank formula computed in numpy, over
+    random multisets (ties included)."""
+    import random
+
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.drift import gini
+
+    rng = random.Random(11)
+    for case in range(4):
+        vals = [float(rng.randint(0, 12)) for _ in range(rng.randint(5, 60))]
+        if sum(vals) == 0:
+            vals[0] = 1.0
+        x = np.sort(np.array(vals))
+        n = len(x)
+        expected = round(
+            float(2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum())
+                  - (n + 1) / n), 6)
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = gini(df, "x").collect()[0]
+        assert got.n == n
+        assert abs(got.gini - expected) <= 1e-6, (case, vals)
+
+
+def test_ks_python_twin_random_samples(spark):
+    import random
+
+    from dataprocessingframework_spark.operators.drift import ks_statistic
+
+    rng = random.Random(13)
+    for case in range(3):
+        a = [rng.randint(0, 20) for _ in range(rng.randint(5, 40))]
+        b = [rng.randint(5, 25) for _ in range(rng.randint(5, 40))]
+
+        def ecdf(s, v):
+            return sum(1 for x in s if x <= v) / len(s)
+
+        expected = round(
+            max(abs(ecdf(a, v) - ecdf(b, v)) for v in set(a) | set(b)), 6
+        )
+        da = spark.createDataFrame([(v,) for v in a], "x long")
+        db = spark.createDataFrame([(v,) for v in b], "x long")
+        got = ks_statistic(da, db, "x").collect()[0]
+        assert got.ks_d == expected, (case, a, b)
