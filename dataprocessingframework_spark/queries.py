@@ -6774,6 +6774,63 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_emb_ivf_topk_seeded(spark, sf_dir):
+    """IVF ANN with iters=0: coarse centroids are the 16 hash-min
+    corpus vectors VERBATIM (no Lloyd averaging), so cell assignment,
+    probing, and scoring are pure portable arithmetic and the whole
+    IVF pipeline gets a FULL cross-engine oracle — the oracled member
+    of the IVF family (emb_ivf_topk keeps Lloyd refinement and stays
+    rows-only: float-mean order is partitioning-dependent)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        iters=0,
+        impl="jvm",
+    ).orderBy("q_id", "nbr_id")
+
+
+SQL_EMB_IVF_TOPK_SEEDED = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+), corpus_cells AS (
+  SELECT nbr_id, cvv, cell FROM (
+    SELECT e.vec_id AS nbr_id, e.v AS cvv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4
+), scored AS (
+  SELECT q_id, nbr_id,
+         list_dot_product(qv, cvv) /
+           (sqrt(list_dot_product(qv, qv))
+            * sqrt(list_dot_product(cvv, cvv))) AS cos_raw
+  FROM corpus_cells JOIN probes USING (cell)
+  WHERE nbr_id <> q_id
+)
+SELECT q_id, nbr_id, ROUND(cos_raw, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM scored) WHERE rn <= 5
+ORDER BY q_id, nbr_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6913,6 +6970,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     ),
     "w_time_travel": (q_w_time_travel, SQL_W_TIME_TRAVEL),
     "w_incremental_read": (q_w_incremental_read, SQL_W_INCREMENTAL_READ),
+    "emb_ivf_topk_seeded": (
+        q_emb_ivf_topk_seeded,
+        SQL_EMB_IVF_TOPK_SEEDED,
+    ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
