@@ -311,3 +311,59 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l_s.join(r_s, on=[*keys, "_salt"], how=how).drop("_salt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int = 3600,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (closed intervals, numeric
+    bounds — epoch seconds for time): pairs where
+    ``l_lo <= r_hi AND r_lo <= l_hi``, e.g. "which sessions overlap a
+    campaign window". The third temporal-join shape next to asof
+    (point-to-point) and range_join (point-in-interval).
+
+    Scale shape — bin-and-equijoin with FIRST-COLLIDING-BIN emission
+    (the same dedup move as the LSH banding tier): each interval
+    explodes to the fixed-width bins it spans, the join is a plain
+    equi-join on (``on`` keys +) bin — shuffle-hash, AQE-skew-
+    splittable — and a pair that shares several bins is kept only in
+    the FIRST bin both intervals occupy (``bin == max(floor(l_lo/w),
+    floor(r_lo/w))``), so no global ``distinct()`` ever touches the
+    pair volume. The exact overlap predicate filters residual
+    same-bin non-overlaps after the match. Pick ``bin_width`` near the
+    typical interval length: explosion factor is ~duration/width + 1
+    per side.
+    """
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+    keys = list(on or [])
+
+    def binned(df: DataFrame, lo: str, hi: str, prefix: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / w).cast("long")
+        hi_b = F.floor(F.col(hi) / w).cast("long")
+        cols = [F.col(c) for c in df.columns]
+        return df.select(
+            *cols, F.explode(F.sequence(lo_b, hi_b)).alias("_bin")
+        )
+
+    l_pref = binned(left, l_lo, l_hi, "l")
+    r_pref = binned(right, r_lo, r_hi, "r")
+    joined = l_pref.join(r_pref, on=keys + ["_bin"])
+    first_bin = F.greatest(
+        F.floor(F.col(l_lo) / w).cast("long"),
+        F.floor(F.col(r_lo) / w).cast("long"),
+    )
+    overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    return (
+        joined.filter(F.col("_bin") == first_bin)
+        .filter(overlap)
+        .drop("_bin")
+    )

@@ -6831,6 +6831,81 @@ ORDER BY q_id, nbr_id
 """
 
 
+def q_j_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join: user sessions (30-min gap)
+    against daily 09:00-17:00 "office hour" windows — which sessions
+    touch office hours, per user. Bin-and-equijoin on 1-hour bins with
+    FIRST-COLLIDING-BIN pair emission (LSH-banding dedup move — no
+    global distinct); oracle is the plain overlap theta-join."""
+    from dataprocessingframework_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.select("user_id", "event_id", "ts", is_new.alias("_new"))
+        .withColumn("session_id", F.sum("_new").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s_lo"),
+            F.max(F.col("ts").cast("long")).alias("s_hi"),
+        )
+    )
+    office = (
+        ev.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .select(
+            (F.col("day").cast("timestamp").cast("long") + 9 * 3600).alias(
+                "o_lo"
+            ),
+            (F.col("day").cast("timestamp").cast("long") + 17 * 3600 - 1)
+            .alias("o_hi"),
+        )
+    )
+    pairs = interval_overlap_join(
+        sess, office, "s_lo", "s_hi", "o_lo", "o_hi", bin_width=3600
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_office_overlaps"))
+        .orderBy("user_id")
+    )
+
+
+SQL_J_INTERVAL_OVERLAP = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), sess AS (
+  SELECT user_id, session_id,
+         epoch(MIN(ts)) AS s_lo, epoch(MAX(ts)) AS s_hi
+  FROM s GROUP BY user_id, session_id
+), office AS (
+  SELECT epoch(CAST(day AS TIMESTAMP)) + 9 * 3600 AS o_lo,
+         epoch(CAST(day AS TIMESTAMP)) + 17 * 3600 - 1 AS o_hi
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+)
+SELECT user_id, COUNT(*) AS n_office_overlaps
+FROM sess JOIN office ON s_lo <= o_hi AND o_lo <= s_hi
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6974,6 +7049,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_emb_ivf_topk_seeded,
         SQL_EMB_IVF_TOPK_SEEDED,
     ),
+    "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),

@@ -1087,3 +1087,29 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert cont == {(0, 1): 1.0}  # small fully contained in big
     jac = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()
     assert jac == []  # symmetric jaccard (0.1) misses it
+
+
+def test_interval_overlap_join_dedup_and_semantics(spark):
+    """A pair sharing MANY bins must appear exactly once (first-
+    colliding-bin dedup); non-overlapping same-bin intervals are
+    filtered; touching endpoints count as overlap (closed)."""
+    from dataprocessingframework_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10_000), (2, 50, 60), (3, 200, 210)],
+        "lid long, s_lo long, s_hi long",
+    )
+    right = spark.createDataFrame(
+        [(10, 5_000, 20_000), (20, 61, 70), (30, 210, 220)],
+        "rid long, o_lo long, o_hi long",
+    )
+    out = interval_overlap_join(
+        left, right, "s_lo", "s_hi", "o_lo", "o_hi", bin_width=100
+    ).select("lid", "rid").collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    # (1,10) overlaps across ~50 shared bins -> exactly once
+    # (2,20) same bin but disjoint ([50,60] vs [61,70]) -> excluded
+    # (3,30) touch at 210 (closed) -> included
+    assert pairs == [(1, 10), (3, 30)]
