@@ -1098,11 +1098,11 @@ def test_interval_overlap_join_dedup_and_semantics(spark):
     )
 
     left = spark.createDataFrame(
-        [(1, 0, 10_000), (2, 50, 60), (3, 200, 210)],
+        [(1, 0, 10_000), (2, 20_050, 20_060), (3, 30_200, 30_210)],
         "lid long, s_lo long, s_hi long",
     )
     right = spark.createDataFrame(
-        [(10, 5_000, 20_000), (20, 61, 70), (30, 210, 220)],
+        [(10, 5_000, 20_000), (20, 20_061, 20_070), (30, 30_210, 30_220)],
         "rid long, o_lo long, o_hi long",
     )
     out = interval_overlap_join(
@@ -1110,6 +1110,6 @@ def test_interval_overlap_join_dedup_and_semantics(spark):
     ).select("lid", "rid").collect()
     pairs = sorted((r.lid, r.rid) for r in out)
     # (1,10) overlaps across ~50 shared bins -> exactly once
-    # (2,20) same bin but disjoint ([50,60] vs [61,70]) -> excluded
-    # (3,30) touch at 210 (closed) -> included
+    # (2,20) same bin (200) but disjoint -> excluded
+    # (3,30) touch at 30210 (closed) -> included
     assert pairs == [(1, 10), (3, 30)]
