@@ -330,3 +330,25 @@ def test_scd2_no_cartesian_single_key_family(spark, sf_dir):
     plan = plan_of(q.q_w_scd2(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_code_dedup_is_equi_join(spark, sf_dir):
+    """Same-bucket pairing must plan as an EQUI-join on code_key —
+    never a cartesian over the corpus. (A BroadcastNestedLoopJoin
+    against the single-row quantization-bounds aggregate is the
+    intended tiny-broadcast pattern and is allowed.)"""
+    plan = plan_of(q.q_emb_code_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_interval_overlap_join_is_equi_join_on_bin(spark, sf_dir):
+    """The overlap theta-predicate must ride an equi-join on the bin
+    id (shuffle-hash/AQE), not degrade to a nested-loop join."""
+    plan = plan_of(q.q_j_interval_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
