@@ -346,7 +346,7 @@ def interval_overlap_join(
         raise ValueError("bin_width must be positive")
     keys = list(on or [])
 
-    def binned(df: DataFrame, lo: str, hi: str, prefix: str) -> DataFrame:
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
         lo_b = F.floor(F.col(lo) / w).cast("long")
         hi_b = F.floor(F.col(hi) / w).cast("long")
         cols = [F.col(c) for c in df.columns]
@@ -354,8 +354,8 @@ def interval_overlap_join(
             *cols, F.explode(F.sequence(lo_b, hi_b)).alias("_bin")
         )
 
-    l_pref = binned(left, l_lo, l_hi, "l")
-    r_pref = binned(right, r_lo, r_hi, "r")
+    l_pref = binned(left, l_lo, l_hi)
+    r_pref = binned(right, r_lo, r_hi)
     joined = l_pref.join(r_pref, on=keys + ["_bin"])
     first_bin = F.greatest(
         F.floor(F.col(l_lo) / w).cast("long"),
