@@ -162,6 +162,30 @@ class Dataset:
         right = other.df if isinstance(other, Dataset) else other
         return self._wrap(nearest_join(self.df, right, on, **kwargs))
 
+    def overlap_join(
+        self,
+        other: "Dataset | DataFrame",
+        l_lo: str,
+        l_hi: str,
+        r_lo: str,
+        r_hi: str,
+        bin_width: int = 3600,
+        on: Any = None,
+    ) -> "Dataset":
+        """Interval × interval overlap join
+        (operators/joins.interval_overlap_join): binned equi-join with
+        first-colliding-bin dedup, exact predicate post-filter."""
+        from dataprocessingframework_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        right = other.df if isinstance(other, Dataset) else other
+        return self._wrap(
+            interval_overlap_join(
+                self.df, right, l_lo, l_hi, r_lo, r_hi, bin_width, on
+            )
+        )
+
     def range_join(
         self, ranges: "Dataset | DataFrame", point_col: str,
         lo_col: str, hi_col: str, **kwargs: Any,
