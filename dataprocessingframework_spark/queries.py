@@ -6995,11 +6995,14 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # A-ES sampling, snapshot diff/SCD2, nearest join, drift tier
     # KS/PSI/Gini/Benford/stream monitor, bigram NLL, SQ8 quantization,
     # dup-span/passage removal, containment, A/B readout, schema
-    # evolution, compaction, winsorize, z-score, cluster reps) — all
-    # locally oracle-verified, no driver row yet. Promote the first 50
-    # of this block into positions 1-50 for r5; the r4 window entries
-    # should be driver-green after r4 and rotate down; any overflow
-    # leads the r6 window.
+    # evolution, compaction, winsorize, z-score, cluster reps, lag
+    # features, code-bucket dedup, sketch intersection, versioned
+    # tables w/ time travel + incremental reads, seeded-IVF full
+    # oracle, interval-overlap join) — all locally oracle-verified, no
+    # driver row yet. Promote the first 50 of this block into
+    # positions 1-50 for r5; the r4 window entries should be
+    # driver-green after r4 and rotate down; any overflow leads the
+    # r6 window.
     "tx_bloom_decontaminate": (
         q_tx_bloom_decontaminate,
         SQL_TX_BLOOM_DECONTAMINATE,
