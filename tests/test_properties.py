@@ -361,3 +361,39 @@ def test_ks_python_twin_random_samples(spark):
         db = spark.createDataFrame([(v,) for v in b], "x long")
         got = ks_statistic(da, db, "x").collect()[0]
         assert got.ks_d == expected, (case, a, b)
+
+
+def test_interval_overlap_join_python_twin_random(spark):
+    """Binned+first-bin-dedup overlap join == brute-force python
+    overlap set, over random interval families and bin widths."""
+    import random
+
+    from dataprocessingframework_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(17)
+    for case, width in [(0, 7), (1, 50), (2, 1000)]:
+        ls = []
+        for i in range(rng.randint(3, 25)):
+            lo = rng.randint(0, 500)
+            ls.append((i, lo, lo + rng.randint(0, 120)))
+        rs = []
+        for j in range(rng.randint(3, 25)):
+            lo = rng.randint(0, 500)
+            rs.append((j, lo, lo + rng.randint(0, 120)))
+        expected = sorted(
+            (li, rj)
+            for li, ll, lh in ls
+            for rj, rl, rh in rs
+            if ll <= rh and rl <= lh
+        )
+        left = spark.createDataFrame(ls, "lid long, l_lo long, l_hi long")
+        right = spark.createDataFrame(rs, "rid long, r_lo long, r_hi long")
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=width
+            ).collect()
+        )
+        assert got == expected, (case, width)
