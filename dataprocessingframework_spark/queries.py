@@ -6906,6 +6906,66 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_ev_ordered_funnel(spark, sf_dir):
+    """STRICT ordered, time-constrained funnel (view -> click ->
+    purchase, each step within 2 h of the previous): the production
+    funnel ev_funnel's min-stage version cannot express (order and
+    deadlines matter). Per-stage earliest-qualifying timestamps are
+    per-user aggregates chained by user-keyed joins — three user-sized
+    shuffles, never event × event."""
+    ev = T(spark, sf_dir, "events")
+    h2 = 2 * 3600
+
+    def stage(etype):
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").cast("long").alias("t")
+        )
+
+    s1 = stage("view").groupBy("user_id").agg(F.min("t").alias("t1"))
+    s2 = (
+        stage("click")
+        .join(s1, "user_id")
+        .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + h2))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        stage("purchase")
+        .join(s2, "user_id")
+        .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t2") + h2))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_2h")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_2h")))
+    )
+
+
+SQL_EV_ORDERED_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND epoch(e.ts) >= s1.t1 AND epoch(e.ts) <= s1.t1 + 7200
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(epoch(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch(e.ts) >= s2.t2 AND epoch(e.ts) <= s2.t2 + 7200
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click_2h,
+       (SELECT COUNT(*) FROM s3) AS n_purchase_2h
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7053,6 +7113,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         SQL_EMB_IVF_TOPK_SEEDED,
     ),
     "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
+    "ev_ordered_funnel": (q_ev_ordered_funnel, SQL_EV_ORDERED_FUNNEL),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
