@@ -6966,6 +6966,110 @@ SELECT (SELECT COUNT(*) FROM s1) AS n_view,
 """
 
 
+def q_pipeline_curation_v2(spark, sf_dir):
+    """Second-generation curation flagship, composing the round-4
+    tiers end-to-end: language+length gate -> exact dedup (keep-first
+    by text) -> exact duplicated-SPAN removal (stride-1, Lee et al.
+    class) -> minimum-surviving-tokens gate -> per-source corpus
+    report. Every stage is an already-oracled operator; this query
+    pins the COMPOSITION cross-engine. All shuffles are doc- or
+    gram-keyed and linear; nothing quadratic anywhere."""
+    docs = T(spark, sf_dir, "documents")
+    gated = docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 50))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cleaned = text_analysis.remove_dup_spans(
+        deduped, n=5, min_docs=2
+    ).join(deduped.select("doc_id", "source"), "doc_id")
+    survivors = cleaned.withColumn(
+        "n_clean_tokens", text_analysis.token_count(F.col("clean_text"))
+    ).filter(F.col("n_clean_tokens") >= 10)
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_clean_tokens").alias("sum_clean_tokens"),
+            F.sum("n_removed").alias("sum_removed_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_PIPELINE_CURATION_V2 = """
+WITH base AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents WHERE lang = 'en' AND n_chars >= 50
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM base
+), occ AS (
+  SELECT doc_id, i - 1 AS s, i + 3 AS e,
+         array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)
+), dupg AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d FROM occ GROUP BY g)
+  WHERE d >= 2
+), hits AS (
+  SELECT doc_id, s, e FROM occ SEMI JOIN dupg USING (g)
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new
+  FROM hits
+), spans AS (
+  SELECT doc_id, span, MIN(s) AS s, MAX(e) AS e
+  FROM (SELECT doc_id, s, e,
+               SUM(new) OVER (PARTITION BY doc_id ORDER BY s) AS span
+        FROM flagged)
+  GROUP BY doc_id, span
+), tokidx AS (
+  SELECT doc_id, j - 1 AS idx, t[j] AS tok
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, GREATEST(len(t), 1))) AS j
+        FROM toks)
+  WHERE j <= len(t)
+), kept AS (
+  SELECT ti.doc_id, ti.idx, ti.tok FROM tokidx ti
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = ti.doc_id AND sp.s <= ti.idx AND ti.idx <= sp.e)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+), rem AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+  FROM spans GROUP BY doc_id
+), cleaned AS (
+  SELECT b.doc_id, b.source,
+         COALESCE(a.clean_text, '') AS clean_text,
+         COALESCE(r.n_removed, 0) AS n_removed
+  FROM base b
+  LEFT JOIN agg a ON a.doc_id = b.doc_id
+  LEFT JOIN rem r ON r.doc_id = b.doc_id
+), survivors AS (
+  SELECT *, len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+           AS n_clean_tokens
+  FROM cleaned
+  WHERE len(list_filter(string_split(clean_text, ' '), x -> x <> '')) >= 10
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_clean_tokens) AS BIGINT) AS sum_clean_tokens,
+       CAST(SUM(n_removed) AS BIGINT) AS sum_removed_tokens
+FROM survivors GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7114,6 +7218,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     ),
     "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
     "ev_ordered_funnel": (q_ev_ordered_funnel, SQL_EV_ORDERED_FUNNEL),
+    "pipeline_curation_v2": (
+        q_pipeline_curation_v2,
+        SQL_PIPELINE_CURATION_V2,
+    ),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
