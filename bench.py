@@ -61,6 +61,9 @@ def bench_queries(spark):
         "text_quality": big(lambda s, d: q.q_tx_quality(s, d)),
         # flagship curation pipeline (features -> filter -> dedup -> stats)
         "pipeline_curation": small(q.q_pipeline_curation),
+        # v2 flagship: gate -> exact dedup -> stride-1 span removal ->
+        # report (the composed multi-tier cost)
+        "pipeline_curation_v2": small(q.q_pipeline_curation_v2),
         # dedup sketches at scale
         "minhash_signatures": big(
             lambda s, d: dedup.minhash_signatures(
