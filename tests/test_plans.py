@@ -352,3 +352,9 @@ def test_interval_overlap_join_is_equi_join_on_bin(spark, sf_dir):
     plan = plan_of(q.q_j_interval_overlap(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_curation_v2_no_quadratic_shapes(spark, sf_dir):
+    plan = plan_of(q.q_pipeline_curation_v2(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
