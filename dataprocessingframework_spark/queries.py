@@ -7070,6 +7070,120 @@ FROM survivors GROUP BY source ORDER BY source
 """
 
 
+def q_a_mad_outliers(spark, sf_dir):
+    """Robust dispersion report by median absolute deviation (the
+    z-score's outlier-immune sibling): modified z = 0.6745*(x-med)/MAD
+    (Iglewicz-Hoaglin, public). One-row report (median, MAD, max |z|,
+    count above the 3.5 outlier bar — structurally zero on this
+    uniform synthetic corpus, which the oracle pins too). Two exact-
+    median aggregates broadcast back; the corpus never re-shuffles."""
+    docs = T(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    with_med = docs.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("n_chars") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        docs.crossJoin(F.broadcast(mad))
+        .withColumn("_z", z)
+        .agg(
+            F.round(F.first("med"), 2).alias("median"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.round(F.max(F.abs(F.col("_z"))), 4).alias("max_abs_z"),
+            F.sum(
+                F.when(F.abs(F.col("_z")) > 3.5, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+SQL_A_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT quantile_cont(n_chars, 0.5) AS med FROM documents
+), mad AS (
+  SELECT quantile_cont(abs(n_chars - med), 0.5) AS mad,
+         ANY_VALUE(med) AS med
+  FROM documents, med
+)
+SELECT ROUND(ANY_VALUE(med), 2) AS median,
+       ROUND(ANY_VALUE(mad), 2) AS mad,
+       ROUND(MAX(abs(0.6745 * (n_chars - med) / mad)), 4) AS max_abs_z,
+       CAST(SUM(CASE WHEN abs(0.6745 * (n_chars - med) / mad) > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents, mad
+"""
+
+
+def q_f_gap_fill(spark, sf_dir):
+    """Calendar gap-fill: daily event counts per type with MISSING
+    days materialized as zero rows (the reporting-completeness move —
+    a time series with holes breaks downstream windows). The day
+    spine is a sequence() explode over the observed min/max — one
+    single-row aggregate broadcast, never a driver loop."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("d0"), F.col("d1"), F.expr("interval 1 day")
+                )
+            ).alias("day")
+        )
+        .crossJoin(
+            spark.createDataFrame(
+                [("purchase",), ("signup",)], "event_type string"
+            )
+        )
+    )
+    return (
+        spine.join(daily, on=["day", "event_type"], how="left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_F_GAP_FILL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+  FROM events WHERE event_type IN ('purchase', 'signup')
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day,
+         t.event_type
+  FROM bounds CROSS JOIN (
+    SELECT unnest(['purchase', 'signup']) AS event_type) t
+)
+SELECT s.day, s.event_type, COALESCE(d.cnt, 0) AS cnt
+FROM spine s LEFT JOIN daily d
+  ON d.day = s.day AND d.event_type = s.event_type
+ORDER BY s.day, s.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7222,6 +7336,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_pipeline_curation_v2,
         SQL_PIPELINE_CURATION_V2,
     ),
+    "a_mad_outliers": (q_a_mad_outliers, SQL_A_MAD_OUTLIERS),
+    "f_gap_fill": (q_f_gap_fill, SQL_F_GAP_FILL),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
