@@ -7184,6 +7184,118 @@ ORDER BY s.day, s.event_type
 """
 
 
+def q_ev_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month (the engagement staple): mean
+    daily-distinct over monthly-distinct users. Both sides reduce to
+    (period, user) DISTINCT tables first — shuffles carry distinct
+    pairs, never raw events."""
+    ev = T(spark, sf_dir, "events")
+    dau = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.trunc(F.to_date("ts"), "month").alias("month"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("month", "day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .groupBy("month")
+        .agg(F.avg("dau").alias("avg_dau"))
+    )
+    mau = (
+        ev.select(
+            F.trunc(F.to_date("ts"), "month").alias("month"), "user_id"
+        )
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        dau.join(mau, "month")
+        .select(
+            "month",
+            F.round("avg_dau", 2).alias("avg_dau"),
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_EV_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         date_trunc('month', CAST(ts AS DATE)) AS month, user_id
+  FROM events
+), dau AS (
+  SELECT month, AVG(dau) AS avg_dau FROM (
+    SELECT month, day, COUNT(*) AS dau FROM du GROUP BY month, day)
+  GROUP BY month
+), mau AS (
+  SELECT month, COUNT(*) AS mau FROM (
+    SELECT DISTINCT month, user_id FROM du) GROUP BY month
+)
+SELECT CAST(dau.month AS DATE) AS month,
+       ROUND(avg_dau, 2) AS avg_dau, mau,
+       ROUND(avg_dau / mau, 4) AS stickiness
+FROM dau JOIN mau ON dau.month = mau.month
+ORDER BY month
+"""
+
+
+def q_tx_hapax_ratio(spark, sf_dir):
+    """Lexical richness per source: hapax-legomena share (fraction of
+    the source's vocabulary occurring exactly once) + type-token
+    ratio. Template-generated or boilerplate corpora collapse both.
+    One (source, term) count table drives everything."""
+    docs = T(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(text_analysis.tokens(F.col("text"))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("c").alias("tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "tokens",
+            "hapax",
+            F.round(F.col("hapax") / F.col("vocab"), 4).alias("hapax_ratio"),
+            F.round(F.col("vocab") / F.col("tokens"), 4).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TX_HAPAX_RATIO = """
+WITH tc AS (
+  SELECT source, term, COUNT(*) AS c FROM (
+    SELECT source, unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS term
+    FROM documents)
+  GROUP BY source, term
+)
+SELECT source, COUNT(*) AS vocab,
+       CAST(SUM(c) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_ratio,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS type_token_ratio
+FROM tc GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7338,6 +7450,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     ),
     "a_mad_outliers": (q_a_mad_outliers, SQL_A_MAD_OUTLIERS),
     "f_gap_fill": (q_f_gap_fill, SQL_F_GAP_FILL),
+    "ev_stickiness": (q_ev_stickiness, SQL_EV_STICKINESS),
+    "tx_hapax_ratio": (q_tx_hapax_ratio, SQL_TX_HAPAX_RATIO),
     "ev_props_json": (q_ev_props_json, SQL_EV_PROPS_JSON),
     "tx_ngram_entropy": (q_tx_ngram_entropy, SQL_TX_NGRAM_ENTROPY),
     "f_regex_extract_all": (q_f_regex_extract_all, SQL_F_REGEX_EXTRACT_ALL),
