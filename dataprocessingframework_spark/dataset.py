@@ -531,6 +531,23 @@ class Dataset:
             self.df, other, list(key_cols), list(compare_cols)
         )
 
+    def remove_dup_spans(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 8,
+        min_docs: int = 2,
+    ) -> "Dataset":
+        """Exact duplicated-SPAN removal at every token offset
+        (stride-1; operators/text_analysis.remove_dup_spans)."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            remove_dup_spans,
+        )
+
+        return self._wrap(
+            remove_dup_spans(self.df, text_col, id_col, n, min_docs)
+        )
+
     def remove_boilerplate(
         self,
         text_col: str = "text",
