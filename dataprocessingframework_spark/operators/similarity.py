@@ -46,6 +46,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (q_id, nbr_id, cos_raw) score rows — the
+    TakeOrdered discipline, delegated to Catalyst.
+
+    The ``row_number() <= k`` filter triggers Spark's
+    ``InferWindowGroupLimit`` rule (3.5+), which plans a map-side
+    ``WindowGroupLimit ... Partial`` BELOW the q_id exchange: each map
+    partition sorts locally (spillable) and forwards at most k rows
+    per query, so the reduce side receives n_map_partitions x k rows
+    per query — never a corpus-sized score set in one q_id partition.
+    ``tests/test_plans.py::test_cosine_topk_window_not_over_raw_scores``
+    pins the partial group-limit so a refactor that defeats the rule
+    (e.g. k above spark.sql.window.group.limit.threshold, default
+    1000, or a non-rank filter shape) is caught.
+    """
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,8 +82,10 @@ def cosine_topk(
     Returns (q_id, nbr_id, cos) — cos rounded to 4 decimals for stable
     comparison; ranking uses the unrounded value with nbr_id tiebreak.
     Self-pairs excluded. Queries are broadcast: the corpus never
-    shuffles; the only wide op is the per-query top-k (window over
-    q_id), whose input is already reduced to corpus x queries rows.
+    shuffles, and top-k selection is two-level — a map-side partial
+    WindowGroupLimit (see ``_per_query_topk``) keeps only k rows per
+    (map partition, query) before the q_id exchange, so no single
+    partition ever holds a corpus-sized score set.
 
     impl='jvm' (default): sequential-fold dot product in whole-stage
     codegen — bit-reproducible against the DuckDB oracle.
@@ -96,12 +121,7 @@ def cosine_topk(
             ).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
-    )
+    return _per_query_topk(scored, k)
 
 
 def _cosine_topk_blas(
@@ -113,8 +133,12 @@ def _cosine_topk_blas(
 ) -> DataFrame:
     """Vectorized scoring: the (small) query side becomes a broadcast
     numpy matrix; each Arrow batch of the corpus is one BLAS matmul.
-    The corpus never shuffles; only (corpus x queries) score rows flow
-    into the per-query top-k window."""
+    The corpus never shuffles, and each batch emits only its own
+    top-(k+1) candidates per query (``np.argpartition``, with exact
+    boundary-tie inclusion), so the per-query top-k window downstream
+    sees at most ~(k+1) x n_batches rows per query — never a
+    corpus-sized score set in one partition. (+1 absorbs the one
+    self-pair a batch can contain, which is filtered after.)"""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -146,12 +170,33 @@ def _cosine_topk_blas(
             c = np.stack(pdf[vec_col].values).astype(np.float64)
             cn = c / np.linalg.norm(c, axis=1, keepdims=True)
             sims = cn @ qmat.T  # (batch, nq)
+            nbr = pdf[id_col].values
             n, m = sims.shape
+            kk = min(k + 1, n)
+            if n <= kk:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(ids, n),
+                        "nbr_id": np.tile(nbr, m),
+                        "cos_raw": sims.T.ravel(),
+                    }
+                )
+                continue
+            # kth-largest score per query; keep every row >= it so an
+            # exact tie at the boundary can never evict the candidate
+            # the (cos desc, nbr_id asc) global tiebreak would keep
+            kth = np.partition(sims, n - kk, axis=0)[n - kk]  # (m,)
+            out_q, out_n, out_s = [], [], []
+            for j in range(m):
+                sel = np.nonzero(sims[:, j] >= kth[j])[0]
+                out_q.append(np.full(len(sel), ids[j]))
+                out_n.append(nbr[sel])
+                out_s.append(sims[sel, j])
             yield pd.DataFrame(
                 {
-                    "q_id": np.repeat(ids, n),
-                    "nbr_id": np.tile(pdf[id_col].values, m),
-                    "cos_raw": sims.T.ravel(),
+                    "q_id": np.concatenate(out_q),
+                    "nbr_id": np.concatenate(out_n),
+                    "cos_raw": np.concatenate(out_s),
                 }
             )
 
@@ -160,12 +205,7 @@ def _cosine_topk_blas(
         .mapInPandas(score, schema)
         .filter(F.col("nbr_id") != F.col("q_id"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
-    )
+    return _per_query_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -272,12 +312,10 @@ def lsh_topk(
             ).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
-    )
+    # _per_query_topk's map-side partial WindowGroupLimit keeps a hot
+    # bucket (skewed sign-pattern) from funneling its full membership
+    # through one q_id partition
+    return _per_query_topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -548,12 +586,10 @@ def ivf_topk(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "nbr_id", F.round("cos_raw", 4).alias("cos"))
-    )
+    # _per_query_topk's map-side partial WindowGroupLimit keeps a fat
+    # IVF cell from funneling its full membership through one q_id
+    # partition
+    return _per_query_topk(scored, k)
 
 
 def quantize_embeddings(

@@ -1113,3 +1113,30 @@ def test_interval_overlap_join_dedup_and_semantics(spark):
     # (2,20) same bin (200) but disjoint -> excluded
     # (3,30) touch at 30210 (closed) -> included
     assert pairs == [(1, 10), (3, 30)]
+
+
+def test_cosine_topk_exact_under_ties_and_partitions(spark):
+    """Partition-local pre-top-k must keep the global (cos desc,
+    nbr_id asc) tiebreak exact even when scores tie at the k-th
+    boundary across partitions: duplicate vectors produce exact float
+    ties, and the winner must be the smallest nbr_id regardless of
+    which partition held it."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(12)] + [(100 + i, other) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>"
+    ).repartition(6)
+    qdf = spark.createDataFrame(
+        [(0, base)], schema="vec_id long, embedding array<float>"
+    )
+    for impl in ("jvm", "blas"):
+        got = sorted(
+            (r.nbr_id, r.cos)
+            for r in similarity.cosine_topk(df, qdf, k=5, impl=impl).collect()
+        )
+        # ties on cos=1.0 resolve to the 5 smallest non-self ids
+        assert got == [(1, 1.0), (2, 1.0), (3, 1.0), (4, 1.0), (5, 1.0)], (
+            impl,
+            got,
+        )
