@@ -70,18 +70,13 @@ def bench_queries(spark):
                 q.T(s, d, "documents"), "text", "doc_id", num_hashes=16
             )
         ),
-        # max_bucket_size=None: benchmark the exact full pair set (the
-        # oracle-checkable shape) so timings stay comparable round-over-
-        # round; the default cap would star-collapse this corpus's
-        # mega-buckets and shrink the measured work
-        "minhash_lsh_candidates": big(
-            lambda s, d: dedup.minhash_lsh_candidates(
-                q.T(s, d, "documents"), "text", "doc_id",
-                num_hashes=16, bands=4, max_bucket_size=None,
-            )
-        ),
-        # ... and the PRODUCTION shape with the default bucket cap, so
-        # the star-join collapse path is perf-guarded too (VERDICT r3)
+        # PRODUCTION shape: default bucket cap + 64-bit prefix bucket
+        # keys. The uncapped md5-string variant was dropped from the
+        # bench in r5 (VERDICT r4 item 2): its uncapped collect_set
+        # arrays made trial-3 timings degrade 8.5x from GC pressure in
+        # one JVM — it remains oracle-checked (dd_lsh_candidates) but
+        # is not a headline perf entry. Name kept from r4 for
+        # round-over-round comparability.
         "minhash_lsh_candidates_capped": big(
             lambda s, d: dedup.minhash_lsh_candidates(
                 q.T(s, d, "documents"), "text", "doc_id",

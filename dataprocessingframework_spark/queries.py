@@ -2115,7 +2115,7 @@ def q_dd_clusters_lsh(spark, sf_dir):
     approximate pipeline is hash-checkable."""
     docs = T(spark, sf_dir, "documents")
     edges = dedup.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4
+        docs, "text", "doc_id", num_hashes=8, bands=4, bucket_key="md5"
     )
     cc = dedup.connected_components(
         edges, all_nodes=docs.select("doc_id"), id_a="id_a", id_b="id_b"
@@ -2242,7 +2242,7 @@ def q_dd_lsh_candidates(spark, sf_dir):
     builds the identical band buckets and the identical pair set."""
     return dedup.minhash_lsh_candidates(
         T(spark, sf_dir, "documents"), "text", "doc_id",
-        num_hashes=16, bands=4, max_bucket_size=None,
+        num_hashes=16, bands=4, max_bucket_size=None, bucket_key="md5",
     ).orderBy("id_a", "id_b")
 
 
@@ -2266,7 +2266,8 @@ def q_dd_jaccard_lsh(spark, sf_dir):
     candidates ∩ identical Jaccard computation."""
     docs = T(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4, max_bucket_size=None
+        docs, "text", "doc_id", num_hashes=8, bands=4, max_bucket_size=None,
+        bucket_key="md5",
     )
     return dedup.jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, candidates=cand

@@ -183,3 +183,24 @@ def test_hamming_near_dup_exact_vs_bruteforce(spark):
             a, b = sorted((ia, ib))
             want.add((a, b, d))
     assert got == want
+
+
+def test_lsh_bucket_key_prefix64_matches_md5(spark, sf_dir):
+    """The production 64-bit-prefix bucket keys must produce the same
+    candidate pair set as the oracle-portable md5-string keys (they
+    can only differ on a 60-bit prefix collision between distinct
+    band signatures)."""
+    from dataprocessingframework_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p64 = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, bucket_key="prefix64"
+    )
+    md5 = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, bucket_key="md5"
+    )
+    assert {(r.id_a, r.id_b) for r in p64.collect()} == {
+        (r.id_a, r.id_b) for r in md5.collect()
+    }
