@@ -554,22 +554,30 @@ def remove_dup_passages(
     toks = tokens(F.col(text_col))
     ntok = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(ntok, F.lit(1)), F.lit(n))
-    tiles = df.select(
-        F.col(id_col),
-        F.posexplode(starts).alias("_pos", "_s"),
-        toks.alias("_t"),
-    ).select(
-        id_col,
-        "_pos",
-        F.array_join(F.slice(F.col("_t"), F.col("_s"), n), " ").alias("_p"),
+    tiles = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("_pos", "_s"),
+            toks.alias("_t"),
+        )
+        .select(
+            id_col,
+            "_pos",
+            F.array_join(F.slice(F.col("_t"), F.col("_s"), n), " ").alias("_p"),
+        )
+        # the doc-frequency side shuffles only this 8-byte hash, never
+        # the n-word tile string (which rides along solely for the
+        # reassembly agg); hash64 is md5-derived so the DuckDB oracle
+        # computes the identical key
+        .withColumn("_ph", hash64(F.col("_p")))
     )
     freq = (
-        tiles.select(id_col, "_p")
+        tiles.select(id_col, "_ph")
         .distinct()
-        .groupBy("_p")
+        .groupBy("_ph")
         .agg(F.count(F.lit(1)).alias("_docs"))
     )
-    flagged = tiles.join(freq, on="_p")
+    flagged = tiles.join(freq, on="_ph")
     kept = flagged.filter(F.col("_docs") < min_docs)
     clean = kept.groupBy(id_col).agg(
         F.array_join(
@@ -627,8 +635,17 @@ def remove_dup_spans(
     """
     toks = tokens(F.col(text_col))
     grams = word_ngrams(F.col(text_col), n)
+    # grams are hashed to 64-bit at explode time: the three wide ops
+    # over the gram relation (distinct, doc-frequency groupBy, semi-
+    # join back) shuffle 8-byte longs instead of ~n-word strings —
+    # ~8x fewer shuffle bytes on this, the heaviest text path. Nothing
+    # downstream needs the gram text (only positions), and hash64 is
+    # md5-derived so the DuckDB oracle hashes identically.
     occ = df.select(
-        F.col(id_col), F.posexplode(grams).alias("_i", "_g")
+        F.col(id_col),
+        F.posexplode(
+            F.transform(grams, lambda g: hash64(g))
+        ).alias("_i", "_g"),
     )
     dupg = (
         occ.select(id_col, "_g")

@@ -5732,14 +5732,16 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
 ), tiles AS (
-  SELECT doc_id, s, array_to_string(t[s:s+7], ' ') AS p
+  SELECT doc_id, s, array_to_string(t[s:s+7], ' ') AS p,
+         CAST(concat('0x', substr(md5(array_to_string(t[s:s+7], ' ')), 1, 15))
+              AS BIGINT) AS ph
   FROM (SELECT doc_id, t,
                unnest(generate_series(1, GREATEST(len(t), 1), 8)) AS s
         FROM toks)
 ), freq AS (
-  SELECT p, COUNT(DISTINCT doc_id) AS docs FROM tiles GROUP BY p
+  SELECT ph, COUNT(DISTINCT doc_id) AS docs FROM tiles GROUP BY ph
 ), flagged AS (
-  SELECT doc_id, s, tiles.p, docs FROM tiles JOIN freq USING (p)
+  SELECT doc_id, s, tiles.p, docs FROM tiles JOIN freq USING (ph)
 ), clean AS (
   SELECT doc_id, string_agg(p, ' ' ORDER BY s) AS clean_text,
          COUNT(*) AS n_kept
@@ -6409,7 +6411,8 @@ WITH toks AS (
   FROM documents
 ), occ AS (
   SELECT doc_id, i - 1 AS s, i + 3 AS e,
-         array_to_string(t[i:i+4], ' ') AS g
+         CAST(concat('0x', substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+              AS BIGINT) AS g
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
         FROM toks WHERE len(t) >= 5)
 ), dupg AS (
@@ -7012,7 +7015,8 @@ WITH base AS (
   FROM base
 ), occ AS (
   SELECT doc_id, i - 1 AS s, i + 3 AS e,
-         array_to_string(t[i:i+4], ' ') AS g
+         CAST(concat('0x', substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+              AS BIGINT) AS g
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
         FROM toks WHERE len(t) >= 5)
 ), dupg AS (
