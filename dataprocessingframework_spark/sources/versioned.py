@@ -57,12 +57,15 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
         stream.close()
 
 
-def latest_version(spark: SparkSession, path: str) -> int | None:
-    """Highest committed version, or None for an empty/absent table."""
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Versions whose manifests actually EXIST, ascending — one
+    ``_log`` listing. Never assume a contiguous 0..latest range:
+    vacuum() deletes old manifests, so iterating a range would crash
+    on the first vacuumed version."""
     jvm, fs = _fs(spark, path)
     log = jvm.org.apache.hadoop.fs.Path(f"{path}/_log")
     if not fs.exists(log):
-        return None
+        return []
     versions = []
     for st in fs.listStatus(log):
         name = st.getPath().getName()
@@ -71,7 +74,13 @@ def latest_version(spark: SparkSession, path: str) -> int | None:
                 versions.append(int(name[:-5]))
             except ValueError:
                 continue
-    return max(versions) if versions else None
+    return sorted(versions)
+
+
+def latest_version(spark: SparkSession, path: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    versions = _list_versions(spark, path)
+    return versions[-1] if versions else None
 
 
 def commit(
@@ -90,18 +99,32 @@ def commit(
     commit point; a crash before it leaves only invisible data files.
 
     ``tag`` (e.g. a streaming batch id) is recorded in the manifest
-    and deduplicated: committing a tag that any existing manifest
-    already carries is a NO-OP returning that version — the
-    idempotence hook that makes foreachBatch replays exactly-once.
+    and deduplicated: committing a tag the table has already seen is a
+    NO-OP returning that version — the idempotence hook that makes
+    foreachBatch replays exactly-once. The full {tag: version} index
+    is carried forward in every manifest, so the check reads ONE
+    manifest (O(1) per micro-batch, not O(versions)) and survives
+    vacuum() deleting the manifest that first recorded the tag.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     prev = latest_version(spark, path)
-    if tag is not None and prev is not None:
-        for v in range(prev + 1):
-            if _read_manifest(spark, path, v).get("tag") == tag:
-                return v
+    tags: dict[str, int] = {}
+    if prev is not None:
+        pm_prev = _read_manifest(spark, path, prev)
+        if "tags" in pm_prev:
+            tags = dict(pm_prev["tags"])
+        else:
+            # pre-index manifests: rebuild from those that still exist
+            for v in _list_versions(spark, path):
+                t = _read_manifest(spark, path, v).get("tag")
+                if t is not None:
+                    tags.setdefault(t, v)
+    if tag is not None and tag in tags:
+        return tags[tag]
     version = 0 if prev is None else prev + 1
+    if tag is not None:
+        tags[tag] = version
     data_dir = f"{path}/data/v{version}_{uuid.uuid4().hex[:8]}"
     df.write.parquet(data_dir)
 
@@ -125,6 +148,7 @@ def commit(
         "rows": total,
         "files": sorted(files),
         "tag": tag,
+        "tags": tags,
     }
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path}/_log/.tmp_{uuid.uuid4().hex[:8]}.json"
@@ -159,12 +183,11 @@ def read_version(
 
 
 def history(spark: SparkSession, path: str) -> list[dict]:
-    """All manifests (version, mode, rows, n_files), oldest first."""
-    last = latest_version(spark, path)
-    if last is None:
-        return []
+    """All RETAINED manifests (version, mode, rows, n_files), oldest
+    first — versions whose manifests vacuum() has deleted are absent,
+    not an error."""
     out = []
-    for v in range(last + 1):
+    for v in _list_versions(spark, path):
         m = _read_manifest(spark, path, v)
         out.append(
             {
@@ -210,13 +233,17 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
     """
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    last = latest_version(spark, path)
-    if last is None:
+    versions = _list_versions(spark, path)
+    if not versions:
         return 0
+    last = versions[-1]
     keep_from = max(0, last - keep_versions + 1)
     referenced: set[str] = set()
-    for v in range(keep_from, last + 1):
-        referenced.update(_read_manifest(spark, path, v)["files"])
+    # only retained manifests — a prior vacuum with a smaller window
+    # may have deleted some versions inside this one's keep range
+    for v in versions:
+        if v >= keep_from:
+            referenced.update(_read_manifest(spark, path, v)["files"])
     jvm, fs = _fs(spark, path)
     deleted = 0
     data = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
@@ -231,8 +258,10 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 1) -> int:
             if f.endswith(".parquet") and f not in referenced:
                 fs.delete(st.getPath(), False)
                 deleted += 1
-    for v in range(0, keep_from):
-        mp = jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json")
-        if fs.exists(mp):
-            fs.delete(mp, False)
+    for v in versions:
+        if v < keep_from:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_log/{v:08d}.json"),
+                False,
+            )
     return deleted

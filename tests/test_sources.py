@@ -554,3 +554,62 @@ def test_versioned_read_changes_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, path, 0)  # vacuumed manifest is gone
+
+
+def test_versioned_commit_history_after_vacuum(spark, tmp_path):
+    """ADVICE r4: vacuum() deletes old manifests, so commit()'s tag
+    idempotence and history() must never iterate version 0..latest —
+    a tagged commit and a history listing must both work AFTER a
+    vacuum, and a tag recorded in a since-vacuumed manifest must
+    still deduplicate (the tag index is carried forward)."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.sources.versioned import (
+        commit,
+        history,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vt3")
+    v0 = commit(
+        spark, spark.range(4).withColumn("v", F.lit("a")), path, tag="batch-0"
+    )
+    commit(
+        spark,
+        spark.range(2).withColumn("v", F.lit("b")),
+        path,
+        mode="overwrite",
+        tag="batch-1",
+    )
+    vacuum(spark, path, keep_versions=1)  # v0 manifest is gone
+
+    # history over retained manifests only — no crash, no v0 row
+    assert [e["version"] for e in history(spark, path)] == [1]
+
+    # a NEW tagged commit after vacuum must succeed (this crashed with
+    # FileNotFoundError when the tag scan read from version 0)
+    v2 = commit(
+        spark,
+        spark.range(3).withColumn("v", F.lit("c")),
+        path,
+        mode="append",
+        tag="batch-2",
+    )
+    assert v2 == 2
+
+    # replaying a tag whose recording manifest was VACUUMED is still a
+    # no-op returning the original version
+    assert (
+        commit(
+            spark,
+            spark.range(9).withColumn("v", F.lit("dup")),
+            path,
+            tag="batch-0",
+        )
+        == v0
+    )
+
+    # a second vacuum with a WIDER window than the first must tolerate
+    # the hole the first one left in the version sequence
+    vacuum(spark, path, keep_versions=5)
+    assert [e["version"] for e in history(spark, path)] == [1, 2]
