@@ -63,15 +63,37 @@ def _read_image_rgb(data: bytes) -> "Image.Image":
 
 
 class ModelFilter(DataFilter):
-    """Base for weight-backed filters: lazy per-task setup."""
+    """Base for weight-backed filters: lazy per-task setup.
+
+    ``half=True`` runs the wrapped model in fp16 (weights halved once
+    per task, float inputs/outputs converted per call) — the knob the
+    reference exposes as ``fp16`` (`DPF/filters/utils/
+    fp16_module.py:48-68`); see :mod:`..filters.fp16`. Subclasses
+    apply it by passing their loaded module through
+    :meth:`_maybe_half` in ``setup()``.
+    """
 
     #: import-gates this filter needs beyond torch; subclasses extend
     requires: tuple[str, ...] = ("torch",)
 
-    def __init__(self, content_column: str = "content", device: str = "cuda") -> None:
+    def __init__(
+        self,
+        content_column: str = "content",
+        device: str = "cuda",
+        half: bool = False,
+    ) -> None:
         self._content_column = content_column
         self.device = device
+        self.half = half
         self._ready = False
+
+    def _maybe_half(self, module: Any) -> Any:
+        """fp16-wrap ``module`` when ``self.half`` (no-op otherwise)."""
+        if not self.half:
+            return module
+        from dataprocessingframework_spark.filters.fp16 import wrap_half
+
+        return wrap_half(module)
 
     @property
     def content_column(self) -> str:
@@ -288,7 +310,9 @@ class NSFWFilter(_ClipImageFilter):
 class WatermarksFilter(ModelFilter):
     """M5 — resnext watermark classifier
     (`filters/images/watermarks_filter.py:65-149`): Resize(320) ->
-    ImageNet-normalize -> 2-class resnext, argmax class as 0/1."""
+    ImageNet-normalize -> 2-class resnext, argmax class as 0/1.
+    Defaults to fp16 inference like the reference
+    (`watermarks_filter.py:103` passes fp16=True)."""
 
     requires = ("torch", "PIL")
 
@@ -296,9 +320,10 @@ class WatermarksFilter(ModelFilter):
         self,
         weights_path: str | None = None,
         arch: str = "resnext50_32x4d",
+        half: bool = True,
         **kw: Any,
     ) -> None:
-        super().__init__(**kw)
+        super().__init__(half=half, **kw)
         self.weights_path = weights_path
         self.arch = arch
         self._model = None
@@ -321,7 +346,9 @@ class WatermarksFilter(ModelFilter):
                 torch.load(self.weights_path, map_location=self.device)
             )
         model.eval()
-        self._model = model.to(self.device)
+        # halve BEFORE the device move, as the reference does
+        # (`watermarks_filter.py:56-58`: FP16Module(model).to(device))
+        self._model = self._maybe_half(model).to(self.device)
         self._transforms = transforms.Compose(
             [
                 transforms.Resize((320, 320)),

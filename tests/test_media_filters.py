@@ -217,3 +217,73 @@ def test_frame_adapter_composes_captioning_filter(spark):
         video = encode_fake_video(640, 480, 30.0, 1000, frame)
         with pytest.raises(NotImplementedError):
             wrapped.preprocess(video, {})
+
+
+class _FakeTensor:
+    """Duck-typed float tensor for torch-less CI: records precision."""
+
+    def __init__(self, dtype="float32", floating=True):
+        self.dtype = dtype
+        self.floating = floating
+
+    def is_floating_point(self):
+        return self.floating
+
+    def half(self):
+        return _FakeTensor("float16", True)
+
+    def float(self):
+        return _FakeTensor("float32", True)
+
+
+def test_fp16_cast_floats_recurses_and_skips_non_floats():
+    """cast_floats must halve every floating leaf in nested
+    tuple/list/dict structure, restore fp32 on the way back, and leave
+    non-float leaves (ints/strings/None/integer tensors) untouched —
+    the reference FP16Module's conversion contract
+    (DPF/filters/utils/fp16_module.py:10-45)."""
+    from dataprocessingframework_spark.filters.fp16 import cast_floats
+
+    t = _FakeTensor()
+    ints = _FakeTensor("int64", floating=False)
+    nested = (t, [t, {"a": t, "n": 7}], ints, "s", None)
+    halved = cast_floats(nested, True)
+    assert isinstance(halved, tuple) and isinstance(halved[1], list)
+    assert halved[0].dtype == "float16"
+    assert halved[1][0].dtype == "float16"
+    assert halved[1][1]["a"].dtype == "float16"
+    assert halved[1][1]["n"] == 7
+    assert halved[2].dtype == "int64"  # integer tensor not converted
+    assert halved[3] == "s" and halved[4] is None
+    restored = cast_floats(halved, False)
+    assert restored[0].dtype == "float32"
+
+
+def test_watermarks_filter_half_default_and_gating():
+    """WatermarksFilter defaults to fp16 like the reference
+    (watermarks_filter.py:103); the knob is togglable and, without
+    torch, setup still gates loudly instead of failing inside the
+    half-wrap."""
+    from dataprocessingframework_spark.filters.model_filters import (
+        WatermarksFilter,
+    )
+
+    wf = WatermarksFilter()
+    assert wf.half is True
+    assert WatermarksFilter(half=False).half is False
+    if not HAVE_TORCH:
+        with pytest.raises(NotImplementedError):
+            wf.setup()
+
+
+@pytest.mark.skipif(not HAVE_TORCH, reason="torch not installed")
+def test_wrap_half_converts_weights_and_keeps_fp32_contract():
+    import torch
+
+    from dataprocessingframework_spark.filters.fp16 import wrap_half
+
+    lin = torch.nn.Linear(4, 2)
+    wrapped = wrap_half(lin)
+    assert next(wrapped.parameters()).dtype == torch.float16
+    out = wrapped(torch.randn(3, 4))  # fp32 in
+    assert out.dtype == torch.float32  # fp32 out
