@@ -1,0 +1,45 @@
+"""Smoke test for examples/quickstart.py — the worked example must
+keep running end-to-end (VERDICT r4 item 5: a runnable quickstart is
+part of the user-facing surface, so it is executed, not just shipped).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+)
+
+
+def test_quickstart_pipeline_end_to_end(spark, tmp_path):
+    import quickstart
+
+    dataset_dir = quickstart.build_example_dataset(
+        str(tmp_path / "example_dataset")
+    )
+    result = quickstart.run_pipeline(
+        spark, dataset_dir, str(tmp_path / "curated")
+    )
+    assert result["rows_in"] == 6
+    # exactly the one cross-shard phash duplicate is removed
+    assert result["rows_deduped"] == 1
+    assert result["rows_kept"] == 5
+    assert result["shards_written"] >= 1
+
+    # the curated output is itself a readable shards dataset
+    from dataprocessingframework_spark.configs import ShardsDatasetConfig
+    from dataprocessingframework_spark.sources.media import load_shard_bytes
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+
+    ds = DatasetReader(spark).read(
+        ShardsDatasetConfig(
+            path=result["out_dir"], name_columns=["image_name"]
+        )
+    )
+    assert ds.count() == 5
+    reread = load_shard_bytes(
+        ds.df, "image_name_tar_path", "image_name"
+    ).collect()
+    assert all(r.is_correct for r in reread)
