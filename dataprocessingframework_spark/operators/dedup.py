@@ -740,6 +740,49 @@ def lsh_index(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def materialize_lsh_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize :func:`lsh_index` hash-BUCKETED on (band, bucket)
+    and return the re-read table.
+
+    This is the production layout for the continuous-ingest corpus
+    index: because the physical bucketing matches the probe join's
+    keys, every :func:`incremental_near_dup` probe plans with NO
+    Exchange on the index side — the 100 TB corpus index is never
+    reshuffled per arriving batch; only the (small) batch-side index
+    moves. Within-bucket sortBy(band, bucket) also lets the sort-merge
+    join skip the index-side sort. ``mode='append'`` adds an accepted
+    batch's rows to the same bucket layout (Spark appends respecting
+    the table's bucket spec), which is the per-batch index maintenance
+    step. Size ``num_buckets`` so one bucket of the full corpus index
+    fits an executor (thousands at 100 TB, not 32).
+    """
+    from dataprocessingframework_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    idx = lsh_index(df, text_col, id_col, num_hashes, bands)
+    write_bucketed(
+        idx,
+        table,
+        ["band", "bucket"],
+        num_buckets=num_buckets,
+        sort_cols=["band", "bucket"],
+        path=path,
+        mode=mode,
+    )
+    return df.sparkSession.table(table)
+
+
 def incremental_near_dup(
     batch: DataFrame,
     corpus: DataFrame,

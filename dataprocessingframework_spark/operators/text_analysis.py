@@ -930,3 +930,58 @@ def analyze(
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """fastText-style hashed-linear document scorer — the model-based
+    quality gate of public LLM-data pipelines (Joulin et al. 2016
+    fastText linear classifier over hashed bag-of-words; the filter
+    family used by CCNet/DCLM-style curation).
+
+    Word unigrams hash into ``n_buckets`` feature buckets; the doc
+    score is sigmoid(mean bucket weight). Weights here are a
+    DETERMINISTIC md5-derived stand-in in [-1, 1] (training is out of
+    scope), which makes the full distributed scoring path
+    oracle-checkable — production swaps the weight expression for a
+    learned vector folded in as a literal array, same plan. The
+    per-token weight is an INTEGER in [-1000, 1000] and the pool is an
+    exact integer sum, so the score is order-independent and
+    bit-identical across engines; only the final sigmoid is float.
+
+    Output: ``id_col``, ``score`` (4 dp), ``keep`` (score >=
+    threshold). Empty docs score sigmoid(0) = 0.5.
+
+    Scale shape: entirely NARROW — tokenization, bucket hashing,
+    weight lookup, and the mean-pool are array expressions inside
+    whole-stage codegen; ZERO shuffle at any corpus size (the operator
+    fuses into whatever scan precedes it).
+    """
+    toks = tokens(F.col(text_col))
+    w_int = lambda t: (  # noqa: E731 — weight(bucket(token)), integer
+        hash64(
+            F.concat(
+                F.lit("qw|"),
+                (hash64(t) % F.lit(n_buckets)).cast("string"),
+            )
+        )
+        % F.lit(2001)
+        - F.lit(1000)
+    )
+    total = F.aggregate(
+        F.transform(toks, w_int), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    mean = F.when(F.size(toks) > 0, total / (F.size(toks) * 1000.0)).otherwise(
+        F.lit(0.0)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    return df.select(
+        F.col(id_col),
+        F.round(score, 4).alias("score"),
+        (F.round(score, 4) >= threshold).alias("keep"),
+    )

@@ -78,3 +78,55 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bucketed_lsh_index_probe_exchange_free(spark, sf_dir, tmp_path):
+    """VERDICT r4 item 8: the materialized corpus LSH index, bucketed
+    on (band, bucket), must make incremental_near_dup's probe join
+    exchange-free on the INDEX side — only the arriving batch
+    shuffles; the corpus index is never reshuffled per batch. Results
+    must match the inline (recomputed-index) path exactly."""
+    from dataprocessingframework_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .limit(60)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    cidx = dedup.materialize_lsh_index(
+        corpus,
+        "text",
+        "doc_id",
+        "t_lsh_corpus_idx",
+        num_buckets=4,
+        path=str(tmp_path / "lsh_idx"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the probe join shape incremental_near_dup executes
+        probe = (
+            dedup.lsh_index(batch, "text", "doc_id")
+            .alias("b")
+            .join(cidx.alias("c"), ["band", "bucket"])
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # exactly ONE exchange: the batch side; zero on the index side
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+        kept_bucketed = dedup.incremental_near_dup(
+            batch, corpus, "text", "doc_id", corpus_index=cidx
+        )
+        kept_inline = dedup.incremental_near_dup(
+            batch, corpus, "text", "doc_id"
+        )
+        assert {r.doc_id for r in kept_bucketed.collect()} == {
+            r.doc_id for r in kept_inline.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_lsh_corpus_idx")

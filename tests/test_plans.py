@@ -407,3 +407,14 @@ def test_lsh_and_ivf_topk_partial_group_limit(spark, sf_dir):
     _assert_partial_group_limit_below_exchange(
         plan_of(ivf_topk(emb, qs, k=3, n_cells=4, n_probe=2))
     )
+
+
+def test_ev_dominant_users_decorrelated(spark, sf_dir):
+    """The Q20-shape aggregated-threshold query must stay decorrelated:
+    per-type totals and the qualifying-user set both broadcast, the
+    dim filter is a LeftSemi hash join, and no cartesian/re-scan shape
+    appears."""
+    plan = plan_of(q.q_ev_dominant_users(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
