@@ -162,6 +162,12 @@ def minhash_signatures(
     Shuffled volume: one row per (doc, distinct word) pre-reduced to one
     row per doc by map-side combine.
     """
+    # skinny scans otherwise run the word explode + k universal-hash
+    # mins serially; one tiny round-robin shuffle unlocks full width
+    # (no-op when the input arrives with real splits)
+    from dataprocessingframework_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)
     # no distinct: MIN is idempotent over duplicate words, so skipping
     # the dedup avoids one full shuffle — groupBy's map-side partial
     # min collapses duplicates for free

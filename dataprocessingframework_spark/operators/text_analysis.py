@@ -551,6 +551,11 @@ def remove_dup_passages(
     groupBy(id) whose per-doc state is the doc's own kept tiles. Three
     shuffles total, all linear in corpus token count.
     """
+    from dataprocessingframework_spark.functions.partitioning import fan_out
+
+    # skinny scans otherwise run the tile explode + md5 serially (and
+    # the flagged relation forks into two consumers below)
+    df = fan_out(df)
     toks = tokens(F.col(text_col))
     ntok = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(ntok, F.lit(1)), F.lit(n))
@@ -635,6 +640,14 @@ def remove_dup_spans(
     """
     toks = tokens(F.col(text_col))
     grams = word_ngrams(F.col(text_col), n)
+    # a skinny scan (single-row-group file, filtered input) would run
+    # the per-token md5 explode below on ONE core — and twice, since
+    # two consumers fork above it. fan_out pays one tiny shuffle so
+    # both fork arms run cluster-wide off the reused exchange output
+    # (no-op when the input already arrives wide)
+    from dataprocessingframework_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)
     # grams are hashed to 64-bit at explode time: the three wide ops
     # over the gram relation (distinct, doc-frequency groupBy, semi-
     # join back) shuffle 8-byte longs instead of ~n-word strings —

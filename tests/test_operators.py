@@ -1140,3 +1140,21 @@ def test_cosine_topk_exact_under_ties_and_partitions(spark):
             impl,
             got,
         )
+
+
+def test_fan_out_widens_skinny_inputs_only(spark):
+    """fan_out must repartition a single-partition input up to the
+    session's parallelism and be a strict NO-OP (same plan object) on
+    an input that already arrives wide — the 100 TB case."""
+    from dataprocessingframework_spark.functions.partitioning import fan_out
+
+    skinny = spark.range(1000).coalesce(1)
+    widened = fan_out(skinny)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert fan_out(wide) is wide
