@@ -104,6 +104,9 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
+    # NB: no fan_out here — measured at sf0.1, repartitioning the
+    # (small) embedding corpus costs more than the serial fold saves;
+    # at real scale the corpus arrives with its own splits anyway
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("c_vec"),
