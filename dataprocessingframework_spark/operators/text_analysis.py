@@ -583,31 +583,38 @@ def remove_dup_passages(
         .agg(F.count(F.lit(1)).alias("_docs"))
     )
     flagged = tiles.join(freq, on="_ph")
-    kept = flagged.filter(F.col("_docs") < min_docs)
-    clean = kept.groupBy(id_col).agg(
+    # single-pass reassembly: kept-tile text, kept count, and total
+    # count come out of ONE doc-keyed aggregation — the flagged
+    # relation is consumed once (the previous clean/totals split
+    # computed the tile explode + frequency join twice and needed a
+    # third, outer, join to reconcile). Every doc has >= 1 tile (the
+    # tile starts sequence is never empty), so no doc can drop out.
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_tiles"),
+        F.sum(
+            F.when(F.col("_docs") < min_docs, 1).otherwise(0)
+        ).alias("_n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_pos"), F.col("_p")))
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos"), F.col("_docs"), F.col("_p")
+                            )
+                        )
+                    ),
+                    lambda s: s["_docs"] < min_docs,
                 ),
                 lambda s: s["_p"],
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
     )
-    totals = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_tiles")
-    )
-    return (
-        totals.join(clean, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            (
-                F.col("_n_tiles") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).alias("n_removed"),
-        )
+    return agg.select(
+        id_col,
+        "clean_text",
+        (F.col("_n_tiles") - F.col("_n_kept")).alias("n_removed"),
     )
 
 
