@@ -7399,6 +7399,99 @@ ORDER BY user_id
 """
 
 
+def q_dd_semantic_vs_lexical(spark, sf_dir):
+    """Cross-modal dedup triage: embedding near-dup candidate pairs
+    (hyperplane-LSH bucketed — sub-quadratic, same-bucket only) joined
+    against the exact word-set Jaccard of the same pairs' documents,
+    classifying each pair as lexical (high Jaccard — text dedup alone
+    would catch it) or semantic-only (paraphrase-class — only the
+    embedding space sees it). The audit that tells a curation pipeline
+    whether it still needs an embedding dedup tier after MinHash.
+
+    Scale shape: the pair space is LSH-bucket-pruned before any
+    scoring; Jaccard verification runs only over candidate docs
+    (semi-joined down inside jaccard_pairs); the final classification
+    join is candidate-pair-sized. FULL oracle: DuckDB recomputes the
+    md5-derived hyperplanes, buckets, cosines, and Jaccards.
+    """
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.2)
+    jac = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.0, candidates=pairs
+    )
+    return (
+        pairs.join(jac, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "cos",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+            (
+                F.coalesce(F.col("jaccard"), F.lit(0.0)) >= 0.5
+            ).alias("lexical"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_DD_SEMANTIC_VS_LEXICAL = """
+WITH pl AS (
+  SELECT p, list_transform(range(0, 64), d ->
+      (CAST(concat('0x', substr(md5('plane:' || p || ':' || d), 1, 15))
+            AS BIGINT) % 2000001) / 1000000.0 - 1.0) AS v
+  FROM range(0, 8) t(p)
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (
+  SELECT e.vec_id, e.v,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.v) >= 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) *
+            sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.2
+),
+cdocs AS (
+  SELECT id_a AS doc_id FROM pairs
+  UNION SELECT id_b FROM pairs
+),
+words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    SEMI JOIN cdocs USING (doc_id)
+  ) WHERE w <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT p.id_a, p.id_b, ROUND(p.cos_raw, 4) AS cos,
+       COALESCE(j.jaccard, 0.0) AS jaccard,
+       COALESCE(j.jaccard, 0.0) >= 0.5 AS lexical
+FROM pairs p
+LEFT JOIN jac j ON j.id_a = p.id_a AND j.id_b = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 def q_dd_minhash_calibration(spark, sf_dir):
     """Minhash estimator calibration curve — the dedup-tier twin of
     emb_ann_recall: for every LSH candidate pair, the signature-
@@ -7786,6 +7879,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_minhash_calibration": (
         q_dd_minhash_calibration,
         SQL_DD_MINHASH_CALIBRATION,
+    ),
+    "dd_semantic_vs_lexical": (
+        q_dd_semantic_vs_lexical,
+        SQL_DD_SEMANTIC_VS_LEXICAL,
     ),
 }
 
