@@ -982,7 +982,21 @@ def hashed_linear_score(
     whole-stage codegen; ZERO shuffle at any corpus size (the operator
     fuses into whatever scan precedes it).
     """
-    toks = tokens(F.col(text_col))
+    score = F.round(hashed_linear_score_col(text_col, n_buckets), 4)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )
+
+
+def hashed_linear_score_col(
+    text_col: Column | str, n_buckets: int = 1024
+) -> Column:
+    """The classifier score as a reusable COLUMN expression (unrounded)
+    — composes into any projection or streaming gate (see
+    :func:`hashed_linear_score` for semantics)."""
+    toks = tokens(_c(text_col))
     w_int = lambda t: (  # noqa: E731 — weight(bucket(token)), integer
         hash64(
             F.concat(
@@ -999,9 +1013,4 @@ def hashed_linear_score(
     mean = F.when(F.size(toks) > 0, total / (F.size(toks) * 1000.0)).otherwise(
         F.lit(0.0)
     )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
-    return df.select(
-        F.col(id_col),
-        F.round(score, 4).alias("score"),
-        (F.round(score, 4) >= threshold).alias("keep"),
-    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))

@@ -7399,6 +7399,92 @@ ORDER BY user_id
 """
 
 
+def q_stream_quality_gate(spark, sf_dir):
+    """Streaming MODEL-gated curation: documents arrive in two waves;
+    every micro-batch is scored by the hashed-linear quality
+    classifier (a zero-shuffle column expression — the deterministic
+    stand-in for a fastText gate), only keep-scoring rows enter the
+    corpus, with exact text dedup against everything already curated
+    and keep-first within the batch. Because wave 1 holds the lower
+    doc_id range, the composition equals a global keep-min-doc_id per
+    text over gated docs — which is exactly the SQL oracle. Final
+    per-source report re-derives each kept doc's score from its text
+    (deterministic), so the whole model-in-the-stream path is
+    hash-checked end-to-end.
+    """
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.text_analysis import (
+        hashed_linear_score_col,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_curation,
+        read_corpus,
+    )
+
+    base = f"/root/repo/.scratch/stream_qg_{uuid.uuid4().hex[:8]}"
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    schema = "doc_id long, text string, source string"
+    score = F.round(hashed_linear_score_col(F.col("text")), 4)
+
+    def run():
+        return incremental_curation(
+            spark, src, schema, corpus, ckpt,
+            dedup_cols=["text"], order_col="doc_id",
+            curate=lambda df: df.filter(
+                F.round(hashed_linear_score_col(F.col("text")), 4) >= 0.5
+            ),
+        )
+
+    try:
+        docs.filter(F.col("doc_id") < cut).write.mode("append").json(src)
+        run()
+        docs.filter(F.col("doc_id") >= cut).write.mode("append").json(src)
+        run()
+        res = (
+            read_corpus(spark, corpus)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg(score), 4).alias("avg_score"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_QUALITY_GATE = """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text,
+    ROUND(1/(1+EXP(-(CASE WHEN len(t) > 0 THEN
+      CAST(list_sum(list_transform(t, tok ->
+        CAST(concat('0x', substr(md5(concat('qw|', CAST(
+          CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+        AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000
+      )) AS DOUBLE) / (len(t) * 1000.0)
+    ELSE 0.0 END))), 4) AS score
+  FROM toks
+), kept AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM scored WHERE score >= 0.5
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(AVG(score), 4) AS avg_score,
+       MIN(doc_id) AS min_doc_id
+FROM kept WHERE rn = 1 GROUP BY source ORDER BY source
+"""
+
+
 def q_dd_semantic_vs_lexical(spark, sf_dir):
     """Cross-modal dedup triage: embedding near-dup candidate pairs
     (hyperplane-LSH bucketed — sub-quadratic, same-bucket only) joined
@@ -7883,6 +7969,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_semantic_vs_lexical": (
         q_dd_semantic_vs_lexical,
         SQL_DD_SEMANTIC_VS_LEXICAL,
+    ),
+    "stream_quality_gate": (
+        q_stream_quality_gate,
+        SQL_STREAM_QUALITY_GATE,
     ),
 }
 
