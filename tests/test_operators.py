@@ -1158,3 +1158,27 @@ def test_fan_out_widens_skinny_inputs_only(spark):
         spark.sparkContext.defaultParallelism
     )
     assert fan_out(wide) is wide
+
+
+def test_hashed_linear_score_bounds_and_determinism(spark):
+    """Classifier scores are sigmoid-bounded, empty docs score exactly
+    0.5 (sigmoid(0)), and the same text always scores identically —
+    the determinism the oracle relies on."""
+    from dataprocessingframework_spark.operators.text_analysis import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark rows and columns"),
+            (1, ""),
+            (2, "spark rows and columns"),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hashed_linear_score(df).collect()}
+    assert rows[1].score == 0.5
+    assert rows[0].score == rows[2].score
+    for r in rows.values():
+        assert 0.0 < r.score < 1.0
+        assert r.keep == (r.score >= 0.5)
