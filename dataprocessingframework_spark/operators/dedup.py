@@ -593,12 +593,16 @@ def jaccard_pairs(
     Without ``candidates`` this is the quadratic verification path
     (inverted-index self-join on tokens) — correct but only for small
     slices or verification. With ``candidates`` (e.g. from
-    minhash_lsh_candidates) the token table is first SEMI-JOINED down
-    to the docs that appear in any candidate pair, so the inverted-
-    index join runs only over candidate docs, and the pair set then
-    filters the intersections with a plain (AQE-planned) semi-join —
-    the candidate set is unbounded (millions of pairs on a duplicate-
-    heavy corpus), so it must never be broadcast.
+    minhash_lsh_candidates) the intersection is PAIR-DRIVEN: each
+    candidate pair joins its a-side word set, then keeps the words the
+    b-side also has ((id_b, word) equi-join) — cost is
+    |pairs| x avg-doc-words, LINEAR in the candidate count. The
+    word-keyed inverted-index join would instead pay sum over tokens
+    of (docs containing it)^2 — a hot token shared by N candidate
+    docs costs N^2 rows no matter how few pairs LSH emitted, the
+    classic stopword blow-up this path exists to avoid. The candidate
+    set is unbounded on a duplicate-heavy corpus, so it is never
+    broadcast (plain shuffled hash joins, AQE skew-splittable).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     if ngram is not None:
@@ -613,23 +617,38 @@ def jaccard_pairs(
         )
         words = words.join(cand_ids, on=id_col, how="left_semi")
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = words.alias("a")
-    b = words.alias("b")
-    inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.word") == F.col("b.word"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        wa = words.select(F.col(id_col).alias("id_a"), "word")
+        wb = words.select(F.col(id_col).alias("id_b"), "word")
+        inter = (
+            # dropDuplicates: a duplicated candidate pair would
+            # multiply its intersection count (the pair relation is
+            # the driving side now) — one cheap pair-keyed shuffle
+            # buys correctness under any caller
+            candidates.select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .join(wa, "id_a")
+            .join(wb, ["id_b", "word"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = words.alias("a")
+        b = words.alias("b")
+        inter = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.word") == F.col("b.word"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     out = (
@@ -657,10 +676,13 @@ def containment_pairs(
     ``threshold`` — catches "doc B is doc A plus a header" and
     quote-heavy subsets that symmetric Jaccard misses (a 30-token doc
     fully inside a 300-token doc has Jaccard 0.1 but containment 1.0).
-    Same inverted-index shape, candidate restriction, and scale
-    posture as :func:`jaccard_pairs` (use LSH candidates at scale —
-    one-sided containment also collides in MinHash buckets when the
-    smaller side dominates a band).
+    Same candidate restriction and scale posture as
+    :func:`jaccard_pairs`: with ``candidates`` the intersection is
+    pair-driven (linear in the candidate count — no hot-token n²);
+    without, the quadratic inverted-index self-join is reserved for
+    verification slices. (Use LSH candidates at scale — one-sided
+    containment also collides in MinHash buckets when the smaller
+    side dominates a band.)
 
     Returns (id_a, id_b, containment) with id_a < id_b; the score is
     the containment of the SMALLER token set in the larger.
@@ -677,24 +699,34 @@ def containment_pairs(
         )
         words = words.join(cand_ids, on=id_col, how="left_semi")
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = words.alias("a")
-    b = words.alias("b")
-    inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.word") == F.col("b.word"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        wa = words.select(F.col(id_col).alias("id_a"), "word")
+        wb = words.select(F.col(id_col).alias("id_b"), "word")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .join(wa, "id_a")
+            .join(wb, ["id_b", "word"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = words.alias("a")
+        b = words.alias("b")
+        inter = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.word") == F.col("b.word"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (

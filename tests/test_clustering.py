@@ -204,3 +204,33 @@ def test_lsh_bucket_key_prefix64_matches_md5(spark, sf_dir):
     assert {(r.id_a, r.id_b) for r in p64.collect()} == {
         (r.id_a, r.id_b) for r in md5.collect()
     }
+
+
+def test_pair_driven_verification_matches_inverted_index(spark, sf_dir):
+    """jaccard_pairs / containment_pairs with candidates (pair-driven
+    intersection, linear in |pairs|) must produce exactly the pairs
+    the inverted-index path produces restricted to those candidates —
+    including when a caller passes duplicated candidate rows."""
+    from dataprocessingframework_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+    )
+    full_j = jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+    full_c = containment_pairs(docs, "text", "doc_id", threshold=0.5)
+    cand = full_j.select("id_a", "id_b")
+    cand_dup = cand.unionByName(cand)  # duplicated candidate rows
+    for full, fn, thr in (
+        (full_j, jaccard_pairs, 0.3),
+        (full_c, containment_pairs, 0.5),
+    ):
+        got = fn(docs, "text", "doc_id", threshold=thr, candidates=cand_dup)
+        expect = {
+            (r.id_a, r.id_b, r[2])
+            for r in full.join(cand, ["id_a", "id_b"], "left_semi").collect()
+        }
+        assert {(r.id_a, r.id_b, r[2]) for r in got.collect()} == expect
