@@ -83,6 +83,18 @@ def bench_queries(spark):
                 num_hashes=16, bands=4,
             )
         ),
+        # LSH candidates -> exact-Jaccard verification (pair-driven
+        # intersection, linear in |candidates|; the word-keyed shape
+        # this replaced ran 82s on this corpus — r5). New in r5.
+        "jaccard_verify_lsh": big(
+            lambda s, d: dedup.jaccard_pairs(
+                q.T(s, d, "documents"), "text", "doc_id", threshold=0.5,
+                candidates=dedup.minhash_lsh_candidates(
+                    q.T(s, d, "documents"), "text", "doc_id",
+                    num_hashes=16, bands=4,
+                ),
+            )
+        ),
         # corpus boilerplate removal (tile df join-back + ordered
         # reassembly — the 3-linear-shuffle text-mutation cost class)
         "text_remove_dup_passages": big(q.q_tx_remove_dup_passages),
