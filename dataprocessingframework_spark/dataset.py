@@ -439,6 +439,37 @@ class Dataset:
 
         return minhash_lsh_candidates(self.df, text_col, id_col, **kwargs)
 
+    def near_dup_pairs(
+        self,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.5,
+        **kwargs,
+    ) -> DataFrame:
+        """LSH candidates + pair-driven exact-Jaccard verification in
+        one call — the full near-dup pipeline (see operators/dedup.py
+        minhash_lsh_candidates + jaccard_pairs)."""
+        from dataprocessingframework_spark.operators.dedup import (
+            jaccard_pairs,
+            minhash_lsh_candidates,
+        )
+
+        cand = minhash_lsh_candidates(self.df, text_col, id_col, **kwargs)
+        return jaccard_pairs(
+            self.df, text_col, id_col, threshold=threshold, candidates=cand
+        )
+
+    def classify_quality(
+        self, text_col: str = "text", id_col: str = "doc_id", **kwargs
+    ) -> DataFrame:
+        """fastText-style hashed-linear quality gate — see
+        operators/text_analysis.py hashed_linear_score."""
+        from dataprocessingframework_spark.operators.text_analysis import (
+            hashed_linear_score,
+        )
+
+        return hashed_linear_score(self.df, text_col, id_col, **kwargs)
+
     def analyze_text(self, text_col: str, id_col: str) -> "Dataset":
         """Token/quality/langid/fingerprint columns — see
         operators/text_analysis.py."""

@@ -193,3 +193,20 @@ def test_facade_round4_methods(spark):
     )
     statuses = {r.status for r in diff.collect()}
     assert statuses == {"unchanged", "removed"}
+
+
+def test_facade_near_dup_pairs_and_classify_quality(spark, sf_dir):
+    from dataprocessingframework_spark.dataset import Dataset
+
+    ds = Dataset(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            "doc_id < 150"
+        )
+    )
+    pairs = ds.near_dup_pairs("text", "doc_id", num_hashes=8, bands=4)
+    assert set(pairs.columns) == {"id_a", "id_b", "jaccard"}
+    assert pairs.filter("jaccard < 0.5").count() == 0
+
+    scored = ds.classify_quality()
+    assert set(scored.columns) == {"doc_id", "score", "keep"}
+    assert scored.count() == ds.count()
