@@ -43,3 +43,18 @@ def test_quickstart_pipeline_end_to_end(spark, tmp_path):
         ds.df, "image_name_tar_path", "image_name"
     ).collect()
     assert all(r.is_correct for r in reread)
+
+
+def test_llm_curation_pipeline_end_to_end(spark):
+    import llm_curation
+
+    result = llm_curation.run_pipeline(spark, "/root/testdata/sf0.001")
+    # the funnel only narrows
+    assert (
+        result["raw_docs"]
+        >= result["after_quality_gate"]
+        >= result["after_exact_dedup"]
+        >= result["after_near_dedup"]
+        > 0
+    )
+    assert result["chunks"] > 0 and result["packed_bins"] > 0
