@@ -315,6 +315,50 @@ class Dataset:
         """D3 — `processors/processor.py:295-320`."""
         return self._wrap(self.df.sample(fraction=fraction, seed=seed))
 
+    def get_random_sample(
+        self, seed: int = 42
+    ) -> tuple[dict[str, bytes], dict]:
+        """One random row with its media bytes — the reference's
+        `processor.get_random_sample()` (`processors/processor.py`,
+        docs/processor.md): returns ({name_column: bytes}, metadata
+        row dict). Media resolution follows the dataset config:
+        shards configs read the row's tar member(s), files/
+        sharded-files configs read the row's path column(s). A
+        config-less Dataset returns ({}, metadata)."""
+        from dataprocessingframework_spark.configs import (
+            FilesDatasetConfig,
+            ShardedFilesDatasetConfig,
+            ShardsDatasetConfig,
+        )
+
+        row = (
+            self.df.sample(
+                fraction=min(1.0, 100 / max(1, self.df.count())), seed=seed
+            )
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            row = self.df.limit(1).collect()
+        meta = row[0].asDict()
+        media: dict[str, bytes] = {}
+        cfg = self.config
+        if isinstance(cfg, ShardsDatasetConfig):
+            import tarfile
+
+            for c in cfg.name_columns:
+                with tarfile.open(meta[f"{c}_tar_path"]) as tf:
+                    media[c] = tf.extractfile(meta[c]).read()
+        elif isinstance(cfg, ShardedFilesDatasetConfig):
+            for c in cfg.name_columns:
+                with open(meta[f"{c}_path"], "rb") as f:
+                    media[c] = f.read()
+        elif isinstance(cfg, FilesDatasetConfig):
+            for c in cfg.path_columns:
+                with open(meta[c], "rb") as f:
+                    media[c] = f.read()
+        return media, meta
+
     def union(self, other: "Dataset | DataFrame") -> "Dataset":
         """D4 — `pd.concat` (`dataset_reader.py:126-130`); by-name union."""
         right = other.df if isinstance(other, Dataset) else other

@@ -613,3 +613,18 @@ def test_versioned_commit_history_after_vacuum(spark, tmp_path):
     # the hole the first one left in the version sequence
     vacuum(spark, path, keep_versions=5)
     assert [e["version"] for e in history(spark, path)] == [1, 2]
+
+
+def test_get_random_sample_returns_media_and_metadata(spark, shards_dir):
+    """Reference-parity processor.get_random_sample(): one row's tar
+    member bytes plus its metadata dict (docs/processor.md)."""
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+
+    ds = DatasetReader(spark).read(
+        ShardsDatasetConfig(path=shards_dir, name_columns=["image_name"])
+    )
+    media, meta = ds.get_random_sample(seed=7)
+    assert set(media) == {"image_name"}
+    assert media["image_name"].startswith(b"FAKEIMG:")
+    assert meta["image_name"].endswith(".img")
+    assert "caption" in meta
