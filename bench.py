@@ -116,6 +116,7 @@ def bench_queries(spark):
                 q.T(s, d, "embeddings"),
                 q.T(s, d, "embeddings").filter(F.col("vec_id") < 50),
                 k=10,
+                broadcast_queries=True,  # known-small probe batch
             )
         ),
         "ann_ivf_topk": small(q.q_emb_ivf_topk),

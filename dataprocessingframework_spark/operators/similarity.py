@@ -243,6 +243,7 @@ def lsh_topk(
     n_planes: int = 8,
     probe_radius: int = 1,
     broadcast_threshold: int = 100_000,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a probed LSH bucket.
 
@@ -267,7 +268,9 @@ def lsh_topk(
     stays under ``broadcast_threshold``; a large probe batch (say 10M
     rows against a corpus) instead flows through a plain equi-join on
     bucket, which shuffles both sides but cannot OOM the driver or
-    executors on broadcast materialization.
+    executors on broadcast materialization. The auto-decision costs a
+    count() action (one query-side scan); ``broadcast_queries``
+    True/False skips it when the caller knows the batch size class.
     """
     if probe_radius not in (0, 1):
         raise ValueError("probe_radius must be 0 or 1")
@@ -298,11 +301,13 @@ def lsh_topk(
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     fanout = (n_planes + 1) if probe_radius == 1 else 1
-    q_side = (
-        F.broadcast(q)
-        if queries.count() * fanout <= broadcast_threshold
-        else q
-    )
+    # broadcast_queries=None auto-decides via a count() of the query
+    # side — that action is a full query-side scan, so callers that
+    # already KNOW their probe batch is small (or huge) pass
+    # True/False and skip the extra job
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() * fanout <= broadcast_threshold
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
         c.join(q_side, on="bucket")
         .filter(F.col("nbr_id") != F.col("q_id"))

@@ -2478,9 +2478,9 @@ def q_emb_lsh_topk(spark, sf_dir):
     not rows-only. The oracle recomputes the planes from the same
     md5 formula rather than pasting float literals."""
     emb = T(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).orderBy(
-        "q_id", "nbr_id"
-    )
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, broadcast_queries=True
+    ).orderBy("q_id", "nbr_id")
 
 
 SQL_EMB_LSH_TOPK = """
