@@ -851,6 +851,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     context_len: int = 1024,
     order_col: str | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Deterministic sequence packing: assign docs to fixed
     ``context_len``-token bins by running token count, in a stable
@@ -862,9 +863,13 @@ def pack_sequences(
     global ordering would serialize at 100 TB, so the window is
     partitioned by a shard key (md5 bucket of the id): packing is
     per-shard, which is exactly how distributed loaders shard anyway.
+    A training bin is identified by (shard, bin_id). Size ``n_shards``
+    to at least the cluster's core count — each shard's running sum is
+    one sorted window partition, so n_shards bounds packing
+    parallelism and per-task sort size.
     """
     order = F.col(order_col) if order_col else F.col(id_col)
-    shard = hash64(F.col(id_col).cast("string")) % F.lit(64)
+    shard = hash64(F.col(id_col).cast("string")) % F.lit(n_shards)
     ntok = token_count(F.col(text_col)).cast("long")
     from pyspark.sql import Window
 

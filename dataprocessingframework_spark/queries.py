@@ -7399,6 +7399,61 @@ ORDER BY user_id
 """
 
 
+def q_ev_engagement_profile(spark, sf_dir):
+    """TPC-H Q16 shape on the events stream: grouped COUNT(DISTINCT)
+    over a dimension pair, EXCLUDING members failing a blacklist
+    subquery (Q16: part attrs x distinct suppliers, minus complaint
+    suppliers; here: event_type x weekday x distinct engaged users,
+    minus heavy-error users, >= 15 error events). Completes the
+    partsupp-blocked
+    correlated-subquery family next to h4 (EXISTS), h21 (anti-exists)
+    and ev_dominant_users (aggregated threshold).
+
+    Scale shape: the blacklist reduces to distinct user_ids of error
+    events (small) and anti-joins the fact rows BEFORE aggregation —
+    one broadcastable anti-join, then a single groupBy whose
+    count-distinct is partial-aggregated map-side. No correlated
+    re-scan.
+    """
+    ev = T(spark, sf_dir, "events")
+    error_users = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 15)
+        .select("user_id")
+    )
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .join(error_users, "user_id", "left_anti")
+        .select(
+            "event_type",
+            F.dayofweek("ts").cast("long").alias("weekday"),
+            "user_id",
+        )
+        .groupBy("event_type", "weekday")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type", "weekday")
+    )
+
+
+SQL_EV_ENGAGEMENT_PROFILE = """
+WITH error_users AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS n_err FROM events
+    WHERE event_type = 'error' GROUP BY user_id)
+  WHERE n_err >= 15
+)
+SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type <> 'error'
+  AND user_id NOT IN (SELECT user_id FROM error_users)
+GROUP BY event_type, weekday
+ORDER BY event_type, weekday
+"""
+
+
 def q_stream_quality_gate(spark, sf_dir):
     """Streaming MODEL-gated curation: documents arrive in two waves;
     every micro-batch is scored by the hashed-linear quality
@@ -7973,6 +8028,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_quality_gate": (
         q_stream_quality_gate,
         SQL_STREAM_QUALITY_GATE,
+    ),
+    "ev_engagement_profile": (
+        q_ev_engagement_profile,
+        SQL_EV_ENGAGEMENT_PROFILE,
     ),
 }
 
