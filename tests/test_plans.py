@@ -418,3 +418,11 @@ def test_ev_dominant_users_decorrelated(spark, sf_dir):
     assert "LeftSemi" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ev_engagement_profile_anti_join_shape(spark, sf_dir):
+    """Q16-shape: the blacklist must be an anti hash join of the small
+    distinct set (no correlated re-scan, no cartesian)."""
+    plan = plan_of(q.q_ev_engagement_profile(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
