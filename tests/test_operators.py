@@ -1182,3 +1182,39 @@ def test_hashed_linear_score_bounds_and_determinism(spark):
     for r in rows.values():
         assert 0.0 < r.score < 1.0
         assert r.keep == (r.score >= 0.5)
+
+
+def test_remove_dup_spans_token_conservation(spark, sf_dir):
+    """Every input token is either kept or counted removed:
+    len(clean tokens) + n_removed == original token count, per doc —
+    pins the span-merge arithmetic (overlap merging, off-by-one ends)
+    across the whole corpus."""
+    from dataprocessingframework_spark.operators.text_analysis import (
+        remove_dup_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    out = remove_dup_spans(docs, "text", "doc_id", n=8, min_docs=2)
+    joined = (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "n_orig"
+            ),
+        )
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            "n_orig",
+            (
+                F.size(
+                    F.filter(F.split("clean_text", " "), lambda x: x != "")
+                )
+                + F.col("n_removed")
+            ).alias("n_accounted"),
+        )
+    )
+    bad = joined.filter(F.col("n_orig") != F.col("n_accounted"))
+    assert bad.count() == 0, bad.limit(5).collect()
