@@ -7399,6 +7399,100 @@ ORDER BY user_id
 """
 
 
+def q_stream_near_dup_ingest(spark, sf_dir):
+    """Continuous NEAR-dup-gated ingestion under the oracle: documents
+    arrive in two waves; wave 2 docs are dropped iff they LSH-collide
+    with an accepted wave-1 doc in >= 1 band AND verify at exact
+    word-set Jaccard >= 0.5 (the real fuzzy-ingest decision — sketch
+    prune + exact verify — running inside a checkpointed foreachBatch
+    stream). The md5-portable minhash bands make even the approximate
+    candidate condition replicable in SQL, so the streamed kept-set is
+    hash-checked end-to-end. Within-wave near-dups are kept (the
+    incremental contract). Output: per-source kept counts + min id.
+    """
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_near_dup_ingest,
+        read_corpus,
+    )
+
+    base = f"/root/repo/.scratch/stream_nd_{uuid.uuid4().hex[:8]}"
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # engine-exact wave cut (the oracle replicates it with integer
+    # arithmetic; a percentile cut could disagree across engines)
+    cut = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    schema = "doc_id long, text string, source string"
+
+    def run():
+        return incremental_near_dup_ingest(
+            spark, src, schema, corpus, ckpt,
+            text_col="text", id_col="doc_id",
+            threshold=0.5, num_hashes=8, bands=4,
+        )
+
+    try:
+        docs.filter(F.col("doc_id") < cut).write.mode("append").json(src)
+        run()
+        docs.filter(F.col("doc_id") >= cut).write.mode("append").json(src)
+        run()
+        res = (
+            read_corpus(spark, corpus)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _near_dup_ingest_sql() -> str:
+    return f"""
+WITH cutoff AS (
+  SELECT (MAX(doc_id) + 1) // 2 AS cut FROM documents
+),
+sig AS ({_minhash_sql(8).replace(" ORDER BY doc_id", "")}),
+buckets AS ({_lsh_band_sql(8, 4)}),
+cand AS (
+  SELECT b2.doc_id AS id_new, b1.doc_id AS id_old
+  FROM buckets b2 JOIN buckets b1
+    ON b2.band = b1.band AND b2.bucket = b1.bucket
+  CROSS JOIN cutoff
+  WHERE b2.doc_id >= cut AND b1.doc_id < cut
+  GROUP BY 1, 2
+),
+{_WORDS_CTE.removeprefix("WITH ")},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.id_new, c.id_old, COUNT(*) AS i
+  FROM cand c
+  JOIN words a ON a.doc_id = c.id_new
+  JOIN words b ON b.doc_id = c.id_old AND b.w = a.w
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT i.id_new AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_new
+  JOIN sizes sb ON sb.doc_id = i.id_old
+  WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= 0.5
+),
+kept AS (
+  SELECT d.doc_id, d.source FROM documents d CROSS JOIN cutoff
+  WHERE d.doc_id < cut
+     OR d.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 def q_ev_engagement_profile(spark, sf_dir):
     """TPC-H Q16 shape on the events stream: grouped COUNT(DISTINCT)
     over a dimension pair, EXCLUDING members failing a blacklist
@@ -8032,6 +8126,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "ev_engagement_profile": (
         q_ev_engagement_profile,
         SQL_EV_ENGAGEMENT_PROFILE,
+    ),
+    "stream_near_dup_ingest": (
+        q_stream_near_dup_ingest,
+        _near_dup_ingest_sql(),
     ),
 }
 

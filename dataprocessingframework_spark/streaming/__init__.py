@@ -9,6 +9,7 @@ from dataprocessingframework_spark.streaming.events import (
 )
 from dataprocessingframework_spark.streaming.curation import (
     incremental_curation,
+    incremental_near_dup_ingest,
     read_corpus,
 )
 from dataprocessingframework_spark.streaming.ingest import incremental_ingest
@@ -27,6 +28,7 @@ __all__ = [
     "windowed_psi",
     "incremental_ingest",
     "incremental_curation",
+    "incremental_near_dup_ingest",
     "read_corpus",
     "running_user_totals",
     "stateful_sessionize",

@@ -95,12 +95,6 @@ def incremental_curation(
         incremental_dedup,
     )
 
-    before = _committed_batches(spark, checkpoint_dir)
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream: DataFrame = getattr(reader, src_format)(src_dir)
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curated = curate(batch_df) if curate is not None else batch_df
         prior = _batch_dirs(spark, corpus_dir, exclude=f"batch-{batch_id}")
@@ -111,8 +105,30 @@ def incremental_curation(
             fresh = exact_dedup(curated, dedup_cols, order_col=order_col)
         fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
 
+    return _run_available_now(
+        spark, src_dir, schema, checkpoint_dir, _process,
+        src_format, max_files_per_trigger,
+    )
+
+
+def _run_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    process: Callable[[DataFrame, int], None],
+    src_format: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Drive one availableNow foreachBatch pass over the source dir;
+    returns micro-batches committed this run."""
+    before = _committed_batches(spark, checkpoint_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream: DataFrame = getattr(reader, src_format)(src_dir)
     q = (
-        stream.writeStream.foreachBatch(_process)
+        stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -123,3 +139,57 @@ def incremental_curation(
     finally:
         q.stop()
     return len(_committed_batches(spark, checkpoint_dir) - before)
+
+
+def incremental_near_dup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    curate: Callable[[DataFrame], DataFrame] | None = None,
+    src_format: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Continuous NEAR-dup-gated ingestion: per micro-batch, drop
+    arriving docs that near-duplicate the already-accepted corpus
+    (LSH candidates vs the corpus -> pair-driven exact-Jaccard verify
+    >= ``threshold``), then append the survivors idempotently — the
+    fuzzy twin of :func:`incremental_curation` and the continuous
+    form of ``operators.dedup.incremental_near_dup``.
+
+    Scale shape per batch: the corpus is touched through its LSH index
+    and the verification texts of candidate docs only; shuffles are
+    batch-sized plus collisions (materialize the index with
+    ``dedup.materialize_lsh_index`` and pass batches through
+    ``incremental_near_dup(corpus_index=...)`` for the exchange-free
+    probe at 100 TB — here the index is recomputed per batch for
+    self-containedness). Within-batch near-dups are NOT removed
+    (matching the batch operator's contract).
+    """
+    from dataprocessingframework_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        curated = curate(batch_df) if curate is not None else batch_df
+        prior = _batch_dirs(spark, corpus_dir, exclude=f"batch-{batch_id}")
+        if prior:
+            corpus = spark.read.parquet(*prior)
+            fresh = incremental_near_dup(
+                curated, corpus, text_col, id_col,
+                threshold=threshold, num_hashes=num_hashes, bands=bands,
+            )
+        else:
+            fresh = curated
+        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
+
+    return _run_available_now(
+        spark, src_dir, schema, checkpoint_dir, _process,
+        src_format, max_files_per_trigger,
+    )

@@ -398,3 +398,39 @@ def test_stream_to_versioned_commits_batches_idempotently(spark, tmp_path):
     )
     assert seen_tag_version == 0  # returned the original commit
     assert read_version(spark, table).count() == 15
+
+
+def test_incremental_near_dup_ingest_two_waves(spark, tmp_path):
+    """Wave 2 docs near-duplicating wave 1 are dropped; replay with no
+    new files commits nothing and leaves the corpus unchanged."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_near_dup_ingest,
+        read_corpus,
+    )
+
+    base = str(tmp_path / "nd")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.select("doc_id", "text")
+    cut = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+
+    def run():
+        return incremental_near_dup_ingest(
+            spark, src, "doc_id long, text string", corpus, ckpt,
+            threshold=0.5, num_hashes=8, bands=4,
+        )
+
+    docs.filter(F.col("doc_id") < cut).write.mode("append").json(src)
+    assert run() >= 1
+    n_wave1 = read_corpus(spark, corpus).count()
+    assert n_wave1 == docs.filter(F.col("doc_id") < cut).count()
+
+    docs.filter(F.col("doc_id") >= cut).write.mode("append").json(src)
+    assert run() >= 1
+    total = read_corpus(spark, corpus).count()
+    assert n_wave1 < total < docs.count()  # some wave-2 docs dropped
+
+    assert run() == 0  # nothing new -> no batch committed
+    assert read_corpus(spark, corpus).count() == total
