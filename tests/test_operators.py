@@ -1218,3 +1218,43 @@ def test_remove_dup_spans_token_conservation(spark, sf_dir):
     )
     bad = joined.filter(F.col("n_orig") != F.col("n_accounted"))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_heavy_operators_handle_empty_input(spark):
+    """Empty-corpus robustness: the dedup/text/similarity operators
+    must return EMPTY results with their declared schemas — not crash
+    on empty aggregations, empty candidate sets, or empty windows.
+    (The continuous-ingest paths hit genuinely empty micro-batches.)"""
+    docs = spark.createDataFrame([], schema="doc_id long, text string")
+    emb = spark.createDataFrame(
+        [], schema="vec_id long, embedding array<float>"
+    )
+    from dataprocessingframework_spark.operators import (
+        dedup,
+        similarity,
+        text_analysis,
+    )
+
+    assert dedup.minhash_signatures(docs, "text", "doc_id", 8).count() == 0
+    assert (
+        dedup.minhash_lsh_candidates(docs, "text", "doc_id", 8, 4).count()
+        == 0
+    )
+    assert dedup.jaccard_pairs(docs, "text", "doc_id").count() == 0
+    cand = spark.createDataFrame([], schema="id_a long, id_b long")
+    assert (
+        dedup.jaccard_pairs(docs, "text", "doc_id", candidates=cand).count()
+        == 0
+    )
+    assert dedup.simhash(docs, "text", "doc_id", bits=8).count() == 0
+    out = text_analysis.remove_dup_spans(docs, "text", "doc_id")
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "clean_text", "n_removed", "n_spans"}
+    out = text_analysis.remove_dup_passages(docs, "text", "doc_id")
+    assert out.count() == 0
+    assert text_analysis.hashed_linear_score(docs).count() == 0
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], schema="vec_id long, embedding array<float>"
+    )
+    assert similarity.cosine_topk(emb, q, k=3).count() == 0
+    assert similarity.cosine_near_dup_pairs(emb).count() == 0
