@@ -551,6 +551,7 @@ def ivf_topk(
     n_probe: int = 4,
     iters: int = 1,
     impl: str = "blas",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer (the FAISS-style
     scale path, alongside lsh_topk): corpus rows are assigned to their
@@ -563,8 +564,16 @@ def ivf_topk(
     centroid means (n_cells × dim rows) and the per-query top-k window.
     Recall is tunable via n_probe; n_probe = n_cells degenerates to the
     exact result.
+
+    ``centroids`` short-circuits the coarse-quantizer build: production
+    serving trains the quantizer ONCE per corpus snapshot (or loads it
+    from the feature store) and reuses it for every probe batch —
+    recomputing per query batch would re-run the Lloyd rounds and the
+    seed collect against 100 TB each time.
     """
-    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, iters, impl=impl)
+    cents = centroids or _ivf_centroids(
+        corpus, id_col, vec_col, n_cells, iters, impl=impl
+    )
     c = assign_cells(
         corpus.select(
             F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec")

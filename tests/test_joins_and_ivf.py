@@ -415,3 +415,31 @@ def test_asof_null_payload_tolerance_and_forward(spark):
         how="left",
     ).collect()[0]
     assert tol.matched_ts is None and tol.px is None and tol.sz is None
+
+
+def test_ivf_topk_reuses_supplied_centroids(spark):
+    """Passing precomputed centroids must short-circuit the quantizer
+    build and give identical results to the from-scratch path with the
+    same parameters."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        schema="vec_id long, embedding array<float>",
+    )
+    qs = df.filter("vec_id < 3")
+    cents = _ivf_centroids(df, "vec_id", "embedding", 4, 1, impl="blas")
+    fresh = ivf_topk(df, qs, k=3, n_cells=4, n_probe=2, iters=1)
+    reused = ivf_topk(
+        df, qs, k=3, n_cells=4, n_probe=2, iters=1, centroids=cents
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, reused.collect())
+    )
