@@ -2364,6 +2364,82 @@ FROM ex GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def q_emb_centroid_prune(spark, sf_dir):
+    """Centroid-distance outlier pruning — the curation op the class
+    prototypes exist for (label_centroids docstring): each vector is
+    scored by cosine against its label's mean embedding; vectors below
+    the threshold are flagged for removal (mislabeled/noise pruning
+    and per-topic corpus cleaning, the embedding-space twin of the
+    quality gate).
+
+    Scale shape: centroids come from ONE posexplode aggregate
+    (n_labels x dim rows after map-side combine), collapse to
+    n_labels arrays, and broadcast onto the corpus; scoring is then a
+    narrow codegen projection — the corpus never shuffles. Centroids
+    are rounded to 4 dp first so both engines score against identical
+    prototypes.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    cents = (
+        similarity.label_centroids(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("centroid")))
+                ),
+                lambda s: s["centroid"],
+            ).alias("cvec")
+        )
+    )
+    cos = F.round(
+        similarity.cosine(F.col("embedding"), F.col("cvec")), 4
+    )
+    return (
+        emb.select(
+            "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+        )
+        .join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("cos_centroid"),
+            (cos >= 0.1).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMB_CENTROID_PRUNE = """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos, ROUND(AVG(v), 4) AS c FROM ex GROUP BY label, pos
+),
+carr AS (
+  SELECT label, list(c ORDER BY pos) AS cvec FROM cents GROUP BY label
+),
+e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT e.vec_id, e.label,
+       ROUND(list_dot_product(v, cvec) /
+             (sqrt(list_dot_product(v, v)) *
+              sqrt(list_dot_product(cvec, cvec))), 4) AS cos_centroid,
+       ROUND(list_dot_product(v, cvec) /
+             (sqrt(list_dot_product(v, v)) *
+              sqrt(list_dot_product(cvec, cvec))), 4) >= 0.1 AS keep
+FROM e JOIN carr USING (label)
+ORDER BY e.vec_id
+"""
+
+
 def q_emb_ann_recall(spark, sf_dir):
     """Self-auditing ANN quality: recall@k of the two approximate
     scale paths (hyperplane-LSH, IVF) against the exact cosine top-k,
@@ -8131,6 +8207,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_stream_near_dup_ingest,
         _near_dup_ingest_sql(),
     ),
+    "emb_centroid_prune": (q_emb_centroid_prune, SQL_EMB_CENTROID_PRUNE),
 }
 
 # r5 WINDOW (rotation per VERDICT r4 item 6): the driver checks the
