@@ -426,3 +426,13 @@ def test_ev_engagement_profile_anti_join_shape(spark, sf_dir):
     plan = plan_of(q.q_ev_engagement_profile(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_emb_centroid_prune_broadcasts_prototypes(spark, sf_dir):
+    """Centroid pruning must broadcast the n_labels prototype arrays
+    onto the corpus — scoring stays a narrow projection with no
+    corpus-side shuffle before the join."""
+    plan = plan_of(q.q_emb_centroid_prune(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
