@@ -1258,3 +1258,19 @@ def test_heavy_operators_handle_empty_input(spark):
     )
     assert similarity.cosine_topk(emb, q, k=3).count() == 0
     assert similarity.cosine_near_dup_pairs(emb).count() == 0
+
+
+def test_hash64_unicode_parity(spark):
+    """hash64 must agree with its Python twin on non-ASCII text (the
+    md5 is over UTF-8 bytes in both engines — the portability
+    guarantee every sketch builds on)."""
+    from dataprocessingframework_spark.functions.hashing import (
+        hash64,
+        hash64_py,
+    )
+
+    samples = ["héllo wörld", "日本語のテキスト", "emoji 🙂 test", "кириллица"]
+    df = spark.createDataFrame([(s,) for s in samples], schema="s string")
+    got = {r.s: r.h for r in df.select("s", hash64(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        assert got[s] == hash64_py(s), s
