@@ -397,3 +397,45 @@ def test_interval_overlap_join_python_twin_random(spark):
             ).collect()
         )
         assert got == expected, (case, width)
+
+
+def test_jaccard_pairs_python_parity_random_corpora(spark):
+    """Pair-driven candidate verification against pure-Python ground
+    truth on random word-soup corpora: for every candidate pair, the
+    reported Jaccard must equal the set computation exactly (and pairs
+    below threshold or with empty intersection must be absent)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.dedup import jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    # candidates: a random subset of all pairs, with duplicates thrown
+    # in to exercise the dedup guard
+    all_pairs = list(itertools.combinations(range(40), 2))
+    cand_list = rng.sample(all_pairs, 200)
+    cand = spark.createDataFrame(
+        cand_list + cand_list[:50], schema="id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df, "text", "doc_id", threshold=0.2, candidates=cand
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in set(cand_list):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter >= 1 and union > 0 and inter / union >= 0.2:
+            want[(a, b)] = round(inter / union, 4)
+    assert got == want
