@@ -439,3 +439,35 @@ def test_jaccard_pairs_python_parity_random_corpora(spark):
         if inter >= 1 and union > 0 and inter / union >= 0.2:
             want[(a, b)] = round(inter / union, 4)
     assert got == want
+
+
+def test_hashed_linear_score_python_parity(spark):
+    """Classifier scores against a pure-Python reimplementation of the
+    hashed-weight model — independent of both Spark and DuckDB."""
+    import math
+    import random
+
+    from dataprocessingframework_spark.functions.hashing import hash64_py
+    from dataprocessingframework_spark.operators.text_analysis import (
+        hashed_linear_score,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"tok{i}" for i in range(50)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = {r.doc_id: r.score for r in hashed_linear_score(df).collect()}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            expect = 0.5
+        else:
+            total = sum(
+                hash64_py(f"qw|{hash64_py(t) % 1024}") % 2001 - 1000
+                for t in toks
+            )
+            expect = 1.0 / (1.0 + math.exp(-(total / (len(toks) * 1000.0))))
+        assert got[i] == round(expect, 4), (i, got[i], expect)
