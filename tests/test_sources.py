@@ -628,3 +628,18 @@ def test_get_random_sample_returns_media_and_metadata(spark, shards_dir):
     assert media["image_name"].startswith(b"FAKEIMG:")
     assert meta["image_name"].endswith(".img")
     assert "caption" in meta
+
+
+def test_get_random_sample_files_config(spark, files_dir):
+    """Files-config branch: media resolved through the path columns."""
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+
+    ds = DatasetReader(spark).read(
+        FilesDatasetConfig(
+            path=f"{files_dir}/data.csv", path_columns=["image_path"]
+        )
+    )
+    media, meta = ds.get_random_sample(seed=3)
+    assert set(media) == {"image_path"}
+    assert media["image_path"].startswith(b"FAKEIMG:")
+    assert meta["caption"].startswith("cap")
