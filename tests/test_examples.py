@@ -58,3 +58,19 @@ def test_llm_curation_pipeline_end_to_end(spark):
         > 0
     )
     assert result["chunks"] > 0 and result["packed_bins"] > 0
+
+
+def test_video_curation_pipeline_end_to_end(spark, tmp_path):
+    import video_curation
+
+    dataset_dir = video_curation.build_example_dataset(
+        str(tmp_path / "video_dataset")
+    )
+    result = video_curation.run_pipeline(
+        spark, dataset_dir, str(tmp_path / "curated")
+    )
+    assert result["rows_in"] == 6
+    # exactly the frame-dup and the under-duration clip are removed
+    assert result["rows_removed"] == 2
+    assert result["rows_kept"] == 4
+    assert result["shards_written"] == 1
