@@ -8210,33 +8210,36 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_centroid_prune": (q_emb_centroid_prune, SQL_EMB_CENTROID_PRUNE),
 }
 
-# r5 WINDOW (rotation per VERDICT r4 item 6): the driver checks the
-# FIRST 50 entries, so the window is exactly the 49 round-4 additions
-# never yet driver-checked (judge-verified locally in round 4) plus the
-# one new round-5 query; everything driver-green in r1-r4 rotates below
-# the fold. Computed as an explicit reorder of the literal dict above
-# so the full entry list stays greppable in one place.
-_R5_WINDOW = [
-    "tx_bloom_decontaminate", "tx_chunk_windows", "d_weighted_sample",
-    "w_snapshot_diff", "dd_cluster_representatives", "j_nearest",
-    "tx_remove_dup_passages", "a_winsorize", "a_group_zscore",
-    "w_schema_evolution", "w_compact_small_files", "a_ks_drift",
-    "a_psi_drift", "tx_bigram_nll", "emb_quantize", "stream_psi_monitor",
-    "a_benford", "a_gini", "w_scd2", "ev_ab_metrics", "tx_remove_dup_spans",
-    "dd_containment", "f_lag_features", "emb_code_dedup",
-    "a_sketch_intersection", "w_time_travel", "w_incremental_read",
-    "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
-    "pipeline_curation_v2", "a_mad_outliers", "f_gap_fill", "ev_stickiness",
-    "tx_hapax_ratio", "ev_props_json", "tx_ngram_entropy",
-    "f_regex_extract_all", "a_skew_report", "ev_transition_latency",
-    "dd_source_overlap", "stream_sessionize", "w_zorder_layout",
-    "graph_pagerank", "a_sketch_union", "j_fuzzy_match",
-    "w_distribution_ranks", "tx_dup_family_sizes",
-    "ev_rolling_distinct_users", "ev_dominant_users",
+# r6 WINDOW (rotation per VERDICT r5 item 1): the driver checks the
+# FIRST 50 entries per round. Positions 1-7 are the seven round-5
+# additions never yet driver-checked (judge-verified locally in round
+# 5); after they go green, every oracled query in the registry has a
+# driver-green CORRECTNESS row at least once.  Positions 8-50 are a
+# regression re-check sample of the OLDEST-checked queries (last
+# driver-green in round 2), excluding the two rows-only-by-design
+# entries (d3_sample, emb_ivf_topk — each has an oracled twin).
+# Computed as an explicit reorder of the literal dict above so the
+# full entry list stays greppable in one place.
+_R6_WINDOW = [
+    "tx_quality_classifier", "dd_minhash_calibration",
+    "dd_semantic_vs_lexical", "stream_quality_gate",
+    "ev_engagement_profile", "stream_near_dup_ingest",
+    "emb_centroid_prune", "s1_files_scan", "s2_provenance", "s4_inmemory",
+    "p1_filter", "p2_df_filter", "p3_projection", "p4_column_expr",
+    "p6_notnull", "j1_filter_merge", "j3_inner_join", "j_semi", "j_anti",
+    "a1_summary_stats", "a3_group_agg", "a4_count_distinct",
+    "a5_dup_detect", "a_rollup", "d1_distinct", "d1_keep_first",
+    "d2_shuffle", "d4_union", "d5_topk", "d7_limit_offset",
+    "set_intersect", "set_except", "w_window_topn", "w_window_running",
+    "f1_basename", "f2_substring", "f3_concat", "f4_suffix",
+    "f5_regex_clean", "f6_lower_trim", "f7_arith", "f8_json",
+    "f9_least_greatest", "f_date_trunc", "f_time_bucket",
+    "stream_tumbling_window", "v2_key_unique", "v3_referential",
+    "w1_roundtrip_shards", "w4_update_columns",
 ]
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R5_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R5_WINDOW},
+    **{k: REGISTRY[k] for k in _R6_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R6_WINDOW},
 }
 
 
