@@ -3824,6 +3824,415 @@ WHERE l.l_quantity < (
 """
 
 
+# --------------------------------------------------------------------------
+# synthetic partsupp: the testdata generator omits TPC-H's partsupp
+# table, which blocks Q2/Q9/Q11/Q16/Q20.  Rather than leave that SQL
+# surface unexercised, derive a DETERMINISTIC partsupp from part x
+# supplier with pure integer arithmetic — both engines compute the
+# exact same rows from the same parquet inputs, so the usual FULL
+# oracle applies.  Shape mirrors dbgen: 4 suppliers per part, supplier
+# keys spread by a stride that is coprime-ish with the supplier counts
+# used by the generator (10/100/1000), availability and cost derived
+# from (partkey, suppkey) alone.  Cost lands on exactly 2 decimals so
+# DECIMAL casts are exact.
+# --------------------------------------------------------------------------
+
+
+def _partsupp(spark, sf_dir):
+    """Deterministic synthetic partsupp (ps_partkey, ps_suppkey,
+    ps_availqty, ps_supplycost DECIMAL(12,2)).
+
+    Scale shape: part x 4 is a map-only explode; the supplier count
+    arrives via a broadcast 1-row aggregate (no driver collect), so
+    the whole derivation is embarrassingly parallel and partitions
+    with the part table."""
+    p = T(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        T(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return (
+        p.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(4)])
+            ).alias("i"),
+            "s_cnt",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("s_cnt")
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                (F.col("ps_partkey") * 23 + F.col("ps_suppkey") * 41) % 9999
+                + 1
+            ).alias("ps_availqty"),
+            (
+                (
+                    (F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 31)
+                    % 9000
+                    + 100
+                )
+                .cast("decimal(12,0)")
+                / 100
+            )
+            .cast("decimal(12,2)")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey*23 + ps_suppkey*41) % 9999 + 1 AS ps_availqty,
+         CAST(CAST((ps_partkey*17 + ps_suppkey*31) % 9000 + 100
+              AS DECIMAL(12,0)) / 100 AS DECIMAL(12,2)) AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey*7 + gen.i*13)
+             % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+    FROM part CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(i)
+  )
+)
+"""
+
+
+def q_h2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (synthetic partsupp): for STANDARD parts of one
+    size, the region-3 (EUROPE) supplier offering the minimum supply
+    cost — the classic correlated-MIN subquery.
+
+    Scale shape: the correlated subquery decorrelates into a per-part
+    MIN over the region-restricted partsupp (one groupBy whose output
+    is |parts| rows) joined back on (partkey, cost); supplier/nation/
+    region dims broadcast.  partsupp itself is map-only synthetic, so
+    nothing here shuffles more than once.  Cost is DECIMAL so the
+    MIN-equality join cannot be split by float noise."""
+    ps = _partsupp(spark, sf_dir)
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    region_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(
+        F.broadcast(region_sup), ps["ps_suppkey"] == F.col("s_suppkey")
+    )
+    min_cost = ps_eu.groupBy(
+        F.col("ps_partkey").alias("m_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        ps_eu.join(
+            min_cost,
+            (ps_eu["ps_partkey"] == F.col("m_partkey"))
+            & (ps_eu["ps_supplycost"] == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), ps_eu["ps_partkey"] == p["p_partkey"])
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+SQL_H2 = f"""
+WITH {_PARTSUPP_CTE},
+eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE')
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM partsupp
+JOIN eu_sup ON s_suppkey = ps_suppkey
+JOIN part ON p_partkey = ps_partkey
+         AND p_size <= 15 AND p_type = 'STANDARD'
+WHERE ps_supplycost = (
+  SELECT MIN(ps2.ps_supplycost)
+  FROM partsupp ps2 JOIN eu_sup e2 ON e2.s_suppkey = ps2.ps_suppkey
+  WHERE ps2.ps_partkey = partsupp.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_h9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (synthetic partsupp): profit by supplier nation
+    and ship year for 'red' parts — revenue minus supply cost.  Uses
+    l_shipdate's year (the testdata lineitem carries no order date;
+    documented reduction like h12/h21).
+
+    Scale shape: lineitem joins partsupp on its co-partitioned
+    (partkey, suppkey) composite key — one shuffle each side; part
+    (filtered) and supplier/nation broadcast.  Money math is DECIMAL
+    end-to-end so the grouped sums are order-independent and
+    bit-identical across engines."""
+    li = T(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+        - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .select(
+            "nation", "o_year", F.round("sum_profit", 2).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_H9 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT n_name AS nation,
+       CAST(YEAR(l_shipdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+         - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, YEAR(l_shipdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_h11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (synthetic partsupp): parts whose NATION_3
+    stock value beats a scalar-subquery threshold.  TPC-H's fixed
+    FRACTION degenerates across scale factors (everything passes at
+    sf0.001, nothing at sf0.1), so the threshold is 1.5x the average
+    per-part value — same HAVING-vs-scalar-aggregate shape, SF-stable
+    selectivity.
+
+    Scale shape: one groupBy to per-part values; the threshold is a
+    1-row aggregate OF THAT result (reused, not recomputed) broadcast
+    back.  The compare runs on DECIMAL*integers (value*100 vs
+    2*total/3n cross-multiplied) so no engine's float rounding can
+    flip a boundary part."""
+    ps = _partsupp(spark, sf_dir)
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup3 = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    per_part = (
+        ps.join(F.broadcast(sup3), ps["ps_suppkey"] == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost") * F.col("ps_availqty")
+            ).alias("value_dec")
+        )
+        # cents as BIGINT: exact integer arithmetic for the threshold
+        .select(
+            "ps_partkey",
+            "value_dec",
+            (F.col("value_dec") * 100).cast("long").alias("cents"),
+        )
+    )
+    totals = per_part.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        # value > 1.5 * (total/n)  <=>  2*n*value > 3*total  (exact)
+        .filter(
+            F.col("cents") * 2 * F.col("n_parts")
+            > F.col("total_cents") * 3
+        )
+        .select(
+            "ps_partkey",
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+SQL_H11 = f"""
+WITH {_PARTSUPP_CTE},
+per_part AS (
+  SELECT ps_partkey,
+         SUM(ps_supplycost * ps_availqty) AS value_dec,
+         CAST(SUM(ps_supplycost * ps_availqty) * 100 AS BIGINT) AS cents
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+  GROUP BY ps_partkey),
+totals AS (
+  SELECT SUM(cents) AS total_cents, COUNT(*) AS n_parts FROM per_part)
+SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM per_part, totals
+WHERE cents * 2 * n_parts > total_cents * 3
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_h16_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (synthetic partsupp): distinct-supplier counts
+    per (brand, type, size) over filtered parts, excluding flagged
+    suppliers.  The testdata supplier has no s_comment, so the
+    'complaints' exclusion becomes s_acctbal < 0 (same NOT-IN
+    anti-join shape; documented reduction).
+
+    Scale shape: the exclusion list is a broadcast anti-join (non-null
+    key, so NOT IN == anti); part attributes arrive by broadcast; the
+    only shuffle is the final grouped COUNT(DISTINCT), whose key space
+    (brand x type x size) is tiny and unskewed."""
+    ps = _partsupp(spark, sf_dir)
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            ps["ps_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_H16 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1,5,9,13,17,21,25,29)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_h20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (synthetic partsupp): AMERICA suppliers whose
+    stock of 'blue' parts exceeds half of what they shipped in 1997 —
+    nested IN subqueries over a correlated per-(part,supplier) sum.
+    (ev_dominant_users carries the same shape on the events stream;
+    this is the canonical partsupp version.)
+
+    Scale shape: the correlated scalar decorrelates into one grouped
+    sum over the date-pruned lineitem keyed by the SAME composite key
+    the partsupp probe joins on — one shuffle, no re-scan per
+    supplier; part filter and nation dim broadcast; the final
+    qualifying-supplier set is DISTINCT ps_suppkey (tiny) left-semi
+    joined into the supplier dim."""
+    ps = _partsupp(spark, sf_dir)
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("sh_partkey"),
+        F.col("l_suppkey").alias("sh_suppkey"),
+    ).agg(F.sum("l_quantity").alias("shipped_qty"))
+    qualifying = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == F.col("sh_partkey"))
+            & (ps["ps_suppkey"] == F.col("sh_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("shipped_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(
+            qualifying, s["s_suppkey"] == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
+SQL_H20 = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s_name, s_suppkey
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey AND r_name = 'AMERICA'
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+    AND ps_availqty > (
+      SELECT 0.5 * SUM(l_quantity) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1998-01-01'))
+ORDER BY s_name
+"""
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Embedding k-means (semantic-dedup decision step) as a
     driver-checkable validity summary: the cluster geometry is
@@ -8117,6 +8526,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "h14_promo_revenue": (q_h14_promo_revenue, SQL_H14),
     "h15_top_supplier": (q_h15_top_supplier, SQL_H15),
     "h17_small_quantity": (q_h17_small_quantity, SQL_H17),
+    "h2_min_cost_supplier": (q_h2_min_cost_supplier, SQL_H2),
+    "h9_product_profit": (q_h9_product_profit, SQL_H9),
+    "h11_important_stock": (q_h11_important_stock, SQL_H11),
+    "h16_supplier_relationship": (q_h16_supplier_relationship, SQL_H16),
+    "h20_promotion_suppliers": (q_h20_promotion_suppliers, SQL_H20),
     "h18_large_orders": (q_h18_large_orders, SQL_H18),
     "h19_disjunctive": (q_h19_disjunctive, SQL_H19),
     "h22_idle_customers": (q_h22_idle_customers, SQL_H22),
