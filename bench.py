@@ -154,6 +154,20 @@ def main() -> None:
             t0 = time.time()
             thunk()
             runs.append(round(time.time() - t0, 3))
+        # adaptive extension (r6): a single shared JVM sporadically
+        # runs fresh whole-stage-codegen classes at low JIT tier right
+        # after the codegen-rich LSH queries churn the code cache —
+        # task executor-time inflates ~6x (measured: 133s vs 23s task
+        # time, 467 CPU-s in-JVM during an 18s wall spike, near-zero
+        # GC / Python CPU) and decays over ~30s. See PLANS.md
+        # "bench variance root cause". The minima stay correct, but
+        # with only 3 trials a spike cluster can leave the min itself
+        # one-sample-thin; keep sampling until the spread is sane or
+        # the sample is big enough to trust the min regardless.
+        while max(runs) / min(runs) > 2.0 and len(runs) < 6:
+            t0 = time.time()
+            thunk()
+            runs.append(round(time.time() - t0, 3))
         # per-trial times recorded so a one-off outlier in the minima
         # (e.g. background contention) is self-diagnosing in the
         # BENCH_r{N}.json artifact rather than needing a re-run
