@@ -522,6 +522,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Group near-dup candidate pairs into clusters: (node, cluster)
     where cluster = min node id reachable through the pair graph.
@@ -529,17 +530,31 @@ def connected_components(
     This is the step that turns pairwise similarity into dedup
     decisions (keep one representative per cluster) — absent from the
     reference, essential at 100 TB where transitive duplicates are the
-    norm. Iterative min-label propagation: each round is one shuffle
-    (neighbor-min groupBy); near-dup graphs have small diameters, so
-    convergence is a handful of rounds. localCheckpoint truncates the
+    norm. ``algorithm="star"`` (default) delegates to
+    :func:`connected_components_star` — O(log n) rounds on any graph
+    shape, same output, measured on par or faster on the sf0.1
+    near-dup graph (r6 A/B: 5.3-6.5s vs 5.9-10.4s over 2.97M edges).
+    ``algorithm="label_prop"`` keeps the original min-label
+    propagation: each round is one shuffle (neighbor-min groupBy);
+    fine for the small-diameter graphs near-dup families form, but
+    Θ(diameter) rounds on chains. localCheckpoint truncates the
     lineage each round so plans stay bounded.
 
-    Convergence check: labels only ever DECREASE under min-propagation,
-    so the label sum is monotone non-increasing and unchanged iff no
-    node moved — one cheap aggregate per round instead of a
-    new-vs-old join+count (which would double the per-round shuffles).
-    Decimal(38) accumulation cannot overflow on 64-bit ids.
+    Convergence check (label_prop): labels only ever DECREASE under
+    min-propagation, so the label sum is monotone non-increasing and
+    unchanged iff no node moved — one cheap aggregate per round
+    instead of a new-vs-old join+count (which would double the
+    per-round shuffles). Decimal(38) accumulation cannot overflow on
+    64-bit ids.
     """
+    if algorithm == "star":
+        return connected_components_star(
+            pairs, all_nodes, id_a, id_b, max_iterations
+        )
+    if algorithm != "label_prop":
+        raise ValueError(
+            f"algorithm must be 'star' or 'label_prop', got {algorithm!r}"
+        )
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     bidir = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -577,6 +592,116 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    all_nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — public algorithm). Same (node, cluster =
+    min reachable id) contract as :func:`connected_components`.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds and ships every edge's CURRENT label each round; star
+    contraction converges in O(log n) rounds on ANY graph shape by
+    rewriting the edge set itself toward disjoint stars. On near-dup
+    graphs (small diameter) both are a handful of rounds; on
+    adversarial chains (transitive near-dup runs, crawl rings) the
+    label propagation does Θ(n) rounds while this stays logarithmic —
+    the planted-chain test in tests/test_operators.py pins that.
+
+    Scale shape per round: one groupBy(node) min (map-side combine —
+    a hot node's edges partial-aggregate before the shuffle) and one
+    edge ⋈ min equi-join (AQE skew-splittable), never a
+    collect_list of a neighborhood; the edge set never grows
+    (large-star provably shrinks/preserves it). Convergence is one
+    count+hash-sum aggregate per round — the edge set is a fixed
+    point of both stars iff it is a union of disjoint stars, so
+    hash-equality doubles as the done-and-correct check.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def edge_digest(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def bidir(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nb = bidir(e)
+        mins = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        return (
+            nb.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        nb = bidir(e).filter(F.col("v") < F.col("u"))
+        mins = nb.groupBy("u").agg(F.min("v").alias("m"))
+        leaf_edges = (
+            nb.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        center_edges = mins.select("u", F.col("m").alias("v"))
+        return (
+            leaf_edges.union(center_edges)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    digest = edge_digest(edges)
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_digest = edge_digest(edges)
+        if new_digest == digest:
+            break
+        digest = new_digest
+
+    # at the fixed point edges are (leaf > root) stars: label leaves
+    # by their root, roots by themselves, isolated nodes by themselves
+    labels = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("cluster")
+    ).union(
+        edges.select(
+            F.col("v").alias("node"), F.col("v").alias("cluster")
+        ).distinct()
+    )
+    if all_nodes is not None:
+        nodes = all_nodes.select(
+            F.col(all_nodes.columns[0]).alias("node")
+        )
+        labels = labels.union(
+            nodes.join(labels, "node", "left_anti").withColumn(
+                "cluster", F.col("node")
+            )
+        )
+    return labels.groupBy("node").agg(F.min("cluster").alias("cluster"))
 
 
 def jaccard_pairs(

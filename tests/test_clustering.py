@@ -234,3 +234,70 @@ def test_pair_driven_verification_matches_inverted_index(spark, sf_dir):
             for r in full.join(cand, ["id_a", "id_b"], "left_semi").collect()
         }
         assert {(r.id_a, r.id_b, r[2]) for r in got.collect()} == expect
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large/small-star must produce byte-identical (node, cluster)
+    labels to min-label propagation on a mixed graph: transitive
+    chain, two merged families, isolated pair, singleton."""
+    from dataprocessingframework_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 20)],
+        schema="id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]],
+        schema="doc_id long",
+    )
+    a = {
+        r.node: r.cluster
+        for r in connected_components(pairs, all_nodes=nodes).collect()
+    }
+    b = {
+        r.node: r.cluster
+        for r in connected_components_star(pairs, all_nodes=nodes).collect()
+    }
+    assert a == b
+    assert b[99] == 99 and b[10] == 10 and b[22] == 1
+
+
+def test_star_cc_logarithmic_on_planted_chain(spark):
+    """A 64-node path needs ~63 label-propagation rounds; star
+    contraction must finish (and be CORRECT) within O(log n) rounds.
+    8 rounds on a 64-chain pins the logarithmic behavior — label
+    propagation capped at the same 8 rounds provably cannot have
+    delivered min labels to the far end."""
+    from dataprocessingframework_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], schema="id_a long, id_b long"
+    )
+    out = connected_components_star(pairs, max_iterations=8).collect()
+    assert len(out) == 64
+    assert {r.cluster for r in out} == {0}
+    # sanity: propagation under the same budget has NOT converged
+    prop = connected_components(
+        pairs, max_iterations=8, algorithm="label_prop"
+    ).collect()
+    assert {r.cluster for r in prop} != {0}
+
+
+def test_star_cc_reversed_and_duplicate_edges(spark):
+    """Orientation and multiplicity must not matter."""
+    from dataprocessingframework_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 5), (4, 3), (3, 4), (5, 3)],
+        schema="id_a long, id_b long",
+    )
+    out = {
+        r.node: r.cluster for r in connected_components_star(pairs).collect()
+    }
+    assert out == {3: 3, 4: 3, 5: 3}
