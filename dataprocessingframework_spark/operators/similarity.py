@@ -211,14 +211,24 @@ def _cosine_topk_blas(
     return _per_query_topk(scored, k)
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(
+    dim: int, n_planes: int, table: int = 0
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from the md5 hash chain
-    (no RNG state, reproducible across engines/runs)."""
+    (no RNG state, reproducible across engines/runs). ``table`` salts
+    the chain so multi-table LSH gets independent plane sets; table 0
+    keeps the original unsalted strings, so single-table callers (and
+    their recorded oracles) are unchanged."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hash64_py(f"plane:{p}:{d}")
+            key = (
+                f"plane:{p}:{d}"
+                if table == 0
+                else f"plane:{table}:{p}:{d}"
+            )
+            h = hash64_py(key)
             row.append((h % 2_000_001) / 1_000_000.0 - 1.0)  # [-1, 1]
         planes.append(row)
     return planes
@@ -323,6 +333,106 @@ def lsh_topk(
     # _per_query_topk's map-side partial WindowGroupLimit keeps a hot
     # bucket (skewed sign-pattern) from funneling its full membership
     # through one q_id partition
+    return _per_query_topk(scored, k)
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    probe_radius: int = 1,
+    broadcast_threshold: int = 100_000,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Multi-table hyperplane LSH ANN: L independent plane sets, a
+    candidate passes if it shares a (probed) bucket with the query in
+    ANY table (classic LSH OR-amplification — Indyk–Motwani; the
+    production knob for raising recall without the exponential
+    radius-2 probe blowup). Table 0 uses the same planes as
+    :func:`lsh_topk`, so the single-table candidate set is a strict
+    subset and recall can only improve.
+
+    Scale shape: both sides explode x ``n_tables`` (a query also
+    x(n_planes+1) under multi-probe) and meet in ONE equi-join on the
+    (table, bucket) composite key — shuffle volume is L x the
+    single-table path, linear and AQE-skew-splittable, never
+    all-pairs. Duplicate candidates (pairs colliding in several
+    tables) are scored cheaply per collision, then deduped on the
+    SKINNY (q_id, nbr_id, score) relation before ranking — vectors
+    never travel through the dedup shuffle. The final ranking reuses
+    _per_query_topk's map-side partial WindowGroupLimit.
+    """
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+
+    def probe_structs(vec: Column) -> Column:
+        """array<struct<tbl,bucket>> for the query side (with probes)."""
+        elems = []
+        for t, planes in enumerate(tables):
+            b = lsh_bucket_expr(vec, planes)
+            masks = [F.lit(0).cast("long")]
+            if probe_radius == 1:
+                masks += [
+                    F.lit(2**p).cast("long") for p in range(n_planes)
+                ]
+            elems += [
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(m).alias("bucket"),
+                )
+                for m in masks
+            ]
+        return F.array(*elems)
+
+    def bucket_structs(vec: Column) -> Column:
+        """array<struct<tbl,bucket>> for the corpus side (one/table)."""
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket_expr(vec, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe_structs(F.col(vec_col))).alias("pr"),
+    ).select("q_id", "q_vec", "q_norm", "pr.tbl", "pr.bucket")
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.explode(bucket_structs(F.col(vec_col))).alias("pr"),
+    ).select("nbr_id", "c_vec", "c_norm", "pr.tbl", "pr.bucket")
+    fanout = n_tables * ((n_planes + 1) if probe_radius == 1 else 1)
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() * fanout <= broadcast_threshold
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = (
+        c.join(q_side, on=["tbl", "bucket"])
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
+        )
+        .dropDuplicates(["q_id", "nbr_id"])
+    )
     return _per_query_topk(scored, k)
 
 

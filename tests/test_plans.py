@@ -436,3 +436,29 @@ def test_emb_centroid_prune_broadcasts_prototypes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_multi_topk_scale_shape(spark, sf_dir):
+    """Multi-table LSH must keep the single-table guarantees: one
+    hash equi-join on the (tbl, bucket) composite key (never a
+    cartesian), broadcast gated by post-fanout query size, and the
+    candidate dedup running on the skinny pair relation BEFORE the
+    ranking window (vectors never shuffle through the dedup)."""
+    from dataprocessingframework_spark.operators.similarity import (
+        lsh_topk_multi,
+    )
+
+    emb = q.T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    small = lsh_topk_multi(emb, qs, k=5, n_tables=3)
+    plan = plan_of(small)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "tbl" in plan and "bucket" in plan
+    _assert_partial_group_limit_below_exchange(plan)
+    large = lsh_topk_multi(
+        emb, qs, k=5, n_tables=3, broadcast_threshold=0
+    )
+    analyzed = large._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "CartesianProduct" not in plan_of(large)
