@@ -640,21 +640,39 @@ def connected_components_star(
         ).collect()[0]
         return row["n"], row["h"]
 
+    # NOTE: every two-way emission below is an array-of-struct explode
+    # rather than a self-union — Union over a re-aliased copy of the
+    # same (checkpointed) relation trips constraint rewriting in
+    # Catalyst (UnionBase.rewriteConstraints "key not found") once the
+    # input lineage is non-trivial; the explode is also one pass
+    # instead of two over the edge relation.
     def bidir(e: DataFrame) -> DataFrame:
-        return e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("a"), F.col("v").alias("b")
+                    ),
+                    F.struct(
+                        F.col("v").alias("a"), F.col("u").alias("b")
+                    ),
+                )
+            ).alias("p")
+        ).select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
 
+    # the min-relation is derived FROM the neighbor relation it then
+    # joins back onto — rename its key (mu) so Catalyst never has to
+    # disambiguate the self-join lineage
     def large_star(e: DataFrame) -> DataFrame:
         nb = bidir(e)
         mins = (
-            nb.groupBy("u")
+            nb.groupBy(F.col("u").alias("mu"))
             .agg(F.min("v").alias("mn"))
-            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+            .select("mu", F.least(F.col("mn"), F.col("mu")).alias("m"))
         )
         return (
             nb.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            .join(mins, F.col("u") == F.col("mu"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
@@ -662,15 +680,27 @@ def connected_components_star(
 
     def small_star(e: DataFrame) -> DataFrame:
         nb = bidir(e).filter(F.col("v") < F.col("u"))
-        mins = nb.groupBy("u").agg(F.min("v").alias("m"))
-        leaf_edges = (
-            nb.join(mins, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        mins = nb.groupBy(F.col("u").alias("mu")).agg(
+            F.min("v").alias("m")
         )
-        center_edges = mins.select("u", F.col("m").alias("v"))
+        # (v, m) reattaches each smaller neighbor to the center's min;
+        # (u, m) keeps the center itself attached. Self rows (v == m,
+        # and u == m on the center's own row) drop in the filter.
         return (
-            leaf_edges.union(center_edges)
+            nb.join(mins, F.col("u") == F.col("mu"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("a"), F.col("m").alias("b")
+                        ),
+                        F.struct(
+                            F.col("u").alias("a"), F.col("m").alias("b")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -685,13 +715,19 @@ def connected_components_star(
 
     # at the fixed point edges are (leaf > root) stars: label leaves
     # by their root, roots by themselves, isolated nodes by themselves
+    # (two-way emission as an explode — see the self-union note above)
     labels = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("cluster")
-    ).union(
-        edges.select(
-            F.col("v").alias("node"), F.col("v").alias("cluster")
-        ).distinct()
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("a"), F.col("v").alias("b")
+                ),
+                F.struct(
+                    F.col("v").alias("a"), F.col("v").alias("b")
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("node"), F.col("p.b").alias("cluster"))
     if all_nodes is not None:
         nodes = all_nodes.select(
             F.col(all_nodes.columns[0]).alias("node")
