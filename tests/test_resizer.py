@@ -36,3 +36,22 @@ def test_never_zero():
 
 def test_aspect_rounding():
     assert resize_dims(3, 5, ResizePolicy.MAX_SIZE, 4) == (2, 4)
+
+
+def test_truncation_matches_reference():
+    """Reference `transforms/resizer.py:37-51` uses int() truncation,
+    not round-to-nearest: 3x7 at MAX_SIZE 4 scales the short side to
+    4*3/7 = 1.71 -> 1 (round would give 2). VERDICT r5 item 7."""
+    assert resize_dims(3, 7, ResizePolicy.MAX_SIZE, 4) == (1, 4)
+    assert resize_dims(7, 3, ResizePolicy.MAX_SIZE, 4) == (4, 1)
+    # MIN_SIZE: anchor = short side, long side truncated
+    # 5x9 at MIN_SIZE 4: 4*9/5 = 7.2 -> 7
+    assert resize_dims(5, 9, ResizePolicy.MIN_SIZE, 4) == (4, 7)
+
+
+def test_downscale_only_strict_comparison_equivalence():
+    """At exact equality the reference resizes (strict <) while the
+    old code returned early (<=) — both land on identical dims, which
+    this pins so the branch change can never drift."""
+    assert resize_dims(3, 7, ResizePolicy.MAX_SIZE, 7, downscale_only=True) == (3, 7)
+    assert resize_dims(3, 7, ResizePolicy.MIN_SIZE, 3, downscale_only=True) == (3, 7)
