@@ -23,3 +23,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Gated-coverage visibility (VERDICT r5 item 8): optional-
+    dependency skips (torch/pyav/soundfile/cv2 absent in CI) silently
+    shrink M-tier/K-tier coverage as those tiers grow. List every
+    skipped test with its gate reason in the summary so the loss
+    stays visible in each round's test log."""
+    skipped = terminalreporter.stats.get("skipped", [])
+    if not skipped:
+        return
+    terminalreporter.section("gated-out tests (optional deps absent)")
+    for rep in skipped:
+        reason = rep.longrepr[2] if isinstance(rep.longrepr, tuple) else rep.longrepr
+        terminalreporter.write_line(f"  {rep.nodeid} — {reason}")
+    terminalreporter.write_line(
+        f"  total gated-out: {len(skipped)} "
+        "(real-codec/ML bodies exist behind import gates; see COVERAGE.md)"
+    )
