@@ -331,15 +331,15 @@ class Dataset:
             ShardsDatasetConfig,
         )
 
-        row = (
-            self.df.sample(
-                fraction=min(1.0, 100 / max(1, self.df.count())), seed=seed
-            )
-            .limit(1)
-            .collect()
-        )
+        # fixed small fraction instead of a count()-sized one: the
+        # count was a full extra scan per call, and any fraction works
+        # because the limit(1) fallback below covers a sample that
+        # comes back empty (tiny datasets included) — ADVICE r5
+        row = self.df.sample(fraction=0.01, seed=seed).limit(1).collect()
         if not row:
             row = self.df.limit(1).collect()
+        if not row:
+            raise ValueError("get_random_sample: dataset is empty")
         meta = row[0].asDict()
         media: dict[str, bytes] = {}
         cfg = self.config

@@ -23,11 +23,22 @@ from __future__ import annotations
 from typing import Any
 
 
+def _dtype_name(val: Any) -> str:
+    """Last dot-segment of the dtype ('torch.float32' -> 'float32',
+    matching the duck-typed fakes' plain 'float32'). Exact compare —
+    'bfloat16' must NOT string-match 'float16'."""
+    return str(getattr(val, "dtype", "")).split(".")[-1]
+
+
 def cast_floats(val: Any, to_half: bool) -> Any:
-    """Recursively cast floating-point tensors inside nested
-    tuples/lists/dicts: ``to_half=True`` -> ``.half()``, else
-    ``.float()``. Non-float leaves (ints, bools, strings, None) pass
-    through untouched; tuple/list/dict shape is preserved."""
+    """Recursively cast tensors inside nested tuples/lists/dicts:
+    ``to_half=True`` casts ONLY fp32 tensors to half, else ONLY fp16
+    tensors back to float — the reference FP16Module's
+    FLOAT_TYPES/HALF_TYPES gating (`fp16_module.py:10-45`). fp64 and
+    bf16 tensors pass through untouched (halving a double input or
+    upcasting a bf16 output would silently change the wrapped
+    module's precision contract), as do non-float leaves (ints,
+    bools, strings, None); tuple/list/dict shape is preserved."""
     if isinstance(val, (tuple, list)):
         out = [cast_floats(v, to_half) for v in val]
         return tuple(out) if isinstance(val, tuple) else out
@@ -35,7 +46,11 @@ def cast_floats(val: Any, to_half: bool) -> Any:
         return {k: cast_floats(v, to_half) for k, v in val.items()}
     is_fp = getattr(val, "is_floating_point", None)
     if callable(is_fp) and is_fp():
-        return val.half() if to_half else val.float()
+        name = _dtype_name(val)
+        if to_half and name == "float32":
+            return val.half()
+        if not to_half and name == "float16":
+            return val.float()
     return val
 
 

@@ -740,6 +740,23 @@ def connected_components_star(
     return labels.groupBy("node").agg(F.min("cluster").alias("cluster"))
 
 
+def _canonical_pairs(candidates: DataFrame) -> DataFrame:
+    """Canonicalize a caller-supplied candidate relation: order each
+    pair as id_a < id_b (least/greatest), drop self-pairs, dedup.
+    Callers may pass reversed, both-orientation, or (x, x) rows —
+    without this, reversed duplicates score twice and self-pairs
+    emit jaccard/containment 1.0 (ADVICE r5). Both downstream scores
+    are symmetric, so reordering never changes a value."""
+    return (
+        candidates.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -782,12 +799,11 @@ def jaccard_pairs(
         wa = words.select(F.col(id_col).alias("id_a"), "word")
         wb = words.select(F.col(id_col).alias("id_b"), "word")
         inter = (
-            # dropDuplicates: a duplicated candidate pair would
-            # multiply its intersection count (the pair relation is
-            # the driving side now) — one cheap pair-keyed shuffle
-            # buys correctness under any caller
-            candidates.select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+            # canonicalized pair relation is the driving side: a
+            # duplicated/reversed candidate pair would otherwise
+            # multiply its intersection count — one cheap pair-keyed
+            # shuffle buys correctness under any caller
+            _canonical_pairs(candidates)
             .join(wa, "id_a")
             .join(wb, ["id_b", "word"])
             .groupBy("id_a", "id_b")
@@ -864,8 +880,7 @@ def containment_pairs(
         wa = words.select(F.col(id_col).alias("id_a"), "word")
         wb = words.select(F.col(id_col).alias("id_b"), "word")
         inter = (
-            candidates.select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+            _canonical_pairs(candidates)
             .join(wa, "id_a")
             .join(wb, ["id_b", "word"])
             .groupBy("id_a", "id_b")

@@ -93,6 +93,13 @@ def cosine_topk(
     matrix — ~2-3x faster warm and the winner at scale (SIMD, batch
     amortization); float summation order differs, so scores can drift
     in the last ulp — use for production ANN, jvm for exact parity.
+
+    Zero-norm vectors (all-zero embeddings — a real artifact of
+    failed encoders) are EXCLUDED on both sides in both impls: their
+    cosine is 0/0 = NaN, which Spark's/DuckDB's descending sort ranks
+    above every real neighbor while numpy comparisons drop it — the
+    one place the two impls could diverge (ADVICE r5). Filtering is
+    the only semantics under which 'top-k by cosine' is well-defined.
     """
     if impl == "blas":
         return _cosine_topk_blas(corpus, queries, id_col, vec_col, k)
@@ -103,7 +110,7 @@ def cosine_topk(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     # NB: no fan_out here — measured at sf0.1, repartitioning the
     # (small) embedding corpus costs more than the serial fold saves;
     # at real scale the corpus arrives with its own splits anyway
@@ -111,7 +118,7 @@ def cosine_topk(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("nbr_id") != F.col("q_id"))
@@ -153,8 +160,10 @@ def _cosine_topk_blas(
 
     qp = queries.select(id_col, vec_col).toPandas()
     qm = np.stack(qp[vec_col].values).astype(np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    q_ids = qp[id_col].values
+    qnorm = np.linalg.norm(qm, axis=1)
+    keep = qnorm > 0  # zero-norm queries excluded (see cosine_topk)
+    qn = qm[keep] / qnorm[keep, None]
+    q_ids = qp[id_col].values[keep]
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, qn))
 
     schema = StructType(
@@ -171,9 +180,13 @@ def _cosine_topk_blas(
             if len(pdf) == 0:
                 continue
             c = np.stack(pdf[vec_col].values).astype(np.float64)
-            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            cnorm = np.linalg.norm(c, axis=1)
+            ck = cnorm > 0  # zero-norm corpus rows excluded
+            if not ck.any():
+                continue
+            cn = c[ck] / cnorm[ck, None]
             sims = cn @ qmat.T  # (batch, nq)
-            nbr = pdf[id_col].values
+            nbr = pdf[id_col].values[ck]
             n, m = sims.shape
             kk = min(k + 1, n)
             if n <= kk:

@@ -287,3 +287,25 @@ def test_wrap_half_converts_weights_and_keeps_fp32_contract():
     assert next(wrapped.parameters()).dtype == torch.float16
     out = wrapped(torch.randn(3, 4))  # fp32 in
     assert out.dtype == torch.float32  # fp32 out
+
+
+def test_fp16_cast_gates_on_exact_dtype():
+    """Reference FLOAT_TYPES/HALF_TYPES gating: only fp32 halves on
+    the way in, only fp16 floats on the way out — fp64 and bf16 pass
+    through BOTH directions untouched (ADVICE r5: halving a double
+    or upcasting a bf16 silently changed caller precision)."""
+    from dataprocessingframework_spark.filters.fp16 import cast_floats
+
+    f64 = _FakeTensor("float64")
+    bf16 = _FakeTensor("bfloat16")
+    f32 = _FakeTensor("float32")
+    f16 = _FakeTensor("float16")
+    halved = cast_floats((f64, bf16, f32, f16), True)
+    assert halved[0].dtype == "float64"
+    assert halved[1].dtype == "bfloat16"
+    assert halved[2].dtype == "float16"
+    assert halved[3].dtype == "float16"  # already half: untouched
+    restored = cast_floats((f64, bf16, f16), False)
+    assert restored[0].dtype == "float64"
+    assert restored[1].dtype == "bfloat16"
+    assert restored[2].dtype == "float32"

@@ -1274,3 +1274,63 @@ def test_hash64_unicode_parity(spark):
     got = {r.s: r.h for r in df.select("s", hash64(F.col("s")).alias("h")).collect()}
     for s in samples:
         assert got[s] == hash64_py(s), s
+
+
+def test_jaccard_containment_canonicalize_candidates(spark):
+    """ADVICE r5: reversed, duplicated, and self candidate pairs must
+    collapse to the canonical id_a < id_b relation — same scores as a
+    clean candidate list, no jaccard=1.0 self rows."""
+    from dataprocessingframework_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        schema="doc_id long, text string",
+    )
+    clean = spark.createDataFrame(
+        [(1, 2), (1, 3)], schema="id_a long, id_b long"
+    )
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 1), (2, 2)],
+        schema="id_a long, id_b long",
+    )
+    for fn in (dedup.jaccard_pairs, dedup.containment_pairs):
+        a = sorted(
+            fn(docs, "text", "doc_id", threshold=0.0, candidates=clean)
+            .collect()
+        )
+        b = sorted(
+            fn(docs, "text", "doc_id", threshold=0.0, candidates=messy)
+            .collect()
+        )
+        assert a == b, (fn.__name__, a, b)
+        assert all(r.id_a < r.id_b for r in b)
+        assert len(b) == 1  # (1,2) scores; (1,3) has empty intersection
+
+
+def test_cosine_topk_zero_norm_parity(spark):
+    """ADVICE r5: zero-norm vectors produced NaN cosines that the jvm
+    impl ranked into top-k (desc sort puts NaN first) while blas
+    batch-pruning dropped them. Both impls must now EXCLUDE zero-norm
+    rows on both sides and agree exactly."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(20, 8).astype(np.float32)
+    vecs[7] = 0.0  # degenerate corpus vector
+    vecs[1] = 0.0  # degenerate query vector
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        schema="vec_id long, embedding array<float>",
+    )
+    qdf = df.filter(F.col("vec_id") < 3)
+    jvm = similarity.cosine_topk(df, qdf, k=4, impl="jvm").collect()
+    blas = similarity.cosine_topk(df, qdf, k=4, impl="blas").collect()
+    jset = {(r.q_id, r.nbr_id) for r in jvm}
+    assert jset == {(r.q_id, r.nbr_id) for r in blas}
+    # the zero vectors appear as neither query nor neighbor
+    assert all(n != 7 for _, n in jset)
+    assert all(q != 1 for q, _ in jset)
+    assert {q for q, _ in jset} == {0, 2}
+    assert all(not np.isnan(r.cos) for r in jvm + blas)

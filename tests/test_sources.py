@@ -643,3 +643,21 @@ def test_get_random_sample_files_config(spark, files_dir):
     assert set(media) == {"image_path"}
     assert media["image_path"].startswith(b"FAKEIMG:")
     assert meta["caption"].startswith("cap")
+
+
+def test_get_random_sample_empty_dataset_raises(spark):
+    """ADVICE r5: an empty dataset must raise a clear ValueError, not
+    a bare IndexError from row[0]; and the sizing count() is gone —
+    the fixed fraction + limit(1) fallback covers tiny datasets."""
+    from dataprocessingframework_spark.dataset import Dataset
+
+    empty = Dataset(
+        spark.createDataFrame([], schema="doc_id long, text string")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        empty.get_random_sample()
+    one = Dataset(
+        spark.createDataFrame([(1, "x")], schema="doc_id long, text string")
+    )
+    _, meta = one.get_random_sample()
+    assert meta["doc_id"] == 1
