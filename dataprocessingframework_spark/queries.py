@@ -8703,17 +8703,23 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
 # FIRST 50 entries per round. Positions 1-7 are the seven round-5
 # additions never yet driver-checked (judge-verified locally in round
 # 5); after they go green, every oracled query in the registry has a
-# driver-green CORRECTNESS row at least once.  Positions 8-50 are a
-# regression re-check sample of the OLDEST-checked queries (last
-# driver-green in round 2), excluding the two rows-only-by-design
-# entries (d3_sample, emb_ivf_topk — each has an oracled twin).
-# Computed as an explicit reorder of the literal dict above so the
-# full entry list stays greppable in one place.
+# driver-green CORRECTNESS row at least once.  Positions 8-14 are the
+# six NEW round-6 queries (synthetic-partsupp TPC-H + multi-table
+# LSH) plus emb_ann_recall, whose schema grew two columns this round.
+# The remainder is a regression re-check sample of the OLDEST-checked
+# queries (last driver-green in round 2), excluding the two
+# rows-only-by-design entries (d3_sample, emb_ivf_topk — each has an
+# oracled twin). Computed as an explicit reorder of the literal dict
+# above so the full entry list stays greppable in one place.
 _R6_WINDOW = [
     "tx_quality_classifier", "dd_minhash_calibration",
     "dd_semantic_vs_lexical", "stream_quality_gate",
     "ev_engagement_profile", "stream_near_dup_ingest",
-    "emb_centroid_prune", "s1_files_scan", "s2_provenance", "s4_inmemory",
+    "emb_centroid_prune",
+    "h2_min_cost_supplier", "h9_product_profit", "h11_important_stock",
+    "h16_supplier_relationship", "h20_promotion_suppliers",
+    "emb_lsh_multi_topk", "emb_ann_recall",
+    "s1_files_scan", "s2_provenance", "s4_inmemory",
     "p1_filter", "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join", "j_semi", "j_anti",
     "a1_summary_stats", "a3_group_agg", "a4_count_distinct",
@@ -8722,9 +8728,7 @@ _R6_WINDOW = [
     "set_intersect", "set_except", "w_window_topn", "w_window_running",
     "f1_basename", "f2_substring", "f3_concat", "f4_suffix",
     "f5_regex_clean", "f6_lower_trim", "f7_arith", "f8_json",
-    "f9_least_greatest", "f_date_trunc", "f_time_bucket",
-    "stream_tumbling_window", "v2_key_unique", "v3_referential",
-    "w1_roundtrip_shards", "w4_update_columns",
+    "f9_least_greatest",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _R6_WINDOW},
