@@ -74,3 +74,46 @@ def test_video_curation_pipeline_end_to_end(spark, tmp_path):
     assert result["rows_removed"] == 2
     assert result["rows_kept"] == 4
     assert result["shards_written"] == 1
+
+
+import glob
+import json
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "nb_path",
+    sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.dirname(__file__)),
+                "examples",
+                "*.ipynb",
+            )
+        )
+    ),
+    ids=os.path.basename,
+)
+def test_notebook_code_cells_execute(spark, nb_path):
+    """The five notebook walkthroughs (1:1 with the reference's
+    examples/*.ipynb) are EXECUTED, not just shipped: every code cell
+    runs in order in one namespace against the session Spark."""
+    with open(nb_path) as f:
+        nb = json.load(f)
+    cells = [
+        "".join(c["source"])
+        for c in nb["cells"]
+        if c["cell_type"] == "code"
+    ]
+    assert cells, nb_path
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["DPF_SPARK_ROOT"] = root
+    ns = {"spark": spark}
+    for i, src in enumerate(cells):
+        try:
+            exec(compile(src, f"{os.path.basename(nb_path)}:cell{i}", "exec"), ns)
+        except Exception as e:
+            raise AssertionError(
+                f"{nb_path} cell {i} failed: {e}\n---\n{src}"
+            ) from e
