@@ -120,6 +120,28 @@ def bench_queries(spark):
             )
         ),
         "ann_ivf_topk": small(q.q_emb_ivf_topk),
+        # multi-table LSH (OR-amplification, r6): L=3 plane tables,
+        # one (table, bucket) equi-join, skinny-pair dedup pre-ranking
+        "ann_lsh_multi_topk": big(
+            lambda s, d: similarity.lsh_topk_multi(
+                q.T(s, d, "embeddings"),
+                q.T(s, d, "embeddings").filter(F.col("vec_id") < 50),
+                k=10,
+                n_tables=3,
+                broadcast_queries=True,
+            )
+        ),
+        # connected components over the LSH candidate graph (r6:
+        # large-star/small-star default) — the transitive-dedup step
+        "cc_clusters_star": big(
+            lambda s, d: dedup.connected_components(
+                dedup.minhash_lsh_candidates(
+                    q.T(s, d, "documents"), "text", "doc_id",
+                    num_hashes=16, bands=4,
+                ),
+                all_nodes=q.T(s, d, "documents").select("doc_id"),
+            )
+        ),
         # temporal join (union-window asof, one shuffle)
         "asof_join": small(q.q_j_asof),
     }
