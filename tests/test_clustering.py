@@ -301,3 +301,50 @@ def test_star_cc_reversed_and_duplicate_edges(spark):
         r.node: r.cluster for r in connected_components_star(pairs).collect()
     }
     assert out == {3: 3, 4: 3, 5: 3}
+
+
+def test_star_cc_random_graphs_vs_union_find(spark):
+    """Star contraction vs an independent pure-Python union-find on a
+    battery of deterministic pseudo-random graphs (varied density,
+    multiple components, isolated nodes) — catches any systematic
+    bias a single hand-built fixture would miss."""
+    import random
+
+    from dataprocessingframework_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        m = rng.randint(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] or [(0, 0)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in range(n)}
+
+        pairs = spark.createDataFrame(
+            edges, schema="id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], schema="node long"
+        )
+        got = {
+            r.node: r.cluster
+            for r in connected_components_star(
+                pairs, all_nodes=nodes
+            ).collect()
+        }
+        assert got == expect, (seed, n, m)
