@@ -349,6 +349,44 @@ def lsh_topk(
     return _per_query_topk(scored, k)
 
 
+def _probe_structs(
+    vec: Column,
+    tables: list[list[list[float]]],
+    n_planes: int,
+    probe_radius: int,
+) -> Column:
+    """array<struct<tbl,bucket>> for the query side (with probes)."""
+    elems = []
+    for t, planes in enumerate(tables):
+        b = lsh_bucket_expr(vec, planes)
+        masks = [F.lit(0).cast("long")]
+        if probe_radius == 1:
+            masks += [F.lit(2**p).cast("long") for p in range(n_planes)]
+        elems += [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                b.bitwiseXOR(m).alias("bucket"),
+            )
+            for m in masks
+        ]
+    return F.array(*elems)
+
+
+def _bucket_structs(
+    vec: Column, tables: list[list[list[float]]]
+) -> Column:
+    """array<struct<tbl,bucket>> for the corpus side (one per table)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(vec, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 def lsh_topk_multi(
     corpus: DataFrame,
     queries: DataFrame,
@@ -387,35 +425,10 @@ def lsh_topk_multi(
     tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
 
     def probe_structs(vec: Column) -> Column:
-        """array<struct<tbl,bucket>> for the query side (with probes)."""
-        elems = []
-        for t, planes in enumerate(tables):
-            b = lsh_bucket_expr(vec, planes)
-            masks = [F.lit(0).cast("long")]
-            if probe_radius == 1:
-                masks += [
-                    F.lit(2**p).cast("long") for p in range(n_planes)
-                ]
-            elems += [
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b.bitwiseXOR(m).alias("bucket"),
-                )
-                for m in masks
-            ]
-        return F.array(*elems)
+        return _probe_structs(vec, tables, n_planes, probe_radius)
 
     def bucket_structs(vec: Column) -> Column:
-        """array<struct<tbl,bucket>> for the corpus side (one/table)."""
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket_expr(vec, planes).alias("bucket"),
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
+        return _bucket_structs(vec, tables)
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -433,6 +446,127 @@ def lsh_topk_multi(
     if broadcast_queries is None:
         broadcast_queries = queries.count() * fanout <= broadcast_threshold
     q_side = F.broadcast(q) if broadcast_queries else q
+    scored = (
+        c.join(q_side, on=["tbl", "bucket"])
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
+        )
+        .dropDuplicates(["q_id", "nbr_id"])
+    )
+    return _per_query_topk(scored, k)
+
+
+def lsh_ann_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 3,
+) -> DataFrame:
+    """(tbl, bucket, id, vec, vnorm) rows — the MATERIALIZABLE half of
+    multi-table ANN (the embedding twin of dedup.lsh_index). In
+    continuous ingestion this table is written once per corpus and
+    appended per accepted batch; each probe batch then joins it on
+    (tbl, bucket) instead of re-hashing the corpus. Norms are
+    precomputed so probes never touch raw corpus vectors twice."""
+    tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("vnorm"),
+        F.explode(_bucket_structs(F.col(vec_col), tables)).alias("bb"),
+    ).select(
+        F.col("bb.tbl").alias("tbl"),
+        F.col("bb.bucket").alias("bucket"),
+        id_col,
+        vec_col,
+        "vnorm",
+    )
+
+
+def materialize_lsh_ann_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize :func:`lsh_ann_index` hash-BUCKETED on (tbl,
+    bucket) and return the re-read table. Physical bucketing matches
+    :func:`lsh_topk_from_index`'s probe keys, so the probe join plans
+    with NO Exchange on the index side — the corpus index is never
+    reshuffled per query batch (pinned by tests/test_bucketed.py).
+    The caller must pass the SAME (dim, n_planes, n_tables) to
+    lsh_topk_from_index; size ``num_buckets`` so one bucket fits an
+    executor (thousands at 100 TB, not 32)."""
+    from dataprocessingframework_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    idx = lsh_ann_index(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    write_bucketed(
+        idx,
+        table,
+        ["tbl", "bucket"],
+        num_buckets=num_buckets,
+        sort_cols=["tbl", "bucket"],
+        path=path,
+        mode=mode,
+    )
+    return corpus.sparkSession.table(table)
+
+
+def lsh_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    probe_radius: int = 1,
+    broadcast_threshold: int = 100_000,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """:func:`lsh_topk_multi` against a prebuilt (tbl, bucket) index —
+    the repeated-probe production path. (dim, n_planes, n_tables,
+    probe_radius semantics) must match the index build. Same output
+    as lsh_topk_multi on the same corpus (pinned by tests)."""
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
+    tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(
+            _probe_structs(F.col(vec_col), tables, n_planes, probe_radius)
+        ).alias("pr"),
+    ).select("q_id", "q_vec", "q_norm", "pr.tbl", "pr.bucket")
+    fanout = n_tables * ((n_planes + 1) if probe_radius == 1 else 1)
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() * fanout <= broadcast_threshold
+    q_side = F.broadcast(q) if broadcast_queries else q
+    c = index.select(
+        "tbl",
+        "bucket",
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
     scored = (
         c.join(q_side, on=["tbl", "bucket"])
         .filter(F.col("nbr_id") != F.col("q_id"))

@@ -135,3 +135,56 @@ def test_bucketed_lsh_index_probe_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_lsh_corpus_idx")
+
+
+def test_bucketed_ann_index_probe_exchange_free(spark, sf_dir, tmp_path):
+    """The materialized multi-table ANN index, bucketed on (tbl,
+    bucket), must make lsh_topk_from_index's probe join exchange-free
+    on the INDEX side, and return exactly lsh_topk_multi's output on
+    the same corpus."""
+    from dataprocessingframework_spark.operators.similarity import (
+        lsh_topk_from_index,
+        lsh_topk_multi,
+        materialize_lsh_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    idx = materialize_lsh_ann_index(
+        emb,
+        "t_ann_idx",
+        num_buckets=4,
+        path=str(tmp_path / "ann_idx"),
+    )
+    # non-broadcast probe: the index side must still show no Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probed = lsh_topk_from_index(
+            idx, qs, k=5, broadcast_queries=False
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # the join distributes on (tbl, bucket): exactly ONE exchange
+        # carries that key — the query side's probe explode. The
+        # index side's bucketed layout satisfies the distribution, so
+        # its scan feeds the join sort directly.
+        assert plan.count("Exchange hashpartitioning(tbl") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_ann_idx")
+
+    got = sorted(
+        (r.q_id, r.nbr_id, r.cos)
+        for r in lsh_topk_from_index(
+            idx, qs, k=5, broadcast_queries=True
+        ).collect()
+    )
+    want = sorted(
+        (r.q_id, r.nbr_id, r.cos)
+        for r in lsh_topk_multi(
+            emb, qs, k=5, n_tables=3, broadcast_queries=True
+        ).collect()
+    )
+    assert got == want and got
