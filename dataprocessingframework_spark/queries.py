@@ -2671,6 +2671,46 @@ ORDER BY q_id, nbr_id
 """
 
 
+def q_emb_lsh_index_topk(spark, sf_dir):
+    """The index-probe ANN path end to end: materialize the
+    (tbl, bucket)-bucketed multi-table index, probe it, drop the
+    scratch table. Output is definitionally identical to
+    emb_lsh_multi_topk (same planes, same scoring), so it shares that
+    oracle — a FULL driver check that the materialized-index route
+    loses nothing vs the inline route."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        lsh_topk_from_index,
+        materialize_lsh_ann_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_ann_idx_{tag}"
+    path = f"/root/repo/.scratch/ann_idx_{tag}"
+    idx = materialize_lsh_ann_index(
+        emb, table, num_buckets=8, path=path
+    )
+    out = (
+        lsh_topk_from_index(
+            idx,
+            emb.filter(F.col("vec_id") < 5),
+            k=5,
+            n_tables=3,
+            broadcast_queries=True,
+        )
+        .orderBy("q_id", "nbr_id")
+        .collect()
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="q_id long, nbr_id long, cos double"
+    )
+
+
 def q_d3_sample(spark, sf_dir):
     """D3 seeded random sample (`processors/processor.py:295-320`) —
     nondeterministic across engines by design; rows-only check."""
@@ -8432,6 +8472,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # FULL oracle that recomputes planes/buckets/probes in DuckDB.
     "emb_lsh_topk": (q_emb_lsh_topk, SQL_EMB_LSH_TOPK),
     "emb_lsh_multi_topk": (q_emb_lsh_multi_topk, SQL_EMB_LSH_MULTI_TOPK),
+    "emb_lsh_index_topk": (q_emb_lsh_index_topk, SQL_EMB_LSH_MULTI_TOPK),
     # rows-only by design (driver records a rows-only check):
     # IVF centroids come from distributed Lloyd averaging whose
     # float-sum order is partitioning-dependent — no bit-stable twin.
@@ -8718,7 +8759,7 @@ _R6_WINDOW = [
     "emb_centroid_prune",
     "h2_min_cost_supplier", "h9_product_profit", "h11_important_stock",
     "h16_supplier_relationship", "h20_promotion_suppliers",
-    "emb_lsh_multi_topk", "emb_ann_recall",
+    "emb_lsh_multi_topk", "emb_lsh_index_topk", "emb_ann_recall",
     "s1_files_scan", "s2_provenance", "s4_inmemory",
     "p1_filter", "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join", "j_semi", "j_anti",
