@@ -1334,3 +1334,67 @@ def test_cosine_topk_zero_norm_parity(spark):
     assert all(q != 1 for q, _ in jset)
     assert {q for q, _ in jset} == {0, 2}
     assert all(not np.isnan(r.cos) for r in jvm + blas)
+
+
+def test_remove_dup_spans_matches_bruteforce_random(spark):
+    """Pure-Python brute force of the ExactSubstr-at-token-granularity
+    semantics on small pseudo-random corpora with planted shared
+    phrases — independent of the Spark implementation's gram-hash /
+    window / reassembly machinery."""
+    import random
+
+    from dataprocessingframework_spark.operators.text_analysis import (
+        remove_dup_spans,
+    )
+
+    n = 4
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        shared = [rng.choice(vocab) for _ in range(6)]
+        docs = []
+        for d in range(6):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+            if d % 2 == 0:  # plant the shared phrase at a random spot
+                pos = rng.randint(0, len(toks))
+                toks = toks[:pos] + shared + toks[pos:]
+            docs.append((d, " ".join(toks)))
+
+        # brute force: every n-gram occurrence -> doc frequency ->
+        # merge overlapping/adjacent hit windows -> cut tokens
+        occ = {}
+        for d, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                occ.setdefault(tuple(toks[i:i + n]), set()).add(d)
+        dup = {g for g, ds in occ.items() if len(ds) >= 2}
+        expect = {}
+        for d, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            hits = [
+                (i, i + n - 1)
+                for i in range(len(toks) - n + 1)
+                if tuple(toks[i:i + n]) in dup
+            ]
+            spans = []
+            for s, e in hits:
+                if spans and s <= spans[-1][1] + 1:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+                else:
+                    spans.append((s, e))
+            cut = {
+                i for s, e in spans for i in range(s, e + 1)
+            }
+            kept = [t for i, t in enumerate(toks) if i not in cut]
+            expect[d] = (
+                " ".join(kept),
+                sum(e - s + 1 for s, e in spans),
+                len(spans),
+            )
+
+        df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_removed, r.n_spans)
+            for r in remove_dup_spans(df, n=n).collect()
+        }
+        assert got == expect, (seed, got, expect)
