@@ -740,6 +740,53 @@ def connected_components_star(
     return labels.groupBy("node").agg(F.min("cluster").alias("cluster"))
 
 
+def incremental_connected_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Merge NEW edges into an existing (node, cluster) assignment
+    without re-clustering history — the continuous-ingest step after
+    :func:`incremental_near_dup` surfaces batch-vs-corpus pairs.
+
+    The existing assignment IS a star edge set (node -> cluster), and
+    stars are the fixed point of large/small-star contraction — so
+    seeding :func:`connected_components_star` with those star edges
+    plus the new pairs converges in O(log(affected component size))
+    rounds: components the batch never touches pass through the first
+    round unchanged, and only merge chains do real work. The output
+    equals a full re-clustering over (old transitive closure ∪ new
+    edges) — min-label relabeling included when two old clusters
+    merge — which is exactly what the equivalence tests pin.
+
+    Scale shape: history is touched only through its |nodes|-sized
+    label table, never its original (possibly quadratic-adjacent)
+    edge set; per-round costs are the star rounds' usual groupBy-min
+    + skew-splittable equi-join.
+    """
+    star_edges = labels.filter(
+        F.col("node") != F.col("cluster")
+    ).select(F.col("node").alias(id_a), F.col("cluster").alias(id_b))
+    seed = star_edges.unionByName(
+        new_pairs.select(
+            F.col(id_a).cast("long").alias(id_a),
+            F.col(id_b).cast("long").alias(id_b),
+        )
+    )
+    all_nodes = (
+        labels.select("node")
+        .union(new_pairs.select(F.col(id_a).alias("node")))
+        .union(new_pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    return connected_components_star(
+        seed, all_nodes=all_nodes, id_a=id_a, id_b=id_b,
+        max_iterations=max_iterations,
+    )
+
+
 def _canonical_pairs(candidates: DataFrame) -> DataFrame:
     """Canonicalize a caller-supplied candidate relation: order each
     pair as id_a < id_b (least/greatest), drop self-pairs, dedup.

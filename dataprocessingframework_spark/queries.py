@@ -2159,6 +2159,52 @@ SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dd_incremental_clusters(spark, sf_dir):
+    """Continuous-ingest CLUSTER MAINTENANCE under the full oracle:
+    the lower doc_id half is clustered first (its own LSH edges +
+    star contraction); the upper half then arrives as a batch and its
+    edges (batch-batch and batch-corpus) merge into the existing
+    labels via incremental_connected_components — history is touched
+    only through its label table. The oracle is the SAME recursive
+    CTE as dd_clusters_lsh over ALL documents, so the driver checks
+    the core claim: incremental maintenance == full re-clustering.
+
+    max_bucket_size=None keeps subset-consistency exact (a capped
+    run's star-collapse depends on bucket sizes, which differ between
+    the corpus-only and full runs)."""
+    docs = T(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.5)")).cast("long")
+    ).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") < cut)
+    wave1 = dedup.minhash_lsh_candidates(
+        corpus, "text", "doc_id", num_hashes=8, bands=4,
+        bucket_key="md5", max_bucket_size=None,
+    )
+    labels1 = dedup.connected_components_star(
+        wave1, all_nodes=corpus.select("doc_id")
+    )
+    full_pairs = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4,
+        bucket_key="md5", max_bucket_size=None,
+    )
+    wave2 = full_pairs.filter(
+        (F.col("id_a") >= cut) | (F.col("id_b") >= cut)
+    )
+    cc = dedup.incremental_connected_components(labels1, wave2)
+    # batch docs with no edges never enter the pair relation: restore
+    # them as their own singletons via a left join on the full id set
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dd_incremental_near_dup(spark, sf_dir):
     """Continuous-ingest NEAR-dup gate under the full oracle: the
     lower doc_id half plays the corpus, the upper half the arriving
@@ -8611,6 +8657,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "dd_jaccard_lsh": (q_dd_jaccard_lsh, SQL_DD_JACCARD_LSH),
     "dd_clusters": (q_dd_clusters, SQL_DD_CLUSTERS),
     "dd_clusters_lsh": (q_dd_clusters_lsh, SQL_DD_CLUSTERS_LSH),
+    "dd_incremental_clusters": (q_dd_incremental_clusters, SQL_DD_CLUSTERS_LSH),
     "k2_phash": (q_k2_phash, SQL_K2_PHASH),
     "u1_column_filter": (q_u1_column_filter, SQL_U1),
     "u2_data_filter": (q_u2_data_filter, SQL_U2),
@@ -8759,7 +8806,8 @@ _R6_WINDOW = [
     "emb_centroid_prune",
     "h2_min_cost_supplier", "h9_product_profit", "h11_important_stock",
     "h16_supplier_relationship", "h20_promotion_suppliers",
-    "emb_lsh_multi_topk", "emb_lsh_index_topk", "emb_ann_recall",
+    "emb_lsh_multi_topk", "emb_lsh_index_topk", "dd_incremental_clusters",
+    "emb_ann_recall",
     "s1_files_scan", "s2_provenance", "s4_inmemory",
     "p1_filter", "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join", "j_semi", "j_anti",

@@ -348,3 +348,82 @@ def test_star_cc_random_graphs_vs_union_find(spark):
             ).collect()
         }
         assert got == expect, (seed, n, m)
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Two-wave clustering: wave-2 edges merged into wave-1's labels
+    must equal clustering all edges at once — including min-label
+    relabeling when a new edge bridges two old clusters, new nodes
+    forming their own clusters, and untouched components."""
+    from dataprocessingframework_spark.operators.dedup import (
+        connected_components_star,
+        incremental_connected_components,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        schema="id_a long, id_b long",
+    )
+    nodes1 = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 99]],
+        schema="node long",
+    )
+    labels1 = connected_components_star(wave1, all_nodes=nodes1)
+    # wave 2: bridge clusters {10,11} and {20,21}; extend {1,2,3};
+    # brand-new pair (30,31); node 99 untouched
+    wave2 = spark.createDataFrame(
+        [(11, 20), (3, 4), (30, 31)], schema="id_a long, id_b long"
+    )
+    inc = {
+        r.node: r.cluster
+        for r in incremental_connected_components(labels1, wave2).collect()
+    }
+    full_edges = wave1.union(wave2)
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 30, 31, 99]],
+        schema="node long",
+    )
+    full = {
+        r.node: r.cluster
+        for r in connected_components_star(
+            full_edges, all_nodes=all_nodes
+        ).collect()
+    }
+    assert inc == full
+    assert inc[21] == 10 and inc[4] == 1 and inc[31] == 30
+    assert inc[99] == 99
+
+
+def test_incremental_cc_random_waves(spark):
+    """Randomized two-wave equivalence across seeds."""
+    import random
+
+    from dataprocessingframework_spark.operators.dedup import (
+        connected_components_star,
+        incremental_connected_components,
+    )
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        n = 30
+        e1 = [(rng.randrange(n), rng.randrange(n)) for _ in range(20)]
+        e2 = [(rng.randrange(n), rng.randrange(n)) for _ in range(15)]
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], schema="node long"
+        )
+        w1 = spark.createDataFrame(e1, schema="id_a long, id_b long")
+        w2 = spark.createDataFrame(e2, schema="id_a long, id_b long")
+        labels1 = connected_components_star(w1, all_nodes=nodes)
+        inc = {
+            r.node: r.cluster
+            for r in incremental_connected_components(
+                labels1, w2
+            ).collect()
+        }
+        full = {
+            r.node: r.cluster
+            for r in connected_components_star(
+                w1.union(w2), all_nodes=nodes
+            ).collect()
+        }
+        assert inc == full, seed
