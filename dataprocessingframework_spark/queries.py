@@ -7541,8 +7541,14 @@ WITH o AS (
       ROWS UNBOUNDED PRECEDING) AS session_id
   FROM o
 ), sess AS (
+  -- FLOOR: duckdb epoch() keeps fractional seconds, Spark's
+  -- cast(ts AS long) truncates; a session bound with a sub-second
+  -- fraction next to the 09:00/17:00 edge otherwise flips the
+  -- overlap verdict between engines (surfaced by the r6 sf0.1
+  -- spot-check — sf0.01 never sampled a boundary fraction)
   SELECT user_id, session_id,
-         epoch(MIN(ts)) AS s_lo, epoch(MAX(ts)) AS s_hi
+         CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS s_lo,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS s_hi
   FROM s GROUP BY user_id, session_id
 ), office AS (
   SELECT epoch(CAST(day AS TIMESTAMP)) + 9 * 3600 AS o_lo,
@@ -7593,20 +7599,27 @@ def q_ev_ordered_funnel(spark, sf_dir):
 
 
 SQL_EV_ORDERED_FUNNEL = """
+-- floor(epoch(.)): the Spark side works on cast(ts AS long), i.e.
+-- second-truncated stage times and deadlines; duckdb epoch() keeps
+-- fractional seconds, which can flip a stage that lands within the
+-- fraction of the 2h deadline (same class as the r6 sf0.1
+-- j_interval_overlap finding — latent here, fixed preemptively)
 WITH s1 AS (
-  SELECT user_id, MIN(epoch(ts)) AS t1 FROM events
+  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
 ), s2 AS (
-  SELECT e.user_id, MIN(epoch(e.ts)) AS t2
+  SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
   FROM events e JOIN s1 ON e.user_id = s1.user_id
   WHERE e.event_type = 'click'
-    AND epoch(e.ts) >= s1.t1 AND epoch(e.ts) <= s1.t1 + 7200
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s1.t1
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= s1.t1 + 7200
   GROUP BY e.user_id
 ), s3 AS (
-  SELECT e.user_id, MIN(epoch(e.ts)) AS t3
+  SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3
   FROM events e JOIN s2 ON e.user_id = s2.user_id
   WHERE e.event_type = 'purchase'
-    AND epoch(e.ts) >= s2.t2 AND epoch(e.ts) <= s2.t2 + 7200
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s2.t2
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= s2.t2 + 7200
   GROUP BY e.user_id
 )
 SELECT (SELECT COUNT(*) FROM s1) AS n_view,
