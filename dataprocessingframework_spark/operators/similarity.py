@@ -654,7 +654,13 @@ def label_centroids(
     )
     return (
         ex.groupBy(label_col, "pos")
-        .agg(F.round(F.avg("v"), 4).alias("centroid"), F.count(F.lit(1)).alias("n_vecs"))
+        # + 0.0 folds IEEE -0.0 to +0.0: each engine's last-ulp sum
+        # noise around a true-zero mean otherwise rounds to ±0.0 on
+        # DIFFERENT sides, and "%.4f" renders the sign (r6 sf0.1 find)
+        .agg(
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
         .select(
             F.col(label_col).cast("long").alias("label"),
             F.col("pos").cast("long").alias("pos"),

@@ -2405,7 +2405,7 @@ WITH ex AS (
          unnest(CAST(embedding AS DOUBLE[])) AS v
   FROM embeddings
 )
-SELECT label, pos, ROUND(AVG(v),4) AS centroid, COUNT(*) AS n_vecs
+SELECT label, pos, ROUND(AVG(v),4) + 0.0 AS centroid, COUNT(*) AS n_vecs
 FROM ex GROUP BY label, pos ORDER BY label, pos
 """
 
