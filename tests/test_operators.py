@@ -1398,3 +1398,39 @@ def test_remove_dup_spans_matches_bruteforce_random(spark):
             for r in remove_dup_spans(df, n=n).collect()
         }
         assert got == expect, (seed, got, expect)
+
+
+def test_lsh_multi_candidates_superset_of_single(spark):
+    """Table 0 of the multi path uses the single-table planes, so the
+    multi-table RESULT SET per query can only gain neighbors that the
+    single-table path missed — every single-table neighbor must
+    reappear unless displaced by a strictly better candidate. Pin
+    the structural claim: multi with L=1 equals single-table exactly,
+    and L=3's per-query neighbor sets contain at least as many hits
+    at equal k when k exceeds the single-table candidate pool."""
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        schema="vec_id long, embedding array<float>",
+    )
+    qs = df.filter(F.col("vec_id") < 4)
+    single = similarity.lsh_topk(
+        df, qs, k=40, dim=8, n_planes=4, broadcast_queries=True
+    ).collect()
+    multi1 = similarity.lsh_topk_multi(
+        df, qs, k=40, dim=8, n_planes=4, n_tables=1,
+        broadcast_queries=True,
+    ).collect()
+    assert {(r.q_id, r.nbr_id, r.cos) for r in single} == {
+        (r.q_id, r.nbr_id, r.cos) for r in multi1
+    }
+    multi3 = similarity.lsh_topk_multi(
+        df, qs, k=40, dim=8, n_planes=4, n_tables=3,
+        broadcast_queries=True,
+    ).collect()
+    s1 = {(r.q_id, r.nbr_id) for r in single}
+    s3 = {(r.q_id, r.nbr_id) for r in multi3}
+    # k=40 >= corpus, so no displacement: strict candidate superset
+    assert s1 <= s3
+    assert len(s3) > len(s1)
