@@ -173,18 +173,21 @@ def test_bucketed_ann_index_probe_exchange_free(spark, sf_dir, tmp_path):
         assert plan.count("Exchange hashpartitioning(tbl") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS t_ann_idx")
 
-    got = sorted(
-        (r.q_id, r.nbr_id, r.cos)
-        for r in lsh_topk_from_index(
-            idx, qs, k=5, broadcast_queries=True
-        ).collect()
-    )
-    want = sorted(
-        (r.q_id, r.nbr_id, r.cos)
-        for r in lsh_topk_multi(
-            emb, qs, k=5, n_tables=3, broadcast_queries=True
-        ).collect()
-    )
-    assert got == want and got
+    try:
+        got = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in lsh_topk_from_index(
+                idx, qs, k=5, broadcast_queries=True
+            ).collect()
+        )
+        want = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in lsh_topk_multi(
+                emb, qs, k=5, n_tables=3, broadcast_queries=True
+            ).collect()
+        )
+        assert got == want and got
+    finally:
+        # drop only after the last probe of the table-backed frame
+        spark.sql("DROP TABLE IF EXISTS t_ann_idx")
