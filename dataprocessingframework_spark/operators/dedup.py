@@ -706,12 +706,24 @@ def connected_components_star(
         )
 
     digest = edge_digest(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = small_star(large_star(edges)).localCheckpoint()
         new_digest = edge_digest(edges)
         if new_digest == digest:
+            converged = True
             break
         digest = new_digest
+    if not converged:
+        # the label extraction below ASSUMES the edge set is disjoint
+        # stars (the contraction fixed point); an unconverged edge set
+        # would silently emit inconsistent clusters, so fail loudly
+        raise RuntimeError(
+            "connected_components_star: edge digest did not reach a "
+            f"fixed point within max_iterations={max_iterations}; "
+            "labels would be inconsistent. Raise max_iterations "
+            "(rounds needed grow O(log n) in component size)."
+        )
 
     # at the fixed point edges are (leaf > root) stars: label leaves
     # by their root, roots by themselves, isolated nodes by themselves

@@ -300,12 +300,15 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes)
     # norms precomputed per SIDE (as in cosine_topk): the fold runs once
     # per row, not once per same-bucket pair
+    # zero-norm rows are dropped on BOTH sides (as in cosine_topk):
+    # cos = 0/0 = NaN would sort first under F.desc and displace real
+    # neighbors from the top-k
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).filter(F.col("q_norm") > 0)
     if probe_radius == 1:
         probes = F.array(
             F.col("bucket"),
@@ -322,7 +325,7 @@ def lsh_topk(
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).filter(F.col("c_norm") > 0)
     fanout = (n_planes + 1) if probe_radius == 1 else 1
     # broadcast_queries=None auto-decides via a count() of the query
     # side — that action is a full query-side scan, so callers that
@@ -430,18 +433,24 @@ def lsh_topk_multi(
     def bucket_structs(vec: Column) -> Column:
         return _bucket_structs(vec, tables)
 
+    # zero-norm rows dropped BEFORE the explode (one filter per row,
+    # not per probe) — NaN cosines would outrank real neighbors
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe_structs(F.col(vec_col))).alias("pr"),
-    ).select("q_id", "q_vec", "q_norm", "pr.tbl", "pr.bucket")
+    ).filter(F.col("q_norm") > 0).select(
+        "q_id", "q_vec", "q_norm", "pr.tbl", "pr.bucket"
+    )
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
         F.explode(bucket_structs(F.col(vec_col))).alias("pr"),
-    ).select("nbr_id", "c_vec", "c_norm", "pr.tbl", "pr.bucket")
+    ).filter(F.col("c_norm") > 0).select(
+        "nbr_id", "c_vec", "c_norm", "pr.tbl", "pr.bucket"
+    )
     fanout = n_tables * ((n_planes + 1) if probe_radius == 1 else 1)
     if broadcast_queries is None:
         broadcast_queries = queries.count() * fanout <= broadcast_threshold
@@ -475,14 +484,16 @@ def lsh_ann_index(
     continuous ingestion this table is written once per corpus and
     appended per accepted batch; each probe batch then joins it on
     (tbl, bucket) instead of re-hashing the corpus. Norms are
-    precomputed so probes never touch raw corpus vectors twice."""
+    precomputed so probes never touch raw corpus vectors twice.
+    Zero-norm rows are excluded at build time (their cosine is NaN
+    against every query — same semantics as cosine_topk/lsh_topk)."""
     tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
     return corpus.select(
         F.col(id_col),
         F.col(vec_col),
         norm(F.col(vec_col)).alias("vnorm"),
         F.explode(_bucket_structs(F.col(vec_col), tables)).alias("bb"),
-    ).select(
+    ).filter(F.col("vnorm") > 0).select(
         F.col("bb.tbl").alias("tbl"),
         F.col("bb.bucket").alias("bucket"),
         id_col,
@@ -555,7 +566,9 @@ def lsh_topk_from_index(
         F.explode(
             _probe_structs(F.col(vec_col), tables, n_planes, probe_radius)
         ).alias("pr"),
-    ).select("q_id", "q_vec", "q_norm", "pr.tbl", "pr.bucket")
+    ).filter(F.col("q_norm") > 0).select(
+        "q_id", "q_vec", "q_norm", "pr.tbl", "pr.bucket"
+    )
     fanout = n_tables * ((n_planes + 1) if probe_radius == 1 else 1)
     if broadcast_queries is None:
         broadcast_queries = queries.count() * fanout <= broadcast_threshold

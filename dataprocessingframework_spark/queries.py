@@ -481,6 +481,29 @@ SQL_EXCEPT = (
 )
 
 
+def q_set_except_nonempty(spark, sf_dir):
+    """EXCEPT ALL on a GUARANTEED-non-empty, duplicate-sensitive case
+    (customers outnumber suppliers ~15:1 per nation, so the multiset
+    difference keeps most customer rows): set_except's oracle row
+    matches on 0 rows, which is weak evidence for EXCEPT semantics —
+    this variant makes the per-key surviving multiplicities the
+    checked value."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k")
+    )
+
+
+SQL_EXCEPT_NONEMPTY = (
+    "SELECT k, COUNT(*) AS cnt FROM (SELECT c_nationkey AS k FROM customer "
+    "EXCEPT ALL SELECT s_nationkey AS k FROM supplier) GROUP BY k ORDER BY k"
+)
+
+
 def q_window_topn(spark, sf_dir):
     """Window ranking (absent in reference; declared §2.6)."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -2548,16 +2571,18 @@ def q_emb_ann_recall(spark, sf_dir):
                 r_lsh >= RECALL_FLOOR_LSH,
                 r_mlsh >= RECALL_FLOOR_MLSH,
                 # table 0 of the multi path IS the single-table plane
-                # set, so candidates only grow; strict improvement is
-                # the whole point of OR-amplification — pin it
-                r_mlsh > r_lsh,
+                # set, so the candidate set is a superset — which
+                # guarantees recall can only grow or TIE, not strictly
+                # grow; pin >= (the property that actually follows)
+                # and leave strict improvement to RECALL_FLOOR_MLSH
+                r_mlsh >= r_lsh,
                 r_ivf >= RECALL_FLOOR_IVF,
             )
         ],
         schema=(
             "k int, n_queries int, n_exact_pairs long, mean_exact_cos double,"
             " recall_lsh_ok boolean, recall_mlsh_ok boolean,"
-            " mlsh_beats_lsh boolean, recall_ivf_ok boolean"
+            " mlsh_ge_lsh boolean, recall_ivf_ok boolean"
         ),
     )
 
@@ -2597,7 +2622,7 @@ SELECT CAST(10 AS INTEGER) AS k, CAST(50 AS INTEGER) AS n_queries,
        COUNT(*) AS n_exact_pairs,
        ROUND(AVG(cos), 4) AS mean_exact_cos,
        TRUE AS recall_lsh_ok, TRUE AS recall_mlsh_ok,
-       TRUE AS mlsh_beats_lsh, TRUE AS recall_ivf_ok
+       TRUE AS mlsh_ge_lsh, TRUE AS recall_ivf_ok
 FROM topk
 """
 
@@ -8743,6 +8768,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "d7_limit_offset": (q_d7_limit_offset, SQL_D7),
     "set_intersect": (q_set_intersect, SQL_INTERSECT),
     "set_except": (q_set_except, SQL_EXCEPT),
+    "set_except_nonempty": (q_set_except_nonempty, SQL_EXCEPT_NONEMPTY),
     "w_window_topn": (q_window_topn, SQL_WINDOW_TOPN),
     "w_window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "f1_basename": (q_f1_basename, SQL_F1),
@@ -8800,41 +8826,43 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_centroid_prune": (q_emb_centroid_prune, SQL_EMB_CENTROID_PRUNE),
 }
 
-# r6 WINDOW (rotation per VERDICT r5 item 1): the driver checks the
-# FIRST 50 entries per round. Positions 1-7 are the seven round-5
-# additions never yet driver-checked (judge-verified locally in round
-# 5); after they go green, every oracled query in the registry has a
-# driver-green CORRECTNESS row at least once.  Positions 8-14 are the
-# six NEW round-6 queries (synthetic-partsupp TPC-H + multi-table
-# LSH) plus emb_ann_recall, whose schema grew two columns this round.
-# The remainder is a regression re-check sample of the OLDEST-checked
-# queries (last driver-green in round 2), excluding the two
-# rows-only-by-design entries (d3_sample, emb_ivf_topk — each has an
-# oracled twin). Computed as an explicit reorder of the literal dict
-# above so the full entry list stays greppable in one place.
-_R6_WINDOW = [
-    "tx_quality_classifier", "dd_minhash_calibration",
-    "dd_semantic_vs_lexical", "stream_quality_gate",
-    "ev_engagement_profile", "stream_near_dup_ingest",
-    "emb_centroid_prune",
-    "h2_min_cost_supplier", "h9_product_profit", "h11_important_stock",
-    "h16_supplier_relationship", "h20_promotion_suppliers",
-    "emb_lsh_multi_topk", "emb_lsh_index_topk", "dd_incremental_clusters",
-    "emb_ann_recall",
-    "s1_files_scan", "s2_provenance", "s4_inmemory",
-    "p1_filter", "p2_df_filter", "p3_projection", "p4_column_expr",
-    "p6_notnull", "j1_filter_merge", "j3_inner_join", "j_semi", "j_anti",
-    "a1_summary_stats", "a3_group_agg", "a4_count_distinct",
-    "a5_dup_detect", "a_rollup", "d1_distinct", "d1_keep_first",
-    "d2_shuffle", "d4_union", "d5_topk", "d7_limit_offset",
-    "set_intersect", "set_except", "w_window_topn", "w_window_running",
-    "f1_basename", "f2_substring", "f3_concat", "f4_suffix",
-    "f5_regex_clean", "f6_lower_trim", "f7_arith", "f8_json",
-    "f9_least_greatest",
+# r7 WINDOW (rotation per VERDICT r6 item 2): the driver checks the
+# FIRST 50 entries per round — EXACTLY 50 here (the r6 window listed
+# 52, silently dropping f8_json/f9_least_greatest off the end; both
+# lead this round's stale cohort instead). Positions 1-5 are the
+# queries changed or added in r7: emb_ann_recall (column renamed
+# mlsh_beats_lsh -> mlsh_ge_lsh, pin relaxed to the superset-implied
+# >=), the three LSH ANN paths that gained zero-norm filters, and the
+# new non-empty EXCEPT ALL variant. Positions 6-21 are the ENTIRE
+# 16-query cohort last driver-checked in round 2 (incl. d3_sample,
+# rows-only by design). Positions 22-50 are 29 of the 50 queries last
+# checked in round 3, prioritizing ones with no independent local
+# re-verification in the r6 judge session; the remaining 21
+# r3-checked queries are re-verified locally this round via
+# tools/check_correctness.py (outcomes in COVERAGE.md — rotation
+# history table there too).
+_R7_WINDOW = [
+    "emb_ann_recall", "emb_lsh_topk", "emb_lsh_multi_topk",
+    "emb_lsh_index_topk", "set_except_nonempty",
+    "w4_update_columns", "w5_rename_columns", "w6_delete_columns",
+    "stream_tumbling_window", "v2_key_unique", "v3_referential",
+    "w1_roundtrip_shards", "f8_json", "f9_least_greatest",
+    "f_date_trunc", "f_time_bucket", "tx_token_stats",
+    "tx_fingerprint", "tx_langid", "tx_quality", "d3_sample",
+    "a1_quartiles", "a_cube", "a_grouping_sets", "dd_clusters",
+    "dd_clusters_lsh", "dd_jaccard_lsh", "dd_jaccard_ngram",
+    "emb_near_dup", "f_date_extract", "f_explode_wordcount",
+    "f_histogram", "h1_pricing_summary", "h3_top_orders",
+    "h5_region_revenue", "h6_forecast_revenue", "h7_nation_volume",
+    "h13_count_distribution", "h14_promo_revenue", "h15_top_supplier",
+    "h18_large_orders", "h19_disjunctive", "h22_idle_customers",
+    "j_asof_nulls", "j_range", "pipeline_curation", "pipeline_stages",
+    "profile_table", "stream_sliding_window", "tx_pii_scrub",
 ]
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R6_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R6_WINDOW},
+    **{k: REGISTRY[k] for k in _R7_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R7_WINDOW},
 }
 
 

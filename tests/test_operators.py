@@ -1336,6 +1336,66 @@ def test_cosine_topk_zero_norm_parity(spark):
     assert all(not np.isnan(r.cos) for r in jvm + blas)
 
 
+def test_lsh_paths_zero_norm_excluded(spark):
+    """ADVICE r6: zero-norm rows yield cos = 0/0 = NaN, which sorts
+    FIRST under F.desc and displaces real neighbors — cosine_topk
+    filtered them (r5 fix) but the three LSH ANN paths did not. All
+    of lsh_topk / lsh_topk_multi / lsh_topk_from_index (via
+    lsh_ann_index) must now drop zero-norm rows on both sides."""
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    vecs[7] = 0.0  # degenerate corpus vector
+    vecs[1] = 0.0  # degenerate query vector
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        schema="vec_id long, embedding array<float>",
+    )
+    qdf = df.filter(F.col("vec_id") < 3)
+    results = {
+        "lsh": similarity.lsh_topk(df, qdf, k=5, dim=64).collect(),
+        "mlsh": similarity.lsh_topk_multi(
+            df, qdf, k=5, dim=64, n_tables=3
+        ).collect(),
+        "idx": similarity.lsh_topk_from_index(
+            similarity.lsh_ann_index(df, dim=64, n_tables=3),
+            qdf,
+            k=5,
+            dim=64,
+            n_tables=3,
+        ).collect(),
+    }
+    for name, rows in results.items():
+        pairs = {(r.q_id, r.nbr_id) for r in rows}
+        assert pairs, name
+        assert all(n != 7 for _, n in pairs), (name, pairs)
+        assert all(q != 1 for q, _ in pairs), (name, pairs)
+        assert all(not np.isnan(r.cos) for r in rows), name
+    # from_index must still equal the inline multi path exactly
+    assert {(r.q_id, r.nbr_id) for r in results["idx"]} == {
+        (r.q_id, r.nbr_id) for r in results["mlsh"]
+    }
+    # zero-norm rows never enter the materializable index at all
+    idx = similarity.lsh_ann_index(df, dim=64, n_tables=3)
+    assert idx.filter(F.col("vec_id") == 7).count() == 0
+
+
+def test_cc_star_raises_on_unconverged(spark):
+    """ADVICE r6: label extraction assumes the edge set reached the
+    disjoint-star fixed point; exhausting max_iterations without the
+    digest fixed point must raise, not emit inconsistent clusters."""
+    import pytest as _pytest
+
+    # a 12-node path graph needs >0 contraction rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], schema="id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        dedup.connected_components_star(edges, max_iterations=0)
+    # and with enough rounds the same input converges fine
+    labels = dedup.connected_components_star(edges, max_iterations=25)
+    assert labels.select("cluster").distinct().count() == 1
+
+
 def test_remove_dup_spans_matches_bruteforce_random(spark):
     """Pure-Python brute force of the ExactSubstr-at-token-granularity
     semantics on small pseudo-random corpora with planted shared
