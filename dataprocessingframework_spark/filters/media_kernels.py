@@ -12,7 +12,6 @@ Synthetic formats:
 
 from __future__ import annotations
 
-from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 
 def dataset_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:

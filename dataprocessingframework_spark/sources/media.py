@@ -22,9 +22,7 @@ from __future__ import annotations
 
 import tarfile
 
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,

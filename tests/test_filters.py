@@ -2,8 +2,6 @@
 `tests/test_column_filters.py` / `tests/test_image_filters.py` model)."""
 
 import numpy as np
-import pytest
-from pyspark.sql import functions as F
 
 from dataprocessingframework_spark.filters.kernels import (
     ImageInfoFilter,

@@ -2,7 +2,6 @@
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from dataprocessingframework_spark.filters.kernels import (
     ImageInfoFilter,

@@ -1,7 +1,6 @@
 """Dedup sketches, similarity search, validators — property checks and
 python-golden equivalence."""
 
-import hashlib
 
 import numpy as np
 import pytest

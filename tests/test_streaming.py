@@ -2,7 +2,6 @@
 (file source -> tumbling window agg -> memory sink)."""
 
 import json
-import time
 
 import pytest
 from pyspark.sql import functions as F

@@ -3,8 +3,6 @@
 import json
 
 import numpy as np
-import pytest
-from pyspark.sql import functions as F
 
 from dataprocessingframework_spark.filters.kernels import encode_fake_image
 from dataprocessingframework_spark.filters.media_kernels import encode_fake_video
