@@ -10,24 +10,69 @@ text analytics projection, MinHash/LSH dedup, and embedding ANN.
 Results are materialized with count()/collect-free noop writes where the
 output is large, so timings measure the distributed pipeline, not driver
 transfer.
+
+PER-TIER JVM ISOLATION (r7, VERDICT r6 item 1): queries are grouped
+into cost-class tiers and each tier runs in its OWN subprocess (fresh
+Python + fresh JVM). Rationale, measured across r5/r6 (PLANS.md "bench
+variance root cause"): in one shared JVM, the codegen-rich LSH/span
+tier churns the JIT code cache, and queries that run AFTER it execute
+fresh whole-stage-codegen classes at a low JIT tier for ~30-60s —
+task executor-time inflates ~6x (467 in-JVM CPU-s during an 18s wall
+spike, GC/pyCPU/IO flat). That tainted the ANN minima (ann_topk_cosine
+0.67->1.08s r5->r6) and left text_remove_dup_spans with an 18x trial
+spread even under the r6 adaptive-extension mitigation. With a fresh
+JVM per tier, each tier pays only its OWN warm-up (inside the untimed
+warm-up block + absorbed by min-of-N), never another tier's code-cache
+fallout.
+
+Usage:
+    python bench.py                 # all tiers, one combined JSON line
+    python bench.py --tier ann      # one tier inline (iteration aid)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from dataprocessingframework_spark import queries as q  # noqa: E402
-from dataprocessingframework_spark.operators import dedup, similarity  # noqa: E402
-from dataprocessingframework_spark.session import get_spark  # noqa: E402
-
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# tier -> ordered query names; every bench_queries() key appears in
+# exactly one tier (asserted in main). Tier granularity = the cost
+# classes whose codegen/JIT footprints were observed to interact.
+TIERS: dict[str, list[str]] = {
+    "relational": [
+        "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+        "group_agg", "window_topn", "update_columns", "asof_join",
+    ],
+    "events": ["event_window_agg", "event_sessionize"],
+    "text": ["text_quality", "pipeline_curation", "pipeline_curation_v2"],
+    "dedup": [
+        "minhash_signatures", "minhash_lsh_candidates_capped",
+        "jaccard_verify_lsh", "cc_clusters_star",
+    ],
+    "spans": ["text_remove_dup_passages", "text_remove_dup_spans"],
+    "ann": [
+        "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
+        "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
+    ],
+}
+
+# Post-warm-up settle (seconds) for the codegen-rich tiers: the JIT
+# spike mechanism decays with WALL TIME (~30-60s) as the C2 compile
+# queue drains, so a pause between a query's untimed warm-up and its
+# timed trials absorbs the churn the warm-up itself just triggered.
+# Measured A/B (r7, clean machine): without settle, one ~3-8x spike
+# lands somewhere in the dedup/spans tier on most runs (14.9s spans
+# trial right after warm-up; 10.1s cc trial mid-sequence); the other
+# four tiers never spike. Applied per-query within the listed tiers
+# only (+~50s total bench wall time).
+TIER_SETTLE_SEC: dict[str, int] = {"dedup": 8, "spans": 8}
 
 
 def _noop(df) -> None:
@@ -35,8 +80,17 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark):
-    """name -> thunk; each thunk fully materializes its pipeline."""
+def bench_queries(spark, extra: dict[str, float], only: set[str]):
+    """name -> thunk; each thunk fully materializes its pipeline.
+
+    ``extra`` collects untimed one-off setup costs (index builds);
+    ``only`` restricts which setup blocks run (a tier subprocess must
+    not build another tier's fixtures).
+    """
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark import queries as q
+    from dataprocessingframework_spark.operators import dedup, similarity
 
     def small(fn):
         return lambda: fn(spark, SF_DIR).toPandas()
@@ -44,7 +98,7 @@ def bench_queries(spark):
     def big(fn):
         return lambda: _noop(fn(spark, SF_DIR))
 
-    return {
+    out = {
         # relational core
         "q1_pricing_summary": small(q.q_h1_pricing_summary),
         "q3_top_orders": small(q.q_h3_top_orders),
@@ -146,9 +200,74 @@ def bench_queries(spark):
         "asof_join": small(q.q_j_asof),
     }
 
+    # Amortized ANN read path (r7, VERDICT r6 item 4): materialize the
+    # (tbl,bucket)-bucketed multi-table index ONCE (cost recorded in
+    # extra, not in the per-query minima), then time ONLY the probe —
+    # the production repeated-probe shape where the build is amortized
+    # over many query batches. Compare against ann_lsh_multi_topk,
+    # which rebuilds everything inline per probe batch.
+    if "ann_index_probe" in only:
+        import shutil
+        import uuid
 
-def main() -> None:
-    spark = get_spark(app_name="dpf-spark-bench")
+        tag = uuid.uuid4().hex[:8]
+        table = f"bench_ann_idx_{tag}"
+        path = f"/root/repo/.scratch/bench_ann_idx_{tag}"
+        emb = q.T(spark, SF_DIR, "embeddings")
+        t0 = time.time()
+        idx = similarity.materialize_lsh_ann_index(
+            emb, table, num_buckets=32, path=path
+        )
+        extra["ann_index_build"] = round(time.time() - t0, 3)
+
+        def probe():
+            _noop(
+                similarity.lsh_topk_from_index(
+                    idx,
+                    q.T(spark, SF_DIR, "embeddings").filter(
+                        F.col("vec_id") < 50
+                    ),
+                    k=10,
+                    n_tables=3,
+                    broadcast_queries=True,
+                )
+            )
+
+        out["ann_index_probe"] = probe
+
+        def cleanup():
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            shutil.rmtree(path, ignore_errors=True)
+
+        extra["_cleanup"] = cleanup  # popped before serialization
+    return {k: v for k, v in out.items() if k in only}
+
+
+def run_tier(names: list[str], settle_sec: int = 0) -> dict:
+    """Run the named queries in THIS process (one fresh JVM) and
+    return {"queries": minima, "trials": per-trial, "extra": setup}."""
+    from dataprocessingframework_spark import queries as q
+    from dataprocessingframework_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dpf-spark-bench",
+        extra_conf={
+            # whole-stage codegen emits many classes; the JVM default
+            # ReservedCodeCacheSize (240m) exhausts under the LSH/span
+            # tiers, triggering code-cache flushing and re-JIT — the
+            # measured mechanism behind the recurring 6x trial spikes
+            # (PLANS.md "bench variance root cause"). 512m keeps every
+            # tier's compiled methods resident. CICompilerCount=12
+            # (vs the sizing default) drains the C2 compile queue the
+            # codegen-rich tiers flood ~3x faster; measured A/B on
+            # the dedup+spans tiers: worst trial spread 1.8x/3.0x
+            # with 12 threads vs 2.7x/8.4x without, minima unchanged.
+            "spark.driver.extraJavaOptions": (
+                "-XX:ReservedCodeCacheSize=512m -XX:CICompilerCount=12 "
+                + os.environ.get("SPARK_GRAFT_BENCH_JVM_OPTS", "")
+            ).strip(),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warm up the JVM, parquet footer caches, and Python UDF workers
     # outside the timed region
@@ -159,33 +278,46 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    extra: dict = {}
+    thunks = bench_queries(spark, extra, set(names))
+    missing = [n for n in names if n not in thunks]
+    assert not missing, f"unknown bench queries: {missing}"
+
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
-    for name, thunk in bench_queries(spark).items():
+    for name in names:  # preserve tier order
+        thunk = thunks[name]
         # isolate queries: persisted intermediates from earlier queries
         # (LSH bucket tables etc.) otherwise pile up and add eviction
         # pressure, inflating later timings run-to-run
         spark.catalog.clearCache()
         # drop accumulated JVM garbage (codegen classes, shuffle file
-        # buffers, noop-write leftovers from earlier queries): without
-        # this, the late ANN-tier queries measure 3-8x slower in the
-        # full run than in isolation purely from GC pressure
+        # buffers, noop-write leftovers from earlier queries)
         spark.sparkContext._jvm.System.gc()
+        # per-QUERY untimed warm-up (r7): one run of THIS query before
+        # its timed trials absorbs its own Janino compile + first JIT
+        # pass, which used to land in trial 1 and blow the max/min
+        # spread past 2x. Warming the whole tier up-front was tried
+        # and REJECTED (measured: running every ANN query once before
+        # timing left the JVM in a deopt/compile-queue storm that
+        # inflated ann_topk_cosine's timed minima 7x) — each query
+        # warms only itself, in tier order, like a shared-JVM run
+        # would, but with cross-tier isolation intact.
+        thunk()
+        # codegen-rich tiers: let the C2 compile queue the warm-up
+        # just filled drain BEFORE timing (see TIER_SETTLE_SEC)
+        if settle_sec:
+            time.sleep(settle_sec)
         runs = []
         for _ in range(3):  # min-of-3: local[32] on tiny data is noisy
             t0 = time.time()
             thunk()
             runs.append(round(time.time() - t0, 3))
-        # adaptive extension (r6): a single shared JVM sporadically
-        # runs fresh whole-stage-codegen classes at low JIT tier right
-        # after the codegen-rich LSH queries churn the code cache —
-        # task executor-time inflates ~6x (measured: 133s vs 23s task
-        # time, 467 CPU-s in-JVM during an 18s wall spike, near-zero
-        # GC / Python CPU) and decays over ~30s. See PLANS.md
-        # "bench variance root cause". The minima stay correct, but
-        # with only 3 trials a spike cluster can leave the min itself
-        # one-sample-thin; keep sampling until the spread is sane or
-        # the sample is big enough to trust the min regardless.
+        # adaptive extension (r6): within a tier, fresh codegen classes
+        # can still run one trial at a low JIT tier; keep sampling
+        # until the spread is sane or the sample size makes the min
+        # trustworthy regardless. Cross-TIER contamination is gone by
+        # construction (fresh JVM per tier, r7).
         while max(runs) / min(runs) > 2.0 and len(runs) < 6:
             t0 = time.time()
             thunk()
@@ -196,6 +328,41 @@ def main() -> None:
         trials[name] = runs
         timings[name] = min(runs)
 
+    cleanup = extra.pop("_cleanup", None)
+    if cleanup is not None:
+        cleanup()
+    return {"queries": timings, "trials": trials, "extra": extra}
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--tier":
+        tier = sys.argv[2]
+        result = run_tier(TIERS[tier], TIER_SETTLE_SEC.get(tier, 0))
+        print(json.dumps(result))
+        return
+
+    # parent: one fresh subprocess (= fresh JVM) per tier, stdout
+    # captured and merged; stderr (Spark logs) passes through
+    all_names = [n for names in TIERS.values() for n in names]
+    assert len(all_names) == len(set(all_names)), "query in two tiers"
+
+    timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
+    extra: dict[str, float] = {}
+    for tier in TIERS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tier", tier],
+            stdout=subprocess.PIPE,
+            text=True,
+            env=os.environ.copy(),
+            check=True,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.strip()][-1]
+        result = json.loads(line)
+        timings.update(result["queries"])
+        trials.update(result["trials"])
+        extra.update(result.get("extra", {}))
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -205,6 +372,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "trials": trials,
+                # untimed one-off setup costs (e.g. the bucketed ANN
+                # index build that ann_index_probe amortizes away)
+                "extra": extra,
+                "isolation": "per-tier JVM (fresh subprocess per tier)",
                 "sf": float(sf) if sf else None,
             }
         )
