@@ -80,13 +80,16 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, extra: dict[str, float], only: set[str]):
+def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     """name -> thunk; each thunk fully materializes its pipeline.
 
     ``extra`` collects untimed one-off setup costs (index builds);
     ``only`` restricts which setup blocks run (a tier subprocess must
-    not build another tier's fixtures).
+    not build another tier's fixtures). ``only=None`` is name-discovery
+    mode: return every bench-query name without touching ``spark`` or
+    running any setup block (used by main's tier-coverage assert).
     """
+    discover = only is None
     from pyspark.sql import functions as F
 
     from dataprocessingframework_spark import queries as q
@@ -206,6 +209,9 @@ def bench_queries(spark, extra: dict[str, float], only: set[str]):
     # the production repeated-probe shape where the build is amortized
     # over many query batches. Compare against ann_lsh_multi_topk,
     # which rebuilds everything inline per probe batch.
+    if discover:
+        out["ann_index_probe"] = lambda: None  # name only, never run
+        return out
     if "ann_index_probe" in only:
         import shutil
         import uuid
@@ -345,6 +351,14 @@ def main() -> None:
     # captured and merged; stderr (Spark logs) passes through
     all_names = [n for names in TIERS.values() for n in names]
     assert len(all_names) == len(set(all_names)), "query in two tiers"
+    # coverage, not just uniqueness: a bench_queries() key omitted
+    # from TIERS would otherwise silently never be benchmarked
+    known = set(bench_queries(None, {}, None))
+    assert set(all_names) == known, (
+        f"TIERS/bench_queries mismatch: "
+        f"unbenchmarked={sorted(known - set(all_names))} "
+        f"unknown={sorted(set(all_names) - known)}"
+    )
 
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}

@@ -573,7 +573,12 @@ def lsh_topk_from_index(
     if broadcast_queries is None:
         broadcast_queries = queries.count() * fanout <= broadcast_threshold
     q_side = F.broadcast(q) if broadcast_queries else q
-    c = index.select(
+    # Defensive: indexes materialized before the zero-norm exclusion
+    # landed in lsh_ann_index may still hold vnorm=0 rows, whose NaN
+    # cosines would sort ABOVE every real neighbor under F.desc. The
+    # predicate is a cheap scan-side filter and does not disturb the
+    # exchange-free bucketed probe join.
+    c = index.filter(F.col("vnorm") > 0).select(
         "tbl",
         "bucket",
         F.col(id_col).alias("nbr_id"),

@@ -1378,6 +1378,52 @@ def test_lsh_paths_zero_norm_excluded(spark):
     assert idx.filter(F.col("vec_id") == 7).count() == 0
 
 
+def test_lsh_index_probe_defends_against_stale_index(spark):
+    """ADVICE r7: an index table materialized BEFORE the zero-norm
+    exclusion landed in lsh_ann_index still contains vnorm=0 rows;
+    their NaN cosines sort first under F.desc and would displace real
+    neighbors. lsh_topk_from_index must filter vnorm > 0 on the index
+    side so pre-fix persisted indexes stay safe to probe."""
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        schema="vec_id long, embedding array<float>",
+    )
+    qdf = df.filter(F.col("vec_id") < 3)
+    clean_idx = similarity.lsh_ann_index(df, dim=64, n_tables=3)
+    # simulate the legacy on-disk index: one zero-norm row planted in
+    # EVERY occupied (tbl, bucket) so it collides with every probe
+    zero = [float(0)] * 64
+    stale_rows = (
+        clean_idx.select("tbl", "bucket")
+        .distinct()
+        .select(
+            "tbl",
+            "bucket",
+            F.lit(999).cast("long").alias("vec_id"),
+            F.array(*[F.lit(x) for x in zero])
+            .cast("array<float>")
+            .alias("embedding"),
+            F.lit(0.0).alias("vnorm"),
+        )
+    )
+    stale_idx = clean_idx.unionByName(stale_rows)
+    rows = similarity.lsh_topk_from_index(
+        stale_idx, qdf, k=5, dim=64, n_tables=3
+    ).collect()
+    assert rows
+    assert all(r.nbr_id != 999 for r in rows)
+    assert all(not np.isnan(r.cos) for r in rows)
+    # and the probe over the stale index equals the clean-index probe
+    clean_rows = similarity.lsh_topk_from_index(
+        clean_idx, qdf, k=5, dim=64, n_tables=3
+    ).collect()
+    assert {(r.q_id, r.nbr_id) for r in rows} == {
+        (r.q_id, r.nbr_id) for r in clean_rows
+    }
+
+
 def test_cc_star_raises_on_unconverged(spark):
     """ADVICE r6: label extraction assumes the edge set reached the
     disjoint-star fixed point; exhausting max_iterations without the
