@@ -551,11 +551,31 @@ def lsh_topk_from_index(
     probe_radius: int = 1,
     broadcast_threshold: int = 100_000,
     broadcast_queries: bool | None = None,
+    pushdown_probe_keys: bool | None = None,
+    pushdown_key_cap: int = 4096,
 ) -> DataFrame:
     """:func:`lsh_topk_multi` against a prebuilt (tbl, bucket) index —
     the repeated-probe production path. (dim, n_planes, n_tables,
     probe_radius semantics) must match the index build. Same output
-    as lsh_topk_multi on the same corpus (pinned by tests)."""
+    as lsh_topk_multi on the same corpus (pinned by tests).
+
+    ``pushdown_probe_keys=True`` collects the batch's distinct
+    (tbl, bucket) probe keys driver-side (bounded by |queries| x
+    fanout, hard-capped by ``pushdown_key_cap``) and pushes them into
+    the index scan as per-table ``bucket IN (...)`` predicates. The
+    index files are sorted by (tbl, bucket)
+    (:func:`materialize_lsh_ann_index`), so parquet row-group stats
+    prune everything outside the probed buckets — probe cost scales
+    with touched buckets, not corpus size, which is the whole point
+    of the index at 100 TB. Semantics-preserving: the inner probe
+    join already discards index rows outside the probed keys.
+
+    Default (``None``) is scale-aware: engage only for
+    broadcast-sized batches against an index spanning >256 files —
+    below that the whole index is a handful of row groups, nothing
+    can prune, and the extra driver job + predicate are pure
+    overhead (measured +~1s at sf0.1's 32-file/6k-row index;
+    PLANS.md "r8 probe-key pushdown")."""
     if probe_radius not in (0, 1):
         raise ValueError("probe_radius must be 0 or 1")
     tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
@@ -573,11 +593,42 @@ def lsh_topk_from_index(
     if broadcast_queries is None:
         broadcast_queries = queries.count() * fanout <= broadcast_threshold
     q_side = F.broadcast(q) if broadcast_queries else q
+
+    if pushdown_probe_keys is None:
+        pushdown_probe_keys = (
+            broadcast_queries and len(index.inputFiles()) > 256
+        )
+    probe_filter = None
+    if pushdown_probe_keys:
+        # one tiny job over the (broadcast-sized) query batch; cap+1
+        # rows bound the driver collect even if the caller passed an
+        # unexpectedly wide batch with pushdown forced on
+        keys = (
+            q.select("tbl", "bucket")
+            .distinct()
+            .limit(pushdown_key_cap + 1)
+            .collect()
+        )
+        if len(keys) <= pushdown_key_cap:
+            by_tbl: dict[int, list[int]] = {}
+            for r in keys:
+                by_tbl.setdefault(r.tbl, []).append(r.bucket)
+            for tbl, buckets in sorted(by_tbl.items()):
+                clause = (F.col("tbl") == tbl) & F.col("bucket").isin(
+                    buckets
+                )
+                probe_filter = (
+                    clause
+                    if probe_filter is None
+                    else probe_filter | clause
+                )
     # Defensive: indexes materialized before the zero-norm exclusion
     # landed in lsh_ann_index may still hold vnorm=0 rows, whose NaN
     # cosines would sort ABOVE every real neighbor under F.desc. The
     # predicate is a cheap scan-side filter and does not disturb the
     # exchange-free bucketed probe join.
+    if probe_filter is not None:
+        index = index.filter(probe_filter)
     c = index.filter(F.col("vnorm") > 0).select(
         "tbl",
         "bucket",

@@ -8859,10 +8859,42 @@ _R7_WINDOW = [
     "j_asof_nulls", "j_range", "pipeline_curation", "pipeline_stages",
     "profile_table", "stream_sliding_window", "tx_pii_scrub",
 ]
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+
+# r8 WINDOW: position 1 is emb_lsh_index_topk (its operator gained a
+# defensive vnorm>0 probe filter this round — ADVICE r7). Positions
+# 2-22 are the ENTIRE 21-query cohort last driver-checked in r3 (all
+# re-verified locally in r7, now getting their driver re-check).
+# Positions 23-50 are the 28 oldest entries of the 48-query r4-stale
+# cohort (CORRECTNESS_r04 order); the 20 r4-stale queries that don't
+# fit are re-verified locally this round via
+# tools/check_correctness.py (outcomes in PLANS.md; rotation history
+# in COVERAGE.md). Post-r8 staleness: nothing older than r4.
+_R8_WINDOW = [
+    "emb_lsh_index_topk",
+    # r3-stale cohort (21)
+    "dd_exact_text", "dd_minhash", "dd_simhash", "dd_jaccard",
+    "dd_hamming", "dd_lsh_candidates", "k2_phash",
+    "u1_column_filter", "u2_data_filter", "j_asof", "j_salted",
+    "emb_topk_cosine", "a_median_exact", "w_analytics",
+    "sql_surface_q10", "h8_market_share", "h17_small_quantity",
+    "stream_session_window", "stream_dedup", "tx_repetition",
+    "tx_decontaminate",
+    # oldest 28 of the r4-stale cohort
+    "d_hash_sample", "w_jsonl_roundtrip", "h4_priority_exists",
+    "h10_returned_items", "h12_priority_by_status",
+    "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
+    "emb_label_centroids", "stream_interval_join",
+    "w_convert_formats", "a_approx_sketches", "ev_funnel", "a_pivot",
+    "f_unpivot", "stream_curation", "d_temperature_sample",
+    "d_per_group_sample", "dd_incremental_near_dup", "tx_unigram_nll",
+    "a_corr_matrix", "w_hive_partitioned", "tx_budget_mix",
+    "d_stratified_sample", "dd_incremental", "stream_enriched_agg",
+    "tx_dup_passages", "tx_pack_sequences",
+]
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R7_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R7_WINDOW},
+    **{k: REGISTRY[k] for k in _R8_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R8_WINDOW},
 }
 
 

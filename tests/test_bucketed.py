@@ -191,3 +191,65 @@ def test_bucketed_ann_index_probe_exchange_free(spark, sf_dir, tmp_path):
     finally:
         # drop only after the last probe of the table-backed frame
         spark.sql("DROP TABLE IF EXISTS t_ann_idx")
+
+
+def test_ann_index_probe_key_pushdown(spark, sf_dir, tmp_path):
+    """r8: for broadcast-sized query batches, lsh_topk_from_index
+    collects the batch's distinct (tbl, bucket) probe keys and pushes
+    them into the index scan, so the (tbl,bucket)-sorted parquet
+    prunes row groups outside the probed buckets — probe cost scales
+    with touched buckets, not corpus size. Pushdown must (a) reach
+    the scan's PushedFilters, (b) change no results, and (c) disarm
+    itself when the key count exceeds the cap."""
+    from dataprocessingframework_spark.operators.similarity import (
+        lsh_topk_from_index,
+        materialize_lsh_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    idx = materialize_lsh_ann_index(
+        emb,
+        "t_ann_idx_push",
+        num_buckets=4,
+        path=str(tmp_path / "ann_idx_push"),
+    )
+    try:
+        on = lsh_topk_from_index(
+            idx, qs, k=5, broadcast_queries=True,
+            pushdown_probe_keys=True,
+        )
+        plan = on._jdf.queryExecution().executedPlan().toString()
+        assert "In(bucket" in plan, plan
+        assert "PushedFilters: [IsNotNull(vnorm), Or(" in plan, plan
+
+        off = lsh_topk_from_index(
+            idx, qs, k=5, broadcast_queries=True,
+            pushdown_probe_keys=False,
+        )
+        assert "In(bucket" not in (
+            off._jdf.queryExecution().executedPlan().toString()
+        )
+        # auto mode is scale-aware: this 4-file index is a handful of
+        # row groups — nothing can prune, so auto stays OFF (measured
+        # pure overhead at small scale; PLANS.md "r8 probe-key
+        # pushdown"). Forced-on above proves the >256-file behavior.
+        auto = lsh_topk_from_index(idx, qs, k=5, broadcast_queries=True)
+        assert "In(bucket" not in (
+            auto._jdf.queryExecution().executedPlan().toString()
+        )
+        # cap exceeded => pushdown silently disarms, results identical
+        capped = lsh_topk_from_index(
+            idx, qs, k=5, broadcast_queries=True,
+            pushdown_probe_keys=True, pushdown_key_cap=2,
+        )
+        assert "In(bucket" not in (
+            capped._jdf.queryExecution().executedPlan().toString()
+        )
+        rows = [
+            sorted((r.q_id, r.nbr_id, r.cos) for r in df.collect())
+            for df in (on, off, auto, capped)
+        ]
+        assert rows[0] and all(r == rows[0] for r in rows[1:])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_idx_push")
