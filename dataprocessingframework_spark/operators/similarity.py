@@ -17,7 +17,7 @@ in the hot loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataprocessingframework_spark.functions.hashing import hash64_py
@@ -938,6 +938,145 @@ def ivf_topk(
     # _per_query_topk's map-side partial WindowGroupLimit keeps a fat
     # IVF cell from funneling its full membership through one q_id
     # partition
+    return _per_query_topk(scored, k)
+
+
+def materialize_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 1,
+    impl: str = "blas",
+    centroids: list[list[float]] | None = None,
+    num_buckets: int = 16,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Persist the IVF inverted lists: every corpus vector with its
+    nearest-centroid ``cell``, hash-BUCKETED on the single ``cell``
+    column, plus the trained coarse quantizer in ``{table}_centroids``.
+
+    Single-column bucketing on ``cell`` is deliberate: Spark's bucket
+    pruning applies ``cell IN (...)`` probe filters at FILE
+    granularity, so a probe batch reads only the bucket files holding
+    its probed cells — ~n_probe/n_cells of a 100 TB index, which is
+    the entire IVF bargain. Rows carry ``vnorm`` so corpus norms are
+    computed once at build, not per probe batch; zero-norm vectors
+    (undefined cosine) are excluded at build. The quantizer is
+    trained once here (``iters`` Lloyd rounds — the expensive part at
+    scale) and reloaded via :func:`load_ivf_centroids` for every
+    later probe batch. Returns (index frame, centroids)."""
+    from dataprocessingframework_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    cents = centroids or _ivf_centroids(
+        corpus, id_col, vec_col, n_cells, iters, impl=impl
+    )
+    idx = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            norm(F.col(vec_col)).alias("vnorm"),
+        ).filter(F.col("vnorm") > 0),
+        cents,
+        "vec_id",
+        "embedding",
+        n_probe=1,
+        impl=impl,
+    ).select("cell", "vec_id", "embedding", "vnorm")
+    write_bucketed(
+        idx,
+        table,
+        ["cell"],
+        num_buckets=num_buckets,
+        sort_cols=["cell"],
+        path=path,
+        mode=mode,
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (c, [float(x) for x in vec]) for c, vec in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, schema="cell int, centroid array<double>"
+    )
+    w = cent_df.coalesce(1).write.mode(mode).format("parquet")
+    if path:
+        w = w.option("path", f"{path}_centroids")
+    w.saveAsTable(f"{table}_centroids")
+    return spark.table(table), cents
+
+
+def load_ivf_centroids(spark: SparkSession, table: str) -> list[list[float]]:
+    """Reload the coarse quantizer persisted by
+    :func:`materialize_ivf_index` (the n_cells x dim matrix — always
+    driver-sized)."""
+    rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
+    assert [r.cell for r in rows] == list(range(len(rows)))
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    impl: str = "blas",
+    pushdown_probe_cells: bool | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk` against a prebuilt cell-bucketed index — the
+    repeated-probe production path (same output as ivf_topk with the
+    same ``centroids``/``n_probe``/``impl``, pinned by tests).
+
+    Queries assign to their n_probe nearest cells (narrow map against
+    the driver-held centroid matrix — no quantizer retraining), then
+    broadcast-join the index on ``cell``. ``pushdown_probe_cells``
+    pushes the batch's distinct probed cells into the index scan as a
+    ``cell IN (...)`` predicate (always bounded by n_cells), which
+    bucket-prunes whole files on the single-column-bucketed index.
+    Default (None) is scale-aware like lsh_topk_from_index: engage
+    when the index spans >256 files; below that the scan is a few row
+    groups and the extra driver job is pure overhead."""
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        centroids,
+        "q_id",
+        "q_vec",
+        n_probe=n_probe,
+        impl=impl,
+    )
+    if pushdown_probe_cells is None:
+        pushdown_probe_cells = len(index.inputFiles()) > 256
+    if pushdown_probe_cells:
+        cells = [r.cell for r in q.select("cell").distinct().collect()]
+        index = index.filter(F.col("cell").isin(cells))
+    # defensive vnorm>0 (pre-fix persisted indexes), as in the LSH probe
+    c = index.filter(F.col("vnorm") > 0).select(
+        "cell",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (norm(F.col("q_vec")) * F.col("c_norm"))
+            ).alias("cos_raw"),
+        )
+    )
     return _per_query_topk(scored, k)
 
 

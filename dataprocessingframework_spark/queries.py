@@ -2782,6 +2782,56 @@ def q_emb_lsh_index_topk(spark, sf_dir):
     )
 
 
+def q_emb_ivf_index_topk(spark, sf_dir):
+    """The IVF index-probe ANN path end to end: train the seeded
+    (iters=0) coarse quantizer, materialize the cell-bucketed
+    inverted lists + persisted centroids, reload the quantizer, probe
+    the index, drop the scratch tables. Output is definitionally
+    identical to emb_ivf_topk_seeded (same centroids, same n_probe,
+    same scoring), so it shares that FULL oracle — the driver check
+    that the materialized-index route loses nothing vs the inline
+    route. Probe-cell pushdown is forced ON so the driver exercises
+    the bucket-pruned scan shape (results are pinned identical
+    on/off by tests/test_bucketed.py)."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_ivf_idx_{tag}"
+    path = f"/root/repo/.scratch/ivf_idx_{tag}"
+    idx, _ = materialize_ivf_index(
+        emb, table, n_cells=16, iters=0, impl="jvm",
+        num_buckets=16, path=path,
+    )
+    out = (
+        ivf_topk_from_index(
+            idx,
+            load_ivf_centroids(spark, table),
+            emb.filter(F.col("vec_id") < 5),
+            k=5,
+            n_probe=4,
+            impl="jvm",
+            pushdown_probe_cells=True,
+        )
+        .orderBy("q_id", "nbr_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(f"{path}_centroids", ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="q_id long, nbr_id long, cos double"
+    )
+
+
 def q_d3_sample(spark, sf_dir):
     """D3 seeded random sample (`processors/processor.py:295-320`) —
     nondeterministic across engines by design; rows-only check."""
@@ -8651,6 +8701,12 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_emb_ivf_topk_seeded,
         SQL_EMB_IVF_TOPK_SEEDED,
     ),
+    # materialized-IVF probe route — definitionally identical output
+    # to the inline seeded route, so it shares that oracle (r8)
+    "emb_ivf_index_topk": (
+        q_emb_ivf_index_topk,
+        SQL_EMB_IVF_TOPK_SEEDED,
+    ),
     "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
     "ev_ordered_funnel": (q_ev_ordered_funnel, SQL_EV_ORDERED_FUNNEL),
     "pipeline_curation_v2": (
@@ -8860,17 +8916,19 @@ _R7_WINDOW = [
     "profile_table", "stream_sliding_window", "tx_pii_scrub",
 ]
 
-# r8 WINDOW: position 1 is emb_lsh_index_topk (its operator gained a
-# defensive vnorm>0 probe filter this round — ADVICE r7). Positions
-# 2-22 are the ENTIRE 21-query cohort last driver-checked in r3 (all
-# re-verified locally in r7, now getting their driver re-check).
-# Positions 23-50 are the 28 oldest entries of the 48-query r4-stale
-# cohort (CORRECTNESS_r04 order); the 20 r4-stale queries that don't
-# fit are re-verified locally this round via
-# tools/check_correctness.py (outcomes in PLANS.md; rotation history
-# in COVERAGE.md). Post-r8 staleness: nothing older than r4.
+# r8 WINDOW: positions 1-2 are the new/changed queries —
+# emb_lsh_index_topk (its operator gained a defensive vnorm>0 probe
+# filter plus scale-aware probe-key pushdown this round — ADVICE r7)
+# and emb_ivf_index_topk (NEW: the materialized cell-bucketed IVF
+# probe route). Positions 3-23 are the ENTIRE 21-query cohort last
+# driver-checked in r3 (all re-verified locally in r7, now getting
+# their driver re-check). Positions 24-50 are the 27 oldest entries
+# of the 48-query r4-stale cohort (CORRECTNESS_r04 order); the 21
+# r4-stale queries that don't fit are re-verified locally this round
+# via tools/check_correctness.py (outcomes in PLANS.md; rotation
+# history in COVERAGE.md). Post-r8 staleness: nothing older than r4.
 _R8_WINDOW = [
-    "emb_lsh_index_topk",
+    "emb_lsh_index_topk", "emb_ivf_index_topk",
     # r3-stale cohort (21)
     "dd_exact_text", "dd_minhash", "dd_simhash", "dd_jaccard",
     "dd_hamming", "dd_lsh_candidates", "k2_phash",
@@ -8889,7 +8947,7 @@ _R8_WINDOW = [
     "d_per_group_sample", "dd_incremental_near_dup", "tx_unigram_nll",
     "a_corr_matrix", "w_hive_partitioned", "tx_budget_mix",
     "d_stratified_sample", "dd_incremental", "stream_enriched_agg",
-    "tx_dup_passages", "tx_pack_sequences",
+    "tx_dup_passages",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 REGISTRY = {

@@ -253,3 +253,66 @@ def test_ann_index_probe_key_pushdown(spark, sf_dir, tmp_path):
         assert rows[0] and all(r == rows[0] for r in rows[1:])
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_idx_push")
+
+
+def test_ivf_index_probe_parity_and_bucket_pruning(spark, sf_dir, tmp_path):
+    """r8: the materialized IVF route (cell-bucketed inverted lists +
+    persisted quantizer) must (a) return exactly ivf_topk's output for
+    the same centroids, (b) round-trip the quantizer through
+    {table}_centroids, and (c) BUCKET-PRUNE the probe scan when the
+    probed cells are pushed down — single-column bucketing on cell
+    means Spark skips whole bucket files, the ~n_probe/n_cells read
+    that is the IVF bargain at scale."""
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    try:
+        idx, cents = materialize_ivf_index(
+            emb,
+            "t_ivf_idx_test",
+            n_cells=16,
+            iters=1,
+            num_buckets=16,
+            path=str(tmp_path / "ivf_idx"),
+        )
+        reloaded = load_ivf_centroids(spark, "t_ivf_idx_test")
+        assert reloaded == [[float(x) for x in c] for c in cents]
+
+        probed = ivf_topk_from_index(
+            idx, reloaded, qs, k=5, n_probe=4,
+            pushdown_probe_cells=True,
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "In(cell" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+        got = sorted(
+            (r.q_id, r.nbr_id, r.cos) for r in probed.collect()
+        )
+        off = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_topk_from_index(
+                idx, reloaded, qs, k=5, n_probe=4,
+                pushdown_probe_cells=False,
+            ).collect()
+        )
+        want = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_topk(
+                emb, qs, k=5, n_probe=4, centroids=cents
+            ).collect()
+        )
+        assert got == off == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idx_test")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idx_test_centroids")
