@@ -60,6 +60,7 @@ TIERS: dict[str, list[str]] = {
     "ann": [
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
+        "ann_ivf_index_probe",
     ],
 }
 
@@ -210,7 +211,9 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     # over many query batches. Compare against ann_lsh_multi_topk,
     # which rebuilds everything inline per probe batch.
     if discover:
-        out["ann_index_probe"] = lambda: None  # name only, never run
+        # names only, never run
+        out["ann_index_probe"] = lambda: None
+        out["ann_ivf_index_probe"] = lambda: None
         return out
     if "ann_index_probe" in only:
         import shutil
@@ -246,6 +249,53 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
             shutil.rmtree(path, ignore_errors=True)
 
         extra["_cleanup"] = cleanup  # popped before serialization
+
+    # Amortized IVF read path (r8): train the quantizer + materialize
+    # the cell-bucketed inverted lists ONCE (extra), then time ONLY
+    # the probe — the second production ANN serving shape, alongside
+    # the LSH index probe above.
+    if "ann_ivf_index_probe" in only:
+        import shutil
+        import uuid
+
+        ivf_tag = uuid.uuid4().hex[:8]
+        ivf_table = f"bench_ivf_idx_{ivf_tag}"
+        ivf_path = f"/root/repo/.scratch/bench_ivf_idx_{ivf_tag}"
+        emb2 = q.T(spark, SF_DIR, "embeddings")
+        t0 = time.time()
+        ivf_idx, _ = similarity.materialize_ivf_index(
+            emb2, ivf_table, n_cells=16, iters=1,
+            num_buckets=16, path=ivf_path,
+        )
+        cents = similarity.load_ivf_centroids(spark, ivf_table)
+        extra["ann_ivf_index_build"] = round(time.time() - t0, 3)
+
+        def ivf_probe():
+            _noop(
+                similarity.ivf_topk_from_index(
+                    ivf_idx,
+                    cents,
+                    q.T(spark, SF_DIR, "embeddings").filter(
+                        F.col("vec_id") < 50
+                    ),
+                    k=10,
+                    n_probe=4,
+                )
+            )
+
+        out["ann_ivf_index_probe"] = ivf_probe
+
+        prev_cleanup = extra.get("_cleanup")
+
+        def ivf_cleanup():
+            if prev_cleanup is not None:
+                prev_cleanup()
+            spark.sql(f"DROP TABLE IF EXISTS {ivf_table}")
+            spark.sql(f"DROP TABLE IF EXISTS {ivf_table}_centroids")
+            shutil.rmtree(ivf_path, ignore_errors=True)
+            shutil.rmtree(f"{ivf_path}_centroids", ignore_errors=True)
+
+        extra["_cleanup"] = ivf_cleanup
     return {k: v for k, v in out.items() if k in only}
 
 
