@@ -539,6 +539,17 @@ def materialize_lsh_ann_index(
     return corpus.sparkSession.table(table)
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated relation size — a driver-side stats lookup
+    (file-size sum for file relations). Unlike ``df.inputFiles()``,
+    this never ships a per-file list through py4j: the r8 soak
+    measured ~5s of pure listing overhead per probe on a 26k-file
+    index from the inputFiles()-based heuristic it replaces."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
 def lsh_topk_from_index(
     index: DataFrame,
     queries: DataFrame,
@@ -551,7 +562,7 @@ def lsh_topk_from_index(
     probe_radius: int = 1,
     broadcast_threshold: int = 100_000,
     broadcast_queries: bool | None = None,
-    pushdown_probe_keys: bool | None = None,
+    pushdown_probe_keys: bool = False,
     pushdown_key_cap: int = 4096,
 ) -> DataFrame:
     """:func:`lsh_topk_multi` against a prebuilt (tbl, bucket) index —
@@ -570,12 +581,14 @@ def lsh_topk_from_index(
     of the index at 100 TB. Semantics-preserving: the inner probe
     join already discards index rows outside the probed keys.
 
-    Default (``None``) is scale-aware: engage only for
-    broadcast-sized batches against an index spanning >256 files —
-    below that the whole index is a handful of row groups, nothing
-    can prune, and the extra driver job + predicate are pure
-    overhead (measured +~1s at sf0.1's 32-file/6k-row index;
-    PLANS.md "r8 probe-key pushdown")."""
+    Default OFF, by measurement: on local NVMe with a warm page
+    cache the bytes this filter avoids reading/decoding cost less
+    than its fixed ~0.4s driver-side keys-collect job at every shape
+    tested (index sizes 2 MB - 2.7 GB, probe batches touching
+    8 - 80 %% of buckets; PLANS.md "r8 ANN probe soak"). Opt in where
+    scan bytes are genuinely expensive — cold data on object storage,
+    or indexes orders of magnitude past the testable range — and the
+    probed fraction is small."""
     if probe_radius not in (0, 1):
         raise ValueError("probe_radius must be 0 or 1")
     tables = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
@@ -594,10 +607,6 @@ def lsh_topk_from_index(
         broadcast_queries = queries.count() * fanout <= broadcast_threshold
     q_side = F.broadcast(q) if broadcast_queries else q
 
-    if pushdown_probe_keys is None:
-        pushdown_probe_keys = (
-            broadcast_queries and len(index.inputFiles()) > 256
-        )
     probe_filter = None
     if pushdown_probe_keys:
         # one tiny job over the (broadcast-sized) query batch; cap+1
@@ -1028,7 +1037,7 @@ def ivf_topk_from_index(
     k: int = 5,
     n_probe: int = 4,
     impl: str = "blas",
-    pushdown_probe_cells: bool | None = None,
+    pushdown_probe_cells: bool = False,
 ) -> DataFrame:
     """:func:`ivf_topk` against a prebuilt cell-bucketed index — the
     repeated-probe production path (same output as ivf_topk with the
@@ -1040,9 +1049,11 @@ def ivf_topk_from_index(
     pushes the batch's distinct probed cells into the index scan as a
     ``cell IN (...)`` predicate (always bounded by n_cells), which
     bucket-prunes whole files on the single-column-bucketed index.
-    Default (None) is scale-aware like lsh_topk_from_index: engage
-    when the index spans >256 files; below that the scan is a few row
-    groups and the extra driver job is pure overhead."""
+    Default OFF for the same measured reason as
+    lsh_topk_from_index's pushdown: warm-cache local scans are
+    cheaper than the keys-collect job even at 7.6 %% touched cells on
+    a 10M-row index (PLANS.md "r8 ANN probe soak"); opt in on
+    cold/object storage with small probed fractions."""
     q = assign_cells(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
@@ -1053,8 +1064,6 @@ def ivf_topk_from_index(
         n_probe=n_probe,
         impl=impl,
     )
-    if pushdown_probe_cells is None:
-        pushdown_probe_cells = len(index.inputFiles()) > 256
     if pushdown_probe_cells:
         cells = [r.cell for r in q.select("cell").distinct().collect()]
         index = index.filter(F.col("cell").isin(cells))

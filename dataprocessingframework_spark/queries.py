@@ -5227,25 +5227,23 @@ def q_w_bucketed_join(spark, sf_dir):
     import shutil
     import uuid
 
+    from dataprocessingframework_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
     tag = uuid.uuid4().hex[:8]
     ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
     base = f"/root/repo/.scratch/bucketed_{tag}"
     try:
-        (
-            T(spark, sf_dir, "orders")
-            .write.bucketBy(8, "o_custkey")
-            .sortBy("o_custkey")
-            .option("path", f"{base}/{ot}")
-            .mode("overwrite")
-            .saveAsTable(ot)
+        # write_bucketed (not raw bucketBy): one file per bucket —
+        # see PLANS.md "r8 ANN probe soak" finding 1
+        write_bucketed(
+            T(spark, sf_dir, "orders"), ot, "o_custkey",
+            num_buckets=8, sort_cols="o_custkey", path=f"{base}/{ot}",
         )
-        (
-            T(spark, sf_dir, "customer")
-            .write.bucketBy(8, "c_custkey")
-            .sortBy("c_custkey")
-            .option("path", f"{base}/{ct}")
-            .mode("overwrite")
-            .saveAsTable(ct)
+        write_bucketed(
+            T(spark, sf_dir, "customer"), ct, "c_custkey",
+            num_buckets=8, sort_cols="c_custkey", path=f"{base}/{ct}",
         )
         res = (
             spark.table(ot)

@@ -17,6 +17,7 @@ with the session catalog; files land under ``spark.sql.warehouse.dir``
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -34,10 +35,22 @@ def write_bucketed(
     and be sized so one bucket of the LARGEST table fits an executor
     (at 100 TB: thousands of buckets, not 32). ``sort_cols`` additionally
     pre-sorts within buckets, letting the sort-merge join skip its sort.
+
+    The input is repartitioned ON THE BUCKET COLUMNS into
+    ``num_buckets`` partitions before the write: repartition and
+    bucketBy share Spark's Murmur3 ``hash pmod n``, so each write task
+    holds exactly one bucket and emits exactly ONE file — without
+    this, bucketBy writes one file per (input task x bucket), which
+    the r8 ANN probe soak measured as a 26,000-tiny-file index from a
+    64-partition, 512-bucket write (the classic small-files
+    anti-pattern; file scheduling then dominates every later scan).
+    Write parallelism becomes num_buckets — size it in the thousands
+    at real scale, which the co-join sizing rule demands anyway.
     """
     bucket_cols = (
         [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     )
+    df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     w = df.write.mode(mode).format("parquet").bucketBy(
         num_buckets, *bucket_cols
     )

@@ -230,10 +230,11 @@ def test_ann_index_probe_key_pushdown(spark, sf_dir, tmp_path):
         assert "In(bucket" not in (
             off._jdf.queryExecution().executedPlan().toString()
         )
-        # auto mode is scale-aware: this 4-file index is a handful of
-        # row groups — nothing can prune, so auto stays OFF (measured
-        # pure overhead at small scale; PLANS.md "r8 probe-key
-        # pushdown"). Forced-on above proves the >256-file behavior.
+        # default is OFF, by measurement: the bytes the filter avoids
+        # reading cost less than its fixed keys-collect job at every
+        # locally testable shape (PLANS.md "r8 ANN probe soak");
+        # forced-on above pins the opt-in behavior for cold-storage
+        # deployments
         auto = lsh_topk_from_index(idx, qs, k=5, broadcast_queries=True)
         assert "In(bucket" not in (
             auto._jdf.queryExecution().executedPlan().toString()
