@@ -317,3 +317,27 @@ def test_ivf_index_probe_parity_and_bucket_pruning(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_idx_test")
         spark.sql("DROP TABLE IF EXISTS t_ivf_idx_test_centroids")
+
+
+def test_write_bucketed_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """r8 soak finding 1: raw bucketBy writes one file per (input
+    task x bucket) — a 64-partition, 512-bucket index write produced
+    26k tiny files and file scheduling dominated every probe.
+    write_bucketed repartitions on the bucket columns first
+    (repartition and bucketBy share Murmur3 hash pmod n), so each
+    bucket is exactly ONE file regardless of input partitioning."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(32)
+    write_bucketed(
+        orders,
+        "t_one_file_per_bucket",
+        "o_custkey",
+        num_buckets=8,
+        sort_cols="o_custkey",
+        path=str(tmp_path / "ofpb"),
+    )
+    try:
+        t = read_bucketed(spark, "t_one_file_per_bucket")
+        assert len(t.inputFiles()) <= 8
+        assert t.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_one_file_per_bucket")
