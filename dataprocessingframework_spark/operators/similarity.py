@@ -248,12 +248,34 @@ def _hyperplanes(
 
 
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit p = (vec . plane_p) >= 0."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(d >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
-    return bucket
+    """Sign-pattern bucket id: bit p = (vec . plane_p) >= 0.
+
+    The plane matrix enters the plan as ONE nested-array Literal and
+    the per-plane dots as a ``transform`` over it — NOT as an unrolled
+    per-element expression forest. The unrolled form was n_planes x
+    dim literal nodes (512 per table at the 8x64 default), and since
+    expression IDs differ per DataFrame construction, Catalyst
+    re-analyzed (and codegen re-compiled) that forest on EVERY probe
+    batch — measured as ~2s/trial of fixed planning cost on the
+    repeated-probe path (PLANS.md "r8 compact LSH bucket expression").
+    Value-identical to the unrolled form: the inner fold is the same
+    sequential aggregate(zip_with) as :func:`dot`, and the bit
+    accumulation folds p ascending, so every oracle hash is unchanged.
+    """
+    scores = F.transform(
+        F.lit([[float(x) for x in plane] for plane in planes]),
+        lambda p: dot(vec, p),
+    )
+    powers = F.lit([2**p for p in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(
+            scores,
+            powers,
+            lambda s, w: F.when(s >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_topk(
