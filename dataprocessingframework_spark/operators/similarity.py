@@ -853,16 +853,15 @@ def assign_cells(
     """
     if impl == "blas":
         return _assign_cells_blas(df, centroids, vec_col, n_probe)
-    scores = F.array(
-        *[
-            F.struct(
-                dot(
-                    F.col(vec_col), F.array(*[F.lit(x) for x in c])
-                ).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # centroid matrix as ONE nested-array Literal, not an unrolled
+    # n_cells x dim expression forest — same per-construction
+    # analysis/codegen rationale (and value-identical fold) as
+    # lsh_bucket_expr; the transform index replaces F.lit(i)
+    scores = F.transform(
+        F.lit([[float(x) for x in c] for c in centroids]),
+        lambda c, i: F.struct(
+            dot(F.col(vec_col), c).alias("s"), i.alias("c")
+        ),
     )
     top = F.slice(F.array_sort(scores, lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(0)), 1, n_probe)
     out = df.withColumn("_cells", F.transform(top, lambda t: t["c"]))
