@@ -1110,6 +1110,71 @@ def ivf_topk_from_index(
     return _per_query_topk(scored, k)
 
 
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    impl: str = "jvm",
+) -> DataFrame:
+    """Drop arriving vectors that semantically duplicate the accepted
+    corpus: a batch row is removed iff some corpus vector in one of
+    its ``n_probe`` nearest IVF cells has cosine >= ``threshold``.
+    The embedding twin of ``dedup.incremental_near_dup`` (which
+    gates on text MinHash/Jaccard), and the batch kernel of
+    ``streaming.incremental_semantic_ingest``.
+
+    IVF-cell blocking is the scale shape: the corpus is touched only
+    through a cell equi-join (corpus rows in their 1 nearest cell,
+    batch rows fanned to n_probe cells), never an all-pairs score.
+    ``centroids`` is the shared coarse quantizer — train it once
+    (:func:`materialize_ivf_index` / :func:`load_ivf_centroids`) and
+    reuse it across batches; recomputing per batch would re-scan the
+    corpus. Zero-norm vectors never match (cosine undefined): they
+    are excluded from scoring on both sides, so zero-norm batch rows
+    are always kept. Within-batch duplicates are kept (the
+    incremental contract). Returns surviving batch rows, all columns.
+    """
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        ).filter(F.col("c_norm") > 0),
+        centroids,
+        "c_id",
+        "c_vec",
+        n_probe=1,
+        impl=impl,
+    )
+    b = assign_cells(
+        batch.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("b_vec"),
+            norm(F.col(vec_col)).alias("b_norm"),
+        ).filter(F.col("b_norm") > 0),
+        centroids,
+        "b_id",
+        "b_vec",
+        n_probe=n_probe,
+        impl=impl,
+    )
+    dup_ids = (
+        c.join(b, on="cell")
+        .filter(
+            dot(F.col("b_vec"), F.col("c_vec"))
+            / (F.col("b_norm") * F.col("c_norm"))
+            >= threshold
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, on=id_col, how="left_anti")
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

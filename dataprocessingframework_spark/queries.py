@@ -8183,6 +8183,111 @@ def q_stream_near_dup_ingest(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_semantic_ingest(spark, sf_dir):
+    """Continuous SEMANTIC-dup-gated ingestion under the oracle (r8):
+    embeddings arrive in two waves; a wave-2 vector is dropped iff an
+    accepted wave-1 vector in one of its 2 nearest IVF cells has
+    cosine >= 0.4 — the embedding twin of stream_near_dup_ingest,
+    running the IVF-cell-blocked gate inside a checkpointed
+    foreachBatch stream. The iters=0 hash-seeded quantizer (same
+    construction as emb_ivf_topk_seeded) makes cell assignment,
+    probing, and the cosine gate pure portable arithmetic, so the
+    streamed kept-set is hash-checked end-to-end. The source/corpus
+    round-trip is parquet (bit-exact floats; JSON would perturb
+    them). Within-wave semantic dups are kept (the incremental
+    contract). Output: per-wave kept counts + id range."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    base = f"/root/repo/.scratch/stream_sem_{uuid.uuid4().hex[:8]}"
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
+    schema = "vec_id long, embedding array<float>"
+
+    def run():
+        return incremental_semantic_ingest(
+            spark, src, schema, corpus, ckpt, cents,
+            vec_col="embedding", id_col="vec_id",
+            threshold=0.4, n_probe=2, impl="jvm",
+            src_format="parquet",
+        )
+
+    try:
+        emb.filter(F.col("vec_id") < cut).write.mode("append").parquet(src)
+        run()
+        emb.filter(F.col("vec_id") >= cut).write.mode("append").parquet(src)
+        run()
+        res = (
+            read_corpus(spark, corpus)
+            .select(
+                F.when(F.col("vec_id") < cut, 0).otherwise(1).alias("wave"),
+                "vec_id",
+            )
+            .groupBy("wave")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.min("vec_id").alias("min_id"),
+                F.max("vec_id").alias("max_id"),
+            )
+            .orderBy("wave")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_SEMANTIC_INGEST = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cutoff AS (SELECT (MAX(vec_id) + 1) // 2 AS cut FROM e),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+), corpus_cells AS (
+  SELECT c_id, cvv, cn, cell FROM (
+    SELECT e.vec_id AS c_id, e.v AS cvv,
+           sqrt(list_dot_product(e.v, e.v)) AS cn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c CROSS JOIN cutoff
+    WHERE e.vec_id < cut) WHERE rn = 1 AND cn > 0
+), probes AS (
+  SELECT b_id, bv, bn, cell FROM (
+    SELECT e.vec_id AS b_id, e.v AS bv,
+           sqrt(list_dot_product(e.v, e.v)) AS bn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c CROSS JOIN cutoff
+    WHERE e.vec_id >= cut) WHERE rn <= 2 AND bn > 0
+), dropped AS (
+  SELECT DISTINCT p.b_id FROM probes p JOIN corpus_cells c USING (cell)
+  WHERE list_dot_product(p.bv, c.cvv) / (p.bn * c.cn) >= 0.4
+), kept AS (
+  SELECT vec_id, 0 AS wave FROM e CROSS JOIN cutoff WHERE vec_id < cut
+  UNION ALL
+  SELECT vec_id, 1 AS wave FROM e CROSS JOIN cutoff
+  WHERE vec_id >= cut AND vec_id NOT IN (SELECT b_id FROM dropped)
+)
+SELECT wave, COUNT(*) AS n_kept, MIN(vec_id) AS min_id,
+       MAX(vec_id) AS max_id
+FROM kept GROUP BY wave ORDER BY wave
+"""
+
+
 def _near_dup_ingest_sql() -> str:
     return f"""
 WITH cutoff AS (
@@ -8877,6 +8982,12 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_stream_near_dup_ingest,
         _near_dup_ingest_sql(),
     ),
+    # embedding twin of the near-dup gate (r8): IVF-cell-blocked
+    # cosine gate inside a checkpointed foreachBatch stream
+    "stream_semantic_ingest": (
+        q_stream_semantic_ingest,
+        SQL_STREAM_SEMANTIC_INGEST,
+    ),
     "emb_centroid_prune": (q_emb_centroid_prune, SQL_EMB_CENTROID_PRUNE),
 }
 
@@ -8914,19 +9025,21 @@ _R7_WINDOW = [
     "profile_table", "stream_sliding_window", "tx_pii_scrub",
 ]
 
-# r8 WINDOW: positions 1-2 are the new/changed queries —
+# r8 WINDOW: positions 1-3 are the new/changed queries —
 # emb_lsh_index_topk (its operator gained a defensive vnorm>0 probe
-# filter plus scale-aware probe-key pushdown this round — ADVICE r7)
-# and emb_ivf_index_topk (NEW: the materialized cell-bucketed IVF
-# probe route). Positions 3-23 are the ENTIRE 21-query cohort last
-# driver-checked in r3 (all re-verified locally in r7, now getting
-# their driver re-check). Positions 24-50 are the 27 oldest entries
-# of the 48-query r4-stale cohort (CORRECTNESS_r04 order); the 21
-# r4-stale queries that don't fit are re-verified locally this round
-# via tools/check_correctness.py (outcomes in PLANS.md; rotation
-# history in COVERAGE.md). Post-r8 staleness: nothing older than r4.
+# filter plus opt-in probe-key pushdown this round — ADVICE r7),
+# emb_ivf_index_topk (NEW: the materialized cell-bucketed IVF probe
+# route), and stream_semantic_ingest (NEW: IVF-cell-blocked cosine
+# gate in a checkpointed stream). Positions 4-24 are the ENTIRE
+# 21-query cohort last driver-checked in r3 (all re-verified locally
+# in r7, now getting their driver re-check). Positions 25-50 are the
+# 26 oldest entries of the 48-query r4-stale cohort (CORRECTNESS_r04
+# order); the 22 r4-stale queries that don't fit are re-verified
+# locally this round via tools/check_correctness.py (outcomes in
+# PLANS.md; rotation history in COVERAGE.md). Post-r8 staleness:
+# nothing older than r4.
 _R8_WINDOW = [
-    "emb_lsh_index_topk", "emb_ivf_index_topk",
+    "emb_lsh_index_topk", "emb_ivf_index_topk", "stream_semantic_ingest",
     # r3-stale cohort (21)
     "dd_exact_text", "dd_minhash", "dd_simhash", "dd_jaccard",
     "dd_hamming", "dd_lsh_candidates", "k2_phash",
@@ -8945,7 +9058,6 @@ _R8_WINDOW = [
     "d_per_group_sample", "dd_incremental_near_dup", "tx_unigram_nll",
     "a_corr_matrix", "w_hive_partitioned", "tx_budget_mix",
     "d_stratified_sample", "dd_incremental", "stream_enriched_agg",
-    "tx_dup_passages",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 REGISTRY = {

@@ -10,6 +10,7 @@ from dataprocessingframework_spark.streaming.events import (
 from dataprocessingframework_spark.streaming.curation import (
     incremental_curation,
     incremental_near_dup_ingest,
+    incremental_semantic_ingest,
     read_corpus,
 )
 from dataprocessingframework_spark.streaming.ingest import incremental_ingest
@@ -29,6 +30,7 @@ __all__ = [
     "incremental_ingest",
     "incremental_curation",
     "incremental_near_dup_ingest",
+    "incremental_semantic_ingest",
     "read_corpus",
     "running_user_totals",
     "stateful_sessionize",

@@ -193,3 +193,60 @@ def incremental_near_dup_ingest(
         spark, src_dir, schema, checkpoint_dir, _process,
         src_format, max_files_per_trigger,
     )
+
+
+def incremental_semantic_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    impl: str = "jvm",
+    curate: Callable[[DataFrame], DataFrame] | None = None,
+    src_format: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
+    arriving embedding rows whose cosine similarity to any
+    already-accepted vector reaches ``threshold`` (IVF-cell-blocked —
+    ``operators.similarity.incremental_semantic_dedup``), then append
+    the survivors idempotently. The embedding twin of
+    :func:`incremental_near_dup_ingest` (which gates on text
+    MinHash/Jaccard): the production shape for keeping a continuously
+    ingested embedding store free of semantic duplicates.
+
+    ``centroids`` is the shared coarse quantizer, trained ONCE
+    outside the stream (``materialize_ivf_index`` /
+    ``load_ivf_centroids`` — or seeded ``_ivf_centroids(iters=0)``
+    for an engine-portable gate); per-batch cost is the batch's cell
+    assignment plus a cell equi-join against the corpus — never an
+    all-pairs score, and no quantizer retraining inside the stream.
+    Within-batch semantic dups are kept (the incremental contract).
+    """
+    from dataprocessingframework_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        curated = curate(batch_df) if curate is not None else batch_df
+        prior = _batch_dirs(spark, corpus_dir, exclude=f"batch-{batch_id}")
+        if prior:
+            corpus = spark.read.parquet(*prior)
+            fresh = incremental_semantic_dedup(
+                curated, corpus, centroids,
+                id_col=id_col, vec_col=vec_col,
+                threshold=threshold, n_probe=n_probe, impl=impl,
+            )
+        else:
+            fresh = curated
+        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
+
+    return _run_available_now(
+        spark, src_dir, schema, checkpoint_dir, _process,
+        src_format, max_files_per_trigger,
+    )

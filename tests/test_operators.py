@@ -1539,3 +1539,44 @@ def test_lsh_multi_candidates_superset_of_single(spark):
     # k=40 >= corpus, so no displacement: strict candidate superset
     assert s1 <= s3
     assert len(s3) > len(s1)
+
+
+def test_incremental_semantic_dedup_gate(spark):
+    """r8: the embedding twin of incremental_near_dup — a batch row
+    is dropped iff some corpus vector in one of its n_probe nearest
+    IVF cells reaches the cosine threshold. Planted duplicate
+    dropped; orthogonal newcomer kept; zero-norm newcomer kept
+    (cosine undefined -> never matches); within-batch dups kept."""
+    rng = np.random.RandomState(43)
+    corpus_vecs = rng.randn(30, 16).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in corpus_vecs[i]]) for i in range(30)],
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in corpus_vecs[i]] for i in range(4)]
+    dup = [float(x) for x in corpus_vecs[7] * 2.0]  # cos == 1 vs row 7
+    ortho = [float(x) for x in rng.randn(16)]
+    zero = [0.0] * 16
+    batch = spark.createDataFrame(
+        [(100, dup), (101, ortho), (102, zero), (103, dup)],
+        schema="vec_id long, embedding array<float>",
+    )
+    kept = similarity.incremental_semantic_dedup(
+        batch, corpus, cents, threshold=0.99, n_probe=4
+    )
+    ids = {r.vec_id for r in kept.collect()}
+    # both copies of the duplicate are dropped vs the CORPUS (each is
+    # judged against the corpus independently — the incremental
+    # contract ignores within-batch relations)
+    assert ids == {101, 102}
+    # with nothing similar in the corpus, everything survives
+    kept_all = similarity.incremental_semantic_dedup(
+        spark.createDataFrame(
+            [(200, ortho)], schema="vec_id long, embedding array<float>"
+        ),
+        corpus,
+        cents,
+        threshold=0.999999,
+        n_probe=4,
+    )
+    assert {r.vec_id for r in kept_all.collect()} == {200}
