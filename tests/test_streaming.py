@@ -433,3 +433,45 @@ def test_incremental_near_dup_ingest_two_waves(spark, tmp_path):
 
     assert run() == 0  # nothing new -> no batch committed
     assert read_corpus(spark, corpus).count() == total
+
+
+def test_incremental_semantic_ingest_two_waves(spark, tmp_path):
+    """r8: wave-2 vectors semantically duplicating wave 1 (cosine >=
+    threshold within probed IVF cells) are dropped; replay with no
+    new files commits nothing and leaves the corpus unchanged."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    base = str(tmp_path / "sem")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", "embedding")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
+
+    def run():
+        return incremental_semantic_ingest(
+            spark, src, "vec_id long, embedding array<float>",
+            corpus, ckpt, cents,
+            threshold=0.4, n_probe=2, src_format="parquet",
+        )
+
+    emb.filter(F.col("vec_id") < cut).write.mode("append").parquet(src)
+    assert run() >= 1
+    n_wave1 = read_corpus(spark, corpus).count()
+    assert n_wave1 == emb.filter(F.col("vec_id") < cut).count()
+
+    emb.filter(F.col("vec_id") >= cut).write.mode("append").parquet(src)
+    assert run() >= 1
+    total = read_corpus(spark, corpus).count()
+    assert n_wave1 < total < emb.count()  # some wave-2 vectors dropped
+
+    assert run() == 0  # nothing new -> no batch committed
+    assert read_corpus(spark, corpus).count() == total
