@@ -1119,6 +1119,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.95,
     n_probe: int = 2,
     impl: str = "jvm",
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Drop arriving vectors that semantically duplicate the accepted
     corpus: a batch row is removed iff some corpus vector in one of
@@ -1137,6 +1138,15 @@ def incremental_semantic_dedup(
     are excluded from scoring on both sides, so zero-norm batch rows
     are always kept. Within-batch duplicates are kept (the
     incremental contract). Returns surviving batch rows, all columns.
+
+    ``broadcast_batch=True`` (default — the batch is by contract the
+    small arriving side) broadcasts the probe side, so the cell join
+    never shuffles the corpus. This matters doubly here because the
+    join key has only n_cells distinct values: a shuffle join on it
+    would concentrate each cell's corpus rows in one task. If a bulk
+    backfill makes the batch genuinely large, pass False and size
+    ``n_cells`` in the thousands so the shuffle join has key
+    cardinality to spread.
     """
     c = assign_cells(
         corpus.select(
@@ -1162,8 +1172,9 @@ def incremental_semantic_dedup(
         n_probe=n_probe,
         impl=impl,
     )
+    b_side = F.broadcast(b) if broadcast_batch else b
     dup_ids = (
-        c.join(b, on="cell")
+        c.join(b_side, on="cell")
         .filter(
             dot(F.col("b_vec"), F.col("c_vec"))
             / (F.col("b_norm") * F.col("c_norm"))

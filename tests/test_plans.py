@@ -462,3 +462,37 @@ def test_lsh_multi_topk_scale_shape(spark, sf_dir):
     analyzed = large._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
     assert "CartesianProduct" not in plan_of(large)
+
+
+def test_semantic_dedup_corpus_never_shuffles(spark):
+    """r8: incremental_semantic_dedup's cell join must broadcast the
+    (small, arriving) batch side so the corpus never shuffles — the
+    join key has only n_cells distinct values, so a shuffle join on
+    it would concentrate each cell's corpus rows in one task."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        schema="vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vecs[50 + i]]) for i in range(10)],
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in vecs[i]] for i in range(4)]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast: the explicit hint must carry it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kept = similarity.incremental_semantic_dedup(
+            batch, corpus, cents, threshold=0.99, n_probe=2
+        )
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange hashpartitioning(cell" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
