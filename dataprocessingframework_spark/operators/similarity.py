@@ -1002,9 +1002,24 @@ def materialize_ivf_index(
         write_bucketed,
     )
 
-    cents = centroids or _ivf_centroids(
-        corpus, id_col, vec_col, n_cells, iters, impl=impl
-    )
+    if mode == "append":
+        # appending a batch extends the inverted lists under the
+        # EXISTING quantizer — retraining would silently shift cell
+        # boundaries between the old rows and the new ones — and
+        # under the existing bucket spec (Spark rejects a mismatch)
+        if centroids is None:
+            centroids = load_ivf_centroids(corpus.sparkSession, table)
+        cents = centroids
+        desc = corpus.sparkSession.sql(
+            f"DESCRIBE FORMATTED {table}"
+        ).collect()
+        buckets = [r for r in desc if r.col_name == "Num Buckets"]
+        if buckets:
+            num_buckets = int(buckets[0].data_type)
+    else:
+        cents = centroids or _ivf_centroids(
+            corpus, id_col, vec_col, n_cells, iters, impl=impl
+        )
     idx = assign_cells(
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -1027,16 +1042,17 @@ def materialize_ivf_index(
         mode=mode,
     )
     spark = corpus.sparkSession
-    cent_rows = [
-        (c, [float(x) for x in vec]) for c, vec in enumerate(cents)
-    ]
-    cent_df = spark.createDataFrame(
-        cent_rows, schema="cell int, centroid array<double>"
-    )
-    w = cent_df.coalesce(1).write.mode(mode).format("parquet")
-    if path:
-        w = w.option("path", f"{path}_centroids")
-    w.saveAsTable(f"{table}_centroids")
+    if mode != "append":  # append keeps the existing quantizer table
+        cent_rows = [
+            (c, [float(x) for x in vec]) for c, vec in enumerate(cents)
+        ]
+        cent_df = spark.createDataFrame(
+            cent_rows, schema="cell int, centroid array<double>"
+        )
+        w = cent_df.coalesce(1).write.mode(mode).format("parquet")
+        if path:
+            w = w.option("path", f"{path}_centroids")
+        w.saveAsTable(f"{table}_centroids")
     return spark.table(table), cents
 
 

@@ -341,3 +341,56 @@ def test_write_bucketed_one_file_per_bucket(spark, sf_dir, tmp_path):
         assert t.count() == orders.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_one_file_per_bucket")
+
+
+def test_ivf_index_append_batch(spark, sf_dir, tmp_path):
+    """r8: mode='append' extends the inverted lists under the
+    EXISTING quantizer (reloaded from {table}_centroids, never
+    retrained — retraining would shift cell boundaries between old
+    and new rows) and leaves the centroids table untouched. Probing
+    the appended index equals probing a from-scratch index over the
+    union corpus with the same centroids."""
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") < 5)
+    try:
+        idx, cents = materialize_ivf_index(
+            first, "t_ivf_app", n_cells=8, iters=1,
+            num_buckets=8, path=str(tmp_path / "app"),
+        )
+        idx2, cents2 = materialize_ivf_index(
+            batch, "t_ivf_app", mode="append",
+            path=str(tmp_path / "app"),
+        )
+        assert cents2 == [[float(x) for x in c] for c in cents]
+        assert load_ivf_centroids(spark, "t_ivf_app") == cents2
+        assert idx2.count() == emb.count()
+
+        full, _ = materialize_ivf_index(
+            emb, "t_ivf_full", centroids=cents2,
+            num_buckets=8, path=str(tmp_path / "full"),
+        )
+        got = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_topk_from_index(
+                idx2, cents2, qs, k=5, n_probe=3
+            ).collect()
+        )
+        want = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_topk_from_index(
+                full, cents2, qs, k=5, n_probe=3
+            ).collect()
+        )
+        assert got == want and got
+    finally:
+        for t in ("t_ivf_app", "t_ivf_app_centroids",
+                  "t_ivf_full", "t_ivf_full_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
