@@ -380,6 +380,83 @@ partition-parallel shards writer.
 ]
 
 
+ANN_SERVING = [
+    md("""
+# Embedding ANN serving: build once, probe forever
+
+Beyond the reference's own walkthroughs: the production shape for
+similarity search over an embedding store. Train the IVF coarse
+quantizer ONCE, materialize the cell-bucketed inverted lists, then
+serve repeated probe batches against the index — and keep the store
+free of semantic duplicates as new vectors stream in. Everything
+here is the same API the 100 TB deployment uses; only the scale
+knobs (n_cells, num_buckets) change.
+"""),
+    code(SETUP),
+    md("## Build the index (one-off)"),
+    code('''
+from pyspark.sql import functions as F
+from dataprocessingframework_spark.operators.similarity import (
+    ivf_topk_from_index,
+    load_ivf_centroids,
+    materialize_ivf_index,
+)
+
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+idx, cents = materialize_ivf_index(
+    emb, "nb_ann_idx", n_cells=8, iters=1,
+    num_buckets=8, path=os.path.join(WORKDIR, "ann_idx"),
+)
+print(idx.count(), "vectors indexed in", idx.select("cell").distinct().count(), "cells")
+'''),
+    md("""
+The quantizer persists next to the lists (`nb_ann_idx_centroids`),
+so a later session — or another service — reloads it instead of
+retraining against the full corpus.
+"""),
+    md("## Probe (the amortized read path)"),
+    code('''
+cents = load_ivf_centroids(spark, "nb_ann_idx")
+queries = emb.filter(F.col("vec_id") < 3)
+ivf_topk_from_index(idx, cents, queries, k=3, n_probe=3).show()
+'''),
+    md("## Append a new accepted batch under the SAME quantizer"),
+    code('''
+batch = emb.filter(F.col("vec_id") >= 200).limit(20).select(
+    (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+)
+idx, _ = materialize_ivf_index(
+    batch, "nb_ann_idx", mode="append",
+    path=os.path.join(WORKDIR, "ann_idx"),
+)
+print("index now holds", idx.count(), "vectors")
+'''),
+    md("## Gate arriving vectors against the accepted corpus"),
+    code('''
+from dataprocessingframework_spark.operators.similarity import (
+    incremental_semantic_dedup,
+)
+
+arriving = emb.limit(5).select(
+    (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+)  # exact copies of corpus vectors -> all are semantic dups
+kept = incremental_semantic_dedup(
+    arriving, emb, cents, threshold=0.99, n_probe=3
+)
+print("kept", kept.count(), "of", arriving.count(), "arriving vectors")
+'''),
+    md("""
+The streaming form (`streaming.incremental_semantic_ingest`) runs
+this same gate inside a checkpointed `foreachBatch` stream with
+idempotent batch-dir appends — see `docs/llm_operators.md`.
+"""),
+    code('''
+spark.sql("DROP TABLE IF EXISTS nb_ann_idx")
+spark.sql("DROP TABLE IF EXISTS nb_ann_idx_centroids")
+'''),
+]
+
+
 def main() -> None:
     out = {
         "process_dataset_example.ipynb": PROCESS_DATASET,
@@ -387,6 +464,7 @@ def main() -> None:
         "image_filters_example.ipynb": IMAGE_FILTERS,
         "video_filters_example.ipynb": VIDEO_FILTERS,
         "pipeline_video_example.ipynb": PIPELINE_VIDEO,
+        "ann_serving_example.ipynb": ANN_SERVING,
     }
     for name, cells in out.items():
         path = os.path.join(ROOT, "examples", name)
