@@ -488,6 +488,12 @@ def lsh_topk_multi(
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_raw"),
         )
+        # two exchanges ((q_id, nbr_id) dedup, then q_id ranking) are
+        # DELIBERATE: collapsing them to one repartition(q_id) was
+        # A/B'd 8% faster at sf0.1 but concentrates a hot query's
+        # entire candidate set in one task — the (q_id, nbr_id)
+        # spread + map-side partial WindowGroupLimit is the skew
+        # guard at scale (measured-and-rejected, PLANS.md r8)
         .dropDuplicates(["q_id", "nbr_id"])
     )
     return _per_query_topk(scored, k)
@@ -678,6 +684,12 @@ def lsh_topk_from_index(
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_raw"),
         )
+        # two exchanges ((q_id, nbr_id) dedup, then q_id ranking) are
+        # DELIBERATE: collapsing them to one repartition(q_id) was
+        # A/B'd 8% faster at sf0.1 but concentrates a hot query's
+        # entire candidate set in one task — the (q_id, nbr_id)
+        # spread + map-side partial WindowGroupLimit is the skew
+        # guard at scale (measured-and-rejected, PLANS.md r8)
         .dropDuplicates(["q_id", "nbr_id"])
     )
     return _per_query_topk(scored, k)
