@@ -471,3 +471,68 @@ def test_hashed_linear_score_python_parity(spark):
             )
             expect = 1.0 / (1.0 + math.exp(-(total / (len(toks) * 1000.0))))
         assert got[i] == round(expect, 4), (i, got[i], expect)
+
+
+def test_incremental_semantic_dedup_python_parity(spark):
+    """r8: the IVF-cell-blocked cosine gate against a pure-numpy twin
+    on random corpora — a batch row survives iff NO corpus vector
+    sharing one of its n_probe nearest cells reaches the threshold
+    (note: blocked semantics, NOT plain max-cosine — a high-cosine
+    pair in unprobed cells must be ignored by both sides)."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators import similarity
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        dim, n_corpus, n_batch, n_cells, n_probe = 12, 40, 15, 6, 2
+        cvecs = rng.randn(n_corpus, dim)
+        # plant some batch rows as near-copies of corpus rows
+        bvecs = rng.randn(n_batch, dim)
+        for j in range(0, n_batch, 3):
+            bvecs[j] = cvecs[(j * 7) % n_corpus] * 1.5 + rng.randn(dim) * 0.01
+        cents = [list(map(float, rng.randn(dim))) for _ in range(n_cells)]
+        threshold = 0.9
+
+        # Spark stores array<float>: round inputs to float32 first,
+        # then compute in float64 — exactly what the JVM side does
+        cmat = np.asarray(cvecs, dtype=np.float32).astype(np.float64)
+        bmat = np.asarray(bvecs, dtype=np.float32).astype(np.float64)
+        kmat = np.asarray(cents, dtype=np.float64)
+
+        def cells(v, p):
+            sims = kmat @ v
+            order = np.argsort(-sims, kind="stable")
+            return set(order[:p].tolist())
+
+        c_cell = [cells(cmat[i], 1) for i in range(n_corpus)]
+        expected = []
+        for j in range(n_batch):
+            probed = cells(bmat[j], n_probe)
+            dup = False
+            for i in range(n_corpus):
+                if c_cell[i] & probed:
+                    cos = float(
+                        cmat[i] @ bmat[j]
+                        / (np.linalg.norm(cmat[i]) * np.linalg.norm(bmat[j]))
+                    )
+                    if cos >= threshold:
+                        dup = True
+                        break
+            if not dup:
+                expected.append(1000 + j)
+
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in cvecs[i]]) for i in range(n_corpus)],
+            schema="vec_id long, embedding array<float>",
+        )
+        batch = spark.createDataFrame(
+            [(1000 + j, [float(x) for x in bvecs[j]]) for j in range(n_batch)],
+            schema="vec_id long, embedding array<float>",
+        )
+        kept = similarity.incremental_semantic_dedup(
+            batch, corpus, cents,
+            threshold=threshold, n_probe=n_probe,
+        )
+        got = sorted(r.vec_id for r in kept.collect())
+        assert got == sorted(expected), (trial, got, expected)
