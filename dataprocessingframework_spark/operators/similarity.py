@@ -1138,6 +1138,82 @@ def ivf_topk_from_index(
     return _per_query_topk(scored, k)
 
 
+def kcenter_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Greedy farthest-point (k-center) selection over an embedding
+    column — the classic diverse-coreset / data-pruning pick: start
+    from a deterministic seed (min md5-hash id, the same seedless
+    portable sample as the IVF quantizer) and repeatedly take the
+    vector with the LARGEST cosine distance to the selected set.
+    Returns (sel_rank, vec_id, dist): dist is the selection-time distance
+    to the previously selected set (rounded 4; the seed reports the
+    max cosine distance 2.0), i.e. the coverage-radius sequence —
+    read row k's dist as "every remaining vector is within this of a
+    center".
+
+    Scale shape: each of the k rounds is one narrow map (update the
+    running min-distance against ONE new center, shipped as a
+    literal) plus one global argmax (orderBy-limit-1 = TakeOrdered,
+    map-side top-1 per partition); only k single rows and the k x dim
+    center matrix ever reach the driver. The min-distance column
+    nests one `least` per round, so lineage grows with k —
+    ``checkpoint_every`` truncates it with localCheckpoint for large
+    k. Ties break to the lower id; zero-norm vectors are excluded
+    (cosine undefined). Greedy k-center is the standard 2-approximation
+    of the optimal cover (Gonzalez 1985)."""
+    from dataprocessingframework_spark.functions.hashing import hash64
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("kid"),
+        F.col(vec_col).alias("kv"),
+        norm(F.col(vec_col)).alias("kn"),
+    ).filter(F.col("kn") > 0)
+    seed = (
+        base.withColumn("h", hash64(F.col("kid").cast("string")))
+        .orderBy("h", "kid")
+        .limit(1)
+        .collect()[0]
+    )
+
+    def dist_to(vec: list[float], vnorm: float) -> Column:
+        # engine-exact: the center's norm is reused from the collected
+        # row (computed by the same fold), not recomputed driver-side
+        return F.lit(1.0) - dot(F.col("kv"), F.lit(vec)) / (
+            F.col("kn") * F.lit(vnorm)
+        )
+
+    selected = [(0, int(seed.kid), 2.0)]
+    cur = base.withColumn(
+        "mind", dist_to([float(x) for x in seed.kv], float(seed.kn))
+    ).filter(F.col("kid") != int(seed.kid))
+    for r in range(1, k):
+        top_rows = cur.orderBy(F.desc("mind"), F.asc("kid")).limit(1).collect()
+        if not top_rows:
+            break  # fewer than k usable vectors
+        top = top_rows[0]
+        selected.append((r, int(top.kid), float(top.mind)))
+        cur = cur.filter(F.col("kid") != int(top.kid)).withColumn(
+            "mind",
+            F.least(
+                F.col("mind"),
+                dist_to([float(x) for x in top.kv], float(top.kn)),
+            ),
+        )
+        if r % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    # ROUND in Spark SQL (half-up, matching DuckDB for positives),
+    # NOT Python round() (banker's — would diverge on exact .00005s)
+    return spark.createDataFrame(
+        selected, schema="sel_rank int, vec_id long, dist double"
+    ).select("sel_rank", "vec_id", F.round("dist", 4).alias("dist"))
+
+
 def incremental_semantic_dedup(
     batch: DataFrame,
     corpus: DataFrame,

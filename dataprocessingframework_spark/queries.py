@@ -8183,6 +8183,63 @@ def q_stream_near_dup_ingest(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_emb_kcenter(spark, sf_dir):
+    """Greedy farthest-point (k-center) diverse-subset selection over
+    the embedding corpus (r8) — the data-pruning/coreset pick. The
+    md5-hash-min seed + identical fold arithmetic + (dist DESC, id)
+    tiebreak make every round deterministic and engine-portable, so
+    the whole greedy trajectory gets a FULL oracle (unrolled per-round
+    CTEs in SQL). Output (sel_rank, vec_id, dist): the coverage-radius
+    sequence; seed reports max cosine distance 2.0."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, k=5).orderBy("sel_rank")
+
+
+def _kcenter_sql(k: int = 5) -> str:
+    steps = []
+    prev_d, prev_sel = "d1", "s0"
+    steps.append("""d1 AS (
+  SELECT b.vec_id, b.v, b.n,
+         1.0 - list_dot_product(b.v, s.v) / (b.n * s.n) AS d
+  FROM b, s0 s WHERE b.vec_id <> s.vec_id
+)""")
+    selects = ["SELECT 0 AS sel_rank, vec_id, 2.0 AS dist FROM s0"]
+    for r in range(1, k):
+        sel = f"s{r}"
+        steps.append(f"""{sel} AS (
+  SELECT vec_id, v, n, d FROM {prev_d} ORDER BY d DESC, vec_id LIMIT 1
+)""")
+        selects.append(
+            f"SELECT {r} AS sel_rank, vec_id, ROUND(d, 4) AS dist FROM {sel}"
+        )
+        if r < k - 1:
+            nxt = f"d{r + 1}"
+            steps.append(f"""{nxt} AS (
+  SELECT p.vec_id, p.v, p.n,
+         LEAST(p.d, 1.0 - list_dot_product(p.v, s.v) / (p.n * s.n)) AS d
+  FROM {prev_d} p, {sel} s WHERE p.vec_id <> s.vec_id
+)""")
+            prev_d = nxt
+    return (
+        """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+b AS (SELECT vec_id, v, n FROM b0 WHERE n > 0),
+h AS (
+  SELECT vec_id, v, n,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM b
+),
+s0 AS (SELECT vec_id, v, n FROM h ORDER BY hh, vec_id LIMIT 1),
+"""
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY sel_rank"
+    )
+
+
 def q_stream_semantic_ingest(spark, sf_dir):
     """Continuous SEMANTIC-dup-gated ingestion under the oracle (r8):
     embeddings arrive in two waves; a wave-2 vector is dropped iff an
@@ -8988,6 +9045,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_stream_semantic_ingest,
         SQL_STREAM_SEMANTIC_INGEST,
     ),
+    # greedy farthest-point coreset selection (r8): deterministic
+    # seed + portable arithmetic -> the full greedy trajectory is
+    # FULL-oracled via unrolled per-round CTEs
+    "emb_kcenter": (q_emb_kcenter, _kcenter_sql(5)),
     "emb_centroid_prune": (q_emb_centroid_prune, SQL_EMB_CENTROID_PRUNE),
 }
 
@@ -9025,21 +9086,23 @@ _R7_WINDOW = [
     "profile_table", "stream_sliding_window", "tx_pii_scrub",
 ]
 
-# r8 WINDOW: positions 1-3 are the new/changed queries —
+# r8 WINDOW: positions 1-4 are the new/changed queries —
 # emb_lsh_index_topk (its operator gained a defensive vnorm>0 probe
 # filter plus opt-in probe-key pushdown this round — ADVICE r7),
 # emb_ivf_index_topk (NEW: the materialized cell-bucketed IVF probe
-# route), and stream_semantic_ingest (NEW: IVF-cell-blocked cosine
-# gate in a checkpointed stream). Positions 4-24 are the ENTIRE
+# route), stream_semantic_ingest (NEW: IVF-cell-blocked cosine gate
+# in a checkpointed stream), and emb_kcenter (NEW: greedy
+# farthest-point coreset selection). Positions 5-25 are the ENTIRE
 # 21-query cohort last driver-checked in r3 (all re-verified locally
-# in r7, now getting their driver re-check). Positions 25-50 are the
-# 26 oldest entries of the 48-query r4-stale cohort (CORRECTNESS_r04
-# order); the 22 r4-stale queries that don't fit are re-verified
+# in r7, now getting their driver re-check). Positions 26-50 are the
+# 25 oldest entries of the 48-query r4-stale cohort (CORRECTNESS_r04
+# order); the 23 r4-stale queries that don't fit are re-verified
 # locally this round via tools/check_correctness.py (outcomes in
 # PLANS.md; rotation history in COVERAGE.md). Post-r8 staleness:
 # nothing older than r4.
 _R8_WINDOW = [
     "emb_lsh_index_topk", "emb_ivf_index_topk", "stream_semantic_ingest",
+    "emb_kcenter",
     # r3-stale cohort (21)
     "dd_exact_text", "dd_minhash", "dd_simhash", "dd_jaccard",
     "dd_hamming", "dd_lsh_candidates", "k2_phash",
@@ -9057,7 +9120,7 @@ _R8_WINDOW = [
     "f_unpivot", "stream_curation", "d_temperature_sample",
     "d_per_group_sample", "dd_incremental_near_dup", "tx_unigram_nll",
     "a_corr_matrix", "w_hive_partitioned", "tx_budget_mix",
-    "d_stratified_sample", "dd_incremental", "stream_enriched_agg",
+    "d_stratified_sample", "dd_incremental",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 REGISTRY = {

@@ -1580,3 +1580,36 @@ def test_incremental_semantic_dedup_gate(spark):
         n_probe=4,
     )
     assert {r.vec_id for r in kept_all.collect()} == {200}
+
+
+def test_kcenter_select_geometry(spark):
+    """r8: greedy farthest-point must (a) pick one representative per
+    well-separated cluster before any second member, (b) report a
+    non-increasing coverage radius after the warm-up pick, (c) stop
+    early when vectors run out, and (d) never pick a zero-norm row."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    centers = np.eye(3, 16) * 10  # 3 orthogonal, far-apart clusters
+    rows = []
+    for i in range(30):
+        c = i % 3
+        rows.append((i, [float(x) for x in centers[c] + rng.randn(16) * 0.05]))
+    rows.append((99, [0.0] * 16))  # zero-norm: must never be selected
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>"
+    )
+    sel = similarity.kcenter_select(df, k=3).collect()
+    assert [r.sel_rank for r in sel] == [0, 1, 2]
+    assert {r.vec_id % 3 for r in sel if r.vec_id != 99} == {0, 1, 2}
+    assert all(r.vec_id != 99 for r in sel)
+    # distances after the seed are real selection radii in (0, 2]
+    dists = [r.dist for r in sel]
+    assert dists[0] == 2.0 and all(0 < d <= 2.0 for d in dists[1:])
+    assert dists[1] >= dists[2] > 0.5  # cross-cluster picks are far
+
+    # k larger than the usable corpus truncates instead of failing
+    tiny = spark.createDataFrame(
+        rows[:2], schema="vec_id long, embedding array<float>"
+    )
+    assert similarity.kcenter_select(tiny, k=10).count() == 2
