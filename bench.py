@@ -60,7 +60,7 @@ TIERS: dict[str, list[str]] = {
     "ann": [
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
-        "ann_ivf_index_probe",
+        "ann_ivf_index_probe", "ann_kcenter",
     ],
 }
 
@@ -210,6 +210,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     # the production repeated-probe shape where the build is amortized
     # over many query batches. Compare against ann_lsh_multi_topk,
     # which rebuilds everything inline per probe batch.
+    out["ann_kcenter"] = small(q.q_emb_kcenter)
     if discover:
         # names only, never run
         out["ann_index_probe"] = lambda: None

@@ -450,6 +450,14 @@ The streaming form (`streaming.incremental_semantic_ingest`) runs
 this same gate inside a checkpointed `foreachBatch` stream with
 idempotent batch-dir appends — see `docs/llm_operators.md`.
 """),
+    md("## Pick a diverse coreset (greedy k-center)"),
+    code('''
+from dataprocessingframework_spark.operators.similarity import (
+    kcenter_select,
+)
+
+kcenter_select(emb, k=4).show()  # (sel_rank, vec_id, coverage dist)
+'''),
     code('''
 spark.sql("DROP TABLE IF EXISTS nb_ann_idx")
 spark.sql("DROP TABLE IF EXISTS nb_ann_idx_centroids")
