@@ -1276,17 +1276,54 @@ def incremental_semantic_dedup(
         n_probe=n_probe,
         impl=impl,
     )
-    b_side = F.broadcast(b) if broadcast_batch else b
-    dup_ids = (
-        c.join(b_side, on="cell")
-        .filter(
-            dot(F.col("b_vec"), F.col("c_vec"))
-            / (F.col("b_norm") * F.col("c_norm"))
-            >= threshold
+    if impl == "blas":
+        # per-cell matmul instead of a per-pair codegen fold: cogroup
+        # (corpus cell members) x (batch probe rows) and score each
+        # cell as ONE numpy matmul. Measured necessity (PLANS.md "r8
+        # semantic ingest soak"): a 100k-batch-vs-100k-corpus gate at
+        # 64 cells is ~6x10^8 pairs — minutes through the JVM fold,
+        # seconds as matmuls. Per-cell memory is |corpus_cell| x
+        # |batch_cell| doubles: size n_cells so cells stay bounded
+        # (corpus/500 is a sane default), the same discipline as
+        # max_bucket_size in the LSH tier. Like cosine_topk's blas
+        # impl, float summation order differs from the fold in the
+        # last ulp — production path; use impl='jvm' for oracle-exact
+        # parity.
+        import numpy as np
+        import pandas as pd
+
+        def gate(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cpdf) == 0 or len(bpdf) == 0:
+                return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
+            cm = np.stack(cpdf["c_vec"].values).astype(np.float64)
+            cn = cpdf["c_norm"].values.astype(np.float64)
+            bm = np.stack(bpdf["b_vec"].values).astype(np.float64)
+            bn = bpdf["b_norm"].values.astype(np.float64)
+            sims = (bm @ cm.T) / np.outer(bn, cn)
+            hit = (sims >= threshold).any(axis=1)
+            return pd.DataFrame(
+                {"b_id": bpdf["b_id"].values[hit].astype("int64")}
+            )
+
+        dup_ids = (
+            c.groupby("cell")
+            .cogroup(b.groupby("cell"))
+            .applyInPandas(gate, schema="b_id long")
+            .withColumnRenamed("b_id", id_col)
+            .distinct()
         )
-        .select(F.col("b_id").alias(id_col))
-        .distinct()
-    )
+    else:
+        b_side = F.broadcast(b) if broadcast_batch else b
+        dup_ids = (
+            c.join(b_side, on="cell")
+            .filter(
+                dot(F.col("b_vec"), F.col("c_vec"))
+                / (F.col("b_norm") * F.col("c_norm"))
+                >= threshold
+            )
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
     return batch.join(dup_ids, on=id_col, how="left_anti")
 
 

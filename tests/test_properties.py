@@ -536,3 +536,13 @@ def test_incremental_semantic_dedup_python_parity(spark):
         )
         got = sorted(r.vec_id for r in kept.collect())
         assert got == sorted(expected), (trial, got, expected)
+        # the blas (cogrouped per-cell matmul) scoring path must
+        # agree with the JVM fold away from last-ulp boundaries
+        got_blas = sorted(
+            r.vec_id
+            for r in similarity.incremental_semantic_dedup(
+                batch, corpus, cents,
+                threshold=threshold, n_probe=n_probe, impl="blas",
+            ).collect()
+        )
+        assert got_blas == got, (trial, got_blas, got)
