@@ -703,30 +703,84 @@ def cosine_near_dup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     exact: bool = False,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos >= threshold).
 
     exact=True does the full self-join (verification path); default uses
     LSH buckets so only same-bucket pairs are scored.
-    """
+
+    impl='jvm' (default): per-pair codegen fold — fold-order-exact vs
+    the DuckDB oracles. impl='blas' (bucketed path only): each LSH
+    bucket is scored as ONE cogrouped numpy matmul, the same
+    per-cell-matmul shape (and the same measured >=45x class of win
+    on 10^8-pair workloads) as incremental_semantic_dedup's blas
+    gate; per-bucket memory is |bucket|^2 doubles, so keep buckets
+    bounded exactly as the LSH tier already demands. Last-ulp float
+    summation differences vs the fold — production path."""
     # per-side norm precompute (as in cosine_topk): the norm fold runs
     # once per row, not once per candidate pair — bit-identical values
+    # zero-norm rows excluded on both sides: their cosine is NaN, and
+    # Spark comparisons treat NaN as GREATER than any number, so an
+    # all-zero embedding would otherwise "near-duplicate" everything
+    # it shares a bucket with (numpy would silently disagree)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         norm(F.col(vec_col)).alias("na"),
-    )
+    ).filter(F.col("na") > 0)
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         norm(F.col(vec_col)).alias("nb"),
-    )
+    ).filter(F.col("nb") > 0)
     if exact:
         pairs = a.crossJoin(b)
     else:
         planes = _hyperplanes(dim, n_planes)
         a = a.withColumn("bucket", lsh_bucket_expr(F.col("va"), planes))
         b = b.withColumn("bucket", lsh_bucket_expr(F.col("vb"), planes))
+        if impl == "blas":
+            import numpy as np
+            import pandas as pd
+
+            def score(apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame(
+                    {
+                        "id_a": pd.Series([], dtype="int64"),
+                        "id_b": pd.Series([], dtype="int64"),
+                        "cos": pd.Series([], dtype="float64"),
+                    }
+                )
+                if len(apdf) == 0 or len(bpdf) == 0:
+                    return empty
+                am = np.stack(apdf["va"].values).astype(np.float64)
+                bm = np.stack(bpdf["vb"].values).astype(np.float64)
+                an = apdf["na"].values.astype(np.float64)
+                bn = bpdf["nb"].values.astype(np.float64)
+                sims = (am @ bm.T) / np.outer(an, bn)
+                ia = apdf["id_a"].values
+                ib = bpdf["id_b"].values
+                ai, bi = np.nonzero(
+                    (sims >= threshold) & (ia[:, None] < ib[None, :])
+                )
+                if len(ai) == 0:
+                    return empty
+                return pd.DataFrame(
+                    {
+                        "id_a": ia[ai].astype("int64"),
+                        "id_b": ib[bi].astype("int64"),
+                        "cos": np.round(sims[ai, bi], 4),
+                    }
+                )
+
+            return (
+                a.groupby("bucket")
+                .cogroup(b.groupby("bucket"))
+                .applyInPandas(
+                    score, schema="id_a long, id_b long, cos double"
+                )
+            )
         pairs = a.join(b, on="bucket")
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))

@@ -1613,3 +1613,36 @@ def test_kcenter_select_geometry(spark):
         rows[:2], schema="vec_id long, embedding array<float>"
     )
     assert similarity.kcenter_select(tiny, k=10).count() == 2
+
+
+def test_cosine_near_dup_pairs_blas_parity_and_zero_norm(spark):
+    """r8: the bucketed near-dup pair listing gains a blas impl (one
+    cogrouped matmul per LSH bucket — the incremental_semantic_dedup
+    scoring shape). Must equal the JVM fold exactly away from last-ulp
+    boundaries, and zero-norm rows must pair with NOTHING on either
+    impl (NaN cosine sorts above every number in Spark comparisons —
+    without the filter an all-zero embedding 'near-duplicates' its
+    whole bucket)."""
+    rng = np.random.RandomState(77)
+    vecs = rng.randn(300, 64).astype(np.float32)
+    for j in range(0, 300, 7):
+        vecs[j] = vecs[(j * 3) % 300] * 1.3
+    vecs[5] = 0.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        schema="vec_id long, embedding array<float>",
+    )
+    jvm = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.95
+        ).collect()
+    )
+    blas = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.95, impl="blas"
+        ).collect()
+    )
+    assert jvm == blas and jvm
+    assert all(5 not in (a, b) for a, b, _ in jvm)
