@@ -1270,7 +1270,7 @@ def kcenter_select(
 
 def incremental_semantic_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1278,10 +1278,21 @@ def incremental_semantic_dedup(
     n_probe: int = 2,
     impl: str = "jvm",
     broadcast_batch: bool = True,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Drop arriving vectors that semantically duplicate the accepted
-    corpus: a batch row is removed iff some corpus vector in one of
-    its ``n_probe`` nearest IVF cells has cosine >= ``threshold``.
+    corpus: a batch row is removed iff some DIFFERENT-id corpus
+    vector in one of its ``n_probe`` nearest IVF cells has cosine >=
+    ``threshold``. (Same-id matches never count: ids are globally
+    unique by contract, so a same-id hit is the batch meeting its own
+    half-applied copy during a replay — counting it would silently
+    drop the whole batch on retry.)
+
+    ``corpus_cells`` short-circuits the corpus-side cell assignment:
+    pass a frame with (cell, id_col, vec_col, vnorm) — e.g. a
+    :func:`materialize_ivf_index` table built with the SAME
+    centroids — and the corpus is gated as-is, each vector's cell
+    computed ONCE at accept time instead of on every batch.
     The embedding twin of ``dedup.incremental_near_dup`` (which
     gates on text MinHash/Jaccard), and the batch kernel of
     ``streaming.incremental_semantic_ingest``.
@@ -1306,18 +1317,26 @@ def incremental_semantic_dedup(
     ``n_cells`` in the thousands so the shuffle join has key
     cardinality to spread.
     """
-    c = assign_cells(
-        corpus.select(
+    if corpus_cells is not None:
+        c = corpus_cells.select(
+            "cell",
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
-            norm(F.col(vec_col)).alias("c_norm"),
-        ).filter(F.col("c_norm") > 0),
-        centroids,
-        "c_id",
-        "c_vec",
-        n_probe=1,
-        impl=impl,
-    )
+            F.col("vnorm").alias("c_norm"),
+        ).filter(F.col("c_norm") > 0)
+    else:
+        c = assign_cells(
+            corpus.select(
+                F.col(id_col).alias("c_id"),
+                F.col(vec_col).alias("c_vec"),
+                norm(F.col(vec_col)).alias("c_norm"),
+            ).filter(F.col("c_norm") > 0),
+            centroids,
+            "c_id",
+            "c_vec",
+            n_probe=1,
+            impl=impl,
+        )
     b = assign_cells(
         batch.select(
             F.col(id_col).alias("b_id"),
@@ -1354,7 +1373,10 @@ def incremental_semantic_dedup(
             bm = np.stack(bpdf["b_vec"].values).astype(np.float64)
             bn = bpdf["b_norm"].values.astype(np.float64)
             sims = (bm @ cm.T) / np.outer(bn, cn)
-            hit = (sims >= threshold).any(axis=1)
+            not_self = (
+                bpdf["b_id"].values[:, None] != cpdf["c_id"].values[None, :]
+            )
+            hit = ((sims >= threshold) & not_self).any(axis=1)
             return pd.DataFrame(
                 {"b_id": bpdf["b_id"].values[hit].astype("int64")}
             )
@@ -1370,6 +1392,7 @@ def incremental_semantic_dedup(
         b_side = F.broadcast(b) if broadcast_batch else b
         dup_ids = (
             c.join(b_side, on="cell")
+            .filter(F.col("c_id") != F.col("b_id"))
             .filter(
                 dot(F.col("b_vec"), F.col("c_vec"))
                 / (F.col("b_norm") * F.col("c_norm"))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataprocessingframework_spark.streaming.ingest import _committed_batches
 
@@ -210,6 +211,9 @@ def incremental_semantic_ingest(
     curate: Callable[[DataFrame], DataFrame] | None = None,
     src_format: str = "json",
     max_files_per_trigger: int | None = None,
+    index_table: str | None = None,
+    index_path: str | None = None,
+    index_num_buckets: int = 16,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -231,15 +235,44 @@ def incremental_semantic_ingest(
     PLANS.md "r8 semantic ingest soak"); pass 'jvm' for
     fold-order-exact scoring. Within-batch semantic dups are kept
     (the incremental contract).
+
+    ``index_table`` switches the corpus side to a MAINTAINED
+    materialized IVF index: each batch probes the cell-bucketed
+    index (corpus cells computed once at accept time, never
+    recomputed per batch) and appends its survivors to it. Replay
+    safety without transactional storage: the gate ignores same-id
+    matches, so a half-applied append from a failed attempt cannot
+    gate its own replay, and duplicate index rows are harmless to
+    the existential threshold decision (they re-confirm, never flip,
+    a verdict). The batch-dir corpus remains the source of truth;
+    the index is derived state rebuildable via
+    ``materialize_ivf_index(read_corpus(...), centroids=...)``.
     """
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
     )
 
+    from dataprocessingframework_spark.operators.similarity import (
+        materialize_ivf_index,
+    )
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curated = curate(batch_df) if curate is not None else batch_df
         prior = _batch_dirs(spark, corpus_dir, exclude=f"batch-{batch_id}")
-        if prior:
+        use_index = (
+            index_table is not None
+            and spark.catalog.tableExists(index_table)
+        )
+        if use_index:
+            fresh = incremental_semantic_dedup(
+                curated, None, centroids,
+                id_col=id_col, vec_col=vec_col,
+                threshold=threshold, n_probe=n_probe, impl=impl,
+                corpus_cells=spark.table(index_table).withColumnRenamed(
+                    "vec_id", id_col
+                ).withColumnRenamed("embedding", vec_col),
+            )
+        elif prior:
             corpus = spark.read.parquet(*prior)
             fresh = incremental_semantic_dedup(
                 curated, corpus, centroids,
@@ -249,6 +282,19 @@ def incremental_semantic_ingest(
         else:
             fresh = curated
         fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
+        if index_table is not None:
+            materialize_ivf_index(
+                spark.read.parquet(f"{corpus_dir}/batch-{batch_id}").select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                ),
+                index_table,
+                centroids=centroids,
+                impl=impl,
+                num_buckets=index_num_buckets,
+                path=index_path,
+                mode="append" if use_index else "overwrite",
+            )
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,

@@ -1646,3 +1646,23 @@ def test_cosine_near_dup_pairs_blas_parity_and_zero_norm(spark):
     )
     assert jvm == blas and jvm
     assert all(5 not in (a, b) for a, b, _ in jvm)
+
+
+def test_semantic_dedup_ignores_same_id_matches(spark):
+    """r8: a batch row whose OWN id already sits in the corpus (the
+    half-applied-append replay artifact) must not be dropped by its
+    own copy — same-id matches never count, on either impl."""
+    rng = np.random.RandomState(51)
+    vecs = rng.randn(20, 16).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in vecs[i]] for i in range(4)]
+    # batch = rows 3 and 7 VERBATIM (same ids, same vectors)
+    batch = corpus.filter(F.col("vec_id").isin([3, 7]))
+    for impl in ("jvm", "blas"):
+        kept = similarity.incremental_semantic_dedup(
+            batch, corpus, cents, threshold=0.999, n_probe=4, impl=impl
+        )
+        assert {r.vec_id for r in kept.collect()} == {3, 7}, impl

@@ -475,3 +475,59 @@ def test_incremental_semantic_ingest_two_waves(spark, tmp_path):
 
     assert run() == 0  # nothing new -> no batch committed
     assert read_corpus(spark, corpus).count() == total
+
+
+def test_incremental_semantic_ingest_index_backed(spark, tmp_path):
+    """r8: with index_table set, the stream gates each batch against
+    a MAINTAINED materialized IVF index (corpus cells computed once
+    at accept time) and appends survivors to it. Must equal the
+    dir-backed mode exactly, keep the index in lockstep with the
+    corpus, and stay replay-safe (same-id matches ignored)."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", "embedding")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
+    kept = {}
+    try:
+        for mode in ("dirs", "index"):
+            base = str(tmp_path / mode)
+            src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+            kw = (
+                dict(index_table="t_sem_ing_idx", index_path=f"{base}/idx")
+                if mode == "index"
+                else {}
+            )
+
+            def run():
+                return incremental_semantic_ingest(
+                    spark, src, "vec_id long, embedding array<float>",
+                    corpus, ckpt, cents,
+                    threshold=0.4, n_probe=2, src_format="parquet", **kw,
+                )
+
+            emb.filter(F.col("vec_id") < cut).write.mode("append").parquet(src)
+            run()
+            emb.filter(F.col("vec_id") >= cut).write.mode("append").parquet(
+                src
+            )
+            run()
+            kept[mode] = sorted(
+                r.vec_id for r in read_corpus(spark, corpus).collect()
+            )
+            assert run() == 0  # replay: nothing new
+        assert kept["dirs"] == kept["index"]
+        idx = spark.table("t_sem_ing_idx")
+        assert sorted(r.vec_id for r in idx.collect()) == kept["index"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sem_ing_idx")
+        spark.sql("DROP TABLE IF EXISTS t_sem_ing_idx_centroids")
