@@ -1039,6 +1039,14 @@ def materialize_lsh_index(
     step. Size ``num_buckets`` so one bucket of the full corpus index
     fits an executor (thousands at 100 TB, not 32).
     """
+    if mode == "append":
+        # append must match the existing table's bucket spec exactly
+        # (Spark rejects a mismatch) — read it from the catalog
+        # instead of trusting the caller to repeat it
+        desc = df.sparkSession.sql(f"DESCRIBE FORMATTED {table}").collect()
+        buckets = [r for r in desc if r.col_name == "Num Buckets"]
+        if buckets:
+            num_buckets = int(buckets[0].data_type)
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
     )

@@ -156,6 +156,9 @@ def incremental_near_dup_ingest(
     curate: Callable[[DataFrame], DataFrame] | None = None,
     src_format: str = "json",
     max_files_per_trigger: int | None = None,
+    index_table: str | None = None,
+    index_path: str | None = None,
+    index_num_buckets: int = 32,
 ) -> int:
     """Continuous NEAR-dup-gated ingestion: per micro-batch, drop
     arriving docs that near-duplicate the already-accepted corpus
@@ -166,29 +169,61 @@ def incremental_near_dup_ingest(
 
     Scale shape per batch: the corpus is touched through its LSH index
     and the verification texts of candidate docs only; shuffles are
-    batch-sized plus collisions (materialize the index with
-    ``dedup.materialize_lsh_index`` and pass batches through
-    ``incremental_near_dup(corpus_index=...)`` for the exchange-free
-    probe at 100 TB — here the index is recomputed per batch for
-    self-containedness). Within-batch near-dups are NOT removed
-    (matching the batch operator's contract).
+    batch-sized plus collisions. ``index_table`` switches to a
+    MAINTAINED ``materialize_lsh_index`` table: each batch probes the
+    (band, bucket)-bucketed index exchange-free (the corpus is never
+    re-hashed per batch) and appends its survivors' index rows.
+    Replay safety: rows belonging to the current batch's ids are
+    anti-joined OUT of the index before probing, so a half-applied
+    append from a failed attempt cannot collide with its own replay
+    (incremental_near_dup's disjoint-id precondition stays intact);
+    the batch-dir corpus remains the source of truth and the index is
+    derived state. Without ``index_table`` the index is recomputed
+    per batch for self-containedness. Within-batch near-dups are NOT
+    removed (matching the batch operator's contract).
     """
     from dataprocessingframework_spark.operators.dedup import (
         incremental_near_dup,
+        materialize_lsh_index,
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curated = curate(batch_df) if curate is not None else batch_df
         prior = _batch_dirs(spark, corpus_dir, exclude=f"batch-{batch_id}")
+        use_index = (
+            index_table is not None
+            and spark.catalog.tableExists(index_table)
+        )
         if prior:
             corpus = spark.read.parquet(*prior)
+            cidx = None
+            if use_index:
+                # drop any half-applied rows of THIS batch's ids (a
+                # failed earlier attempt) so the disjoint-id contract
+                # holds on replay
+                cidx = spark.table(index_table).join(
+                    curated.select(id_col), on=id_col, how="left_anti"
+                )
             fresh = incremental_near_dup(
                 curated, corpus, text_col, id_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
+                corpus_index=cidx,
             )
         else:
             fresh = curated
         fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
+        if index_table is not None:
+            materialize_lsh_index(
+                spark.read.parquet(f"{corpus_dir}/batch-{batch_id}"),
+                text_col,
+                id_col,
+                index_table,
+                num_hashes=num_hashes,
+                bands=bands,
+                num_buckets=index_num_buckets,
+                path=index_path,
+                mode="append" if use_index else "overwrite",
+            )
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,

@@ -531,3 +531,58 @@ def test_incremental_semantic_ingest_index_backed(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sem_ing_idx")
         spark.sql("DROP TABLE IF EXISTS t_sem_ing_idx_centroids")
+
+
+def test_incremental_near_dup_ingest_index_backed(spark, tmp_path):
+    """r8: with index_table set, the near-dup stream probes a
+    MAINTAINED (band, bucket)-bucketed LSH index (the corpus is never
+    re-hashed per batch) and appends survivors' index rows. Must
+    equal the recompute-per-batch mode exactly, keep the index in
+    lockstep with the corpus, and stay replay-safe."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_near_dup_ingest,
+        read_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.select("doc_id", "text")
+    cut = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    kept = {}
+    try:
+        for mode in ("recompute", "index"):
+            base = str(tmp_path / mode)
+            src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+            kw = (
+                dict(index_table="t_nd_ing_idx", index_path=f"{base}/idx")
+                if mode == "index"
+                else {}
+            )
+
+            def run():
+                return incremental_near_dup_ingest(
+                    spark, src, "doc_id long, text string", corpus, ckpt,
+                    threshold=0.5, num_hashes=8, bands=4, **kw,
+                )
+
+            docs.filter(F.col("doc_id") < cut).write.mode("append").json(src)
+            run()
+            docs.filter(F.col("doc_id") >= cut).write.mode("append").json(src)
+            run()
+            kept[mode] = sorted(
+                r.doc_id for r in read_corpus(spark, corpus).collect()
+            )
+            assert run() == 0
+        assert kept["recompute"] == kept["index"]
+        idx_ids = sorted(
+            r.doc_id
+            for r in spark.table("t_nd_ing_idx").select("doc_id")
+            .distinct().collect()
+        )
+        # every kept doc with a non-empty signature is indexed (docs
+        # whose text yields no tokens produce no index rows)
+        assert set(idx_ids) <= set(kept["index"])
+        assert len(idx_ids) >= len(kept["index"]) - 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nd_ing_idx")
