@@ -546,3 +546,55 @@ def test_incremental_semantic_dedup_python_parity(spark):
             ).collect()
         )
         assert got_blas == got, (trial, got_blas, got)
+
+
+def test_kcenter_select_python_parity(spark):
+    """r8: the greedy k-center trajectory against a pure-numpy twin on
+    random corpora — same md5-hash-min seed, same cosine-distance
+    update, same (dist DESC, id ASC) tiebreak. Triangulates the Spark
+    implementation independently of the DuckDB oracle."""
+    import numpy as np
+
+    from dataprocessingframework_spark.functions.hashing import hash64_py
+    from dataprocessingframework_spark.operators import similarity
+
+    rng = np.random.RandomState(29)
+    for trial in range(3):
+        n, dim, k = 60, 12, 6
+        vecs = rng.randn(n, dim).astype(np.float32)
+        ids = [int(i * 3 + 1) for i in range(n)]  # non-contiguous ids
+        mat = vecs.astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+
+        def cdist(i, j):
+            return 1.0 - float(
+                mat[i] @ mat[j] / (norms[i] * norms[j])
+            )
+
+        seed_pos = min(range(n), key=lambda i: (hash64_py(str(ids[i])), ids[i]))
+        chosen = [(0, ids[seed_pos], 2.0)]
+        mind = {i: cdist(i, seed_pos) for i in range(n) if i != seed_pos}
+        while len(chosen) < k and mind:
+            # argmax by (dist DESC, id ASC)
+            pick = max(mind, key=lambda i: (mind[i], -ids[i]))
+            chosen.append((len(chosen), ids[pick], round(mind[pick], 4)))
+            del mind[pick]
+            for i in list(mind):
+                mind[i] = min(mind[i], cdist(i, pick))
+
+        df = spark.createDataFrame(
+            [(ids[i], [float(x) for x in vecs[i]]) for i in range(n)],
+            schema="vec_id long, embedding array<float>",
+        )
+        got = [
+            (r.sel_rank, r.vec_id, r.dist)
+            for r in similarity.kcenter_select(df, k=k)
+            .orderBy("sel_rank")
+            .collect()
+        ]
+        want = [(r, i, round(d, 4)) for r, i, d in chosen]
+        assert [(a, b) for a, b, _ in got] == [
+            (a, b) for a, b, _ in want
+        ], (trial, got, want)
+        for (_, _, gd), (_, _, wd) in zip(got, want):
+            assert abs(gd - wd) < 2e-4, (trial, got, want)
