@@ -695,6 +695,103 @@ def lsh_topk_from_index(
     return _per_query_topk(scored, k)
 
 
+def _salt_cell_blocks(
+    c: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    key: str,
+    max_rows: int | None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Bound cogroup-group size for an existential corpus-vs-batch
+    gate: corpus ``key`` groups above ``max_rows`` are hash-salted
+    into ceil(n/max_rows) sub-blocks (on ``id_col``), and every batch
+    probe row fans to every sub-block of its key. applyInPandas
+    materializes a whole group in one Python worker, so without this
+    a quantizer mega-cell is an executor OOM regardless of matmul
+    chunking. The gate verdict is existential (ANY corpus hit), so
+    corpus-side splitting never changes results. The sub-block bound
+    is in expectation (hash split, like every salted join): ~max_rows
+    per block with sqrt-order variance, not a hard ceiling.
+
+    Returns (salted corpus, fanned batch, cogroup keys). ``max_rows``
+    None disables (keys = [key] only)."""
+    if max_rows is None:
+        return c, b, [key]
+    # one tiny agg (n_keys rows, broadcast) sizes the salt space per
+    # key; groups at or under the cap keep n_salt=1 so the common
+    # case adds no fan-out
+    counts = c.groupBy(key).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(int(max_rows)))
+        .cast("int")
+        .alias("n_salt")
+    )
+    c_g = (
+        c.join(F.broadcast(counts), on=key)
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(id_col), F.col("n_salt")).cast("int")
+        )
+        .drop("n_salt")
+    )
+    # left join: a batch key with no corpus rows has no count row —
+    # coalesce to one (empty-corpus) sub-block
+    b_g = (
+        b.join(F.broadcast(counts), on=key, how="left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1
+                )
+            ),
+        )
+        .drop("n_salt")
+    )
+    return c_g, b_g, [key, "salt"]
+
+
+def _salt_self_join_blocks(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    max_rows: int | None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Bound cogroup-group size for a same-key self-join pair listing:
+    ``key`` groups above ``max_rows`` split into n_salt hash blocks
+    per side, and each side fans across the OTHER side's salt, so the
+    ordered pair (x, y) meets in exactly the one group
+    (key, salt(x), salt(y)) — no duplicate pairs, no lost pairs.
+    Replication per side is n_salt (group count n_salt^2, each
+    bounded). Expected-size bound, as in :func:`_salt_cell_blocks`.
+
+    ``a`` must carry ``id_a`` and ``b`` ``id_b`` for the salt hash.
+    Returns (salted a, salted b, cogroup keys)."""
+    if max_rows is None:
+        return a, b, [key]
+    counts = a.groupBy(key).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(int(max_rows)))
+        .cast("int")
+        .alias("n_salt")
+    )
+    fan = F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
+    a_g = (
+        a.join(F.broadcast(counts), on=key)
+        .withColumn(
+            "sa", F.pmod(F.xxhash64("id_a"), F.col("n_salt")).cast("int")
+        )
+        .withColumn("sb", fan)
+        .drop("n_salt")
+    )
+    b_g = (
+        b.join(F.broadcast(counts), on=key)
+        .withColumn(
+            "sb", F.pmod(F.xxhash64("id_b"), F.col("n_salt")).cast("int")
+        )
+        .withColumn("sa", fan)
+        .drop("n_salt")
+    )
+    return a_g, b_g, [key, "sa", "sb"]
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -704,6 +801,7 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     exact: bool = False,
     impl: str = "jvm",
+    max_bucket_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos >= threshold).
 
@@ -715,9 +813,20 @@ def cosine_near_dup_pairs(
     bucket is scored as ONE cogrouped numpy matmul, the same
     per-cell-matmul shape (and the same measured >=45x class of win
     on 10^8-pair workloads) as incremental_semantic_dedup's blas
-    gate; per-bucket memory is |bucket|^2 doubles, so keep buckets
-    bounded exactly as the LSH tier already demands. Last-ulp float
-    summation differences vs the fold — production path."""
+    gate. Last-ulp float summation differences vs the fold —
+    production path; rounding is half-away-from-zero to match the
+    JVM path's HALF_UP ``F.round`` even on exact .00005 ties.
+
+    ``max_bucket_rows`` (default ON, blas path) bounds per-task
+    memory: applyInPandas materializes a whole cogroup in one Python
+    worker, so a hot LSH bucket (near-dup-heavy corpora concentrate)
+    would otherwise OOM an executor. Buckets above the cap are hash-
+    salted into sub-blocks on BOTH sides and every (salt_a, salt_b)
+    sub-block pair is scored, so each ordered pair (id_a < id_b)
+    meets in exactly one group — semantics-free blocking of the
+    self-join, the same discipline as the LSH tier's
+    ``max_bucket_size``. The matmul additionally chunks so the sims
+    matrix stays <=2^24 doubles (~128 MB) per step."""
     # per-side norm precompute (as in cosine_topk): the norm fold runs
     # once per row, not once per candidate pair — bit-identical values
     # zero-norm rows excluded on both sides: their cosine is NaN, and
@@ -744,6 +853,10 @@ def cosine_near_dup_pairs(
             import numpy as np
             import pandas as pd
 
+            a_g, b_g, keys = _salt_self_join_blocks(
+                a, b, "bucket", max_bucket_rows
+            )
+
             def score(apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
                 empty = pd.DataFrame(
                     {
@@ -754,29 +867,45 @@ def cosine_near_dup_pairs(
                 )
                 if len(apdf) == 0 or len(bpdf) == 0:
                     return empty
-                am = np.stack(apdf["va"].values).astype(np.float64)
                 bm = np.stack(bpdf["vb"].values).astype(np.float64)
-                an = apdf["na"].values.astype(np.float64)
                 bn = bpdf["nb"].values.astype(np.float64)
-                sims = (am @ bm.T) / np.outer(an, bn)
-                ia = apdf["id_a"].values
                 ib = bpdf["id_b"].values
-                ai, bi = np.nonzero(
-                    (sims >= threshold) & (ia[:, None] < ib[None, :])
-                )
-                if len(ai) == 0:
-                    return empty
-                return pd.DataFrame(
-                    {
-                        "id_a": ia[ai].astype("int64"),
-                        "id_b": ib[bi].astype("int64"),
-                        "cos": np.round(sims[ai, bi], 4),
-                    }
-                )
+                out = []
+                step = max(1, (1 << 24) // len(bpdf))
+                for lo in range(0, len(apdf), step):
+                    am = np.stack(
+                        apdf["va"].values[lo : lo + step]
+                    ).astype(np.float64)
+                    an = apdf["na"].values[lo : lo + step].astype(
+                        np.float64
+                    )
+                    ia = apdf["id_a"].values[lo : lo + step]
+                    sims = (am @ bm.T) / np.outer(an, bn)
+                    ai, bi = np.nonzero(
+                        (sims >= threshold) & (ia[:, None] < ib[None, :])
+                    )
+                    if len(ai) == 0:
+                        continue
+                    s = sims[ai, bi]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ia[ai].astype("int64"),
+                                "id_b": ib[bi].astype("int64"),
+                                # half-AWAY-FROM-ZERO to match the JVM
+                                # path's F.round (HALF_UP) on exact
+                                # .00005 ties — np.round is half-even
+                                "cos": np.sign(s)
+                                * np.floor(np.abs(s) * 1e4 + 0.5)
+                                / 1e4,
+                            }
+                        )
+                    )
+                return pd.concat(out) if out else empty
 
             return (
-                a.groupby("bucket")
-                .cogroup(b.groupby("bucket"))
+                a_g.groupby(*keys)
+                .cogroup(b_g.groupby(*keys))
                 .applyInPandas(
                     score, schema="id_a long, id_b long, cos double"
                 )
@@ -1127,7 +1256,15 @@ def load_ivf_centroids(spark: SparkSession, table: str) -> list[list[float]]:
     :func:`materialize_ivf_index` (the n_cells x dim matrix — always
     driver-sized)."""
     rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
-    assert [r.cell for r in rows] == list(range(len(rows)))
+    # a hard error, not an assert: under ``python -O`` asserts vanish,
+    # and a corrupted/duplicated quantizer table would then silently
+    # reorder cells and return wrong probe results
+    if [r.cell for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"{table}_centroids cell ids are not contiguous 0..n-1: "
+            f"{[r.cell for r in rows]!r} — quantizer table corrupted "
+            "or double-written; rebuild via materialize_ivf_index"
+        )
     return [[float(x) for x in r.centroid] for r in rows]
 
 
@@ -1188,6 +1325,11 @@ def ivf_topk_from_index(
                 / (norm(F.col("q_vec")) * F.col("c_norm"))
             ).alias("cos_raw"),
         )
+        # a MAINTAINED index can hold duplicate (vec_id) rows after a
+        # crash-replayed append (harmless to the existential gate, but
+        # here a doubled neighbor would displace a distinct real one
+        # from top-k) — same guard as the LSH probe's dedup
+        .dropDuplicates(["q_id", "nbr_id"])
     )
     return _per_query_topk(scored, k)
 
@@ -1279,6 +1421,7 @@ def incremental_semantic_dedup(
     impl: str = "jvm",
     broadcast_batch: bool = True,
     corpus_cells: DataFrame | None = None,
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """Drop arriving vectors that semantically duplicate the accepted
     corpus: a batch row is removed iff some DIFFERENT-id corpus
@@ -1316,6 +1459,15 @@ def incremental_semantic_dedup(
     backfill makes the batch genuinely large, pass False and size
     ``n_cells`` in the thousands so the shuffle join has key
     cardinality to spread.
+
+    ``max_cell_rows`` (blas path, default ON) hard-bounds per-task
+    memory against quantizer skew: corpus cells above the cap are
+    salted into (cell, salt) sub-blocks before the cogroup — see the
+    inline note. Sizing ``n_cells`` well (corpus/500) remains the
+    performance lever; the cap is the OOM guard when the data
+    distribution refuses to cooperate. Pass None to disable. (With
+    the cap on, the corpus side is evaluated twice — once for the
+    n_cells-row count agg, once for scoring; both are narrow reads.)
     """
     if corpus_cells is not None:
         c = corpus_cells.select(
@@ -1355,13 +1507,26 @@ def incremental_semantic_dedup(
         # cell as ONE numpy matmul. Measured necessity (PLANS.md "r8
         # semantic ingest soak"): a 100k-batch-vs-100k-corpus gate at
         # 64 cells is ~6x10^8 pairs — minutes through the JVM fold,
-        # seconds as matmuls. Per-cell memory is |corpus_cell| x
-        # |batch_cell| doubles: size n_cells so cells stay bounded
-        # (corpus/500 is a sane default), the same discipline as
-        # max_bucket_size in the LSH tier. Like cosine_topk's blas
-        # impl, float summation order differs from the fold in the
-        # last ulp — production path; use impl='jvm' for oracle-exact
-        # parity.
+        # seconds as matmuls. Like cosine_topk's blas impl, float
+        # summation order differs from the fold in the last ulp —
+        # production path; use impl='jvm' for oracle-exact parity.
+        #
+        # max_cell_rows (default ON) is the per-task memory cap: a
+        # skewed quantizer concentrates a near-dup-heavy corpus in few
+        # cells — exactly when the gate runs — and applyInPandas
+        # materializes a WHOLE group in one Python worker, so an
+        # uncapped mega-cell is an executor OOM no matter how the
+        # matmul is chunked. Corpus cells larger than max_cell_rows
+        # are salted into ceil(n/max) (cell, salt) sub-blocks and the
+        # batch probe rows fan to every sub-block of their cell;
+        # the threshold decision is existential (ANY corpus hit drops
+        # the row), so corpus-side splitting is semantics-free — the
+        # distinct() below unions sub-block verdicts. Same discipline
+        # as max_bucket_size in the LSH tier. Inside each sub-block
+        # the matmul additionally chunks over batch rows so the sims
+        # matrix stays <=2^24 doubles (~128 MB) even under a bulk
+        # backfill batch.
+        c_g, b_g, keys = _salt_cell_blocks(c, b, "c_id", "cell", max_cell_rows)
         import numpy as np
         import pandas as pd
 
@@ -1370,20 +1535,29 @@ def incremental_semantic_dedup(
                 return pd.DataFrame({"b_id": pd.Series([], dtype="int64")})
             cm = np.stack(cpdf["c_vec"].values).astype(np.float64)
             cn = cpdf["c_norm"].values.astype(np.float64)
-            bm = np.stack(bpdf["b_vec"].values).astype(np.float64)
-            bn = bpdf["b_norm"].values.astype(np.float64)
-            sims = (bm @ cm.T) / np.outer(bn, cn)
-            not_self = (
-                bpdf["b_id"].values[:, None] != cpdf["c_id"].values[None, :]
-            )
-            hit = ((sims >= threshold) & not_self).any(axis=1)
+            cids = cpdf["c_id"].values
+            bids_all = bpdf["b_id"].values
+            hits = []
+            step = max(1, (1 << 24) // len(cpdf))
+            for lo in range(0, len(bpdf), step):
+                bm = np.stack(
+                    bpdf["b_vec"].values[lo : lo + step]
+                ).astype(np.float64)
+                bn = bpdf["b_norm"].values[lo : lo + step].astype(
+                    np.float64
+                )
+                bids = bids_all[lo : lo + step]
+                sims = (bm @ cm.T) / np.outer(bn, cn)
+                not_self = bids[:, None] != cids[None, :]
+                hit = ((sims >= threshold) & not_self).any(axis=1)
+                hits.append(bids[hit])
             return pd.DataFrame(
-                {"b_id": bpdf["b_id"].values[hit].astype("int64")}
+                {"b_id": np.concatenate(hits).astype("int64")}
             )
 
         dup_ids = (
-            c.groupby("cell")
-            .cogroup(b.groupby("cell"))
+            c_g.groupby(*keys)
+            .cogroup(b_g.groupby(*keys))
             .applyInPandas(gate, schema="b_id long")
             .withColumnRenamed("b_id", id_col)
             .distinct()

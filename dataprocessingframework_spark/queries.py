@@ -9111,7 +9111,7 @@ _R8_WINDOW = [
     "sql_surface_q10", "h8_market_share", "h17_small_quantity",
     "stream_session_window", "stream_dedup", "tx_repetition",
     "tx_decontaminate",
-    # oldest 28 of the r4-stale cohort
+    # oldest 25 of the r4-stale cohort
     "d_hash_sample", "w_jsonl_roundtrip", "h4_priority_exists",
     "h10_returned_items", "h12_priority_by_status",
     "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",

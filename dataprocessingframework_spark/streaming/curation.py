@@ -71,6 +71,26 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     return spark.read.parquet(*dirs) if dirs else None
 
 
+def _index_source(
+    spark: SparkSession, corpus_dir: str, batch_id: int, use_index: bool
+) -> DataFrame | None:
+    """What the maintained index write should cover after this batch:
+    just the batch dir when appending to an existing index, the WHOLE
+    accepted corpus when (re)building — an index adopted mid-stream
+    must include the batches accepted before it existed, or every
+    later probe under-gates. None when there is nothing to write
+    (fully-gated batch — its dir holds only a _SUCCESS marker, which
+    ``spark.read.parquet`` rejects)."""
+    if not use_index:
+        return read_corpus(spark, corpus_dir)
+    cur = [
+        d
+        for d in _batch_dirs(spark, corpus_dir)
+        if d.rstrip("/").endswith(f"batch-{batch_id}")
+    ]
+    return spark.read.parquet(cur[0]) if cur else None
+
+
 def incremental_curation(
     spark: SparkSession,
     src_dir: str,
@@ -213,17 +233,25 @@ def incremental_near_dup_ingest(
             fresh = curated
         fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
         if index_table is not None:
-            materialize_lsh_index(
-                spark.read.parquet(f"{corpus_dir}/batch-{batch_id}"),
-                text_col,
-                id_col,
-                index_table,
-                num_hashes=num_hashes,
-                bands=bands,
-                num_buckets=index_num_buckets,
-                path=index_path,
-                mode="append" if use_index else "overwrite",
-            )
+            # bootstrap: when the index is adopted mid-stream (or was
+            # dropped), the initial overwrite build must cover the
+            # WHOLE accepted corpus — prior batch dirs included, not
+            # just this batch — or every later batch probes an index
+            # that silently omits the old rows and under-gates
+            # (ADVICE r8). read_corpus sees the batch dir just written.
+            src = _index_source(spark, corpus_dir, batch_id, use_index)
+            if src is not None:
+                materialize_lsh_index(
+                    src,
+                    text_col,
+                    id_col,
+                    index_table,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    num_buckets=index_num_buckets,
+                    path=index_path,
+                    mode="append" if use_index else "overwrite",
+                )
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,
@@ -249,6 +277,7 @@ def incremental_semantic_ingest(
     index_table: str | None = None,
     index_path: str | None = None,
     index_num_buckets: int = 16,
+    max_cell_rows: int | None = 100_000,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -268,8 +297,10 @@ def incremental_semantic_ingest(
     Default ``impl='blas'`` scores each cell as one cogrouped matmul
     (measured >=45x over the JVM fold on a 100k-vs-100k batch;
     PLANS.md "r8 semantic ingest soak"); pass 'jvm' for
-    fold-order-exact scoring. Within-batch semantic dups are kept
-    (the incremental contract).
+    fold-order-exact scoring. ``max_cell_rows`` (default on) is the
+    blas path's per-task memory cap against quantizer-skew
+    mega-cells — see ``incremental_semantic_dedup``. Within-batch
+    semantic dups are kept (the incremental contract).
 
     ``index_table`` switches the corpus side to a MAINTAINED
     materialized IVF index: each batch probes the cell-bucketed
@@ -306,6 +337,7 @@ def incremental_semantic_ingest(
                 corpus_cells=spark.table(index_table).withColumnRenamed(
                     "vec_id", id_col
                 ).withColumnRenamed("embedding", vec_col),
+                max_cell_rows=max_cell_rows,
             )
         elif prior:
             corpus = spark.read.parquet(*prior)
@@ -313,23 +345,30 @@ def incremental_semantic_ingest(
                 curated, corpus, centroids,
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
+                max_cell_rows=max_cell_rows,
             )
         else:
             fresh = curated
         fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch-{batch_id}")
         if index_table is not None:
-            materialize_ivf_index(
-                spark.read.parquet(f"{corpus_dir}/batch-{batch_id}").select(
-                    F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).alias("embedding"),
-                ),
-                index_table,
-                centroids=centroids,
-                impl=impl,
-                num_buckets=index_num_buckets,
-                path=index_path,
-                mode="append" if use_index else "overwrite",
-            )
+            # bootstrap: overwrite builds cover the WHOLE accepted
+            # corpus, not just this batch (ADVICE r8 — an index
+            # adopted mid-stream would otherwise omit prior batches
+            # and under-gate everything after)
+            src = _index_source(spark, corpus_dir, batch_id, use_index)
+            if src is not None:
+                materialize_ivf_index(
+                    src.select(
+                        F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"),
+                    ),
+                    index_table,
+                    centroids=centroids,
+                    impl=impl,
+                    num_buckets=index_num_buckets,
+                    path=index_path,
+                    mode="append" if use_index else "overwrite",
+                )
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,

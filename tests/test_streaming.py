@@ -586,3 +586,126 @@ def test_incremental_near_dup_ingest_index_backed(spark, tmp_path):
         assert len(idx_ids) >= len(kept["index"]) - 5
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nd_ing_idx")
+
+
+def test_semantic_ingest_index_bootstrap_covers_prior_batches(
+    spark, tmp_path
+):
+    """r9 (ADVICE r8, medium): adopting index_table MID-STREAM — after
+    batches were already accepted dir-backed — must bootstrap the
+    index from the WHOLE corpus, not just the adopting batch.
+    Otherwise every later batch probes an index missing the old rows
+    and semantic dups of them are silently accepted. Wave 3 plants
+    rescaled copies of wave-1 vectors: all must be gated."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    base = str(tmp_path / "boot")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    wave1 = emb.filter(F.col("vec_id") < cut)
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
+
+    def run(**kw):
+        return incremental_semantic_ingest(
+            spark, src, "vec_id long, embedding array<float>",
+            corpus, ckpt, cents,
+            threshold=0.99, n_probe=1, src_format="parquet", **kw,
+        )
+
+    try:
+        # wave 1: dir-backed, no index yet
+        wave1.write.mode("append").parquet(src)
+        assert run() >= 1
+        n1 = read_corpus(spark, corpus).count()
+
+        # wave 2: index adopted NOW; fresh orthogonal-ish rows so the
+        # batch is non-empty and (bug scenario) the index would hold
+        # only these
+        fresh = emb.filter(F.col("vec_id") >= cut).limit(20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        fresh.write.mode("append").parquet(src)
+        assert run(index_table="t_boot_idx", index_path=f"{base}/idx") >= 1
+        n2 = read_corpus(spark, corpus).count()
+        # the bootstrap build must cover waves 1 AND 2
+        assert spark.table("t_boot_idx").count() == n2
+
+        # wave 3: rescaled copies of wave-1 rows (cos ~ 1) — the
+        # maintained index must gate EVERY one of them
+        dups = wave1.limit(30).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(2.0)
+            ).cast("array<float>").alias("embedding"),
+        )
+        dups.write.mode("append").parquet(src)
+        assert run(index_table="t_boot_idx", index_path=f"{base}/idx") >= 1
+        assert read_corpus(spark, corpus).count() == n2, (
+            "wave-3 dups of PRE-INDEX rows were accepted — the index "
+            "bootstrap missed prior batches"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_boot_idx")
+        spark.sql("DROP TABLE IF EXISTS t_boot_idx_centroids")
+
+
+def test_near_dup_ingest_index_bootstrap_covers_prior_batches(
+    spark, tmp_path
+):
+    """r9 (ADVICE r8, medium): LSH twin of the semantic bootstrap test
+    — wave-3 exact copies of wave-1 texts must be gated by an index
+    adopted at wave 2."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_near_dup_ingest,
+        read_corpus,
+    )
+
+    base = str(tmp_path / "ndboot")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    cut = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) // 2
+    wave1 = docs.filter(F.col("doc_id") < cut)
+
+    def run(**kw):
+        return incremental_near_dup_ingest(
+            spark, src, "doc_id long, text string", corpus, ckpt,
+            threshold=0.5, num_hashes=8, bands=4, **kw,
+        )
+
+    try:
+        wave1.write.mode("append").json(src)
+        assert run() >= 1
+
+        fresh = docs.filter(F.col("doc_id") >= cut).limit(15).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh.write.mode("append").json(src)
+        assert run(index_table="t_ndboot_idx", index_path=f"{base}/idx") >= 1
+        n2 = read_corpus(spark, corpus).count()
+
+        dups = wave1.limit(25).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+        dups.write.mode("append").json(src)
+        assert run(index_table="t_ndboot_idx", index_path=f"{base}/idx") >= 1
+        assert read_corpus(spark, corpus).count() == n2, (
+            "wave-3 copies of PRE-INDEX docs were accepted — the "
+            "index bootstrap missed prior batches"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ndboot_idx")
