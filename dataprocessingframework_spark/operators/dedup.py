@@ -1047,6 +1047,11 @@ def materialize_lsh_index(
         buckets = [r for r in desc if r.col_name == "Num Buckets"]
         if buckets:
             num_buckets = int(buckets[0].data_type)
+        # the existing table's catalog location is authoritative for
+        # appends — compact_bucketed_index relocates external index
+        # tables, and passing the stale original path would fail the
+        # location-match check
+        path = None
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
     )

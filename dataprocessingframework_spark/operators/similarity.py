@@ -1211,6 +1211,11 @@ def materialize_ivf_index(
         buckets = [r for r in desc if r.col_name == "Num Buckets"]
         if buckets:
             num_buckets = int(buckets[0].data_type)
+        # the existing table's catalog location is authoritative for
+        # appends — compact_bucketed_index relocates external index
+        # tables, and passing the stale original path would fail the
+        # location-match check
+        path = None
     else:
         cents = centroids or _ivf_centroids(
             corpus, id_col, vec_col, n_cells, iters, impl=impl

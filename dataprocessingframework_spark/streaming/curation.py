@@ -71,6 +71,31 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     return spark.read.parquet(*dirs) if dirs else None
 
 
+def _maybe_compact(
+    spark: SparkSession,
+    index_table: str | None,
+    batch_id: int,
+    compact_every: int | None,
+) -> None:
+    """Periodic maintained-index compaction: each append adds
+    num_buckets files, so every ``compact_every`` committed batches
+    the index is rewritten back to one file per bucket. Keyed off the
+    monotonic batch_id, so the cadence survives restarts without
+    extra state; a replayed batch at the boundary just re-compacts an
+    already-compact index (idempotent)."""
+    if (
+        compact_every
+        and index_table is not None
+        and (batch_id + 1) % compact_every == 0
+        and spark.catalog.tableExists(index_table)
+    ):
+        from dataprocessingframework_spark.sources.compact import (
+            compact_bucketed_index,
+        )
+
+        compact_bucketed_index(spark, index_table)
+
+
 def _index_source(
     spark: SparkSession, corpus_dir: str, batch_id: int, use_index: bool
 ) -> DataFrame | None:
@@ -179,6 +204,7 @@ def incremental_near_dup_ingest(
     index_table: str | None = None,
     index_path: str | None = None,
     index_num_buckets: int = 32,
+    compact_every: int | None = None,
 ) -> int:
     """Continuous NEAR-dup-gated ingestion: per micro-batch, drop
     arriving docs that near-duplicate the already-accepted corpus
@@ -201,6 +227,13 @@ def incremental_near_dup_ingest(
     derived state. Without ``index_table`` the index is recomputed
     per batch for self-containedness. Within-batch near-dups are NOT
     removed (matching the batch operator's contract).
+
+    ``compact_every``: every N committed batches, rewrite the
+    maintained index back to one file per bucket
+    (``sources.compact.compact_bucketed_index``) — each append adds
+    ``index_num_buckets`` files, so a long-running stream otherwise
+    reintroduces the small-files probe regression the bucketed
+    writer avoids at build time.
     """
     from dataprocessingframework_spark.operators.dedup import (
         incremental_near_dup,
@@ -252,6 +285,7 @@ def incremental_near_dup_ingest(
                     path=index_path,
                     mode="append" if use_index else "overwrite",
                 )
+            _maybe_compact(spark, index_table, batch_id, compact_every)
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,
@@ -278,6 +312,7 @@ def incremental_semantic_ingest(
     index_path: str | None = None,
     index_num_buckets: int = 16,
     max_cell_rows: int | None = 100_000,
+    compact_every: int | None = None,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -313,6 +348,10 @@ def incremental_semantic_ingest(
     a verdict). The batch-dir corpus remains the source of truth;
     the index is derived state rebuildable via
     ``materialize_ivf_index(read_corpus(...), centroids=...)``.
+    ``compact_every``: every N committed batches, rewrite the index
+    back to one file per bucket (each append adds
+    ``index_num_buckets`` files — see
+    ``sources.compact.compact_bucketed_index``).
     """
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
@@ -369,6 +408,7 @@ def incremental_semantic_ingest(
                     path=index_path,
                     mode="append" if use_index else "overwrite",
                 )
+            _maybe_compact(spark, index_table, batch_id, compact_every)
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,

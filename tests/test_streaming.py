@@ -709,3 +709,66 @@ def test_near_dup_ingest_index_bootstrap_covers_prior_batches(
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ndboot_idx")
+
+
+def test_semantic_ingest_compact_every_keeps_gate_and_layout(
+    spark, tmp_path
+):
+    """r9: compact_every=1 rewrites the maintained IVF index to one
+    file per bucket after every committed batch. The gate verdicts
+    must be identical to the uncompacted run, the index must stay in
+    lockstep with the corpus, and the file count after three waves
+    must be bucket-bounded (uncompacted: ~3x)."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.sources.compact import (
+        _table_location,
+        dataset_file_stats,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    hi = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    waves = [
+        emb.filter((F.col("vec_id") * 3 / hi).cast("int") == i)
+        for i in range(3)
+    ]
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
+    kept, files = {}, {}
+    try:
+        for mode, every in (("plain", None), ("compact", 1)):
+            base = str(tmp_path / mode)
+            src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+            tbl = f"t_ce_{mode}"
+            for w in waves:
+                w.write.mode("append").parquet(src)
+                assert incremental_semantic_ingest(
+                    spark, src, "vec_id long, embedding array<float>",
+                    corpus, ckpt, cents,
+                    threshold=0.4, n_probe=2, src_format="parquet",
+                    index_table=tbl, index_path=f"{base}/idx",
+                    index_num_buckets=8, compact_every=every,
+                ) >= 1
+            kept[mode] = sorted(
+                r.vec_id for r in read_corpus(spark, corpus).collect()
+            )
+            assert sorted(
+                r.vec_id for r in spark.table(tbl).collect()
+            ) == kept[mode]
+            files[mode], _ = dataset_file_stats(
+                spark, _table_location(spark, tbl)
+            )
+        assert kept["plain"] == kept["compact"]
+        assert files["compact"] <= 8 < files["plain"], files
+    finally:
+        for t in ("t_ce_plain", "t_ce_plain_centroids", "t_ce_compact",
+                  "t_ce_compact_centroids", "t_ce_compact__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
