@@ -2627,6 +2627,268 @@ FROM topk
 """
 
 
+def _perturbed_gate_batch(emb, n):
+    """Deterministic perturbed near-dup batch for the semantic-gate
+    audits: row i (i < 60) becomes v_i + alpha_i * v_{(i+137) % n}
+    with alpha_i = 0.1 + (i % 7) * 0.05 — cosines to the source
+    vector spread across ~[0.92, 0.996] on random embeddings, i.e.
+    straddling the 0.95 gate threshold from BOTH sides, which is
+    exactly the regime where false negatives live. Batch ids are
+    +10000 so they never collide with corpus ids. Pure double
+    arithmetic, bit-reproducible in the DuckDB oracles."""
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    w = v.select(F.col("vec_id").alias("p_id"), F.col("v").alias("wv"))
+    # alpha/p_id are materialized BEFORE the self-join: referencing
+    # F.col("vec_id") after v.join(w-derived-from-v) hits Spark's
+    # self-join lineage ambiguity and silently binds to the PARTNER's
+    # pre-alias vec_id (caught by the DuckDB oracle: every batch row
+    # got the partner's alpha)
+    b0 = v.filter(F.col("vec_id") < 60).select(
+        "vec_id",
+        "v",
+        ((F.col("vec_id") + 137) % F.lit(n)).alias("p_id"),
+        (
+            F.lit(0.1) + (F.col("vec_id") % 7).cast("double") * F.lit(0.05)
+        ).alias("alpha"),
+    )
+    return b0.join(w, "p_id").select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.zip_with(
+            "v", "wv", lambda x, y: x + F.col("alpha") * y
+        ).alias("embedding"),
+    )
+
+
+# Shared CTE: the perturbed batch + doubled corpus, mirrored from
+# _perturbed_gate_batch (alphas forced to DOUBLE — DuckDB decimal
+# literals would diverge from Spark's float64 at the 17th digit).
+_GATE_BATCH_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT COUNT(*) AS cnt FROM e),
+batch AS (
+  SELECT b.vec_id + 10000 AS b_id,
+         list_transform(range(1, len(b.v) + 1),
+           i -> b.v[i] + (CAST(0.1 AS DOUBLE)
+                          + (b.vec_id % 7) * CAST(0.05 AS DOUBLE))
+                         * p.wv[i]) AS bv
+  FROM e b CROSS JOIN n
+  JOIN (SELECT vec_id AS p_id, v AS wv FROM e) p
+    ON p.p_id = (b.vec_id + 137) % n.cnt
+  WHERE b.vec_id < 60
+)"""
+
+
+def q_emb_gate_recall(spark, sf_dir):
+    """Recall audit of the semantic dedup gate — the operator that
+    silently DROPS data (similarity.incremental_semantic_dedup), so
+    its false-negative rate is the number a user tuning
+    n_probe/n_cells must see. 60 planted perturbed near-dups
+    (cos to their source in ~[0.92, 0.996], straddling the 0.95
+    threshold) are gated against the corpus at n_probe in {1, 2, 4};
+    the exact all-pairs max-cosine oracle defines the true-dup set.
+    The iters=0 md5-seeded quantizer (same construction as
+    stream_semantic_ingest) makes every cell assignment and verdict
+    portable arithmetic, so recall itself is FULL-oracled — not a
+    pinned >=floor boolean. n_false_drops is structurally 0 (the
+    gate only drops on a real >=threshold corpus witness); measured
+    recall at sf0.01 feeds the PLANS.md sizing note."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        dot,
+        incremental_semantic_dedup,
+        norm,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b2 = batch.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv")
+    )
+    c2 = corpus.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    # exact all-pairs witness: 60 x |corpus| — the AUDIT side only;
+    # the gate under test never does this
+    true_dups = {
+        r.b_id
+        for r in b2.crossJoin(c2)
+        .groupBy("b_id")
+        .agg(
+            F.max(
+                dot(F.col("bv"), F.col("cv"))
+                / (norm(F.col("bv")) * norm(F.col("cv")))
+            ).alias("mx")
+        )
+        .filter(F.col("mx") >= 0.95)
+        .collect()
+    }
+    n_batch = batch.count()
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    rows = []
+    for p in (1, 2, 4):
+        kept = {
+            r.vec_id
+            for r in incremental_semantic_dedup(
+                batch, corpus, cents, threshold=0.95, n_probe=p
+            )
+            .select("vec_id")
+            .collect()
+        }
+        dropped = {
+            r.vec_id for r in batch.select("vec_id").collect()
+        } - kept
+        rows.append(
+            (
+                p,
+                n_batch,
+                len(true_dups),
+                len(dropped),
+                len(dropped - true_dups),
+                round(len(dropped & true_dups) / max(len(true_dups), 1), 4),
+            )
+        )
+    batch.unpersist()
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "n_probe int, n_batch long, n_true long, n_dropped long,"
+            " n_false_drops long, recall double"
+        ),
+    )
+
+
+SQL_EMB_GATE_RECALL = f"""
+WITH {_GATE_BATCH_CTE},
+exact AS (
+  SELECT b.b_id,
+         MAX(list_dot_product(b.bv, e.v) /
+             (sqrt(list_dot_product(b.bv, b.bv)) *
+              sqrt(list_dot_product(e.v, e.v)))) AS mx
+  FROM batch b CROSS JOIN e GROUP BY b.b_id
+),
+true_dups AS (SELECT b_id FROM exact WHERE mx >= 0.95),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+),
+cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+),
+corpus_cells AS (
+  SELECT c_id, cvv, cn, cell FROM (
+    SELECT e.vec_id AS c_id, e.v AS cvv,
+           sqrt(list_dot_product(e.v, e.v)) AS cn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1 AND cn > 0
+),
+probes AS (
+  SELECT b_id, bv, bn, cell, rn FROM (
+    SELECT b.b_id, b.bv, sqrt(list_dot_product(b.bv, b.bv)) AS bn,
+           c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.b_id
+             ORDER BY list_dot_product(b.bv, c.cv) DESC, c.cell) AS rn
+    FROM batch b CROSS JOIN cents c) WHERE rn <= 4 AND bn > 0
+),
+hitrn AS (
+  SELECT p.b_id, MIN(p.rn) AS first_hit_rn
+  FROM probes p JOIN corpus_cells c USING (cell)
+  WHERE list_dot_product(p.bv, c.cvv) / (p.bn * c.cn) >= 0.95
+  GROUP BY p.b_id
+)
+SELECT CAST(n_probe AS INTEGER) AS n_probe,
+  (SELECT COUNT(*) FROM batch) AS n_batch,
+  (SELECT COUNT(*) FROM true_dups) AS n_true,
+  (SELECT COUNT(*) FROM hitrn WHERE first_hit_rn <= n_probe)
+    AS n_dropped,
+  (SELECT COUNT(*) FROM hitrn
+   WHERE first_hit_rn <= n_probe
+     AND b_id NOT IN (SELECT b_id FROM true_dups)) AS n_false_drops,
+  ROUND((SELECT COUNT(*) FROM hitrn
+         WHERE first_hit_rn <= n_probe
+           AND b_id IN (SELECT b_id FROM true_dups)) * 1.0 /
+        GREATEST((SELECT COUNT(*) FROM true_dups), 1), 4) AS recall
+FROM (SELECT UNNEST([1, 2, 4]) AS n_probe)
+ORDER BY n_probe
+"""
+
+
+def q_emb_gate_blas_parity(spark, sf_dir):
+    """Driver-checks the blas PRODUCTION path of the semantic gate
+    (streaming.incremental_semantic_ingest defaults impl='blas')
+    including the r9 max_cell_rows salting: with n_probe == n_cells
+    every batch row probes every cell, so the gate is EXACT — drop
+    iff ANY different-id corpus cosine >= threshold — and the oracle
+    is a plain NOT EXISTS, no quantizer arithmetic at all. The gate
+    runs twice, impl='jvm' and impl='blas' with max_cell_rows=50
+    (500-row corpus / 8 cells, so every real cell salts into
+    sub-blocks), and the full-outer join of the two kept sets must
+    collapse to identical TRUE/TRUE rows the oracle reproduces —
+    any impl divergence or salting bug surfaces as a hash
+    mismatch."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    batch.count()
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 8, iters=0)
+    kept_j = incremental_semantic_dedup(
+        batch, corpus, cents, threshold=0.95, n_probe=8, impl="jvm"
+    ).select("vec_id")
+    kept_b = incremental_semantic_dedup(
+        batch, corpus, cents, threshold=0.95, n_probe=8, impl="blas",
+        max_cell_rows=50,
+    ).select("vec_id")
+    out = (
+        kept_j.withColumn("in_jvm", F.lit(True))
+        .join(
+            kept_b.withColumn("in_blas", F.lit(True)),
+            "vec_id",
+            "full_outer",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("in_jvm", F.lit(False)).alias("in_jvm"),
+            F.coalesce("in_blas", F.lit(False)).alias("in_blas"),
+        )
+        .orderBy("vec_id")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    batch.unpersist()
+    return res
+
+
+SQL_EMB_GATE_BLAS_PARITY = f"""
+WITH {_GATE_BATCH_CTE}
+SELECT b.b_id AS vec_id, TRUE AS in_jvm, TRUE AS in_blas
+FROM batch b
+WHERE NOT EXISTS (
+  SELECT 1 FROM e
+  WHERE list_dot_product(e.v, e.v) > 0
+    AND list_dot_product(b.bv, e.v) /
+        (sqrt(list_dot_product(b.bv, b.bv)) *
+         sqrt(list_dot_product(e.v, e.v))) >= 0.95
+)
+ORDER BY vec_id
+"""
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (scale path). Approximate vs exact top-k by
     design, but fully DETERMINISTIC — the hyperplanes are md5-derived
@@ -8746,6 +9008,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "f_unpivot": (q_f_unpivot, SQL_F_UNPIVOT),
     "stream_curation": (q_stream_curation, SQL_STREAM_CURATION),
     "emb_ann_recall": (q_emb_ann_recall, SQL_EMB_ANN_RECALL),
+    "emb_gate_recall": (q_emb_gate_recall, SQL_EMB_GATE_RECALL),
+    "emb_gate_blas_parity": (
+        q_emb_gate_blas_parity,
+        SQL_EMB_GATE_BLAS_PARITY,
+    ),
     "d_temperature_sample": (q_d_temperature_sample, SQL_D_TEMPERATURE_SAMPLE),
     "d_per_group_sample": (q_d_per_group_sample, SQL_D_PER_GROUP_SAMPLE),
     "dd_incremental_near_dup": (
@@ -9086,46 +9353,42 @@ _R7_WINDOW = [
     "profile_table", "stream_sliding_window", "tx_pii_scrub",
 ]
 
-# r8 WINDOW: positions 1-4 are the new/changed queries —
-# emb_lsh_index_topk (its operator gained a defensive vnorm>0 probe
-# filter plus opt-in probe-key pushdown this round — ADVICE r7),
-# emb_ivf_index_topk (NEW: the materialized cell-bucketed IVF probe
-# route), stream_semantic_ingest (NEW: IVF-cell-blocked cosine gate
-# in a checkpointed stream), and emb_kcenter (NEW: greedy
-# farthest-point coreset selection). Positions 5-25 are the ENTIRE
-# 21-query cohort last driver-checked in r3 (all re-verified locally
-# in r7, now getting their driver re-check). Positions 26-50 are the
-# 25 oldest entries of the 48-query r4-stale cohort (CORRECTNESS_r04
-# order); the 23 r4-stale queries that don't fit are re-verified
-# locally this round via tools/check_correctness.py (outcomes in
-# PLANS.md; rotation history in COVERAGE.md). Post-r8 staleness:
-# nothing older than r4.
-_R8_WINDOW = [
-    "emb_lsh_index_topk", "emb_ivf_index_topk", "stream_semantic_ingest",
-    "emb_kcenter",
-    # r3-stale cohort (21)
-    "dd_exact_text", "dd_minhash", "dd_simhash", "dd_jaccard",
-    "dd_hamming", "dd_lsh_candidates", "k2_phash",
-    "u1_column_filter", "u2_data_filter", "j_asof", "j_salted",
-    "emb_topk_cosine", "a_median_exact", "w_analytics",
-    "sql_surface_q10", "h8_market_share", "h17_small_quantity",
-    "stream_session_window", "stream_dedup", "tx_repetition",
-    "tx_decontaminate",
-    # oldest 25 of the r4-stale cohort
-    "d_hash_sample", "w_jsonl_roundtrip", "h4_priority_exists",
-    "h10_returned_items", "h12_priority_by_status",
-    "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
-    "emb_label_centroids", "stream_interval_join",
-    "w_convert_formats", "a_approx_sketches", "ev_funnel", "a_pivot",
-    "f_unpivot", "stream_curation", "d_temperature_sample",
-    "d_per_group_sample", "dd_incremental_near_dup", "tx_unigram_nll",
-    "a_corr_matrix", "w_hive_partitioned", "tx_budget_mix",
-    "d_stratified_sample", "dd_incremental",
+# r10 WINDOW (r9 was cut short before the driver check ran, so this
+# window rotates off the r8 state): positions 1-2 are the NEW
+# queries — emb_gate_recall (FULL-oracled false-negative audit of
+# the semantic dedup gate at n_probe 1/2/4; VERDICT r8 item 3) and
+# emb_gate_blas_parity (driver coverage for the blas production
+# path incl. the r9 max_cell_rows salting; VERDICT r8 item 5).
+# Positions 3-25 are the ENTIRE 23-query cohort last driver-checked
+# in r4 (all re-verified locally by the r8 judge, 22 pass + 1
+# rows-only-by-design). Positions 26-50 are the oldest 25 of the
+# 50-query r5-stale cohort in registry order. Post-r10 staleness:
+# nothing older than r5. Rotation history in COVERAGE.md.
+_R10_WINDOW = [
+    "emb_gate_recall", "emb_gate_blas_parity",
+    # the ENTIRE r4-stale cohort (23)
+    "a_mode_per_group", "a_top_docs_per_source", "d_split_assign",
+    "emb_ivf_topk", "emb_kmeans", "ev_anomaly_days",
+    "ev_attribution", "ev_quartiles_by_type", "ev_retention",
+    "ev_sessionize", "ev_top_paths", "f_ngram_profile",
+    "j_full_outer", "stream_enriched_agg", "tx_dup_passages",
+    "tx_filter_funnel", "tx_keyword_search", "tx_lang_mix",
+    "tx_nll_buckets", "tx_pack_sequences", "w_bucketed_join",
+    "w_merge_upsert", "w_rolling_revenue",
+    # oldest 25 of the r5-stale cohort (registry order)
+    "tx_bloom_decontaminate", "tx_chunk_windows", "d_weighted_sample",
+    "w_snapshot_diff", "dd_cluster_representatives", "j_nearest",
+    "tx_remove_dup_passages", "a_winsorize", "a_group_zscore",
+    "w_schema_evolution", "w_compact_small_files", "a_ks_drift",
+    "a_psi_drift", "tx_bigram_nll", "emb_quantize",
+    "stream_psi_monitor", "a_benford", "a_gini", "w_scd2",
+    "ev_ab_metrics", "tx_remove_dup_spans", "dd_containment",
+    "f_lag_features", "emb_code_dedup", "a_sketch_intersection",
 ]
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R8_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R8_WINDOW},
+    **{k: REGISTRY[k] for k in _R10_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R10_WINDOW},
 }
 
 
