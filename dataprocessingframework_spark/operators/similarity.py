@@ -1345,6 +1345,8 @@ def kcenter_select(
     vec_col: str = "embedding",
     k: int = 8,
     checkpoint_every: int = 16,
+    batch_m: int = 1,
+    pool_factor: int = 4,
 ) -> DataFrame:
     """Greedy farthest-point (k-center) selection over an embedding
     column — the classic diverse-coreset / data-pruning pick: start
@@ -1364,9 +1366,32 @@ def kcenter_select(
     center matrix ever reach the driver. The min-distance column
     nests one `least` per round, so lineage grows with k —
     ``checkpoint_every`` truncates it with localCheckpoint for large
-    k. Ties break to the lower id; zero-norm vectors are excluded
-    (cosine undefined). Greedy k-center is the standard 2-approximation
-    of the optimal cover (Gonzalez 1985)."""
+    k. Keep the cadence at (or below) the default: the r10 soak
+    measured FLAT ~1.7s/round marginals at checkpoint_every=16 out
+    to k=256 but 8s/round and climbing at 64 — Catalyst re-analysis
+    of the un-truncated `least` tree is quadratic in segment depth
+    (PLANS.md "r10 k-center soak"). Ties break to the lower id;
+    zero-norm vectors are excluded (cosine undefined). Greedy
+    k-center is the standard 2-approximation of the optimal cover
+    (Gonzalez 1985).
+
+    ``batch_m > 1`` is the large-k path: the per-round cost at
+    batch_m=1 is ~one fixed Spark job latency, so exact greedy at
+    k in the thousands means hours of sequential driver round-trips
+    regardless of cluster size. Pooled batching cuts rounds k ->
+    k/batch_m: each round collects the top ``pool_factor * batch_m``
+    rows by current min-distance (one TakeOrdered, driver gets a
+    pool of that bounded size with vectors) and runs exact greedy
+    driver-side WITHIN the pool for batch_m picks — each pick
+    updates the pool's min-distances against the freshly picked
+    center, so a round never picks batch_m mutual near-duplicates
+    (the failure mode of naive take-top-m). Approximation contract:
+    a pick can differ from exact greedy only when the true farthest
+    point of an intra-round step lies outside the pool; batch_m=1
+    reproduces the exact trajectory and stays the default (and the
+    oracle-checked path). Within-pool distance updates use float64
+    numpy (same arithmetic, summation order may differ from the JVM
+    fold in the last ulp)."""
     from dataprocessingframework_spark.functions.hashing import hash64
 
     spark = df.sparkSession
@@ -1393,21 +1418,76 @@ def kcenter_select(
     cur = base.withColumn(
         "mind", dist_to([float(x) for x in seed.kv], float(seed.kn))
     ).filter(F.col("kid") != int(seed.kid))
-    for r in range(1, k):
-        top_rows = cur.orderBy(F.desc("mind"), F.asc("kid")).limit(1).collect()
-        if not top_rows:
-            break  # fewer than k usable vectors
-        top = top_rows[0]
-        selected.append((r, int(top.kid), float(top.mind)))
-        cur = cur.filter(F.col("kid") != int(top.kid)).withColumn(
-            "mind",
-            F.least(
-                F.col("mind"),
-                dist_to([float(x) for x in top.kv], float(top.kn)),
-            ),
-        )
-        if r % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=False)
+    if batch_m > 1:
+        import numpy as np
+
+        rank, rounds = 1, 0
+        ckpt_rounds = max(1, checkpoint_every // batch_m)
+        while rank < k:
+            m = min(batch_m, k - rank)
+            pool_rows = (
+                cur.orderBy(F.desc("mind"), F.asc("kid"))
+                .limit(pool_factor * m)
+                .collect()
+            )
+            if not pool_rows:
+                break  # fewer than k usable vectors
+            pv = np.array(
+                [[float(x) for x in r.kv] for r in pool_rows]
+            )
+            pn = np.array([float(r.kn) for r in pool_rows])
+            pids = np.array([int(r.kid) for r in pool_rows])
+            pmind = np.array([float(r.mind) for r in pool_rows])
+            picked = []
+            for _ in range(min(m, len(pool_rows))):
+                mx = pmind.max()
+                if not np.isfinite(mx):
+                    break
+                # tie -> lowest id, same as the distributed ordering
+                cand = np.where(pmind == mx)[0]
+                i = int(cand[np.argmin(pids[cand])])
+                selected.append((rank, int(pids[i]), float(pmind[i])))
+                picked.append(i)
+                rank += 1
+                pmind = np.minimum(
+                    pmind, 1.0 - (pv @ pv[i]) / (pn * pn[i])
+                )
+                pmind[i] = -np.inf
+            if not picked:
+                break
+            cur = cur.filter(
+                ~F.col("kid").isin([int(pids[i]) for i in picked])
+            ).withColumn(
+                "mind",
+                F.least(
+                    F.col("mind"),
+                    *[
+                        dist_to([float(x) for x in pv[i]], float(pn[i]))
+                        for i in picked
+                    ],
+                ),
+            )
+            rounds += 1
+            if rounds % ckpt_rounds == 0:
+                cur = cur.localCheckpoint(eager=False)
+    else:
+        for r in range(1, k):
+            top_rows = (
+                cur.orderBy(F.desc("mind"), F.asc("kid")).limit(1).collect()
+            )
+            if not top_rows:
+                break  # fewer than k usable vectors
+            top = top_rows[0]
+            selected.append((r, int(top.kid), float(top.mind)))
+            cur = cur.filter(F.col("kid") != int(top.kid)).withColumn(
+                "mind",
+                F.least(
+                    F.col("mind"),
+                    dist_to([float(x) for x in top.kv], float(top.kn)),
+                ),
+            )
+            if r % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=False)
     # ROUND in Spark SQL (half-up, matching DuckDB for positives),
     # NOT Python round() (banker's — would diverge on exact .00005s)
     return spark.createDataFrame(

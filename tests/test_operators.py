@@ -1615,6 +1615,70 @@ def test_kcenter_select_geometry(spark):
     assert similarity.kcenter_select(tiny, k=10).count() == 2
 
 
+def test_kcenter_batched_full_pool_matches_exact(spark):
+    """r10: batch_m>1 with a pool that covers the whole corpus IS
+    exact greedy — the pooled driver-side selection sees every
+    candidate, so the trajectory must equal the batch_m=1 path
+    (ids exactly; dists to blas-vs-fold tolerance). Also exercises
+    the batched checkpoint cadence (checkpoint_every=2)."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    df = spark.createDataFrame(
+        [
+            (int(i * 7 + 3), [float(x) for x in rng.randn(12)])
+            for i in range(40)
+        ],
+        schema="vec_id long, embedding array<float>",
+    )
+    exact = [
+        (r.sel_rank, r.vec_id, r.dist)
+        for r in similarity.kcenter_select(df, k=8)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    pooled = [
+        (r.sel_rank, r.vec_id, r.dist)
+        for r in similarity.kcenter_select(
+            df, k=8, batch_m=4, pool_factor=20, checkpoint_every=2
+        )
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert [(a, b) for a, b, _ in pooled] == [(a, b) for a, b, _ in exact]
+    for (_, _, gd), (_, _, wd) in zip(pooled, exact):
+        assert abs(gd - wd) < 2e-4, (pooled, exact)
+
+
+def test_kcenter_batched_spreads_within_round(spark):
+    """r10: the within-pool distance update must stop a round from
+    picking batch_m mutual near-duplicates — the failure mode of
+    naive take-top-m. Three tight clusters with C0 at +e0, C1 at
+    -e0 (distance 2 apart), C2 at e1 (distance 1 to both): whatever
+    cluster seeds, the two picks of the single batch_m=2 round must
+    land in the two OTHER clusters — naive top-2 by initial
+    min-distance would take both from the single farthest cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    dirs = np.zeros((3, 16))
+    dirs[0, 0], dirs[1, 0], dirs[2, 1] = 10.0, -10.0, 10.0
+    rows = []
+    for i in range(30):
+        c = i % 3
+        rows.append(
+            (i, [float(x) for x in dirs[c] + rng.randn(16) * 0.01])
+        )
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>"
+    )
+    sel = similarity.kcenter_select(
+        df, k=3, batch_m=2, pool_factor=6
+    ).collect()
+    assert len(sel) == 3
+    assert {r.vec_id % 3 for r in sel} == {0, 1, 2}, sel
+
+
 def test_cosine_near_dup_pairs_blas_parity_and_zero_norm(spark):
     """r8: the bucketed near-dup pair listing gains a blas impl (one
     cogrouped matmul per LSH bucket — the incremental_semantic_dedup
