@@ -60,7 +60,7 @@ TIERS: dict[str, list[str]] = {
     "ann": [
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
-        "ann_ivf_index_probe", "ann_kcenter",
+        "ann_ivf_index_probe", "ann_kcenter", "ann_kcenter_batched",
     ],
 }
 
@@ -211,6 +211,12 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     # over many query batches. Compare against ann_lsh_multi_topk,
     # which rebuilds everything inline per probe batch.
     out["ann_kcenter"] = small(q.q_emb_kcenter)
+    # pooled batched k-center (r10): the large-k production path —
+    # k=64 in k/batch_m=4 rounds; tracks the per-round fixed-cost
+    # amortization the r10 soak measured (7.7x at k=256)
+    out["ann_kcenter_batched"] = lambda: similarity.kcenter_select(
+        q.T(spark, SF_DIR, "embeddings"), k=64, batch_m=16
+    ).toPandas()
     if discover:
         # names only, never run
         out["ann_index_probe"] = lambda: None
