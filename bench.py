@@ -60,7 +60,8 @@ TIERS: dict[str, list[str]] = {
     "ann": [
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
-        "ann_ivf_index_probe", "ann_kcenter", "ann_kcenter_batched",
+        "ann_ivf_index_probe", "ann_ivf_sq8_probe", "ann_kcenter",
+        "ann_kcenter_batched",
     ],
 }
 
@@ -221,6 +222,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         # names only, never run
         out["ann_index_probe"] = lambda: None
         out["ann_ivf_index_probe"] = lambda: None
+        out["ann_ivf_sq8_probe"] = lambda: None
         return out
     if "ann_index_probe" in only:
         import shutil
@@ -303,6 +305,65 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
             shutil.rmtree(f"{ivf_path}_centroids", ignore_errors=True)
 
         extra["_cleanup"] = ivf_cleanup
+
+    # SQ8-compressed IVF read path (r10): same serving shape with the
+    # index stored as packed codes (~3x smaller scan payload — what
+    # the probe reads at 100 TB); build in extra, probe timed, index
+    # bytes recorded so the compression ratio is tracked per round.
+    if "ann_ivf_sq8_probe" in only:
+        import shutil
+        import uuid
+
+        sq8_tag = uuid.uuid4().hex[:8]
+        sq8_table = f"bench_sq8_idx_{sq8_tag}"
+        sq8_path = f"/root/repo/.scratch/bench_sq8_idx_{sq8_tag}"
+        emb3 = q.T(spark, SF_DIR, "embeddings")
+        t0 = time.time()
+        sq8_idx, _ = similarity.materialize_ivf_index(
+            emb3, sq8_table, n_cells=16, iters=1,
+            num_buckets=16, path=sq8_path, sq8=True,
+        )
+        sq8_cents = similarity.load_ivf_centroids(spark, sq8_table)
+        sq8_bounds = similarity.load_sq8_bounds(spark, sq8_table)
+        extra["ann_ivf_sq8_build"] = round(time.time() - t0, 3)
+        from dataprocessingframework_spark.sources.compact import (
+            _table_location,
+            dataset_file_stats,
+        )
+
+        _, sq8_bytes = dataset_file_stats(
+            spark, _table_location(spark, sq8_table)
+        )
+        extra["ann_ivf_sq8_bytes"] = sq8_bytes
+
+        def sq8_probe():
+            _noop(
+                similarity.ivf_topk_from_index(
+                    sq8_idx,
+                    sq8_cents,
+                    q.T(spark, SF_DIR, "embeddings").filter(
+                        F.col("vec_id") < 50
+                    ),
+                    k=10,
+                    n_probe=4,
+                    sq8_bounds=sq8_bounds,
+                )
+            )
+
+        out["ann_ivf_sq8_probe"] = sq8_probe
+
+        prev_cleanup2 = extra.get("_cleanup")
+
+        def sq8_cleanup():
+            if prev_cleanup2 is not None:
+                prev_cleanup2()
+            for t in (sq8_table, f"{sq8_table}_centroids",
+                      f"{sq8_table}_sq8"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for sfx in ("", "_centroids", "_sq8"):
+                shutil.rmtree(f"{sq8_path}{sfx}", ignore_errors=True)
+
+        extra["_cleanup"] = sq8_cleanup
     return {k: v for k, v in out.items() if k in only}
 
 

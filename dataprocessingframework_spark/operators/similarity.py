@@ -1166,6 +1166,105 @@ def ivf_topk(
     return _per_query_topk(scored, k)
 
 
+SQ8_LEVELS = 256
+_SQ8_PER_WORD = 7  # codes per packed long: 7x8=56 bits — the top
+# byte of a full 8 would set bit 63 and make the word sign-dependent,
+# which DuckDB BIGINT shifts and ANSI-mode addition both reject;
+# 7-per-long keeps every word positive and the packing bit-portable
+
+
+def _sq8_bounds(corpus: DataFrame, vec_col: str) -> tuple[list, list]:
+    """Per-dimension (mins, maxs) over the corpus — ONE posexplode +
+    groupBy(pos) pass collapsing to two dim-length lists on the
+    driver (dim-bounded, never corpus-bounded)."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r.mn) for r in rows], [float(r.mx) for r in rows]
+
+
+def _sq8_code_expr(vec_col: str, mins: list, maxs: list, i: int) -> Column:
+    """SQ8 code for dimension i: clamp(0, 255, floor((x-mn)/(mx-mn)
+    *256)), 0 on degenerate dims — same pure floor arithmetic as
+    quantize_embeddings, bit-portable across engines. The LOWER
+    clamp matters only on the append path: a batch value below the
+    STORED per-dim min would otherwise code negative and corrupt
+    the packed word's neighboring bytes."""
+    mn, mx = mins[i], maxs[i]
+    if mx <= mn:
+        return F.lit(0).cast("long")
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(SQ8_LEVELS - 1).cast("long"),
+            F.floor(
+                (F.col(vec_col)[i].cast("double") - F.lit(mn))
+                / F.lit(mx - mn)
+                * F.lit(float(SQ8_LEVELS))
+            ),
+        ),
+    )
+
+
+def _sq8_pack_expr(vec_col: str, mins: list, maxs: list) -> Column:
+    """Pack the SQ8 codes 7-per-long into array<bigint> — a true
+    (dim bytes)-per-row payload vs 4*dim for float32, independent of
+    parquet encodings. Statically unrolled (dim is driver-known from
+    the bounds), build-time only — probes never re-pack."""
+    dim = len(mins)
+    words = []
+    for w in range(0, dim, _SQ8_PER_WORD):
+        expr = F.lit(0).cast("long")
+        for j, i in enumerate(range(w, min(w + _SQ8_PER_WORD, dim))):
+            expr = expr + F.shiftleft(
+                _sq8_code_expr(vec_col, mins, maxs, i), 8 * j
+            )
+        words.append(expr)
+    return F.array(*words)
+
+
+def _sq8_dequant_expr(codes_col: str, mins: list, maxs: list) -> Column:
+    """Rebuild the dequantized midpoint vector array<double> from the
+    packed words: code(i) = (word[i//7] >> 8*(i%7)) & 255, then
+    mn + (code + 0.5) * (mx - mn) / 256 — all literal-shift codegen,
+    no UDF in the probe hot path."""
+    dim = len(mins)
+    comps = []
+    for i in range(dim):
+        w, j = divmod(i, _SQ8_PER_WORD)
+        code = F.shiftright(F.col(codes_col)[w], 8 * j).bitwiseAND(
+            F.lit(255)
+        )
+        mn, mx = mins[i], maxs[i]
+        comps.append(
+            F.lit(mn)
+            + (code.cast("double") + F.lit(0.5))
+            * F.lit((mx - mn) / float(SQ8_LEVELS))
+        )
+    return F.array(*comps)
+
+
+def load_sq8_bounds(
+    spark: SparkSession, table: str
+) -> tuple[list, list]:
+    """(mins, maxs) persisted by materialize_ivf_index(sq8=True)."""
+    rows = spark.table(f"{table}_sq8").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{table}_sq8 must hold exactly one bounds row, got "
+            f"{len(rows)}; rebuild via materialize_ivf_index(sq8=True)"
+        )
+    r = rows[0]
+    return [float(x) for x in r.mins], [float(x) for x in r.maxs]
+
+
 def materialize_ivf_index(
     corpus: DataFrame,
     table: str,
@@ -1178,6 +1277,7 @@ def materialize_ivf_index(
     num_buckets: int = 16,
     path: str | None = None,
     mode: str = "overwrite",
+    sq8: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Persist the IVF inverted lists: every corpus vector with its
     nearest-centroid ``cell``, hash-BUCKETED on the single ``cell``
@@ -1192,7 +1292,25 @@ def materialize_ivf_index(
     (undefined cosine) are excluded at build. The quantizer is
     trained once here (``iters`` Lloyd rounds — the expensive part at
     scale) and reloaded via :func:`load_ivf_centroids` for every
-    later probe batch. Returns (index frame, centroids)."""
+    later probe batch. Returns (index frame, centroids).
+
+    ``sq8=True`` stores SQ8 scalar-quantized codes instead of the
+    float vectors — at 100 TB the index IS the scan cost, and codes
+    cut the stored payload ~3.6x (7 codes packed per bigint word;
+    measured bytes in PLANS.md "r10 SQ8 IVF index"). Rows become
+    (cell, vec_id, codes array<bigint>, vnorm) with ``vnorm`` the
+    norm of the DEQUANTIZED midpoint vector, so probe cosines are
+    internally consistent for the stored approximation; per-dim
+    bounds persist in ``{table}_sq8`` and reload via
+    :func:`load_sq8_bounds`. Cell assignment still uses the ORIGINAL
+    vectors (the quantizer sees no distortion). Append mode reuses
+    the STORED bounds — recomputing on a batch would shift the code
+    grid under the existing rows. Probe via
+    ``ivf_topk_from_index(..., sq8_bounds=load_sq8_bounds(...))``;
+    ranking is approximate within quantization distortion
+    (recall-vs-distortion pinned in tests), and the whole path stays
+    floor-arithmetic portable — the ``emb_ivf_sq8_topk`` registry
+    query carries a FULL DuckDB oracle."""
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
     )
@@ -1216,10 +1334,20 @@ def materialize_ivf_index(
         # tables, and passing the stale original path would fail the
         # location-match check
         path = None
+        if sq8:
+            mins, maxs = load_sq8_bounds(corpus.sparkSession, table)
     else:
         cents = centroids or _ivf_centroids(
             corpus, id_col, vec_col, n_cells, iters, impl=impl
         )
+        if sq8:
+            mins, maxs = _sq8_bounds(
+                corpus.select(
+                    F.col(vec_col).alias("embedding"),
+                    norm(F.col(vec_col)).alias("vnorm"),
+                ).filter(F.col("vnorm") > 0),
+                "embedding",
+            )
     idx = assign_cells(
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -1231,7 +1359,35 @@ def materialize_ivf_index(
         "embedding",
         n_probe=1,
         impl=impl,
-    ).select("cell", "vec_id", "embedding", "vnorm")
+    )
+    if sq8:
+        # vnorm becomes the DEQUANTIZED vector's norm (direct
+        # per-dim midpoint exprs — value-identical to unpacking the
+        # codes; the pack/unpack round-trip itself is pinned by the
+        # probe parity tests), so probe cosines are consistent with
+        # what the index actually stores
+        dim = len(mins)
+        deq = F.array(
+            *[
+                F.lit(mins[i])
+                + (
+                    _sq8_code_expr("embedding", mins, maxs, i).cast(
+                        "double"
+                    )
+                    + F.lit(0.5)
+                )
+                * F.lit((maxs[i] - mins[i]) / float(SQ8_LEVELS))
+                for i in range(dim)
+            ]
+        )
+        idx = idx.select(
+            "cell",
+            "vec_id",
+            _sq8_pack_expr("embedding", mins, maxs).alias("codes"),
+            norm(deq).alias("vnorm"),
+        )
+    else:
+        idx = idx.select("cell", "vec_id", "embedding", "vnorm")
     write_bucketed(
         idx,
         table,
@@ -1253,6 +1409,18 @@ def materialize_ivf_index(
         if path:
             w = w.option("path", f"{path}_centroids")
         w.saveAsTable(f"{table}_centroids")
+        if sq8:
+            b_df = spark.createDataFrame(
+                [(mins, maxs, SQ8_LEVELS)],
+                schema=(
+                    "mins array<double>, maxs array<double>,"
+                    " levels int"
+                ),
+            )
+            wb = b_df.coalesce(1).write.mode(mode).format("parquet")
+            if path:
+                wb = wb.option("path", f"{path}_sq8")
+            wb.saveAsTable(f"{table}_sq8")
     return spark.table(table), cents
 
 
@@ -1283,6 +1451,7 @@ def ivf_topk_from_index(
     n_probe: int = 4,
     impl: str = "blas",
     pushdown_probe_cells: bool = False,
+    sq8_bounds: tuple[list, list] | None = None,
 ) -> DataFrame:
     """:func:`ivf_topk` against a prebuilt cell-bucketed index — the
     repeated-probe production path (same output as ivf_topk with the
@@ -1298,7 +1467,14 @@ def ivf_topk_from_index(
     lsh_topk_from_index's pushdown: warm-cache local scans are
     cheaper than the keys-collect job even at 7.6 %% touched cells on
     a 10M-row index (PLANS.md "r8 ANN probe soak"); opt in on
-    cold/object storage with small probed fractions."""
+    cold/object storage with small probed fractions.
+
+    ``sq8_bounds=(mins, maxs)`` (from :func:`load_sq8_bounds`) probes
+    an index built with ``sq8=True``: candidate vectors rebuild from
+    the packed codes via literal-shift codegen (no UDF) and score
+    against the stored dequantized norm — cosines are exact for the
+    stored approximation, ranking is approximate within quantization
+    distortion."""
     q = assign_cells(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
@@ -1312,11 +1488,26 @@ def ivf_topk_from_index(
     if pushdown_probe_cells:
         cells = [r.cell for r in q.select("cell").distinct().collect()]
         index = index.filter(F.col("cell").isin(cells))
+    if sq8_bounds is not None:
+        mins, maxs = sq8_bounds
+        if "codes" not in index.columns:
+            raise ValueError(
+                "sq8_bounds given but the index has no 'codes' column"
+                " — build it with materialize_ivf_index(sq8=True)"
+            )
+        c_vec = _sq8_dequant_expr("codes", mins, maxs)
+    elif "codes" in index.columns:
+        raise ValueError(
+            "index stores SQ8 codes — pass sq8_bounds="
+            "load_sq8_bounds(spark, table)"
+        )
+    else:
+        c_vec = F.col("embedding")
     # defensive vnorm>0 (pre-fix persisted indexes), as in the LSH probe
     c = index.filter(F.col("vnorm") > 0).select(
         "cell",
         F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("c_vec"),
+        c_vec.alias("c_vec"),
         F.col("vnorm").alias("c_norm"),
     )
     scored = (

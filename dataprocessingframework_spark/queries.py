@@ -3094,6 +3094,114 @@ def q_emb_ivf_index_topk(spark, sf_dir):
     )
 
 
+def q_emb_ivf_sq8_topk(spark, sf_dir):
+    """The SQ8-compressed IVF index probe end to end (r10): build the
+    cell-bucketed index with sq8=True (codes packed 7-per-bigint,
+    ~3.6x smaller stored payload — at 100 TB the index IS the scan
+    cost), reload quantizer + bounds, probe, drop scratch tables.
+    Every step is floor/shift arithmetic — bit-portable — so the
+    DuckDB oracle replicates bounds -> codes -> midpoint dequant ->
+    dequant norms -> seeded cells -> probe -> top-k and the result
+    value-hashes across engines; a pack/unpack bug anywhere would
+    shift the cosines and fail the hash."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_sq8_idx_{tag}"
+    path = f"/root/repo/.scratch/sq8_idx_{tag}"
+    idx, _ = materialize_ivf_index(
+        emb, table, n_cells=16, iters=0, impl="jvm",
+        num_buckets=16, path=path, sq8=True,
+    )
+    out = (
+        ivf_topk_from_index(
+            idx,
+            load_ivf_centroids(spark, table),
+            emb.filter(F.col("vec_id") < 5),
+            k=5,
+            n_probe=4,
+            impl="jvm",
+            sq8_bounds=load_sq8_bounds(spark, table),
+        )
+        .orderBy("q_id", "nbr_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_sq8"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_sq8"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="q_id long, nbr_id long, cos double"
+    )
+
+
+SQL_EMB_IVF_SQ8_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+       WHERE sqrt(list_dot_product(v, v)) > 0
+       GROUP BY i),
+b AS (SELECT list(mn ORDER BY pos) AS mins,
+             list(mx ORDER BY pos) AS maxs FROM pe),
+deq AS (
+  SELECT vec_id, v,
+    list_transform(range(1, 65), i ->
+      CASE WHEN maxs[i] > mins[i]
+        THEN mins[i]
+             + (GREATEST(0, LEAST(255, CAST(FLOOR((v[i] - mins[i])
+                      / (maxs[i] - mins[i]) * 256.0) AS BIGINT))) + 0.5)
+               * ((maxs[i] - mins[i]) / 256.0)
+        ELSE mins[i] END) AS dv
+  FROM e CROSS JOIN b
+),
+h AS (
+  SELECT vec_id,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT e.v AS cv, hh FROM e JOIN h USING (vec_id)
+    ORDER BY hh LIMIT 16)
+), corpus_cells AS (
+  SELECT nbr_id, dvv, dn, cell FROM (
+    SELECT d.vec_id AS nbr_id, d.dv AS dvv,
+           sqrt(list_dot_product(d.dv, d.dv)) AS dn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.v, c.cv) DESC, c.cell) AS rn
+    FROM deq d CROSS JOIN cents c
+    WHERE sqrt(list_dot_product(d.v, d.v)) > 0)
+  WHERE rn = 1 AND dn > 0
+), probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4
+), scored AS (
+  SELECT q_id, nbr_id,
+         list_dot_product(qv, dvv) /
+           (sqrt(list_dot_product(qv, qv)) * dn) AS cos_raw
+  FROM corpus_cells JOIN probes USING (cell)
+  WHERE nbr_id <> q_id
+)
+SELECT q_id, nbr_id, ROUND(cos_raw, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM scored) WHERE rn <= 5
+ORDER BY q_id, nbr_id
+"""
+
+
 def q_d3_sample(spark, sf_dir):
     """D3 seeded random sample (`processors/processor.py:295-320`) —
     nondeterministic across engines by design; rows-only check."""
@@ -9134,6 +9242,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_emb_ivf_index_topk,
         SQL_EMB_IVF_TOPK_SEEDED,
     ),
+    "emb_ivf_sq8_topk": (q_emb_ivf_sq8_topk, SQL_EMB_IVF_SQ8_TOPK),
     "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
     "ev_ordered_funnel": (q_ev_ordered_funnel, SQL_EV_ORDERED_FUNNEL),
     "pipeline_curation_v2": (
@@ -9354,18 +9463,23 @@ _R7_WINDOW = [
 ]
 
 # r10 WINDOW (r9 was cut short before the driver check ran, so this
-# window rotates off the r8 state): positions 1-2 are the NEW
+# window rotates off the r8 state): positions 1-3 are the NEW
 # queries — emb_gate_recall (FULL-oracled false-negative audit of
-# the semantic dedup gate at n_probe 1/2/4; VERDICT r8 item 3) and
+# the semantic dedup gate at n_probe 1/2/4; VERDICT r8 item 3),
 # emb_gate_blas_parity (driver coverage for the blas production
-# path incl. the r9 max_cell_rows salting; VERDICT r8 item 5).
-# Positions 3-25 are the ENTIRE 23-query cohort last driver-checked
-# in r4 (all re-verified locally by the r8 judge, 22 pass + 1
-# rows-only-by-design). Positions 26-50 are the oldest 25 of the
-# 50-query r5-stale cohort in registry order. Post-r10 staleness:
-# nothing older than r5. Rotation history in COVERAGE.md.
+# path incl. the r9 max_cell_rows salting; VERDICT r8 item 5), and
+# emb_ivf_sq8_topk (NEW: SQ8-compressed IVF index probe, FULL
+# oracle over the packed-code arithmetic). Positions 4-26 are the
+# ENTIRE 23-query cohort last driver-checked in r4 (all re-verified
+# locally by the r8 judge, 22 pass + 1 rows-only-by-design).
+# Positions 27-50 are the oldest 24 of the 50-query r5-stale cohort
+# in registry order (a_sketch_intersection, next in that order,
+# leads the r11 rotation). Post-r10 staleness: nothing older than
+# r5. Rotation history in COVERAGE.md. ALL 50 verified locally this
+# round via tools/check_correctness.py at sf0.01 (PLANS.md "r10
+# local full-registry verification").
 _R10_WINDOW = [
-    "emb_gate_recall", "emb_gate_blas_parity",
+    "emb_gate_recall", "emb_gate_blas_parity", "emb_ivf_sq8_topk",
     # the ENTIRE r4-stale cohort (23)
     "a_mode_per_group", "a_top_docs_per_source", "d_split_assign",
     "emb_ivf_topk", "emb_kmeans", "ev_anomaly_days",
@@ -9383,7 +9497,7 @@ _R10_WINDOW = [
     "a_psi_drift", "tx_bigram_nll", "emb_quantize",
     "stream_psi_monitor", "a_benford", "a_gini", "w_scd2",
     "ev_ab_metrics", "tx_remove_dup_spans", "dd_containment",
-    "f_lag_features", "emb_code_dedup", "a_sketch_intersection",
+    "f_lag_features", "emb_code_dedup",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 REGISTRY = {

@@ -503,3 +503,242 @@ def test_compacted_index_probe_still_exchange_free(spark, sf_dir, tmp_path):
     finally:
         for t in ("t_lsh_cmp", "t_lsh_cmp__compact"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sq8_index_pack_roundtrip_and_vnorm(spark, sf_dir, tmp_path):
+    """r10: sq8=True stores codes packed 7-per-bigint; unpacking each
+    word must reproduce the direct quantization formula exactly, and
+    the stored vnorm must equal the dequantized midpoint vector's
+    norm (the norm probes actually divide by)."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        SQ8_LEVELS,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        idx, _ = materialize_ivf_index(
+            emb, "t_sq8_rt", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "rt"), sq8=True,
+        )
+        mins, maxs = load_sq8_bounds(spark, "t_sq8_rt")
+        dim = len(mins)
+        for r in idx.join(emb, "vec_id").limit(20).collect():
+            v = [float(x) for x in r.embedding]
+            want = []
+            for i in range(dim):
+                if maxs[i] > mins[i]:
+                    c = int(
+                        np.floor(
+                            (v[i] - mins[i])
+                            / (maxs[i] - mins[i])
+                            * SQ8_LEVELS
+                        )
+                    )
+                    want.append(max(0, min(SQ8_LEVELS - 1, c)))
+                else:
+                    want.append(0)
+            got = [
+                (r.codes[i // 7] >> (8 * (i % 7))) & 255
+                for i in range(dim)
+            ]
+            assert got == want, (r.vec_id, got[:8], want[:8])
+            deq = np.array(
+                [
+                    mins[i]
+                    + (want[i] + 0.5) * (maxs[i] - mins[i]) / SQ8_LEVELS
+                    for i in range(dim)
+                ]
+            )
+            assert abs(float(np.linalg.norm(deq)) - r.vnorm) < 1e-9
+    finally:
+        for t in ("t_sq8_rt", "t_sq8_rt_centroids", "t_sq8_rt_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sq8_index_probe_matches_dequant_reference(spark, sf_dir, tmp_path):
+    """r10: probing the SQ8 index with n_probe == n_cells (every cell
+    visited -> exact over the stored approximation) must reproduce a
+    numpy brute-force ranking over the dequantized vectors — ids and
+    rounded cosines, (cos DESC, id ASC) ties."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        SQ8_LEVELS,
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        idx, _ = materialize_ivf_index(
+            emb, "t_sq8_probe", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "probe"), sq8=True,
+        )
+        mins, maxs = load_sq8_bounds(spark, "t_sq8_probe")
+        got = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_topk_from_index(
+                idx,
+                load_ivf_centroids(spark, "t_sq8_probe"),
+                emb.filter(F.col("vec_id") < 4),
+                k=3,
+                n_probe=8,
+                impl="jvm",
+                sq8_bounds=(mins, maxs),
+            ).collect()
+        )
+
+        rows = sorted(
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in emb.collect()
+        )
+        ids = np.array([i for i, _ in rows])
+        V = np.array([v for _, v in rows], dtype=np.float64)
+        mn = np.array(mins)
+        mx = np.array(maxs)
+        span = np.where(mx > mn, mx - mn, 1.0)
+        codes = np.clip(
+            np.floor((V - mn) / span * SQ8_LEVELS), 0, SQ8_LEVELS - 1
+        )
+        codes = np.where(mx > mn, codes, 0)
+        D = mn + (codes + 0.5) * np.where(mx > mn, mx - mn, 0.0) / SQ8_LEVELS
+        dn = np.linalg.norm(D, axis=1)
+        want = []
+        for qi in range(len(ids)):
+            if ids[qi] >= 4:
+                continue
+            q = V[qi]
+            cos = (D @ q) / (np.linalg.norm(q) * dn)
+            order = sorted(
+                (
+                    (-cos[j], ids[j])
+                    for j in range(len(ids))
+                    if ids[j] != ids[qi]
+                ),
+            )[:3]
+            want.extend(
+                (int(ids[qi]), int(nid), round(-negc, 4))
+                for negc, nid in order
+            )
+        assert got == sorted(want), (got[:6], sorted(want)[:6])
+    finally:
+        for t in ("t_sq8_probe", "t_sq8_probe_centroids",
+                  "t_sq8_probe_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sq8_index_append_reuses_stored_bounds_and_clamps(
+    spark, sf_dir, tmp_path
+):
+    """r10: append mode must reuse the STORED bounds (recomputing on
+    the batch would shift the code grid under existing rows), and a
+    batch vector outside the stored range must CLAMP to code 0/255 —
+    without the lower clamp a below-min value codes negative and
+    corrupts the packed word's neighboring bytes."""
+    from dataprocessingframework_spark.operators.similarity import (
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        _, cents = materialize_ivf_index(
+            emb, "t_sq8_app", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "app"), sq8=True,
+        )
+        bounds_before = load_sq8_bounds(spark, "t_sq8_app")
+        n0 = emb.count()
+        wild = emb.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + n0 + 10).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(100.0)
+            ).alias("embedding"),
+        )
+        idx2, _ = materialize_ivf_index(
+            wild, "t_sq8_app", mode="append", sq8=True
+        )
+        assert load_sq8_bounds(spark, "t_sq8_app") == bounds_before
+        assert idx2.count() == n0 + 3
+        import numpy as np
+
+        mins, maxs = bounds_before
+        dim = len(mins)
+        wild_vecs = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in wild.collect()
+        }
+        hit_rails = 0
+        for r in idx2.filter(F.col("vec_id") >= n0).collect():
+            codes = [
+                (r.codes[i // 7] >> (8 * (i % 7))) & 255
+                for i in range(dim)
+            ]
+            v = wild_vecs[r.vec_id]
+            want = []
+            for i in range(dim):
+                if maxs[i] > mins[i]:
+                    c = int(
+                        np.floor(
+                            (v[i] - mins[i]) / (maxs[i] - mins[i]) * 256
+                        )
+                    )
+                    want.append(max(0, min(255, c)))
+                else:
+                    want.append(0)
+            assert codes == want, (r.vec_id, codes[:8], want[:8])
+            hit_rails += sum(1 for c in codes if c in (0, 255))
+        # the x100 scaling must actually exercise BOTH clamp rails
+        assert hit_rails > dim, hit_rails
+    finally:
+        for t in ("t_sq8_app", "t_sq8_app_centroids", "t_sq8_app_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sq8_index_is_smaller_on_disk(spark, sf_dir, tmp_path):
+    """r10: the point of SQ8 — the stored index must be materially
+    smaller than the float index over the same corpus (payload is
+    dim bytes packed vs 4*dim float32; parquet overhead dilutes the
+    4x toward ~2.5-3x at test scale)."""
+    from dataprocessingframework_spark.operators.similarity import (
+        materialize_ivf_index,
+    )
+    from dataprocessingframework_spark.sources.compact import (
+        _table_location,
+        dataset_file_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        materialize_ivf_index(
+            emb, "t_sq8_sz", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "sq8"), sq8=True,
+        )
+        materialize_ivf_index(
+            emb, "t_f32_sz", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "f32"),
+        )
+        _, b_sq8 = dataset_file_stats(
+            spark, _table_location(spark, "t_sq8_sz")
+        )
+        _, b_f32 = dataset_file_stats(
+            spark, _table_location(spark, "t_f32_sz")
+        )
+        assert b_sq8 * 2 < b_f32, (b_sq8, b_f32)
+    finally:
+        for t in ("t_sq8_sz", "t_sq8_sz_centroids", "t_sq8_sz_sq8",
+                  "t_f32_sz", "t_f32_sz_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
