@@ -1,0 +1,115 @@
+"""r10 soak: SQ8 vs float32 IVF index at the 1M-vector shape.
+
+Measures what the sq8 option actually trades at scale: on-disk index
+bytes (the thing a 100 TB deployment pays for), build cost, and
+probe latency on a warm local cache (where the decode overhead is
+the whole story because scan bytes are free). Prints one JSON line
+per index kind; paste into PLANS.md "r10 SQ8 IVF index".
+
+Corpus recipe adapts tools/ann_probe_soak.py with a LARGER
+perturbation (+-0.15): the SQ8 grid step on this data is
+(mx-mn)/256 ~ 0.035, so ann_probe_soak's +-0.01 leaves most copies
+on IDENTICAL codes and parquet RLE-collapses them to a fantasy
+15x ratio (first run of this soak — kept in PLANS.md as the
+artifact warning). +-0.15 spans ~8 grid steps, so copies carry
+genuinely distinct codes and the measured bytes reflect real
+entropy.
+
+Run: SOAK_COPIES=500 python tools/sq8_soak.py   (~4 min, local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SOAK_COPIES", "500"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark import queries as q
+    from dataprocessingframework_spark.operators import similarity
+    from dataprocessingframework_spark.session import get_spark
+    from dataprocessingframework_spark.sources.compact import (
+        _table_location,
+        dataset_file_stats,
+    )
+
+    spark = get_spark(app_name="sq8-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = q.T(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+    corpus = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_base).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, pos: x
+                + F.lit(0.15)
+                * F.sin((F.col("copy") + pos).cast("double")),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    n = corpus.count()
+    qs = corpus.filter(F.col("vec_id") < 50)
+
+    for kind, sq8 in (("float32", False), ("sq8", True)):
+        tag = uuid.uuid4().hex[:8]
+        table = f"soak_sq8_{tag}"
+        path = f"/root/repo/.scratch/soak_sq8_{tag}"
+        t0 = time.time()
+        idx, _ = similarity.materialize_ivf_index(
+            corpus, table, n_cells=128, iters=1,
+            num_buckets=128, path=path, sq8=sq8,
+        )
+        build_s = time.time() - t0
+        cents = similarity.load_ivf_centroids(spark, table)
+        bounds = (
+            similarity.load_sq8_bounds(spark, table) if sq8 else None
+        )
+        files, nbytes = dataset_file_stats(
+            spark, _table_location(spark, table)
+        )
+        best = float("inf")
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            similarity.ivf_topk_from_index(
+                idx, cents, qs, k=10, n_probe=8, sq8_bounds=bounds
+            ).count()
+            best = min(best, time.time() - t0)
+        print(
+            json.dumps(
+                {
+                    "soak": "sq8_index",
+                    "kind": kind,
+                    "rows": n,
+                    "files": files,
+                    "bytes": nbytes,
+                    "build_s": round(build_s, 2),
+                    "probe_min3_s": round(best, 3),
+                }
+            ),
+            flush=True,
+        )
+        for t in (table, f"{table}_centroids", f"{table}_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for sfx in ("", "_centroids", "_sq8"):
+            shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
