@@ -1131,9 +1131,18 @@ def ivf_topk(
     cents = centroids or _ivf_centroids(
         corpus, id_col, vec_col, n_cells, iters, impl=impl
     )
+    # norms are computed on each side BEFORE the cell join: a corpus
+    # row meets every query probing its cell and a broadcast query
+    # meets every corpus row in its probed cells, so folding the
+    # norms per joined PAIR (the old cosine(q, c) expression) paid
+    # each 64-element fold |pairs|/|rows| times over — same fix as
+    # the materialized-index probe (value-identical: same fold over
+    # the same row's data, just evaluated once)
     c = assign_cells(
         corpus.select(
-            F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
         ),
         cents,
         "nbr_id",
@@ -1143,7 +1152,9 @@ def ivf_topk(
     )
     q = assign_cells(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
         ),
         cents,
         "q_id",
@@ -1157,7 +1168,10 @@ def ivf_topk(
         .select(
             "q_id",
             "nbr_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
         )
     )
     # _per_query_topk's map-side partial WindowGroupLimit keeps a fat
