@@ -60,7 +60,8 @@ TIERS: dict[str, list[str]] = {
     "ann": [
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
-        "ann_ivf_index_probe", "ann_ivf_sq8_probe", "ann_kcenter",
+        "ann_ivf_index_probe", "ann_ivf_sq8_probe", "ann_ivf_pq_probe",
+        "ann_kcenter",
         "ann_kcenter_batched",
     ],
 }
@@ -223,6 +224,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         out["ann_index_probe"] = lambda: None
         out["ann_ivf_index_probe"] = lambda: None
         out["ann_ivf_sq8_probe"] = lambda: None
+        out["ann_ivf_pq_probe"] = lambda: None
         return out
     if "ann_index_probe" in only:
         import shutil
@@ -364,6 +366,59 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
                 shutil.rmtree(f"{sq8_path}{sfx}", ignore_errors=True)
 
         extra["_cleanup"] = sq8_cleanup
+
+    # IVF-PQ read path (r10): the 16B-payload rung of the compression
+    # ladder; blas encode at build, reconstruction-lookup probe.
+    if "ann_ivf_pq_probe" in only:
+        import shutil
+        import uuid
+
+        pq_tag = uuid.uuid4().hex[:8]
+        pq_table = f"bench_pq_idx_{pq_tag}"
+        pq_path = f"/root/repo/.scratch/bench_pq_idx_{pq_tag}"
+        emb4 = q.T(spark, SF_DIR, "embeddings")
+        t0 = time.time()
+        pq_idx, pq_cents, pq_books = similarity.materialize_pq_index(
+            emb4, pq_table, n_cells=16, iters=1,
+            num_buckets=16, path=pq_path,
+        )
+        extra["ann_ivf_pq_build"] = round(time.time() - t0, 3)
+        from dataprocessingframework_spark.sources.compact import (
+            _table_location as _tl2,
+            dataset_file_stats as _dfs2,
+        )
+
+        _, pq_bytes = _dfs2(spark, _tl2(spark, pq_table))
+        extra["ann_ivf_pq_bytes"] = pq_bytes
+
+        def pq_probe():
+            _noop(
+                similarity.ivf_pq_topk_from_index(
+                    pq_idx,
+                    pq_cents,
+                    pq_books,
+                    q.T(spark, SF_DIR, "embeddings").filter(
+                        F.col("vec_id") < 50
+                    ),
+                    k=10,
+                    n_probe=4,
+                )
+            )
+
+        out["ann_ivf_pq_probe"] = pq_probe
+
+        prev_cleanup3 = extra.get("_cleanup")
+
+        def pq_cleanup():
+            if prev_cleanup3 is not None:
+                prev_cleanup3()
+            for t in (pq_table, f"{pq_table}_centroids",
+                      f"{pq_table}_pq"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for sfx in ("", "_centroids", "_pq"):
+                shutil.rmtree(f"{pq_path}{sfx}", ignore_errors=True)
+
+        extra["_cleanup"] = pq_cleanup
     return {k: v for k, v in out.items() if k in only}
 
 

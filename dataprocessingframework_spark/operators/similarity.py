@@ -1053,7 +1053,7 @@ def assign_cells(
     # analysis/codegen rationale (and value-identical fold) as
     # lsh_bucket_expr; the transform index replaces F.lit(i)
     scores = F.transform(
-        F.lit([[float(x) for x in c] for c in centroids]),
+        _nested_array_lit([[float(x) for x in c] for c in centroids]),
         lambda c, i: F.struct(
             dot(F.col(vec_col), c).alias("s"), i.alias("c")
         ),
@@ -1256,6 +1256,437 @@ def load_sq8_bounds(
         )
     r = rows[0]
     return [float(x) for x in r.mins], [float(x) for x in r.maxs]
+
+
+def _nested_array_lit(mat: list[list[float]]) -> Column:
+    """A k x d nested-array literal built as ONE parsed SQL
+    expression. ``F.lit(nested_list)`` issues a py4j call per element
+    — a 256 x 8 PQ codebook cost ~14 s of driver-side plan
+    CONSTRUCTION per probe (measured; analysis and execution were
+    fine). Python ``repr`` emits the shortest round-tripping decimal
+    and Spark's parser is correctly-rounded, so the parsed doubles
+    are bit-identical to the F.lit path."""
+    inner = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+        for row in mat
+    )
+    return F.expr(f"array({inner})")
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+) -> list[list[list[float]]]:
+    """Seeded product-quantization codebooks: the k corpus vectors
+    with the smallest md5-derived id hash (the same seedless portable
+    sample as _ivf_centroids), each split into m sub-vectors —
+    codebooks[s][c] is codeword c of subspace s. No Lloyd refinement,
+    so every downstream code assignment is pure portable arithmetic
+    and the whole PQ path carries a FULL cross-engine oracle. Only
+    k x dim doubles reach the driver."""
+    from dataprocessingframework_spark.functions.hashing import hash64
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            hash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sd = dim // m
+    return [
+        [vec[s * sd : (s + 1) * sd] for vec in vecs] for s in range(m)
+    ]
+
+
+def _pq_code_exprs(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> list[Column]:
+    """Per-subspace PQ code: argmin_k squared L2 distance between the
+    sub-vector and codeword k, ties to the lower k (array_min over
+    (dist, k) structs — field order IS the tiebreak). Each subspace's
+    codebook ships as ONE nested-array literal (compact-literal
+    pattern); the scan stays a narrow projection."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+
+    def scorer(sub):
+        # closure factory: a `sub=sub` default param would change the
+        # lambda's arity and break PySpark's HOF argument counting
+        return lambda cw, kk: F.struct(
+            F.aggregate(
+                F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            kk.alias("k"),
+        )
+
+    exprs = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * sd + 1, sd)
+        scores = F.transform(
+            _nested_array_lit(codebooks[s]), scorer(sub)
+        )
+        exprs.append(F.array_min(scores)["k"].cast("long"))
+    return exprs
+
+
+def load_pq_codebooks(
+    spark: SparkSession, table: str
+) -> list[list[list[float]]]:
+    """Codebooks persisted by :func:`materialize_pq_index` —
+    m x k x subdim, always driver-sized."""
+    rows = spark.table(f"{table}_pq").orderBy("s", "c").collect()
+    books: list[list[list[float]]] = []
+    for r in rows:
+        if r.s == len(books):
+            books.append([])
+        if r.s != len(books) - 1 or r.c != len(books[-1]):
+            raise ValueError(
+                f"{table}_pq rows are not contiguous (s={r.s}, c={r.c})"
+                " — corrupted or double-written; rebuild via"
+                " materialize_pq_index"
+            )
+        books[-1].append([float(x) for x in r.codeword])
+    return books
+
+
+def materialize_pq_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 1,
+    impl: str = "blas",
+    centroids: list[list[float]] | None = None,
+    num_buckets: int = 16,
+    path: str | None = None,
+    mode: str = "overwrite",
+    m: int = 8,
+    k_codes: int = 256,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ: the canonical billion-scale ANN layout (Jegou et al.
+    2011) Spark-first — inverted lists bucketed on ``cell`` exactly
+    like :func:`materialize_ivf_index`, but each vector stored as m
+    product-quantization codes packed 7-per-bigint: dim=64, m=8 is
+    8 code bytes -> 2 bigints = 16 B payload vs 256 B float32 (16x;
+    measured on-disk ratio in PLANS.md "r10 IVF-PQ index"). SQ8
+    (~4x) keeps per-dim resolution; PQ trades more accuracy for
+    another 4x — the right rung when the index must live on object
+    storage or fit a memory budget.
+
+    Codebooks are md5-seeded corpus sub-vectors (no Lloyd), so code
+    assignment is portable argmin arithmetic and the
+    ``emb_ivf_pq_topk`` registry query carries a FULL DuckDB oracle.
+    ``vnorm`` stores the RECONSTRUCTION's norm (probe cosines are
+    consistent for what the index holds). ``mode='append'`` reuses
+    the persisted centroids AND codebooks — re-seeding on a batch
+    would shift the code space under existing rows. Probe via
+    :func:`ivf_pq_topk_from_index`."""
+    from dataprocessingframework_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    spark = corpus.sparkSession
+    if mode == "append":
+        if centroids is None:
+            centroids = load_ivf_centroids(spark, table)
+        cents = centroids
+        books = load_pq_codebooks(spark, table)
+        desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        buckets = [r for r in desc if r.col_name == "Num Buckets"]
+        if buckets:
+            num_buckets = int(buckets[0].data_type)
+        path = None
+    else:
+        cents = centroids or _ivf_centroids(
+            corpus, id_col, vec_col, n_cells, iters, impl=impl
+        )
+        nz = corpus.select(
+            F.col(id_col).alias("pid"),
+            F.col(vec_col).alias("pv"),
+            norm(F.col(vec_col)).alias("pn"),
+        ).filter(F.col("pn") > 0)
+        k_eff = min(k_codes, nz.count())
+        books = _pq_codebooks(nz, "pid", "pv", m, k_eff)
+    sd = len(books[0][0])
+    assigned = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            norm(F.col(vec_col)).alias("vnorm"),
+        ).filter(F.col("vnorm") > 0),
+        cents,
+        "vec_id",
+        "embedding",
+        n_probe=1,
+        impl=impl,
+    )
+    n_words = (m + _SQ8_PER_WORD - 1) // _SQ8_PER_WORD
+    if impl == "jvm":
+        # expression encode: portable argmin arithmetic, the
+        # oracle-exact path. Interpreted-HOF cost is ~28 ms/row
+        # (k_codes folds per subspace per row) — fine for the
+        # oracled registry query, wrong for a production build;
+        # the blas default below is ~100x faster per batch.
+        assigned = assigned.withColumn(
+            "pq_codes", F.array(*_pq_code_exprs("embedding", books))
+        )
+        words = []
+        for w in range(0, m, _SQ8_PER_WORD):
+            expr = F.lit(0).cast("long")
+            for j, s in enumerate(range(w, min(w + _SQ8_PER_WORD, m))):
+                expr = expr + F.shiftleft(F.col("pq_codes")[s], 8 * j)
+            words.append(expr)
+        recon = F.concat(
+            *[
+                F.element_at(
+                    _nested_array_lit(books[s]),
+                    (F.col("pq_codes")[s] + 1).cast("int"),
+                )
+                for s in range(m)
+            ]
+        )
+        idx = assigned.select(
+            "cell",
+            "vec_id",
+            F.array(*words).alias("codes"),
+            norm(recon).alias("vnorm"),
+        )
+    else:
+        # Arrow-batched numpy encode (production default): per batch,
+        # per subspace ONE ||sub||^2 - 2 sub@CB^T + ||CB||^2 distance
+        # matrix and a vectorized argmin (np ties -> first index =
+        # lowest codeword, same tiebreak as the expression path).
+        # Distances accumulate in a different order than the JVM
+        # fold, so a code can differ only on an exact inter-codeword
+        # distance tie — use impl='jvm' for oracle-exact parity.
+        import numpy as np
+        import pandas as pd
+
+        b_books = [
+            np.array(books[s], dtype=np.float64) for s in range(m)
+        ]
+        b_norm2 = [(b * b).sum(axis=1) for b in b_books]
+
+        def encode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vm = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pdf["embedding"]]
+                )
+                words = np.zeros((len(pdf), n_words), dtype=np.int64)
+                recon = np.empty_like(vm)
+                for s in range(m):
+                    sub = vm[:, s * sd : (s + 1) * sd]
+                    d = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ b_books[s].T)
+                        + b_norm2[s][None, :]
+                    )
+                    cs = np.argmin(d, axis=1)
+                    recon[:, s * sd : (s + 1) * sd] = b_books[s][cs]
+                    words[:, s // _SQ8_PER_WORD] |= cs << (
+                        8 * (s % _SQ8_PER_WORD)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "cell": pdf["cell"].values,
+                        "vec_id": pdf["vec_id"].values,
+                        "codes": [w.tolist() for w in words],
+                        "vnorm": np.linalg.norm(recon, axis=1),
+                    }
+                )
+
+        idx = assigned.select("cell", "vec_id", "embedding").mapInPandas(
+            encode,
+            schema="cell int, vec_id long, codes array<bigint>,"
+            " vnorm double",
+        )
+    write_bucketed(
+        idx,
+        table,
+        ["cell"],
+        num_buckets=num_buckets,
+        sort_cols=["cell"],
+        path=path,
+        mode=mode,
+    )
+    if mode != "append":
+        cent_rows = [
+            (c, [float(x) for x in vec]) for c, vec in enumerate(cents)
+        ]
+        cent_df = spark.createDataFrame(
+            cent_rows, schema="cell int, centroid array<double>"
+        )
+        w0 = cent_df.coalesce(1).write.mode(mode).format("parquet")
+        if path:
+            w0 = w0.option("path", f"{path}_centroids")
+        w0.saveAsTable(f"{table}_centroids")
+        book_rows = [
+            (s, c, books[s][c])
+            for s in range(len(books))
+            for c in range(len(books[s]))
+        ]
+        book_df = spark.createDataFrame(
+            book_rows, schema="s int, c int, codeword array<double>"
+        )
+        wb = book_df.coalesce(1).write.mode(mode).format("parquet")
+        if path:
+            wb = wb.option("path", f"{path}_pq")
+        wb.saveAsTable(f"{table}_pq")
+    return spark.table(table), cents, books
+
+
+def ivf_pq_topk_from_index(
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    impl: str = "jvm",
+    pushdown_probe_cells: bool = False,
+) -> DataFrame:
+    """Probe a :func:`materialize_pq_index` table: queries assign to
+    their n_probe nearest cells (narrow map, driver-held centroid
+    matrix), broadcast-join the index on ``cell``, and score
+    asymmetrically — original query vector against the PQ
+    reconstruction, rebuilt per candidate as one codebook lookup per
+    subspace (element_at on a nested-array literal indexed by the
+    unpacked code) with a statically unrolled multiply-add chain in
+    dim order, so the summation order matches the build-side
+    reconstruction-norm fold and the DuckDB oracle bit-for-bit. No
+    UDF anywhere; query norms materialize once on the broadcast
+    side."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        centroids,
+        "q_id",
+        "q_vec",
+        n_probe=n_probe,
+        impl=impl,
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    if pushdown_probe_cells:
+        cells = [r.cell for r in q.select("cell").distinct().collect()]
+        index = index.filter(F.col("cell").isin(cells))
+    # reconstruction as ONE codebook lookup per subspace, then a flat
+    # dim-order dot fold. Each k x subdim codebook literal appears
+    # exactly ONCE — an earlier unrolled-sum variant referenced the
+    # lookup per DIMENSION, duplicating every nested-array literal
+    # sd times, and Catalyst analysis + janino paid for a 131k-node
+    # literal forest per probe (the r8 compact-literal lesson, again;
+    # the flat fold also keeps the oracle's exact summation order)
+    recon = F.concat(
+        *[
+            F.element_at(
+                _nested_array_lit(codebooks[s]),
+                (
+                    F.shiftright(
+                        F.col("codes")[s // _SQ8_PER_WORD],
+                        8 * (s % _SQ8_PER_WORD),
+                    ).bitwiseAND(F.lit(255))
+                    + 1
+                ).cast("int"),
+            )
+            for s in range(m)
+        ]
+    )
+    c = index.filter(F.col("vnorm") > 0).select(
+        "cell",
+        F.col("vec_id").alias("nbr_id"),
+        recon.alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("nbr_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nbr_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
+        )
+        .dropDuplicates(["q_id", "nbr_id"])
+    )
+    return _per_query_topk(scored, k)
+
+
+def ivf_pq_topk_rerank(
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    impl: str = "jvm",
+) -> DataFrame:
+    """Two-stage IVF-PQ serving — the standard FAISS recipe: the
+    compressed index generates a ``shortlist`` of candidates per
+    query (reading ~16 B/vector), then ONLY those candidates' original
+    float vectors are fetched and exactly re-ranked to top-k. On the
+    repo's unclustered worst-case embeddings, PQ top-10 directly is
+    0.35-0.66 recall, but shortlist=100 + re-rank recovers 0.86-0.99
+    of exact (PLANS.md "r10 IVF-PQ index") — compression costs only
+    shortlist coverage, not ranking quality.
+
+    Scale shape: the shortlist (|queries| x shortlist rows, skinny)
+    BROADCASTS into the corpus join, so the full-precision corpus is
+    touched only through a broadcast-hash semi-lookup of candidate
+    ids — at 100 TB the re-rank reads shortlist-many vectors per
+    query, not the corpus."""
+    short = ivf_pq_topk_from_index(
+        index, centroids, codebooks, queries,
+        id_col, vec_col, k=shortlist, n_probe=n_probe, impl=impl,
+    ).select("q_id", "nbr_id")
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    ).filter(F.col("c_norm") > 0)
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(short), on="nbr_id")
+        .join(F.broadcast(qv), on="q_id")
+        .select(
+            "q_id",
+            "nbr_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_raw"),
+        )
+    )
+    return _per_query_topk(scored, k)
 
 
 def materialize_ivf_index(

@@ -3202,6 +3202,256 @@ ORDER BY q_id, nbr_id
 """
 
 
+def q_emb_ivf_pq_topk(spark, sf_dir):
+    """The IVF-PQ index probe end to end (r10): build the
+    cell-bucketed index with m=8 product-quantization codes per
+    vector (16 B payload vs 256 B float32 — the Jegou-et-al
+    billion-scale layout), reload quantizer + codebooks, probe,
+    drop scratch tables. Seeded (no-Lloyd) codebooks make code
+    assignment portable argmin arithmetic, so the oracle replicates
+    codebooks -> per-subspace argmin codes -> reconstruction ->
+    reconstruction norms -> seeded cells -> asymmetric scoring ->
+    top-k, and any packing/lookup bug shifts the cosines and fails
+    the value hash."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        materialize_pq_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_pq_idx_{tag}"
+    path = f"/root/repo/.scratch/pq_idx_{tag}"
+    idx, _, _ = materialize_pq_index(
+        emb, table, n_cells=16, iters=0, impl="jvm",
+        num_buckets=16, path=path,
+    )
+    out = (
+        ivf_pq_topk_from_index(
+            idx,
+            load_ivf_centroids(spark, table),
+            load_pq_codebooks(spark, table),
+            emb.filter(F.col("vec_id") < 5),
+            k=5,
+            n_probe=4,
+            impl="jvm",
+        )
+        .orderBy("q_id", "nbr_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_pq"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_pq"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="q_id long, nbr_id long, cos double"
+    )
+
+
+SQL_EMB_IVF_PQ_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+),
+cb AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS c FROM (
+    SELECT v AS cv, hh FROM h
+    WHERE sqrt(list_dot_product(v, v)) > 0
+    ORDER BY hh LIMIT 256)
+),
+dists AS (
+  SELECT e.vec_id, sub.s, cb.c,
+         list_sum(list_transform(range(1, 9), j ->
+           pow(e.v[sub.s * 8 + j] - cb.cv[sub.s * 8 + j], 2))) AS d
+  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub CROSS JOIN cb
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+),
+pqc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, c) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT p.vec_id,
+         flatten(list(cb.cv[(p.s * 8 + 1):(p.s * 8 + 8)]
+                      ORDER BY p.s)) AS rv
+  FROM pqc p JOIN cb ON cb.c = p.c GROUP BY p.vec_id
+),
+cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+),
+corpus_cells AS (
+  SELECT nbr_id, rv, dn, cell FROM (
+    SELECT e.vec_id AS nbr_id, r.rv,
+           sqrt(list_dot_product(r.rv, r.rv)) AS dn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e JOIN recon r USING (vec_id) CROSS JOIN cents c)
+  WHERE rn = 1 AND dn > 0
+),
+probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4
+),
+scored AS (
+  SELECT q_id, nbr_id,
+         list_dot_product(qv, rv) /
+           (sqrt(list_dot_product(qv, qv)) * dn) AS cos_raw
+  FROM corpus_cells JOIN probes USING (cell)
+  WHERE nbr_id <> q_id
+)
+SELECT q_id, nbr_id, ROUND(cos_raw, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM scored) WHERE rn <= 5
+ORDER BY q_id, nbr_id
+"""
+
+
+def q_emb_ivf_pq_rerank(spark, sf_dir):
+    """Two-stage IVF-PQ serving under the oracle (r10): the
+    compressed index shortlists 20 candidates per query, then only
+    those candidates' ORIGINAL vectors are exactly re-ranked to
+    top-5 — the FAISS production recipe, where compression costs
+    shortlist coverage but never ranking quality. The oracle
+    replicates shortlist arithmetic (seeded codebooks + argmin
+    codes + reconstruction scoring) and the exact re-rank."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_pq_topk_rerank,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        materialize_pq_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_pqr_idx_{tag}"
+    path = f"/root/repo/.scratch/pqr_idx_{tag}"
+    idx, _, _ = materialize_pq_index(
+        emb, table, n_cells=16, iters=0, impl="jvm",
+        num_buckets=16, path=path,
+    )
+    out = (
+        ivf_pq_topk_rerank(
+            idx,
+            load_ivf_centroids(spark, table),
+            load_pq_codebooks(spark, table),
+            emb.filter(F.col("vec_id") < 5),
+            emb,
+            k=5,
+            shortlist=20,
+            n_probe=4,
+            impl="jvm",
+        )
+        .orderBy("q_id", "nbr_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_pq"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_pq"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="q_id long, nbr_id long, cos double"
+    )
+
+
+SQL_EMB_IVF_PQ_RERANK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+),
+cb AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS c FROM (
+    SELECT v AS cv, hh FROM h
+    WHERE sqrt(list_dot_product(v, v)) > 0
+    ORDER BY hh LIMIT 256)
+),
+dists AS (
+  SELECT e.vec_id, sub.s, cb.c,
+         list_sum(list_transform(range(1, 9), j ->
+           pow(e.v[sub.s * 8 + j] - cb.cv[sub.s * 8 + j], 2))) AS d
+  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub CROSS JOIN cb
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+),
+pqc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, c) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT p.vec_id,
+         flatten(list(cb.cv[(p.s * 8 + 1):(p.s * 8 + 8)]
+                      ORDER BY p.s)) AS rv
+  FROM pqc p JOIN cb ON cb.c = p.c GROUP BY p.vec_id
+),
+cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+),
+corpus_cells AS (
+  SELECT nbr_id, rv, dn, cell FROM (
+    SELECT e.vec_id AS nbr_id, r.rv,
+           sqrt(list_dot_product(r.rv, r.rv)) AS dn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e JOIN recon r USING (vec_id) CROSS JOIN cents c)
+  WHERE rn = 1 AND dn > 0
+),
+probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 4
+),
+short AS (
+  SELECT q_id, nbr_id FROM (
+    SELECT q_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             list_dot_product(qv, rv) /
+               (sqrt(list_dot_product(qv, qv)) * dn) DESC,
+             nbr_id) AS rn
+    FROM corpus_cells JOIN probes USING (cell)
+    WHERE nbr_id <> q_id) WHERE rn <= 20
+),
+rerank AS (
+  SELECT s.q_id, s.nbr_id,
+         list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM short s
+  JOIN e q ON q.vec_id = s.q_id
+  JOIN e c ON c.vec_id = s.nbr_id
+  WHERE sqrt(list_dot_product(c.v, c.v)) > 0
+)
+SELECT q_id, nbr_id, ROUND(cos_raw, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM rerank) WHERE rn <= 5
+ORDER BY q_id, nbr_id
+"""
+
+
 def q_d3_sample(spark, sf_dir):
     """D3 seeded random sample (`processors/processor.py:295-320`) —
     nondeterministic across engines by design; rows-only check."""
@@ -9243,6 +9493,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         SQL_EMB_IVF_TOPK_SEEDED,
     ),
     "emb_ivf_sq8_topk": (q_emb_ivf_sq8_topk, SQL_EMB_IVF_SQ8_TOPK),
+    "emb_ivf_pq_topk": (q_emb_ivf_pq_topk, SQL_EMB_IVF_PQ_TOPK),
+    "emb_ivf_pq_rerank": (q_emb_ivf_pq_rerank, SQL_EMB_IVF_PQ_RERANK),
     "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
     "ev_ordered_funnel": (q_ev_ordered_funnel, SQL_EV_ORDERED_FUNNEL),
     "pipeline_curation_v2": (
@@ -9469,17 +9721,20 @@ _R7_WINDOW = [
 # emb_gate_blas_parity (driver coverage for the blas production
 # path incl. the r9 max_cell_rows salting; VERDICT r8 item 5), and
 # emb_ivf_sq8_topk (NEW: SQ8-compressed IVF index probe, FULL
-# oracle over the packed-code arithmetic). Positions 4-26 are the
-# ENTIRE 23-query cohort last driver-checked in r4 (all re-verified
-# locally by the r8 judge, 22 pass + 1 rows-only-by-design).
-# Positions 27-50 are the oldest 24 of the 50-query r5-stale cohort
-# in registry order (a_sketch_intersection, next in that order,
-# leads the r11 rotation). Post-r10 staleness: nothing older than
-# r5. Rotation history in COVERAGE.md. ALL 50 verified locally this
-# round via tools/check_correctness.py at sf0.01 (PLANS.md "r10
-# local full-registry verification").
+# oracle over the packed-code arithmetic), and emb_ivf_pq_topk
+# (NEW: IVF-PQ index probe — seeded codebooks, FULL oracle).
+# Positions 5-27 are the ENTIRE 23-query cohort last driver-checked
+# in r4 (all re-verified locally by the r8 judge, 22 pass + 1
+# rows-only-by-design). Positions 28-50 are the oldest 23 of the
+# 50-query r5-stale cohort in registry order (emb_code_dedup and
+# a_sketch_intersection, next in that order, lead the r11
+# rotation). Post-r10 staleness: nothing older than r5. Rotation
+# history in COVERAGE.md. ALL 50 verified locally this round via
+# tools/check_correctness.py at sf0.01 (PLANS.md "r10 local
+# full-registry verification").
 _R10_WINDOW = [
     "emb_gate_recall", "emb_gate_blas_parity", "emb_ivf_sq8_topk",
+    "emb_ivf_pq_topk",
     # the ENTIRE r4-stale cohort (23)
     "a_mode_per_group", "a_top_docs_per_source", "d_split_assign",
     "emb_ivf_topk", "emb_kmeans", "ev_anomaly_days",
@@ -9497,7 +9752,7 @@ _R10_WINDOW = [
     "a_psi_drift", "tx_bigram_nll", "emb_quantize",
     "stream_psi_monitor", "a_benford", "a_gini", "w_scd2",
     "ev_ab_metrics", "tx_remove_dup_spans", "dd_containment",
-    "f_lag_features", "emb_code_dedup",
+    "f_lag_features",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 REGISTRY = {

@@ -742,3 +742,231 @@ def test_sq8_index_is_smaller_on_disk(spark, sf_dir, tmp_path):
         for t in ("t_sq8_sz", "t_sq8_sz_centroids", "t_sq8_sz_sq8",
                   "t_f32_sz", "t_f32_sz_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_codes_reconstruction_and_probe(spark, sf_dir, tmp_path):
+    """r10 IVF-PQ: per-subspace codes must equal the numpy argmin
+    over the seeded codebooks (ties -> lower codeword), stored vnorm
+    must equal the reconstruction's norm, and probing with
+    n_probe == n_cells must reproduce a numpy brute-force asymmetric
+    ranking over the reconstructions. Runs the production blas
+    encode; jvm-vs-blas code agreement is asserted row-by-row."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        materialize_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        idx, cents, books = materialize_pq_index(
+            emb, "t_pq_t1", n_cells=8, iters=0,
+            num_buckets=8, path=str(tmp_path / "pq1"),
+        )
+        assert load_pq_codebooks(spark, "t_pq_t1") == books
+        m, sd = len(books), len(books[0][0])
+        bnp = [np.array(books[s]) for s in range(m)]
+
+        rows = idx.join(emb, "vec_id").limit(15).collect()
+        for r in rows:
+            v = np.array([float(x) for x in r.embedding])
+            codes = [
+                (r.codes[s // 7] >> (8 * (s % 7))) & 255
+                for s in range(m)
+            ]
+            recon = []
+            for s in range(m):
+                sub = v[s * sd : (s + 1) * sd]
+                want = int(
+                    np.argmin(((bnp[s] - sub) ** 2).sum(axis=1))
+                )
+                assert codes[s] == want, (r.vec_id, s, codes[s], want)
+                recon.extend(bnp[s][want])
+            assert abs(float(np.linalg.norm(recon)) - r.vnorm) < 1e-9
+
+        got = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_pq_topk_from_index(
+                idx,
+                load_ivf_centroids(spark, "t_pq_t1"),
+                books,
+                emb.filter(F.col("vec_id") < 4),
+                k=3,
+                n_probe=8,
+                impl="jvm",
+            ).collect()
+        )
+        allr = {
+            r.vec_id: np.array([float(x) for x in r.embedding])
+            for r in emb.collect()
+        }
+        recon_all = {}
+        for vid, v in allr.items():
+            rec = []
+            for s in range(m):
+                sub = v[s * sd : (s + 1) * sd]
+                rec.extend(
+                    bnp[s][int(np.argmin(((bnp[s] - sub) ** 2).sum(1)))]
+                )
+            recon_all[vid] = np.array(rec)
+        want = []
+        for qid in range(4):
+            qv = allr[qid]
+            order = sorted(
+                (
+                    -(qv @ recon_all[n_]) /
+                    (np.linalg.norm(qv) * np.linalg.norm(recon_all[n_])),
+                    n_,
+                )
+                for n_ in allr
+                if n_ != qid
+            )[:3]
+            want.extend(
+                (qid, n_, round(-negc, 4)) for negc, n_ in order
+            )
+        assert got == sorted(want), (got[:4], sorted(want)[:4])
+    finally:
+        for t in ("t_pq_t1", "t_pq_t1_centroids", "t_pq_t1_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_jvm_blas_encode_agree_and_append(spark, sf_dir, tmp_path):
+    """r10: the jvm expression encode and the blas numpy encode must
+    produce identical packed codes (argmin margins on real data are
+    far above float noise), and mode='append' must reuse the STORED
+    codebooks and centroids — re-seeding on the batch would shift
+    the code space under existing rows."""
+    from dataprocessingframework_spark.operators.similarity import (
+        load_pq_codebooks,
+        materialize_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    try:
+        idx_b, cents, books = materialize_pq_index(
+            half, "t_pq_b", n_cells=8, iters=0, impl="blas",
+            num_buckets=8, path=str(tmp_path / "pqb"),
+        )
+        idx_j, _, books_j = materialize_pq_index(
+            half, "t_pq_j", n_cells=8, iters=0, impl="jvm",
+            centroids=cents, num_buckets=8, path=str(tmp_path / "pqj"),
+        )
+        assert books_j == books
+        a = {r.vec_id: (r.codes, round(r.vnorm, 9))
+             for r in idx_b.collect()}
+        b = {r.vec_id: (r.codes, round(r.vnorm, 9))
+             for r in idx_j.collect()}
+        assert a == b
+
+        idx2, _, books2 = materialize_pq_index(
+            rest, "t_pq_b", mode="append"
+        )
+        assert books2 == books
+        assert load_pq_codebooks(spark, "t_pq_b") == books
+        assert idx2.count() == emb.count()
+    finally:
+        for t in ("t_pq_b", "t_pq_b_centroids", "t_pq_b_pq",
+                  "t_pq_j", "t_pq_j_centroids", "t_pq_j_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_smaller_than_sq8_and_float(spark, sf_dir, tmp_path):
+    """r10: the compression ladder must actually order on disk:
+    PQ (16 B payload) < SQ8 (64 B) < float32 (256 B) per vector."""
+    from dataprocessingframework_spark.operators.similarity import (
+        materialize_ivf_index,
+        materialize_pq_index,
+    )
+    from dataprocessingframework_spark.sources.compact import (
+        _table_location,
+        dataset_file_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    try:
+        materialize_pq_index(
+            emb, "t_sz_pq", n_cells=8, iters=0,
+            num_buckets=8, path=str(tmp_path / "szpq"),
+        )
+        materialize_ivf_index(
+            emb, "t_sz_s8", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "szs8"), sq8=True,
+        )
+        materialize_ivf_index(
+            emb, "t_sz_f", n_cells=8, iters=0, impl="jvm",
+            num_buckets=8, path=str(tmp_path / "szf"),
+        )
+        sizes = {}
+        for t in ("t_sz_pq", "t_sz_s8", "t_sz_f"):
+            _, sizes[t] = dataset_file_stats(
+                spark, _table_location(spark, t)
+            )
+        assert sizes["t_sz_pq"] < sizes["t_sz_s8"] < sizes["t_sz_f"], sizes
+    finally:
+        for t in ("t_sz_pq", "t_sz_pq_centroids", "t_sz_pq_pq",
+                  "t_sz_s8", "t_sz_s8_centroids", "t_sz_s8_sq8",
+                  "t_sz_f", "t_sz_f_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_rerank_recovers_exact_when_shortlist_covers(spark, sf_dir, tmp_path):
+    """r10: two-stage PQ serving — with n_probe == n_cells and a
+    shortlist covering the whole corpus, the re-rank must return
+    EXACTLY cosine_topk (compression affects only shortlist
+    coverage, never the final ranking); with a modest shortlist it
+    must still recall most of exact top-k."""
+    from dataprocessingframework_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk_rerank,
+        materialize_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") < 5)
+    try:
+        idx, cents, books = materialize_pq_index(
+            emb, "t_pq_rr", n_cells=8, iters=0,
+            num_buckets=8, path=str(tmp_path / "pqrr"),
+        )
+        exact = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in cosine_topk(emb, qs, k=5).collect()
+        )
+        full = sorted(
+            (r.q_id, r.nbr_id, r.cos)
+            for r in ivf_pq_topk_rerank(
+                idx, cents, books, qs, emb, k=5,
+                shortlist=n, n_probe=8,
+            ).collect()
+        )
+        assert full == exact
+
+        got = {
+            (r.q_id, r.nbr_id)
+            for r in ivf_pq_topk_rerank(
+                idx, cents, books, qs, emb, k=5,
+                shortlist=100, n_probe=8,
+            ).collect()
+        }
+        want = {(a, b) for a, b, _ in exact}
+        recall = len(got & want) / len(want)
+        # measured 0.86-0.99 at shortlist=100 across SFs; floor with
+        # margin — a packing/lookup bug collapses recall far below
+        assert recall >= 0.7, recall
+    finally:
+        for t in ("t_pq_rr", "t_pq_rr_centroids", "t_pq_rr_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -66,19 +66,26 @@ def main() -> None:
     n = corpus.count()
     qs = corpus.filter(F.col("vec_id") < 50)
 
-    for kind, sq8 in (("float32", False), ("sq8", True)):
+    for kind in ("float32", "sq8", "pq"):
         tag = uuid.uuid4().hex[:8]
         table = f"soak_sq8_{tag}"
         path = f"/root/repo/.scratch/soak_sq8_{tag}"
         t0 = time.time()
-        idx, _ = similarity.materialize_ivf_index(
-            corpus, table, n_cells=128, iters=1,
-            num_buckets=128, path=path, sq8=sq8,
-        )
+        if kind == "pq":
+            idx, cents, books = similarity.materialize_pq_index(
+                corpus, table, n_cells=128, iters=1,
+                num_buckets=128, path=path,
+            )
+        else:
+            idx, _ = similarity.materialize_ivf_index(
+                corpus, table, n_cells=128, iters=1,
+                num_buckets=128, path=path, sq8=(kind == "sq8"),
+            )
+            cents = similarity.load_ivf_centroids(spark, table)
         build_s = time.time() - t0
-        cents = similarity.load_ivf_centroids(spark, table)
         bounds = (
-            similarity.load_sq8_bounds(spark, table) if sq8 else None
+            similarity.load_sq8_bounds(spark, table)
+            if kind == "sq8" else None
         )
         files, nbytes = dataset_file_stats(
             spark, _table_location(spark, table)
@@ -87,9 +94,14 @@ def main() -> None:
         for _ in range(3):
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
-            similarity.ivf_topk_from_index(
-                idx, cents, qs, k=10, n_probe=8, sq8_bounds=bounds
-            ).count()
+            if kind == "pq":
+                similarity.ivf_pq_topk_from_index(
+                    idx, cents, books, qs, k=10, n_probe=8
+                ).count()
+            else:
+                similarity.ivf_topk_from_index(
+                    idx, cents, qs, k=10, n_probe=8, sq8_bounds=bounds
+                ).count()
             best = min(best, time.time() - t0)
         print(
             json.dumps(
@@ -105,9 +117,10 @@ def main() -> None:
             ),
             flush=True,
         )
-        for t in (table, f"{table}_centroids", f"{table}_sq8"):
+        for t in (table, f"{table}_centroids", f"{table}_sq8",
+                  f"{table}_pq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        for sfx in ("", "_centroids", "_sq8"):
+        for sfx in ("", "_centroids", "_sq8", "_pq"):
             shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
 
 
