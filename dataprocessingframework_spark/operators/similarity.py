@@ -1266,6 +1266,17 @@ def _nested_array_lit(mat: list[list[float]]) -> Column:
     fine). Python ``repr`` emits the shortest round-tripping decimal
     and Spark's parser is correctly-rounded, so the parsed doubles
     are bit-identical to the F.lit path."""
+    import math
+
+    for row in mat:
+        for x in row:
+            if not math.isfinite(float(x)):
+                raise ValueError(
+                    "non-finite value in centroid/codebook matrix"
+                    f" ({x!r}); repr-based SQL literals cannot encode"
+                    " NaN/Inf — clean the seed embeddings or drop the"
+                    " degenerate row before building the index"
+                )
     inner = ",".join(
         "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
         for row in mat
@@ -1399,11 +1410,29 @@ def materialize_pq_index(
     )
 
     spark = corpus.sparkSession
+    if k_codes > 256:
+        raise ValueError(
+            f"k_codes={k_codes} > 256: PQ codes are packed one byte"
+            " each (7 per bigint); codes >= 256 would silently"
+            " corrupt neighboring bytes in the packed word"
+        )
     if mode == "append":
         if centroids is None:
             centroids = load_ivf_centroids(spark, table)
         cents = centroids
         books = load_pq_codebooks(spark, table)
+        # The stored index defines the geometry: ignore the caller's
+        # m (default 8) and derive it from the persisted codebooks —
+        # an append encoded with a mismatched subspace count would
+        # write corrupt codes/vnorm, the exact drift append mode
+        # exists to prevent.
+        m = len(books)
+        first = corpus.select(F.size(vec_col)).first()
+        if first is not None and first[0] != m * len(books[0][0]):
+            raise ValueError(
+                f"append batch dim {first[0]} != index geometry"
+                f" m={m} x subdim={len(books[0][0])} for {table}"
+            )
         desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
         buckets = [r for r in desc if r.col_name == "Num Buckets"]
         if buckets:

@@ -2750,17 +2750,20 @@ def q_emb_gate_recall(spark, sf_dir):
                 len(true_dups),
                 len(dropped),
                 len(dropped - true_dups),
-                round(len(dropped & true_dups) / max(len(true_dups), 1), 4),
+                len(dropped & true_dups) / max(len(true_dups), 1),
             )
         )
     batch.unpersist()
+    # round on the Spark side (HALF_UP) — Python round() is
+    # half-to-even and diverges from DuckDB ROUND on exact .xxxx5
+    # ties (n_true=32 makes 1/32 grid points exactly representable)
     return spark.createDataFrame(
         rows,
         schema=(
             "n_probe int, n_batch long, n_true long, n_dropped long,"
             " n_false_drops long, recall double"
         ),
-    )
+    ).withColumn("recall", F.round("recall", 4))
 
 
 SQL_EMB_GATE_RECALL = f"""
@@ -8815,6 +8818,24 @@ def q_emb_kcenter(spark, sf_dir):
     return similarity.kcenter_select(emb, k=5).orderBy("sel_rank")
 
 
+def q_emb_kcenter_batched(spark, sf_dir):
+    """Pooled-batch k-center (r11) — driver coverage for the
+    batch_m>1 large-k path (similarity.kcenter_select batched
+    branch: TakeOrdered pool collect + exact within-pool greedy +
+    per-pick pool distance updates + batched checkpoint cadence).
+    pool_factor=512 makes the per-round pool (512*batch_m rows)
+    cover the whole corpus at every test SF (2000 rows at sf0.1),
+    so the pooled trajectory IS exact greedy (pinned in
+    tests/test_operators.py test_kcenter_batched_full_pool_
+    matches_exact) and the run carries the same FULL unrolled-CTE
+    oracle as emb_kcenter. Exercises two pooled rounds (k=8,
+    batch_m=4) plus the ckpt_rounds=1 checkpoint path."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(
+        emb, k=8, batch_m=4, pool_factor=512, checkpoint_every=4
+    ).orderBy("sel_rank")
+
+
 def _kcenter_sql(k: int = 5) -> str:
     steps = []
     prev_d, prev_sel = "d1", "s0"
@@ -9677,6 +9698,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # seed + portable arithmetic -> the full greedy trajectory is
     # FULL-oracled via unrolled per-round CTEs
     "emb_kcenter": (q_emb_kcenter, _kcenter_sql(5)),
+    "emb_kcenter_batched": (q_emb_kcenter_batched, _kcenter_sql(8)),
     "emb_centroid_prune": (q_emb_centroid_prune, SQL_EMB_CENTROID_PRUNE),
 }
 
@@ -9715,7 +9737,7 @@ _R7_WINDOW = [
 ]
 
 # r10 WINDOW (r9 was cut short before the driver check ran, so this
-# window rotates off the r8 state): positions 1-3 are the NEW
+# window rotates off the r8 state): positions 1-4 are the NEW
 # queries — emb_gate_recall (FULL-oracled false-negative audit of
 # the semantic dedup gate at n_probe 1/2/4; VERDICT r8 item 3),
 # emb_gate_blas_parity (driver coverage for the blas production
@@ -9744,7 +9766,7 @@ _R10_WINDOW = [
     "tx_filter_funnel", "tx_keyword_search", "tx_lang_mix",
     "tx_nll_buckets", "tx_pack_sequences", "w_bucketed_join",
     "w_merge_upsert", "w_rolling_revenue",
-    # oldest 25 of the r5-stale cohort (registry order)
+    # oldest 23 of the r5-stale cohort (registry order)
     "tx_bloom_decontaminate", "tx_chunk_windows", "d_weighted_sample",
     "w_snapshot_diff", "dd_cluster_representatives", "j_nearest",
     "tx_remove_dup_passages", "a_winsorize", "a_group_zscore",

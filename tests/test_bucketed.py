@@ -879,6 +879,88 @@ def test_pq_index_jvm_blas_encode_agree_and_append(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_nested_array_lit_rejects_non_finite(spark):
+    """r11 (ADVICE r10): _nested_array_lit builds SQL text from
+    repr(float) — NaN/Inf would emit 'nanD'/'infD' and die deep in
+    the parser. It sits on the default assign_cells path for every
+    IVF caller, so degenerate centroids must fail LOUDLY with a
+    clear ValueError instead."""
+    import math
+
+    import pytest
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _nested_array_lit,
+    )
+
+    ok = _nested_array_lit([[1.5, -2.25], [0.0, 3.0]])
+    got = spark.range(1).select(ok.alias("m")).collect()[0].m
+    assert [list(r) for r in got] == [[1.5, -2.25], [0.0, 3.0]]
+    for bad in (math.nan, math.inf, -math.inf):
+        with pytest.raises(ValueError, match="non-finite"):
+            _nested_array_lit([[1.0, bad]])
+
+
+def test_pq_append_derives_geometry_from_stored_books(spark, sf_dir, tmp_path):
+    """r11 (ADVICE r10 medium): mode='append' must derive the
+    subspace count from the PERSISTED codebooks, not the caller's
+    m parameter — an index built with m=4 appended with the default
+    m=8 would encode the batch against the wrong geometry (corrupt
+    codes + wrong vnorm). Also pins the two new guards: batch dim
+    mismatch raises, and k_codes > 256 (codes no longer fit their
+    packed byte) raises at build time."""
+    import pytest
+
+    from dataprocessingframework_spark.operators.similarity import (
+        load_pq_codebooks,
+        materialize_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    try:
+        _, _, books = materialize_pq_index(
+            half, "t_pq_m4", n_cells=8, iters=0, m=4,
+            num_buckets=8, path=str(tmp_path / "pqm4"),
+        )
+        assert len(books) == 4
+        # append WITHOUT m: must pick up m=4 from the stored books
+        idx2, _, books2 = materialize_pq_index(rest, "t_pq_m4", mode="append")
+        assert books2 == books
+        assert load_pq_codebooks(spark, "t_pq_m4") == books
+        got = {r.vec_id: r.codes for r in idx2.collect()}
+        # re-appending the same batch re-encodes it against the SAME
+        # stored books — codes must be deterministic byte-for-byte
+        # (the pre-fix code path dies with IndexError here instead,
+        # iterating range(m=8) over 4 loaded books)
+        materialize_pq_index(rest, "t_pq_m4", mode="append")
+        for r in spark.table("t_pq_m4").filter(
+            F.col("vec_id") % 2 == 1
+        ).collect():
+            assert got[r.vec_id] == r.codes
+
+        with pytest.raises(ValueError, match="dim"):
+            materialize_pq_index(
+                rest.withColumn(
+                    "embedding", F.slice("embedding", 1, 32)
+                ),
+                "t_pq_m4",
+                mode="append",
+            )
+        with pytest.raises(ValueError, match="k_codes"):
+            materialize_pq_index(
+                half, "t_pq_kc", k_codes=300,
+                num_buckets=8, path=str(tmp_path / "pqkc"),
+            )
+    finally:
+        for t in ("t_pq_m4", "t_pq_m4_centroids", "t_pq_m4_pq",
+                  "t_pq_kc", "t_pq_kc_centroids", "t_pq_kc_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_pq_index_smaller_than_sq8_and_float(spark, sf_dir, tmp_path):
     """r10: the compression ladder must actually order on disk:
     PQ (16 B payload) < SQ8 (64 B) < float32 (256 B) per vector."""
