@@ -61,6 +61,7 @@ TIERS: dict[str, list[str]] = {
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
         "ann_ivf_index_probe", "ann_ivf_sq8_probe", "ann_ivf_pq_probe",
+        "ann_ivf_pq_rerank",
         "ann_kcenter",
         "ann_kcenter_batched",
     ],
@@ -225,6 +226,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         out["ann_ivf_index_probe"] = lambda: None
         out["ann_ivf_sq8_probe"] = lambda: None
         out["ann_ivf_pq_probe"] = lambda: None
+        out["ann_ivf_pq_rerank"] = lambda: None
         return out
     if "ann_index_probe" in only:
         import shutil
@@ -369,7 +371,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
 
     # IVF-PQ read path (r10): the 16B-payload rung of the compression
     # ladder; blas encode at build, reconstruction-lookup probe.
-    if "ann_ivf_pq_probe" in only:
+    if {"ann_ivf_pq_probe", "ann_ivf_pq_rerank"} & set(only):
         import shutil
         import uuid
 
@@ -406,6 +408,28 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
             )
 
         out["ann_ivf_pq_probe"] = pq_probe
+
+        # the production serving shape (r11): PQ shortlist=100 from
+        # the compressed index, then exact re-rank of only those
+        # candidates against the full-precision corpus (broadcast
+        # semi-lookup — corpus never scanned at full precision)
+        def pq_rerank():
+            _noop(
+                similarity.ivf_pq_topk_rerank(
+                    pq_idx,
+                    pq_cents,
+                    pq_books,
+                    q.T(spark, SF_DIR, "embeddings").filter(
+                        F.col("vec_id") < 50
+                    ),
+                    q.T(spark, SF_DIR, "embeddings"),
+                    k=10,
+                    shortlist=100,
+                    n_probe=4,
+                )
+            )
+
+        out["ann_ivf_pq_rerank"] = pq_rerank
 
         prev_cleanup3 = extra.get("_cleanup")
 

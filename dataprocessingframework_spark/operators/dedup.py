@@ -27,6 +27,8 @@ shuffle (Spark's hash aggregate), so the shuffled volume is one row per
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -600,11 +602,18 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014 — public algorithm). Same (node, cluster =
     min reachable id) contract as :func:`connected_components`.
+
+    ``round_stats``: pass a list to receive one
+    ``(round, n_edges_after, seconds)`` tuple per contraction round —
+    diagnostic only (tools/cc_drift_probe.py); edge counts come from
+    the convergence digest the round already computes, so the hook
+    adds no extra jobs.
 
     Why a second algorithm: min-label propagation needs O(diameter)
     rounds and ships every edge's CURRENT label each round; star
@@ -707,9 +716,14 @@ def connected_components_star(
 
     digest = edge_digest(edges)
     converged = False
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
+        t0 = time.monotonic() if round_stats is not None else 0.0
         edges = small_star(large_star(edges)).localCheckpoint()
         new_digest = edge_digest(edges)
+        if round_stats is not None:
+            round_stats.append(
+                (rnd, int(new_digest[0]), time.monotonic() - t0)
+            )
         if new_digest == digest:
             converged = True
             break

@@ -9777,9 +9777,44 @@ _R10_WINDOW = [
     "f_lag_features",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+
+# r11 WINDOW: positions 1-2 are the never-driver-checked queries —
+# emb_ivf_pq_rerank (the production-recommended two-stage PQ serving
+# path, added after the r10 window froze) and emb_kcenter_batched
+# (NEW r11: pooled-batch k-center with pool covering the corpus =
+# exact greedy trajectory, FULL oracle). Positions 3-29 are the
+# ENTIRE 27-query r5-stale cohort in registry order (all re-verified
+# locally by the r10 judge, 27/27 green — confirmation, not risk).
+# Positions 30-50 are the oldest 21 of the 47-query r6 cohort in
+# registry order (dd_incremental_clusters .. a4_count_distinct; the
+# remaining 26 r6 queries lead the r12 rotation). Post-r11
+# staleness: nothing never-checked, nothing older than r6. Rotation
+# history in COVERAGE.md.
+_R11_WINDOW = [
+    "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_code_dedup",
+    "a_sketch_intersection", "w_time_travel", "w_incremental_read",
+    "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
+    "pipeline_curation_v2", "a_mad_outliers", "f_gap_fill",
+    "ev_stickiness", "tx_hapax_ratio", "ev_props_json",
+    "tx_ngram_entropy", "f_regex_extract_all", "a_skew_report",
+    "ev_transition_latency", "dd_source_overlap", "stream_sessionize",
+    "w_zorder_layout", "graph_pagerank", "a_sketch_union",
+    "j_fuzzy_match", "w_distribution_ranks", "tx_dup_family_sizes",
+    "ev_rolling_distinct_users", "ev_dominant_users",
+    "dd_incremental_clusters",
+    "h2_min_cost_supplier", "h9_product_profit", "h11_important_stock",
+    "h16_supplier_relationship", "h20_promotion_suppliers",
+    "s1_files_scan",
+    "s2_provenance", "s4_inmemory", "p1_filter",
+    "p2_df_filter", "p3_projection", "p4_column_expr",
+    "p6_notnull", "j1_filter_merge", "j3_inner_join",
+    "j_semi", "j_anti", "a1_summary_stats",
+    "a3_group_agg", "a4_count_distinct",
+]
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R10_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R10_WINDOW},
+    **{k: REGISTRY[k] for k in _R11_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R11_WINDOW},
 }
 
 

@@ -879,6 +879,67 @@ def test_pq_index_jvm_blas_encode_agree_and_append(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_pq_codebook_lloyd_refinement(spark, sf_dir):
+    """r11 (VERDICT r10 item 2): _pq_codebooks(refine_iters=N) — the
+    production-quality Lloyd path. Pins three properties: (1)
+    refine_iters=0 is byte-identical to the historical seeded books
+    (the oracle contract is untouched); (2) each Lloyd round never
+    increases per-subspace quantization MSE on the training sample
+    (the textbook monotonicity guarantee — assignment and mean
+    update each only decrease SSE), and on clustered data the
+    refined books are STRICTLY better than the seeds; (3) the run is
+    deterministic (same sample order, empty clusters keep their
+    codeword)."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    # 8 tight clusters in 32-dim space: the shape real embedding
+    # corpora have and the md5 seed sampling is blind to
+    centers = rng.randn(8, 32) * 5.0
+    rows = [
+        (int(i), [float(x) for x in centers[i % 8] + rng.randn(32) * 0.3])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    )
+    m, k = 4, 16
+    seeded = _pq_codebooks(df, "vec_id", "embedding", m, k)
+    seeded0 = _pq_codebooks(
+        df, "vec_id", "embedding", m, k, refine_iters=0
+    )
+    assert seeded0 == seeded
+
+    r1 = _pq_codebooks(df, "vec_id", "embedding", m, k, refine_iters=1)
+    r5 = _pq_codebooks(df, "vec_id", "embedding", m, k, refine_iters=5)
+    r5b = _pq_codebooks(df, "vec_id", "embedding", m, k, refine_iters=5)
+    assert r5 == r5b  # deterministic
+
+    X = np.array([v for _, v in sorted(rows)], dtype=np.float64)
+    sd = 32 // m
+
+    def mse(books):
+        tot = 0.0
+        for s in range(m):
+            sub = X[:, s * sd : (s + 1) * sd]
+            C = np.array(books[s])
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ C.T
+                + (C * C).sum(1)[None, :]
+            )
+            tot += np.maximum(d.min(axis=1), 0.0).mean()
+        return tot
+
+    e0, e1, e5 = mse(seeded), mse(r1), mse(r5)
+    assert e1 <= e0 and e5 <= e1, (e0, e1, e5)
+    assert e5 < 0.9 * e0, (e0, e5)  # strictly better on clustered data
+
+
 def test_nested_array_lit_rejects_non_finite(spark):
     """r11 (ADVICE r10): _nested_array_lit builds SQL text from
     repr(float) — NaN/Inf would emit 'nanD'/'infD' and die deep in
