@@ -1944,6 +1944,45 @@ def load_ivf_centroids(spark: SparkSession, table: str) -> list[list[float]]:
     return [[float(x) for x in r.centroid] for r in rows]
 
 
+def ivf_cell_stats(
+    assigned: DataFrame,
+    n_cells: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """One-row cell-balance report over an IVF assignment or
+    materialized index — the diagnostic a user needs BEFORE sizing
+    ``n_cells``/``n_probe``/``max_cell_rows``: probe latency at scale
+    is governed by the largest probed cell (each probe reads whole
+    cell buckets), so a skewed quantizer quietly turns p50-fast
+    probes into p99-slow ones, and the
+    ``incremental_semantic_dedup(max_cell_rows=...)`` salting gate
+    should be set from ``max_cell`` here, not guessed. Columns:
+    ``n_rows, n_used, n_empty, min_cell, max_cell, avg_cell
+    (round 4), top_share`` (largest cell's row fraction, round 4),
+    ``imbalance`` (max/avg, round 4 — 1.0 is perfectly balanced;
+    empty cells inflate it by shrinking the usable average).
+
+    Scale shape: ONE map-side-combined groupBy(cell) count, then one
+    aggregate over the ≤ ``n_cells``-row size table — never
+    corpus-sized state, no driver loop. Works on any frame with a
+    cell column: a fresh :func:`assign_cells` output, a
+    :func:`materialize_ivf_index` table, or a PQ index."""
+    sizes = assigned.groupBy(F.col(cell_col)).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    used = F.count(F.lit(1))
+    return sizes.agg(
+        F.sum("sz").alias("n_rows"),
+        used.alias("n_used"),
+        (F.lit(n_cells) - used).cast("long").alias("n_empty"),
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+        F.round(F.avg("sz"), 4).alias("avg_cell"),
+        F.round(F.max("sz") / F.sum("sz"), 4).alias("top_share"),
+        F.round(F.max("sz") / F.avg("sz"), 4).alias("imbalance"),
+    )
+
+
 def ivf_topk_from_index(
     index: DataFrame,
     centroids: list[list[float]],

@@ -8176,6 +8176,76 @@ ORDER BY q_id, nbr_id
 """
 
 
+def q_emb_ivf_cell_stats(spark, sf_dir):
+    """IVF quantizer cell-balance diagnostics (r11) — the report
+    that sizes n_cells/n_probe/max_cell_rows before building a 100 TB
+    index: probe latency is governed by the largest probed cell and
+    the semantic-gate salting threshold should be read off max_cell,
+    not guessed. Seeded iters=0 quantizer (the md5 hash-min
+    construction shared with emb_ivf_topk_seeded) makes every cell
+    assignment portable arithmetic, so the whole one-row report is
+    FULL-oracled. One groupBy(cell) count + one aggregate over the
+    ≤16-row size table — never corpus-sized."""
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = similarity._ivf_centroids(
+        corpus, "vec_id", "embedding", 16, iters=0
+    )
+    assigned = similarity.assign_cells(
+        corpus.select(
+            "vec_id",
+            "embedding",
+            similarity.norm(F.col("embedding")).alias("vnorm"),
+        ).filter(F.col("vnorm") > 0),
+        cents,
+        "vec_id",
+        "embedding",
+        n_probe=1,
+        impl="jvm",
+    )
+    return similarity.ivf_cell_stats(assigned, n_cells=16)
+
+
+SQL_EMB_IVF_CELL_STATS = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  -- seeds from the UNFILTERED corpus, mirroring _ivf_centroids
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+), nz AS (
+  SELECT vec_id, v FROM e
+  WHERE sqrt(list_dot_product(v, v)) > 0
+), corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT nz.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+             ORDER BY list_dot_product(nz.v, c.cv) DESC, c.cell) AS rn
+    FROM nz CROSS JOIN cents c) WHERE rn = 1
+), sizes AS (
+  SELECT cell, COUNT(*) AS sz FROM corpus_cells GROUP BY cell
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_used,
+       16 - COUNT(*) AS n_empty,
+       MIN(sz) AS min_cell,
+       MAX(sz) AS max_cell,
+       ROUND(AVG(sz), 4) AS avg_cell,
+       ROUND(CAST(MAX(sz) AS DOUBLE) / SUM(sz), 4) AS top_share,
+       ROUND(CAST(MAX(sz) AS DOUBLE) / AVG(sz), 4) AS imbalance
+FROM sizes
+"""
+
+
 def q_j_interval_overlap(spark, sf_dir):
     """Interval × interval overlap join: user sessions (30-min gap)
     against daily 09:00-17:00 "office hour" windows — which sessions
@@ -9516,6 +9586,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ivf_sq8_topk": (q_emb_ivf_sq8_topk, SQL_EMB_IVF_SQ8_TOPK),
     "emb_ivf_pq_topk": (q_emb_ivf_pq_topk, SQL_EMB_IVF_PQ_TOPK),
     "emb_ivf_pq_rerank": (q_emb_ivf_pq_rerank, SQL_EMB_IVF_PQ_RERANK),
+    "emb_ivf_cell_stats": (
+        q_emb_ivf_cell_stats,
+        SQL_EMB_IVF_CELL_STATS,
+    ),
     "j_interval_overlap": (q_j_interval_overlap, SQL_J_INTERVAL_OVERLAP),
     "ev_ordered_funnel": (q_ev_ordered_funnel, SQL_EV_ORDERED_FUNNEL),
     "pipeline_curation_v2": (
@@ -9778,20 +9852,23 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
-# r11 WINDOW: positions 1-2 are the never-driver-checked queries —
+# r11 WINDOW: positions 1-3 are the never-driver-checked queries —
 # emb_ivf_pq_rerank (the production-recommended two-stage PQ serving
-# path, added after the r10 window froze) and emb_kcenter_batched
+# path, added after the r10 window froze), emb_kcenter_batched
 # (NEW r11: pooled-batch k-center with pool covering the corpus =
-# exact greedy trajectory, FULL oracle). Positions 3-29 are the
-# ENTIRE 27-query r5-stale cohort in registry order (all re-verified
-# locally by the r10 judge, 27/27 green — confirmation, not risk).
-# Positions 30-50 are the oldest 21 of the 47-query r6 cohort in
-# registry order (dd_incremental_clusters .. a4_count_distinct; the
-# remaining 26 r6 queries lead the r12 rotation). Post-r11
-# staleness: nothing never-checked, nothing older than r6. Rotation
-# history in COVERAGE.md.
+# exact greedy trajectory, FULL oracle), and emb_ivf_cell_stats
+# (NEW r11: one-row IVF cell-balance report on the seeded
+# quantizer, FULL oracle). Positions 4-30 are the ENTIRE 27-query
+# r5-stale cohort in registry order (all re-verified locally by the
+# r10 judge, 27/27 green — confirmation, not risk). Positions 31-50
+# are the oldest 20 of the 47-query r6 cohort in registry order
+# (dd_incremental_clusters .. a3_group_agg; the remaining 27 r6
+# queries, a4_count_distinct first, lead the r12 rotation).
+# Post-r11 staleness: nothing never-checked, nothing older than r6.
+# Rotation history in COVERAGE.md.
 _R11_WINDOW = [
-    "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_code_dedup",
+    "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_ivf_cell_stats",
+    "emb_code_dedup",
     "a_sketch_intersection", "w_time_travel", "w_incremental_read",
     "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
     "pipeline_curation_v2", "a_mad_outliers", "f_gap_fill",
@@ -9809,7 +9886,7 @@ _R11_WINDOW = [
     "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join",
     "j_semi", "j_anti", "a1_summary_stats",
-    "a3_group_agg", "a4_count_distinct",
+    "a3_group_agg",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 REGISTRY = {

@@ -1679,6 +1679,29 @@ def test_kcenter_batched_spreads_within_round(spark):
     assert {r.vec_id % 3 for r in sel} == {0, 1, 2}, sel
 
 
+def test_ivf_cell_stats_planted_skew_and_empty_cells(spark):
+    """r11: ivf_cell_stats must report the exact planted shape — a
+    hot cell, empty cells counted against the DECLARED n_cells (the
+    sizing mistake the report exists to catch: a quantizer trained
+    with n_cells=8 where 3 cells went unused probes 5 fat cells, not
+    8 thin ones), top_share over rows, imbalance over the used-cell
+    average."""
+    rows = (
+        [(i, 0) for i in range(60)]        # hot cell: 60 rows
+        + [(100 + i, 1) for i in range(20)]
+        + [(200 + i, 3) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, schema="vec_id long, cell int")
+    got = similarity.ivf_cell_stats(df, n_cells=8).collect()[0]
+    assert got.n_rows == 100
+    assert got.n_used == 3
+    assert got.n_empty == 5
+    assert got.min_cell == 20 and got.max_cell == 60
+    assert abs(got.avg_cell - 100 / 3) < 1e-3
+    assert got.top_share == 0.6
+    assert got.imbalance == 1.8  # 60 / (100/3)
+
+
 def test_cosine_near_dup_pairs_blas_parity_and_zero_norm(spark):
     """r8: the bucketed near-dup pair listing gains a blas impl (one
     cogrouped matmul per LSH bucket — the incremental_semantic_dedup
