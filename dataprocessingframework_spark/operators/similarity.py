@@ -1839,6 +1839,15 @@ def materialize_ivf_index(
         path = None
         if sq8:
             mins, maxs = load_sq8_bounds(corpus.sparkSession, table)
+            # same geometry guard as the PQ append path: the stored
+            # bounds define dim; a batch with a different vector
+            # length would pack null/truncated codes silently
+            first = corpus.select(F.size(vec_col)).first()
+            if first is not None and first[0] != len(mins):
+                raise ValueError(
+                    f"append batch dim {first[0]} != stored sq8"
+                    f" bounds dim {len(mins)} for {table}"
+                )
     else:
         cents = centroids or _ivf_centroids(
             corpus, id_col, vec_col, n_cells, iters, impl=impl

@@ -701,6 +701,21 @@ def test_sq8_index_append_reuses_stored_bounds_and_clamps(
             hit_rails += sum(1 for c in codes if c in (0, 255))
         # the x100 scaling must actually exercise BOTH clamp rails
         assert hit_rails > dim, hit_rails
+
+        # r11: geometry guard — an append batch whose vector length
+        # disagrees with the stored bounds would pack null/truncated
+        # codes silently; it must raise instead
+        import pytest
+
+        with pytest.raises(ValueError, match="dim"):
+            materialize_ivf_index(
+                wild.withColumn(
+                    "embedding", F.slice("embedding", 1, dim // 2)
+                ),
+                "t_sq8_app",
+                mode="append",
+                sq8=True,
+            )
     finally:
         for t in ("t_sq8_app", "t_sq8_app_centroids", "t_sq8_app_sq8"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
