@@ -598,3 +598,108 @@ def test_kcenter_select_python_parity(spark):
         ], (trial, got, want)
         for (_, _, gd), (_, _, wd) in zip(got, want):
             assert abs(gd - wd) < 2e-4, (trial, got, want)
+
+
+def test_sq8_pack_python_parity_random(spark):
+    """r11: the SQ8 code+pack expression layer against a pure-numpy
+    twin on random float32 corpora — per-dim floor codes with both
+    clamp rails, 7 codes per bigint word, degenerate (mx<=mn) dims
+    coding 0. Catches any drift in the shift/floor arithmetic that
+    the DuckDB-oracled registry query would otherwise only catch a
+    round later."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _SQ8_PER_WORD,
+        SQ8_LEVELS,
+        _sq8_pack_expr,
+    )
+
+    rng = np.random.RandomState(99)
+    for trial, dim in enumerate((8, 13, 21)):  # non-multiples of 7 too
+        vecs = (rng.randn(30, dim) * 3).astype(np.float32)
+        mins = vecs.min(axis=0).astype(np.float64).tolist()
+        maxs = vecs.max(axis=0).astype(np.float64).tolist()
+        # plant a degenerate dim and out-of-range batch values
+        mins[1] = maxs[1] = 0.5
+        vecs[3, 0] = 1e6
+        vecs[4, 0] = -1e6
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+            schema="vec_id long, embedding array<float>",
+        )
+        got = {
+            r.vec_id: list(r.codes)
+            for r in df.select(
+                "vec_id",
+                _sq8_pack_expr("embedding", mins, maxs).alias("codes"),
+            ).collect()
+        }
+        for i in range(30):
+            v = vecs[i].astype(np.float64)
+            want_codes = []
+            for d in range(dim):
+                if maxs[d] <= mins[d]:
+                    want_codes.append(0)
+                else:
+                    c = int(
+                        np.floor(
+                            (v[d] - mins[d])
+                            / (maxs[d] - mins[d])
+                            * SQ8_LEVELS
+                        )
+                    )
+                    want_codes.append(max(0, min(SQ8_LEVELS - 1, c)))
+            want_words = []
+            for w in range(0, dim, _SQ8_PER_WORD):
+                word = 0
+                for j, d in enumerate(
+                    range(w, min(w + _SQ8_PER_WORD, dim))
+                ):
+                    word |= want_codes[d] << (8 * j)
+                want_words.append(word)
+            assert got[i] == want_words, (trial, i, got[i], want_words)
+
+
+def test_pq_code_exprs_python_parity_random(spark):
+    """r11: the PQ per-subspace argmin code expressions against a
+    numpy twin on random vectors and random codebooks — squared-L2
+    argmin with ties to the lower codeword, m subspaces of dim/m.
+    The jvm expression path is the oracle-exact encoder, so its
+    arithmetic must match plain numpy exactly away from distance
+    ties (random doubles: measure-zero)."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _pq_code_exprs,
+    )
+
+    rng = np.random.RandomState(123)
+    for trial in range(3):
+        m, sd, k = 4, 5, 9
+        dim = m * sd
+        books = [
+            [[float(x) for x in rng.randn(sd)] for _ in range(k)]
+            for _ in range(m)
+        ]
+        vecs = rng.randn(25, dim)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(25)],
+            schema="vec_id long, embedding array<double>",
+        )
+        exprs = _pq_code_exprs("embedding", books)
+        got = {
+            r.vec_id: [r[f"c{s}"] for s in range(m)]
+            for r in df.select(
+                "vec_id",
+                *[e.alias(f"c{s}") for s, e in enumerate(exprs)],
+            ).collect()
+        }
+        for i in range(25):
+            want = []
+            for s in range(m):
+                sub = vecs[i, s * sd : (s + 1) * sd]
+                C = np.array(books[s])
+                d = ((C - sub[None, :]) ** 2).sum(axis=1)
+                want.append(int(np.argmin(d)))  # first min = lower k
+            assert got[i] == want, (trial, i, got[i], want)
