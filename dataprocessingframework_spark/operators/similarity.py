@@ -1244,6 +1244,67 @@ def _sq8_pack_expr(vec_col: str, mins: list, maxs: list) -> Column:
     return F.array(*words)
 
 
+def _sq8_dequant_dot(
+    vec_col: str, codes_col: str, mins: list, maxs: list
+) -> Column:
+    """Dot product of a float vector column against the packed SQ8
+    codes' midpoint dequantization, as a statically UNROLLED
+    left-nested sum: sum_i v[i] * (mn_i + (code_i + 0.5) * step_i).
+    The left-to-right addition order matches both the aggregate-fold
+    arithmetic and DuckDB's list_dot_product, so results are
+    bit-identical across engines (the oracled probe pins this);
+    unrolling skips the per-candidate dequant-array materialization
+    and per-element HOF lambda overhead (measured 54.1s -> 33.1s on
+    the 1M-row probe, PLANS.md "r10 SQ8 IVF index")."""
+    dim = len(mins)
+    dp = None
+    for i in range(dim):
+        w, j = divmod(i, _SQ8_PER_WORD)
+        code = F.shiftright(F.col(codes_col)[w], 8 * j).bitwiseAND(
+            F.lit(255)
+        )
+        mn, mx = mins[i], maxs[i]
+        term = F.col(vec_col)[i].cast("double") * (
+            F.lit(mn)
+            + (code.cast("double") + F.lit(0.5))
+            * F.lit((mx - mn) / float(SQ8_LEVELS))
+        )
+        dp = term if dp is None else dp + term
+    return dp
+
+
+def sq8_gate_margin(
+    mins: list, maxs: list, min_vnorm: float
+) -> float:
+    """A SOUND stage-1 margin for :func:`incremental_semantic_dedup_sq8`:
+    with ``margin >= sq8_gate_margin(...)`` the two-stage compressed
+    gate provably equals the exact gate.
+
+    Derivation (all public linear algebra): midpoint dequantization
+    puts each stored vector v̂ within step_i/2 of the true v per
+    dimension (the clamp rails included: v == mx codes 255 and lands
+    step/2 away; degenerate dims contribute 0), so
+    ‖v − v̂‖₂ ≤ Δ := sqrt(Σ_i (step_i/2)²). For unit directions,
+    ‖v/‖v‖ − v̂/‖v̂‖‖ ≤ 2‖v − v̂‖ / max(‖v‖, ‖v̂‖), and by
+    Cauchy-Schwarz |cos(q,v) − cos(q,v̂)| is at most that. Taking
+    ``min_vnorm`` = the smallest STORED vnorm in the index (≤ every
+    max(‖v‖, ‖v̂‖)) gives the corpus-wide bound 2Δ/min_vnorm. The
+    bound is deliberately not tight — last-ulp differences in how two
+    engines evaluate it cannot make it unsound."""
+    import math
+
+    delta2 = 0.0
+    for mn, mx in zip(mins, maxs):
+        if mx > mn:
+            step = (mx - mn) / float(SQ8_LEVELS)
+            delta2 += (step / 2.0) ** 2
+    if min_vnorm <= 0:
+        raise ValueError(
+            f"min_vnorm must be positive, got {min_vnorm}"
+        )
+    return 2.0 * math.sqrt(delta2) / float(min_vnorm)
+
+
 def load_sq8_bounds(
     spark: SparkSession, table: str
 ) -> tuple[list, list]:
@@ -2069,21 +2130,9 @@ def ivf_topk_from_index(
         # dot(q_vec, dequant_array) — together with the broadcast-side
         # q_norm, measured 54.1s -> 33.1s on the 1M-row probe
         # (PLANS.md "r10 SQ8 IVF index").
-        dim = len(mins)
-        dp = None
-        for i in range(dim):
-            w, j = divmod(i, _SQ8_PER_WORD)
-            code = F.shiftright(F.col("codes")[w], 8 * j).bitwiseAND(
-                F.lit(255)
-            )
-            mn, mx = mins[i], maxs[i]
-            term = F.col("q_vec")[i].cast("double") * (
-                F.lit(mn)
-                + (code.cast("double") + F.lit(0.5))
-                * F.lit((mx - mn) / float(SQ8_LEVELS))
-            )
-            dp = term if dp is None else dp + term
-        cos_expr = dp / (F.col("q_norm") * F.col("c_norm"))
+        cos_expr = _sq8_dequant_dot("q_vec", "codes", mins, maxs) / (
+            F.col("q_norm") * F.col("c_norm")
+        )
         c = index.filter(F.col("vnorm") > 0).select(
             "cell",
             F.col("vec_id").alias("nbr_id"),
@@ -2436,6 +2485,116 @@ def incremental_semantic_dedup(
             .select(F.col("b_id").alias(id_col))
             .distinct()
         )
+    return batch.join(dup_ids, on=id_col, how="left_anti")
+
+
+def incremental_semantic_dedup_sq8(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    index: DataFrame,
+    sq8_bounds: tuple[list, list],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    margin: float | None = None,
+    n_probe: int = 2,
+    impl: str = "jvm",
+) -> DataFrame:
+    """The semantic dedup gate over an SQ8-COMPRESSED corpus index —
+    :func:`incremental_semantic_dedup` re-shaped for the deployment
+    where the corpus index lives on object storage at 100 TB scale
+    and scanning float vectors per arriving batch is the dominant
+    cost. Two stages, with the exact gate's semantics provably
+    preserved:
+
+    1. **Compressed shortlist**: batch rows fan to their ``n_probe``
+       nearest cells and score against the index's packed SQ8 codes
+       (the ~3.6-7.7x smaller payload is all that's read); pairs with
+       approx cosine >= ``threshold - margin`` become candidates.
+    2. **Exact recheck**: ONLY the candidate corpus ids' float
+       vectors are fetched (broadcast semi-lookup — the float corpus
+       is touched through candidate ids, never scanned) and the drop
+       decision is made on the EXACT cosine >= ``threshold``.
+
+    With ``margin=None`` (default) a SOUND margin is derived from the
+    stored bounds and the index's minimum vnorm via
+    :func:`sq8_gate_margin`, making the output IDENTICAL to the
+    exact gate (pinned in tests): stage 1 can only over-approximate
+    the candidate set, and stage 2 is exact. Pass a smaller measured
+    margin to trade a bounded false-negative rate for a shorter
+    shortlist when the sound bound is too loose for the corpus
+    (report the rate with the ``emb_gate_recall`` audit pattern).
+    Same-id pairs never count (replay contract), zero-norm batch
+    rows are always kept, within-batch duplicates are kept — all as
+    in the exact gate. ``index`` is a
+    ``materialize_ivf_index(sq8=True)`` table built with the SAME
+    ``centroids``; ``corpus`` is the accepted float corpus used only
+    for the recheck."""
+    mins, maxs = sq8_bounds
+    if "codes" not in index.columns:
+        raise ValueError(
+            "index has no 'codes' column — build it with"
+            " materialize_ivf_index(sq8=True)"
+        )
+    if margin is None:
+        row = index.filter(F.col("vnorm") > 0).agg(
+            F.min("vnorm")
+        ).collect()[0]
+        if row[0] is None:
+            return batch  # empty index: nothing can be a duplicate
+        margin = sq8_gate_margin(mins, maxs, float(row[0]))
+    b = assign_cells(
+        batch.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("b_vec"),
+            norm(F.col(vec_col)).alias("b_norm"),
+        ).filter(F.col("b_norm") > 0),
+        centroids,
+        "b_id",
+        "b_vec",
+        n_probe=n_probe,
+        impl=impl,
+    )
+    c = index.filter(F.col("vnorm") > 0).select(
+        "cell",
+        F.col("vec_id").alias("c_id"),
+        "codes",
+        F.col("vnorm").alias("c_norm"),
+    )
+    approx_cos = _sq8_dequant_dot("b_vec", "codes", mins, maxs) / (
+        F.col("b_norm") * F.col("c_norm")
+    )
+    # skinny (b_id, c_id) candidate pairs; distinct also collapses a
+    # crash-replayed append's duplicate index rows
+    cand = (
+        c.join(F.broadcast(b), on="cell")
+        .filter(F.col("c_id") != F.col("b_id"))
+        .filter(approx_cos >= F.lit(threshold - margin))
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    ).filter(F.col("c_norm") > 0)
+    bvec = batch.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+    )
+    dup_ids = (
+        cvec.join(F.broadcast(cand), on="c_id")
+        .join(F.broadcast(bvec), on="b_id")
+        .filter(
+            dot(F.col("b_vec"), F.col("c_vec"))
+            / (F.col("b_norm") * F.col("c_norm"))
+            >= threshold
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
     return batch.join(dup_ids, on=id_col, how="left_anti")
 
 

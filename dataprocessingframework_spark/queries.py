@@ -2825,6 +2825,145 @@ ORDER BY n_probe
 """
 
 
+def q_emb_gate_sq8(spark, sf_dir):
+    """The two-stage SQ8-compressed semantic gate end to end (r11):
+    the 60-row perturbed near-dup batch (same planted construction
+    as emb_gate_recall, straddling the 0.95 threshold) is gated
+    against an SQ8-compressed corpus index — stage 1 shortlists
+    (b, c) pairs whose code-dequant cosine clears threshold − margin
+    (margin DERIVED from the stored bounds and the index's min vnorm
+    via the sound 2Δ/min‖v‖ quantization-error bound), stage 2
+    fetches only the shortlisted corpus floats and decides on the
+    EXACT cosine. Because the derived margin makes stage 1 a
+    provable candidate superset and stage 2 is exact, the kept set
+    is engine-portable even though two engines evaluate the margin
+    with different float rounding — the DuckDB oracle replicates
+    bounds → codes → dequant norms → margin → seeded cells →
+    shortlist → exact recheck and must match the kept ids exactly."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup_sq8,
+        load_ivf_centroids,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n)
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gate_sq8_{tag}"
+    path = f"/root/repo/.scratch/gate_sq8_{tag}"
+    idx, _ = materialize_ivf_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path, sq8=True,
+    )
+    kept = (
+        incremental_semantic_dedup_sq8(
+            batch,
+            corpus,
+            load_ivf_centroids(spark, table),
+            idx,
+            load_sq8_bounds(spark, table),
+            threshold=0.95,
+            n_probe=2,
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_sq8"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_sq8"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.vec_id,) for r in kept], schema="vec_id long"
+    )
+
+
+SQL_EMB_GATE_SQ8 = f"""
+WITH {_GATE_BATCH_CTE},
+pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+       WHERE sqrt(list_dot_product(v, v)) > 0
+       GROUP BY i),
+bnd AS (SELECT list(mn ORDER BY pos) AS mins,
+               list(mx ORDER BY pos) AS maxs FROM pe),
+deq AS (
+  SELECT vec_id, v,
+    list_transform(range(1, 65), i ->
+      CASE WHEN maxs[i] > mins[i]
+        THEN mins[i]
+             + (GREATEST(0, LEAST(255, CAST(FLOOR((v[i] - mins[i])
+                      / (maxs[i] - mins[i]) * 256.0) AS BIGINT))) + 0.5)
+               * ((maxs[i] - mins[i]) / 256.0)
+        ELSE mins[i] END) AS dv
+  FROM e CROSS JOIN bnd
+),
+h AS (
+  SELECT vec_id,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT e.v AS cv, hh FROM e JOIN h USING (vec_id)
+    ORDER BY hh LIMIT 16)
+), corpus_cells AS (
+  SELECT c_id, cvv, dvv, dn, cell FROM (
+    SELECT d.vec_id AS c_id, d.v AS cvv, d.dv AS dvv,
+           sqrt(list_dot_product(d.dv, d.dv)) AS dn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.v, c.cv) DESC, c.cell) AS rn
+    FROM deq d CROSS JOIN cents c
+    WHERE sqrt(list_dot_product(d.v, d.v)) > 0)
+  WHERE rn = 1 AND dn > 0
+), margin AS (
+  SELECT 2.0 * sqrt(SUM(CASE WHEN mx > mn
+                   THEN ((mx - mn) / 256.0 / 2.0)
+                        * ((mx - mn) / 256.0 / 2.0)
+                   ELSE 0.0 END))
+         / (SELECT MIN(dn) FROM corpus_cells) AS m
+  FROM pe
+), probes AS (
+  SELECT b_id, bv, bn, cell FROM (
+    SELECT b.b_id, b.bv, sqrt(list_dot_product(b.bv, b.bv)) AS bn,
+           c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.b_id
+             ORDER BY list_dot_product(b.bv, c.cv) DESC, c.cell) AS rn
+    FROM batch b CROSS JOIN cents c
+    WHERE sqrt(list_dot_product(b.bv, b.bv)) > 0) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT p.b_id, cc.c_id
+  FROM corpus_cells cc JOIN probes p USING (cell) CROSS JOIN margin
+  WHERE cc.c_id <> p.b_id
+    AND list_dot_product(p.bv, cc.dvv) / (p.bn * cc.dn)
+        >= 0.95 - margin.m
+), dropped AS (
+  SELECT DISTINCT cand.b_id
+  FROM cand
+  JOIN e ON e.vec_id = cand.c_id
+  JOIN (SELECT b_id, bv FROM batch) b2 ON b2.b_id = cand.b_id
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+    AND list_dot_product(b2.bv, e.v)
+        / (sqrt(list_dot_product(b2.bv, b2.bv))
+           * sqrt(list_dot_product(e.v, e.v)))
+        >= 0.95
+)
+SELECT b_id AS vec_id FROM batch
+WHERE b_id NOT IN (SELECT b_id FROM dropped)
+ORDER BY vec_id
+"""
+
+
 def q_emb_gate_blas_parity(spark, sf_dir):
     """Driver-checks the blas PRODUCTION path of the semantic gate
     (streaming.incremental_semantic_ingest defaults impl='blas')
@@ -9458,6 +9597,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_curation": (q_stream_curation, SQL_STREAM_CURATION),
     "emb_ann_recall": (q_emb_ann_recall, SQL_EMB_ANN_RECALL),
     "emb_gate_recall": (q_emb_gate_recall, SQL_EMB_GATE_RECALL),
+    "emb_gate_sq8": (q_emb_gate_sq8, SQL_EMB_GATE_SQ8),
     "emb_gate_blas_parity": (
         q_emb_gate_blas_parity,
         SQL_EMB_GATE_BLAS_PARITY,
@@ -9852,22 +9992,26 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
-# r11 WINDOW: positions 1-3 are the never-driver-checked queries —
+# r11 WINDOW: positions 1-4 are the never-driver-checked queries —
 # emb_ivf_pq_rerank (the production-recommended two-stage PQ serving
 # path, added after the r10 window froze), emb_kcenter_batched
 # (NEW r11: pooled-batch k-center with pool covering the corpus =
-# exact greedy trajectory, FULL oracle), and emb_ivf_cell_stats
+# exact greedy trajectory, FULL oracle), emb_ivf_cell_stats
 # (NEW r11: one-row IVF cell-balance report on the seeded
-# quantizer, FULL oracle). Positions 4-30 are the ENTIRE 27-query
-# r5-stale cohort in registry order (all re-verified locally by the
-# r10 judge, 27/27 green — confirmation, not risk). Positions 31-50
-# are the oldest 20 of the 47-query r6 cohort in registry order
-# (dd_incremental_clusters .. a3_group_agg; the remaining 27 r6
-# queries, a4_count_distinct first, lead the r12 rotation).
-# Post-r11 staleness: nothing never-checked, nothing older than r6.
-# Rotation history in COVERAGE.md.
+# quantizer, FULL oracle), and emb_gate_sq8 (NEW r11: two-stage
+# SQ8-compressed semantic gate with the sound derived margin —
+# provably equal to the exact gate, FULL oracle). Positions 5-31
+# are the ENTIRE 27-query r5-stale cohort in registry order (all
+# re-verified locally by the r10 judge, 27/27 green — confirmation,
+# not risk). Positions 32-50 are the oldest 19 of the 47-query r6
+# cohort in registry order (dd_incremental_clusters ..
+# a1_summary_stats; the remaining 28 r6 queries, a3_group_agg
+# first, lead the r12 rotation). Post-r11 staleness: nothing
+# never-checked, nothing older than r6. Rotation history in
+# COVERAGE.md.
 _R11_WINDOW = [
     "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_ivf_cell_stats",
+    "emb_gate_sq8",
     "emb_code_dedup",
     "a_sketch_intersection", "w_time_travel", "w_incremental_read",
     "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
@@ -9886,7 +10030,6 @@ _R11_WINDOW = [
     "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join",
     "j_semi", "j_anti", "a1_summary_stats",
-    "a3_group_agg",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 REGISTRY = {

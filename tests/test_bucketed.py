@@ -1128,3 +1128,72 @@ def test_pq_rerank_recovers_exact_when_shortlist_covers(spark, sf_dir, tmp_path)
     finally:
         for t in ("t_pq_rr", "t_pq_rr_centroids", "t_pq_rr_pq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sq8_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
+    """r11: the two-stage SQ8 compressed gate with the SOUND derived
+    margin must return EXACTLY the exact gate's kept set — stage 1
+    over-approximates candidates (|approx - exact| cosine error is
+    bounded by sq8_gate_margin), stage 2 decides on exact cosines.
+    With margin=0 the compressed gate can only MISS dups (keep a
+    superset) — pinned too, as the direction a mis-set margin fails."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_sq8,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+    from dataprocessingframework_spark.queries import (
+        _perturbed_gate_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    n = corpus.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    try:
+        idx, _ = materialize_ivf_index(
+            corpus, "t_gate_sq8", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16,
+            path=str(tmp_path / "gsq8"), sq8=True,
+        )
+        bounds = load_sq8_bounds(spark, "t_gate_sq8")
+        exact = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup(
+                batch, corpus, cents, threshold=0.95, n_probe=2
+            ).collect()
+        )
+        comp = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup_sq8(
+                batch, corpus, cents, idx, bounds,
+                threshold=0.95, n_probe=2,
+            ).collect()
+        )
+        assert comp == exact, (len(comp), len(exact))
+        # the batch must actually exercise the gate both ways
+        assert 0 < len(exact) < batch.count()
+        # margin=0: stage-1 scores approximate cosines at the raw
+        # threshold, so near-threshold dups can slip through — kept
+        # set must be a SUPERSET of the sound-margin result
+        loose = {
+            r.vec_id
+            for r in incremental_semantic_dedup_sq8(
+                batch, corpus, cents, idx, bounds,
+                threshold=0.95, margin=0.0, n_probe=2,
+            ).collect()
+        }
+        assert set(exact) <= loose
+    finally:
+        batch.unpersist()
+        for t in ("t_gate_sq8", "t_gate_sq8_centroids",
+                  "t_gate_sq8_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
