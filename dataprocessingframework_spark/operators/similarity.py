@@ -2500,6 +2500,7 @@ def incremental_semantic_dedup_sq8(
     margin: float | None = None,
     n_probe: int = 2,
     impl: str = "jvm",
+    pushdown_candidate_ids: bool = False,
 ) -> DataFrame:
     """The semantic dedup gate over an SQ8-COMPRESSED corpus index —
     :func:`incremental_semantic_dedup` re-shaped for the deployment
@@ -2530,7 +2531,28 @@ def incremental_semantic_dedup_sq8(
     in the exact gate. ``index`` is a
     ``materialize_ivf_index(sq8=True)`` table built with the SAME
     ``centroids``; ``corpus`` is the accepted float corpus used only
-    for the recheck."""
+    for the recheck.
+
+    Soundness caveat for APPENDED indexes: the margin bound assumes
+    every stored vector lies within the persisted bounds (true by
+    construction for a fresh build — bounds are the corpus min/max).
+    ``materialize_ivf_index(mode='append')`` clamps out-of-range
+    batch values to the stored code rails, and a clamped dimension's
+    dequant error can exceed step/2, so a heavily drifted appended
+    vector may evade stage 1 — the failure direction is a MISSED
+    duplicate (row kept that the exact gate would drop), never a
+    false drop. Under distribution drift, widen ``margin`` or
+    rebuild the index so the bounds re-cover the corpus.
+
+    ``pushdown_candidate_ids`` (opt-in, same tradeoff as the LSH
+    probe-key pushdown): collect the distinct candidate corpus ids
+    and push them into the float corpus scan as an IN filter, so a
+    corpus laid out sorted/bucketed on ``id_col`` prunes row groups
+    instead of scanning id+vector columns end to end — the knob that
+    keeps the recheck's IO candidate-sized at 100 TB. Costs one
+    driver round-trip holding the distinct id list (candidate-set
+    bounded: ~|batch| x per-row shortlist); leave off for bulk
+    backfill batches."""
     mins, maxs = sq8_bounds
     if "codes" not in index.columns:
         raise ValueError(
@@ -2574,7 +2596,17 @@ def incremental_semantic_dedup_sq8(
         .select("b_id", "c_id")
         .distinct()
     )
-    cvec = corpus.select(
+    src = corpus
+    if pushdown_candidate_ids:
+        # materialize the skinny pair set once; it is consumed twice
+        # (id collect + recheck join) and recomputing it would re-run
+        # the stage-1 scoring
+        cand = cand.localCheckpoint()
+        ids = [r.c_id for r in cand.select("c_id").distinct().collect()]
+        if not ids:
+            return batch
+        src = corpus.filter(F.col(id_col).isin(ids))
+    cvec = src.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),

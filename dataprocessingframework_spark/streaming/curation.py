@@ -313,6 +313,7 @@ def incremental_semantic_ingest(
     index_num_buckets: int = 16,
     max_cell_rows: int | None = 100_000,
     compact_every: int | None = None,
+    index_sq8: bool = False,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -352,14 +353,31 @@ def incremental_semantic_ingest(
     back to one file per bucket (each append adds
     ``index_num_buckets`` files — see
     ``sources.compact.compact_bucketed_index``).
-    """
+
+    ``index_sq8`` (requires ``index_table``): maintain the index
+    SQ8-COMPRESSED and gate through
+    ``incremental_semantic_dedup_sq8`` — per batch, the corpus is
+    read only as packed codes (the ~3.6-7.7x smaller payload); the
+    handful of shortlisted candidates are exactly re-checked against
+    the batch-dir float corpus with the sound derived margin, so the
+    accepted set is IDENTICAL to the float-index path (pinned in
+    tests). Appends reuse the STORED bounds (code-grid stability)
+    and the bootstrap overwrite covers the whole accepted corpus,
+    exactly like the float path. Caveat: appended vectors that drift
+    OUTSIDE the bootstrap bounds clamp to the code rails, where the
+    derived margin is no longer sound — the failure direction is a
+    missed duplicate, never a false drop; under real drift, rebuild
+    the index periodically so the bounds re-cover the corpus (see
+    ``incremental_semantic_dedup_sq8``)."""
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
-    )
-
-    from dataprocessingframework_spark.operators.similarity import (
+        incremental_semantic_dedup_sq8,
+        load_sq8_bounds,
         materialize_ivf_index,
     )
+
+    if index_sq8 and index_table is None:
+        raise ValueError("index_sq8=True requires index_table")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curated = curate(batch_df) if curate is not None else batch_df
@@ -368,7 +386,17 @@ def incremental_semantic_ingest(
             index_table is not None
             and spark.catalog.tableExists(index_table)
         )
-        if use_index:
+        if use_index and index_sq8:
+            fresh = incremental_semantic_dedup_sq8(
+                curated,
+                spark.read.parquet(*prior) if prior else curated.limit(0),
+                centroids,
+                spark.table(index_table),
+                load_sq8_bounds(spark, index_table),
+                id_col=id_col, vec_col=vec_col,
+                threshold=threshold, n_probe=n_probe, impl=impl,
+            )
+        elif use_index:
             fresh = incremental_semantic_dedup(
                 curated, None, centroids,
                 id_col=id_col, vec_col=vec_col,
@@ -407,6 +435,7 @@ def incremental_semantic_ingest(
                     num_buckets=index_num_buckets,
                     path=index_path,
                     mode="append" if use_index else "overwrite",
+                    sq8=index_sq8,
                 )
             _maybe_compact(spark, index_table, batch_id, compact_every)
 

@@ -533,6 +533,140 @@ def test_incremental_semantic_ingest_index_backed(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_sem_ing_idx_centroids")
 
 
+def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
+    """r11: index_sq8=True maintains the gate index SQ8-COMPRESSED
+    (codes packed 7-per-bigint) and gates via the two-stage
+    compressed path — the accepted set must equal the dir-backed
+    float mode EXACTLY (the derived margin is sound for the
+    bootstrap build; wave-2 appends on this data stay inside the
+    wave-1 bounds closely enough that the planted dups still clear
+    stage 1), the index must hold codes (no float column), stay in
+    lockstep with the corpus, and stay replay-safe."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", "embedding")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
+    kept = {}
+    try:
+        for mode in ("dirs", "sq8"):
+            base = str(tmp_path / mode)
+            src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+            kw = (
+                dict(
+                    index_table="t_sem_sq8_idx",
+                    index_path=f"{base}/idx",
+                    index_sq8=True,
+                )
+                if mode == "sq8"
+                else {}
+            )
+
+            def run():
+                return incremental_semantic_ingest(
+                    spark, src, "vec_id long, embedding array<float>",
+                    corpus, ckpt, cents,
+                    threshold=0.4, n_probe=2, src_format="parquet",
+                    impl="jvm", **kw,
+                )
+
+            emb.filter(F.col("vec_id") < cut).write.mode("append").parquet(src)
+            run()
+            emb.filter(F.col("vec_id") >= cut).write.mode("append").parquet(
+                src
+            )
+            run()
+            kept[mode] = sorted(
+                r.vec_id for r in read_corpus(spark, corpus).collect()
+            )
+            assert run() == 0  # replay: nothing new
+        assert kept["dirs"] == kept["sq8"]
+        idx = spark.table("t_sem_sq8_idx")
+        assert "codes" in idx.columns and "embedding" not in idx.columns
+        assert sorted(r.vec_id for r in idx.collect()) == kept["sq8"]
+        # bounds table persisted alongside
+        assert spark.table("t_sem_sq8_idx_sq8").count() == 1
+    finally:
+        for t in ("t_sem_sq8_idx", "t_sem_sq8_idx_centroids",
+                  "t_sem_sq8_idx_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sq8_gate_pushdown_candidate_ids_equivalent(spark):
+    """r11: pushdown_candidate_ids=True must return exactly the
+    default path's kept set (it only narrows the recheck scan), and
+    the all-candidates-empty early return must keep the whole
+    batch."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup_sq8,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(80, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        schema="vec_id long, embedding array<double>",
+    )
+    brows = []
+    for j in range(20):
+        if j % 2 == 0:  # planted near-dups
+            brows.append((1000 + j, [float(x) for x in vecs[j * 3] * 1.2]))
+        else:
+            brows.append((1000 + j, [float(x) for x in rng.randn(16)]))
+    batch = spark.createDataFrame(
+        brows, schema="vec_id long, embedding array<double>"
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 8, iters=0)
+    try:
+        idx, _ = materialize_ivf_index(
+            corpus, "t_pd_sq8", n_cells=8, iters=0, impl="jvm",
+            centroids=cents, num_buckets=8, sq8=True,
+        )
+        bounds = load_sq8_bounds(spark, "t_pd_sq8")
+        plain = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup_sq8(
+                batch, corpus, cents, idx, bounds,
+                threshold=0.9, n_probe=2,
+            ).collect()
+        )
+        pushed = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup_sq8(
+                batch, corpus, cents, idx, bounds,
+                threshold=0.9, n_probe=2,
+                pushdown_candidate_ids=True,
+            ).collect()
+        )
+        assert pushed == plain
+        assert 0 < len(plain) < 20  # drops some, keeps some
+        # threshold nothing can reach -> empty candidate set ->
+        # early return keeps everything
+        all_kept = incremental_semantic_dedup_sq8(
+            batch, corpus, cents, idx, bounds,
+            threshold=1.5, margin=0.0, n_probe=2,
+            pushdown_candidate_ids=True,
+        )
+        assert all_kept.count() == 20
+    finally:
+        for t in ("t_pd_sq8", "t_pd_sq8_centroids", "t_pd_sq8_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_incremental_near_dup_ingest_index_backed(spark, tmp_path):
     """r8: with index_table set, the near-dup stream probes a
     MAINTAINED (band, bucket)-bucketed LSH index (the corpus is never
