@@ -2501,6 +2501,7 @@ def incremental_semantic_dedup_sq8(
     n_probe: int = 2,
     impl: str = "jvm",
     pushdown_candidate_ids: bool = False,
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """The semantic dedup gate over an SQ8-COMPRESSED corpus index —
     :func:`incremental_semantic_dedup` re-shaped for the deployment
@@ -2552,7 +2553,16 @@ def incremental_semantic_dedup_sq8(
     keeps the recheck's IO candidate-sized at 100 TB. Costs one
     driver round-trip holding the distinct id list (candidate-set
     bounded: ~|batch| x per-row shortlist); leave off for bulk
-    backfill batches."""
+    backfill batches.
+
+    ``impl``: 'jvm' scores stage 1 with the unrolled codegen fold —
+    bit-portable, the oracle-exact path. 'blas' cogroups per cell and
+    decodes+scores each cell as one vectorized shift/mask + matmul
+    (``max_cell_rows`` salting bounds group size, as in the float
+    gate) — the production default for big batches; numpy summation
+    order can move an ulp-borderline CANDIDATE, which the margin
+    slack absorbs — the kept set is still decided by the exact
+    stage 2 and equals the jvm path's."""
     mins, maxs = sq8_bounds
     if "codes" not in index.columns:
         raise ValueError(
@@ -2584,18 +2594,93 @@ def incremental_semantic_dedup_sq8(
         "codes",
         F.col("vnorm").alias("c_norm"),
     )
-    approx_cos = _sq8_dequant_dot("b_vec", "codes", mins, maxs) / (
-        F.col("b_norm") * F.col("c_norm")
-    )
-    # skinny (b_id, c_id) candidate pairs; distinct also collapses a
-    # crash-replayed append's duplicate index rows
-    cand = (
-        c.join(F.broadcast(b), on="cell")
-        .filter(F.col("c_id") != F.col("b_id"))
-        .filter(approx_cos >= F.lit(threshold - margin))
-        .select("b_id", "c_id")
-        .distinct()
-    )
+    if impl == "blas":
+        # cogrouped per-cell stage 1 (production default shape, like
+        # the float gate's blas path): decode the packed codes with
+        # ONE vectorized shift/mask per cell group and score as one
+        # matmul — the per-pair codegen fold below is the oracle-
+        # exact path but pays dim multiply-adds per candidate pair
+        # interpreted per row. Same max_cell_rows salting contract as
+        # incremental_semantic_dedup; numpy summation order can move
+        # a borderline candidate by an ulp, which the margin slack
+        # absorbs (stage 2 decides exactly either way).
+        import numpy as np
+        import pandas as pd
+
+        mins_a = np.array(mins, dtype=np.float64)
+        steps_a = (
+            np.array(maxs, dtype=np.float64) - mins_a
+        ) / float(SQ8_LEVELS)
+        dim = len(mins)
+        w_idx = np.arange(dim) // _SQ8_PER_WORD
+        shifts = (np.arange(dim) % _SQ8_PER_WORD) * 8
+        thr = threshold - margin
+        c_g, b_g, keys = _salt_cell_blocks(
+            c, b, "c_id", "cell", max_cell_rows
+        )
+
+        def stage1(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "b_id": pd.Series([], dtype="int64"),
+                    "c_id": pd.Series([], dtype="int64"),
+                }
+            )
+            if len(cpdf) == 0 or len(bpdf) == 0:
+                return empty
+            words = np.stack(
+                [np.asarray(x, dtype=np.int64) for x in cpdf["codes"]]
+            )
+            codes = (words[:, w_idx] >> shifts) & 255
+            recon = mins_a + (codes.astype(np.float64) + 0.5) * steps_a
+            cn = cpdf["c_norm"].values.astype(np.float64)
+            cids = cpdf["c_id"].values
+            bids_all = bpdf["b_id"].values
+            outs = []
+            step = max(1, (1 << 24) // max(len(cpdf), 1))
+            for lo in range(0, len(bpdf), step):
+                bm = np.stack(
+                    bpdf["b_vec"].values[lo : lo + step]
+                ).astype(np.float64)
+                bn = bpdf["b_norm"].values[lo : lo + step].astype(
+                    np.float64
+                )
+                bids = bids_all[lo : lo + step]
+                sims = (bm @ recon.T) / np.outer(bn, cn)
+                mask = (sims >= thr) & (
+                    bids[:, None] != cids[None, :]
+                )
+                bi, ci = np.nonzero(mask)
+                if len(bi):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "b_id": bids[bi].astype("int64"),
+                                "c_id": cids[ci].astype("int64"),
+                            }
+                        )
+                    )
+            return pd.concat(outs) if outs else empty
+
+        cand = (
+            c_g.groupby(*keys)
+            .cogroup(b_g.groupby(*keys))
+            .applyInPandas(stage1, schema="b_id long, c_id long")
+            .distinct()
+        )
+    else:
+        approx_cos = _sq8_dequant_dot("b_vec", "codes", mins, maxs) / (
+            F.col("b_norm") * F.col("c_norm")
+        )
+        # skinny (b_id, c_id) candidate pairs; distinct also collapses
+        # a crash-replayed append's duplicate index rows
+        cand = (
+            c.join(F.broadcast(b), on="cell")
+            .filter(F.col("c_id") != F.col("b_id"))
+            .filter(approx_cos >= F.lit(threshold - margin))
+            .select("b_id", "c_id")
+            .distinct()
+        )
     src = corpus
     if pushdown_candidate_ids:
         # materialize the skinny pair set once; it is consumed twice

@@ -654,6 +654,18 @@ def test_sq8_gate_pushdown_candidate_ids_equivalent(spark):
         )
         assert pushed == plain
         assert 0 < len(plain) < 20  # drops some, keeps some
+        # blas stage-1 (cogrouped decode+matmul) must return the same
+        # kept set — stage 2 decides exactly on both paths; salting
+        # forced so every cell splits
+        blas = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup_sq8(
+                batch, corpus, cents, idx, bounds,
+                threshold=0.9, n_probe=2, impl="blas",
+                max_cell_rows=7,
+            ).collect()
+        )
+        assert blas == plain
         # threshold nothing can reach -> empty candidate set ->
         # early return keeps everything
         all_kept = incremental_semantic_dedup_sq8(
