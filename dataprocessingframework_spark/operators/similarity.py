@@ -1603,6 +1603,14 @@ def materialize_pq_index(
             "vec_id",
             F.array(*words).alias("codes"),
             norm(recon).alias("vnorm"),
+            # per-row reconstruction residual ||v - v̂||: the sound
+            # per-vector margin input for the compressed PQ gate
+            # (8 B/row; see incremental_semantic_dedup_pq)
+            norm(
+                F.zip_with(
+                    F.col("embedding"), recon, lambda a, b: a - b
+                )
+            ).alias("resid"),
         )
     else:
         # Arrow-batched numpy encode (production default): per batch,
@@ -1648,13 +1656,14 @@ def materialize_pq_index(
                         "vec_id": pdf["vec_id"].values,
                         "codes": [w.tolist() for w in words],
                         "vnorm": np.linalg.norm(recon, axis=1),
+                        "resid": np.linalg.norm(vm - recon, axis=1),
                     }
                 )
 
         idx = assigned.select("cell", "vec_id", "embedding").mapInPandas(
             encode,
             schema="cell int, vec_id long, codes array<bigint>,"
-            " vnorm double",
+            " vnorm double, resid double",
         )
     write_bucketed(
         idx,
@@ -2574,8 +2583,12 @@ def incremental_semantic_dedup_sq8(
             F.min("vnorm")
         ).collect()[0]
         if row[0] is None:
-            return batch  # empty index: nothing can be a duplicate
-        margin = sq8_gate_margin(mins, maxs, float(row[0]))
+            # no scoreable rows: stage 1 yields nothing, but any
+            # degenerate (vnorm<=0) rows still route to the exact
+            # recheck via _degenerate_recon_candidates below
+            margin = 0.0
+        else:
+            margin = sq8_gate_margin(mins, maxs, float(row[0]))
     b = assign_cells(
         batch.select(
             F.col(id_col).alias("b_id"),
@@ -2681,6 +2694,28 @@ def incremental_semantic_dedup_sq8(
             .select("b_id", "c_id")
             .distinct()
         )
+    cand = _degenerate_recon_candidates(index, b, cand)
+    return _exact_gate_recheck(
+        batch, corpus, cand, id_col, vec_col, threshold,
+        pushdown_candidate_ids,
+    )
+
+
+def _exact_gate_recheck(
+    batch: DataFrame,
+    corpus: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    pushdown_candidate_ids: bool,
+) -> DataFrame:
+    """Stage 2 of the compressed gates: fetch ONLY the shortlisted
+    (b_id, c_id) pairs' corpus float vectors (broadcast semi-lookup,
+    optional candidate-id scan pushdown) and drop batch rows with an
+    exact cosine >= threshold witness. Shared by the SQ8 and PQ
+    gates — the exactness of this stage is what makes their stage-1
+    margins a superset filter rather than a verdict."""
     src = corpus
     if pushdown_candidate_ids:
         # materialize the skinny pair set once; it is consumed twice
@@ -2713,6 +2748,203 @@ def incremental_semantic_dedup_sq8(
         .distinct()
     )
     return batch.join(dup_ids, on=id_col, how="left_anti")
+
+
+def incremental_semantic_dedup_pq(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    extra_margin: float = 0.0,
+    n_probe: int = 2,
+    impl: str = "jvm",
+    pushdown_candidate_ids: bool = False,
+    max_cell_rows: int | None = 100_000,
+) -> DataFrame:
+    """The semantic dedup gate over an IVF-PQ corpus index — the
+    16 B/vector rung made gate-capable by a PER-ROW sound margin.
+    PQ's codebook error is unbounded corpus-wide (unlike SQ8's
+    bounds-derived step/2), but the index stores each row's actual
+    reconstruction residual ``resid = ‖v − v̂‖`` (8 B/row, computed
+    at encode time), and the same perturbation inequality as
+    :func:`sq8_gate_margin` gives a per-row bound
+    |cos(q,v) − cos(q,v̂)| ≤ 2·resid/‖v̂‖ — so stage 1 keeps pairs
+    with approx cosine ≥ threshold − 2·resid_c/vnorm_c and is a
+    provable candidate superset, and stage 2
+    (:func:`_exact_gate_recheck`) decides on exact cosines: the kept
+    set EQUALS the exact gate's (pinned in tests). Per-row margins
+    stay sound under ``mode='append'`` — PQ encoding never clamps,
+    and each appended row's resid is computed against the stored
+    codebooks — so unlike the SQ8 gate there is no drift caveat.
+    ``extra_margin`` widens stage 1 uniformly (diagnostics /
+    belt-and-suspenders; 0.0 is already sound).
+
+    ``impl='jvm'``: stage-1 scoring is the probe's codebook-lookup
+    reconstruction fold — bit-portable, the FULL-oracle path
+    (``emb_gate_pq``). ``impl='blas'``: cogrouped per-cell numpy —
+    codes gather per subspace + one matmul, ``max_cell_rows``
+    salting — the production default; ulp drift only moves
+    candidates, never verdicts. Same contracts as the other gates:
+    same-id pairs ignored (replay), zero-norm batch rows kept,
+    within-batch dups kept."""
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    if "resid" not in index.columns:
+        raise ValueError(
+            "index has no 'resid' column — rebuild it with this"
+            " version's materialize_pq_index (the per-row residual"
+            " is what makes the PQ gate's margin sound)"
+        )
+    b = assign_cells(
+        batch.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("b_vec"),
+            norm(F.col(vec_col)).alias("b_norm"),
+        ).filter(F.col("b_norm") > 0),
+        centroids,
+        "b_id",
+        "b_vec",
+        n_probe=n_probe,
+        impl=impl,
+    )
+    c = index.filter(F.col("vnorm") > 0).select(
+        "cell",
+        F.col("vec_id").alias("c_id"),
+        "codes",
+        F.col("vnorm").alias("c_norm"),
+        "resid",
+    )
+    if impl == "blas":
+        import numpy as np
+        import pandas as pd
+
+        b_books = [
+            np.array(codebooks[s], dtype=np.float64) for s in range(m)
+        ]
+        thr_base = threshold - extra_margin
+        c_g, b_g, keys = _salt_cell_blocks(
+            c, b, "c_id", "cell", max_cell_rows
+        )
+
+        def stage1(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "b_id": pd.Series([], dtype="int64"),
+                    "c_id": pd.Series([], dtype="int64"),
+                }
+            )
+            if len(cpdf) == 0 or len(bpdf) == 0:
+                return empty
+            words = np.stack(
+                [np.asarray(x, dtype=np.int64) for x in cpdf["codes"]]
+            )
+            recon = np.empty((len(cpdf), m * sd), dtype=np.float64)
+            for s in range(m):
+                cs = (
+                    words[:, s // _SQ8_PER_WORD]
+                    >> (8 * (s % _SQ8_PER_WORD))
+                ) & 255
+                recon[:, s * sd : (s + 1) * sd] = b_books[s][cs]
+            cn = cpdf["c_norm"].values.astype(np.float64)
+            thr_row = thr_base - 2.0 * cpdf["resid"].values.astype(
+                np.float64
+            ) / cn
+            cids = cpdf["c_id"].values
+            bids_all = bpdf["b_id"].values
+            outs = []
+            step = max(1, (1 << 24) // max(len(cpdf), 1))
+            for lo in range(0, len(bpdf), step):
+                bm = np.stack(
+                    bpdf["b_vec"].values[lo : lo + step]
+                ).astype(np.float64)
+                bn = bpdf["b_norm"].values[lo : lo + step].astype(
+                    np.float64
+                )
+                bids = bids_all[lo : lo + step]
+                sims = (bm @ recon.T) / np.outer(bn, cn)
+                mask = (sims >= thr_row[None, :]) & (
+                    bids[:, None] != cids[None, :]
+                )
+                bi, ci = np.nonzero(mask)
+                if len(bi):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "b_id": bids[bi].astype("int64"),
+                                "c_id": cids[ci].astype("int64"),
+                            }
+                        )
+                    )
+            return pd.concat(outs) if outs else empty
+
+        cand = (
+            c_g.groupby(*keys)
+            .cogroup(b_g.groupby(*keys))
+            .applyInPandas(stage1, schema="b_id long, c_id long")
+            .distinct()
+        )
+    else:
+        recon = F.concat(
+            *[
+                F.element_at(
+                    _nested_array_lit(codebooks[s]),
+                    (
+                        F.shiftright(
+                            F.col("codes")[s // _SQ8_PER_WORD],
+                            8 * (s % _SQ8_PER_WORD),
+                        ).bitwiseAND(F.lit(255))
+                        + 1
+                    ).cast("int"),
+                )
+                for s in range(m)
+            ]
+        )
+        approx_cos = dot(F.col("b_vec"), recon) / (
+            F.col("b_norm") * F.col("c_norm")
+        )
+        row_thr = (
+            F.lit(threshold - extra_margin)
+            - F.lit(2.0) * F.col("resid") / F.col("c_norm")
+        )
+        cand = (
+            c.join(F.broadcast(b), on="cell")
+            .filter(F.col("c_id") != F.col("b_id"))
+            .filter(approx_cos >= row_thr)
+            .select("b_id", "c_id")
+            .distinct()
+        )
+    cand = _degenerate_recon_candidates(index, b, cand)
+    return _exact_gate_recheck(
+        batch, corpus, cand, id_col, vec_col, threshold,
+        pushdown_candidate_ids,
+    )
+
+
+def _degenerate_recon_candidates(
+    index: DataFrame, b: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Soundness patch for the compressed gates: an index row whose
+    STORED norm is <= 0 (a nonzero vector whose dequant/PQ
+    reconstruction collapsed to ~zero — pathological but possible)
+    has no defined approximate cosine and its margin bound is
+    meaningless, so stage 1 cannot score it. Route every such row as
+    an UNCONDITIONAL candidate against each probed batch row of its
+    cell — stage 2's exact cosine (against the real float vector,
+    which may be perfectly healthy) then decides. The set is empty on
+    any sane index, so this costs one empty-side union."""
+    deg = index.filter(~(F.col("vnorm") > 0)).select(
+        "cell", F.col("vec_id").alias("c_id")
+    )
+    extra = (
+        deg.join(F.broadcast(b.select("cell", "b_id")), on="cell")
+        .filter(F.col("c_id") != F.col("b_id"))
+        .select("b_id", "c_id")
+    )
+    return cand.unionByName(extra).distinct()
 
 
 def quantize_embeddings(

@@ -2964,6 +2964,153 @@ ORDER BY vec_id
 """
 
 
+def q_emb_gate_pq(spark, sf_dir):
+    """The two-stage PQ-compressed semantic gate end to end (r11):
+    like emb_gate_sq8 but over the 16 B/vector IVF-PQ index, whose
+    corpus-wide quantization error is UNBOUNDED — soundness instead
+    comes from the PER-ROW margin 2·resid/vnorm, with resid = the
+    row's stored reconstruction residual (computed at encode time,
+    8 B/row). Stage 1 keeps pairs whose codebook-reconstruction
+    cosine clears threshold − that row's margin (a provable
+    superset); stage 2 decides on exact cosines, so the kept set is
+    engine-portable. The oracle replicates seeded codebooks →
+    argmin codes → reconstruction → per-row residuals → per-row
+    margins → shortlist → exact recheck."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup_pq,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        materialize_pq_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n)
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gate_pq_{tag}"
+    path = f"/root/repo/.scratch/gate_pq_{tag}"
+    idx, _, _ = materialize_pq_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path,
+    )
+    kept = (
+        incremental_semantic_dedup_pq(
+            batch,
+            corpus,
+            load_ivf_centroids(spark, table),
+            idx,
+            load_pq_codebooks(spark, table),
+            threshold=0.95,
+            n_probe=2,
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_pq"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_pq"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.vec_id,) for r in kept], schema="vec_id long"
+    )
+
+
+SQL_EMB_GATE_PQ = f"""
+WITH {_GATE_BATCH_CTE},
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+),
+cb AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS c FROM (
+    SELECT v AS cv, hh FROM h
+    WHERE sqrt(list_dot_product(v, v)) > 0
+    ORDER BY hh LIMIT 256)
+),
+dists AS (
+  SELECT e.vec_id, sub.s, cb.c,
+         list_sum(list_transform(range(1, 9), j ->
+           pow(e.v[sub.s * 8 + j] - cb.cv[sub.s * 8 + j], 2))) AS d
+  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub CROSS JOIN cb
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+),
+pqc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, c) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT p.vec_id,
+         flatten(list(cb.cv[(p.s * 8 + 1):(p.s * 8 + 8)]
+                      ORDER BY p.s)) AS rv
+  FROM pqc p JOIN cb ON cb.c = p.c GROUP BY p.vec_id
+),
+cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 16)
+),
+corpus_cells AS (
+  SELECT c_id, cvv, rv, dn, resid, cell FROM (
+    SELECT e.vec_id AS c_id, e.v AS cvv, r.rv,
+           sqrt(list_dot_product(r.rv, r.rv)) AS dn,
+           sqrt(list_dot_product(
+             list_transform(range(1, 65), i -> e.v[i] - r.rv[i]),
+             list_transform(range(1, 65), i -> e.v[i] - r.rv[i])))
+             AS resid,
+           c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+    FROM e JOIN recon r USING (vec_id) CROSS JOIN cents c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT b_id, bv, bn, cell FROM (
+    SELECT b.b_id, b.bv, sqrt(list_dot_product(b.bv, b.bv)) AS bn,
+           c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.b_id
+             ORDER BY list_dot_product(b.bv, c.cv) DESC, c.cell) AS rn
+    FROM batch b CROSS JOIN cents c
+    WHERE sqrt(list_dot_product(b.bv, b.bv)) > 0) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.b_id, cc.c_id
+  FROM corpus_cells cc JOIN probes p USING (cell)
+  WHERE cc.c_id <> p.b_id
+    AND CASE WHEN cc.dn > 0
+        THEN list_dot_product(p.bv, cc.rv) / (p.bn * cc.dn)
+             >= 0.95 - 2.0 * cc.resid / cc.dn
+        ELSE TRUE END
+),
+dropped AS (
+  SELECT DISTINCT cand.b_id
+  FROM cand
+  JOIN e ON e.vec_id = cand.c_id
+  JOIN (SELECT b_id, bv FROM batch) b2 ON b2.b_id = cand.b_id
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+    AND list_dot_product(b2.bv, e.v)
+        / (sqrt(list_dot_product(b2.bv, b2.bv))
+           * sqrt(list_dot_product(e.v, e.v)))
+        >= 0.95
+)
+SELECT b_id AS vec_id FROM batch
+WHERE b_id NOT IN (SELECT b_id FROM dropped)
+ORDER BY vec_id
+"""
+
+
 def q_emb_gate_blas_parity(spark, sf_dir):
     """Driver-checks the blas PRODUCTION path of the semantic gate
     (streaming.incremental_semantic_ingest defaults impl='blas')
@@ -9598,6 +9745,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ann_recall": (q_emb_ann_recall, SQL_EMB_ANN_RECALL),
     "emb_gate_recall": (q_emb_gate_recall, SQL_EMB_GATE_RECALL),
     "emb_gate_sq8": (q_emb_gate_sq8, SQL_EMB_GATE_SQ8),
+    "emb_gate_pq": (q_emb_gate_pq, SQL_EMB_GATE_PQ),
     "emb_gate_blas_parity": (
         q_emb_gate_blas_parity,
         SQL_EMB_GATE_BLAS_PARITY,
@@ -9992,26 +10140,27 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
-# r11 WINDOW: positions 1-4 are the never-driver-checked queries —
+# r11 WINDOW: positions 1-5 are the never-driver-checked queries —
 # emb_ivf_pq_rerank (the production-recommended two-stage PQ serving
 # path, added after the r10 window froze), emb_kcenter_batched
 # (NEW r11: pooled-batch k-center with pool covering the corpus =
 # exact greedy trajectory, FULL oracle), emb_ivf_cell_stats
 # (NEW r11: one-row IVF cell-balance report on the seeded
-# quantizer, FULL oracle), and emb_gate_sq8 (NEW r11: two-stage
+# quantizer, FULL oracle), emb_gate_sq8 (NEW r11: two-stage
 # SQ8-compressed semantic gate with the sound derived margin —
-# provably equal to the exact gate, FULL oracle). Positions 5-31
+# provably equal to the exact gate, FULL oracle), and emb_gate_pq
+# (NEW r11: the PQ twin — per-row 2·resid/vnorm margins from the
+# stored reconstruction residuals, FULL oracle). Positions 6-32
 # are the ENTIRE 27-query r5-stale cohort in registry order (all
 # re-verified locally by the r10 judge, 27/27 green — confirmation,
-# not risk). Positions 32-50 are the oldest 19 of the 47-query r6
-# cohort in registry order (dd_incremental_clusters ..
-# a1_summary_stats; the remaining 28 r6 queries, a3_group_agg
-# first, lead the r12 rotation). Post-r11 staleness: nothing
-# never-checked, nothing older than r6. Rotation history in
-# COVERAGE.md.
+# not risk). Positions 33-50 are the oldest 18 of the 47-query r6
+# cohort in registry order (dd_incremental_clusters .. j_anti; the
+# remaining 29 r6 queries, a1_summary_stats first, lead the r12
+# rotation). Post-r11 staleness: nothing never-checked, nothing
+# older than r6. Rotation history in COVERAGE.md.
 _R11_WINDOW = [
     "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_ivf_cell_stats",
-    "emb_gate_sq8",
+    "emb_gate_sq8", "emb_gate_pq",
     "emb_code_dedup",
     "a_sketch_intersection", "w_time_travel", "w_incremental_read",
     "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
@@ -10029,7 +10178,7 @@ _R11_WINDOW = [
     "s2_provenance", "s4_inmemory", "p1_filter",
     "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join",
-    "j_semi", "j_anti", "a1_summary_stats",
+    "j_semi", "j_anti",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 REGISTRY = {

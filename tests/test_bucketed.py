@@ -1197,3 +1197,109 @@ def test_sq8_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
         for t in ("t_gate_sq8", "t_gate_sq8_centroids",
                   "t_gate_sq8_sq8"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
+    """r11: the PQ gate's PER-ROW sound margin (2*resid/vnorm, resid
+    stored at encode time) must make the two-stage compressed gate
+    return EXACTLY the exact gate's kept set, on both stage-1 impls
+    (jvm codebook-lookup fold and cogrouped blas with forced
+    salting). PQ's corpus-wide error is unbounded, so this is the
+    construction that makes the 16 B/vector rung gate-capable at
+    all."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_pq,
+        materialize_pq_index,
+    )
+    from dataprocessingframework_spark.queries import (
+        _perturbed_gate_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    n = corpus.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    try:
+        idx, _, books = materialize_pq_index(
+            corpus, "t_gate_pq", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16,
+            path=str(tmp_path / "gpq"),
+        )
+        assert "resid" in idx.columns
+        exact = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup(
+                batch, corpus, cents, threshold=0.95, n_probe=2
+            ).collect()
+        )
+        for kw in (
+            dict(impl="jvm"),
+            dict(impl="jvm", pushdown_candidate_ids=True),
+            dict(impl="blas", max_cell_rows=13),
+        ):
+            comp = sorted(
+                r.vec_id
+                for r in incremental_semantic_dedup_pq(
+                    batch, corpus, cents, idx, books,
+                    threshold=0.95, n_probe=2, **kw,
+                ).collect()
+            )
+            assert comp == exact, (kw, len(comp), len(exact))
+        assert 0 < len(exact) < batch.count()
+    finally:
+        batch.unpersist()
+        for t in ("t_gate_pq", "t_gate_pq_centroids", "t_gate_pq_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_resid_numpy_parity(spark, sf_dir, tmp_path):
+    """r11: the stored per-row residual must equal ||v - v_hat|| for
+    the row's actual codes, on both encode impls (jvm fold vs numpy,
+    to float tolerance) — the PQ gate's soundness rests on this
+    number."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _SQ8_PER_WORD,
+        materialize_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(120)
+    vecs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in emb.collect()
+    }
+    try:
+        for impl in ("jvm", "blas"):
+            idx, _, books = materialize_pq_index(
+                emb, f"t_resid_{impl}", n_cells=4, iters=0, impl=impl,
+                num_buckets=4, path=str(tmp_path / f"res{impl}"),
+            )
+            bb = [np.array(b) for b in books]
+            m = len(books)
+            sd = len(books[0][0])
+            for r in idx.collect():
+                recon = np.empty(m * sd)
+                for s in range(m):
+                    code = (
+                        r.codes[s // _SQ8_PER_WORD]
+                        >> (8 * (s % _SQ8_PER_WORD))
+                    ) & 255
+                    recon[s * sd : (s + 1) * sd] = bb[s][code]
+                want = float(np.linalg.norm(vecs[r.vec_id] - recon))
+                assert abs(r.resid - want) < 1e-9, (impl, r.vec_id)
+    finally:
+        for impl in ("jvm", "blas"):
+            for t in (f"t_resid_{impl}", f"t_resid_{impl}_centroids",
+                      f"t_resid_{impl}_pq"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
