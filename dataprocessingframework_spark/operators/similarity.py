@@ -2736,8 +2736,15 @@ def _exact_gate_recheck(
         F.col(vec_col).alias("b_vec"),
         norm(F.col(vec_col)).alias("b_norm"),
     )
+    # no broadcast hint on the candidate join: in the normal regime
+    # the pair set is skinny and AQE converts it to a runtime
+    # broadcast (corpus never shuffles); in the degenerate regime —
+    # e.g. the PQ gate over codebooks that reconstruct this corpus
+    # poorly, where per-row margins collapse and the candidate set
+    # approaches |batch| x cell size — a forced broadcast would
+    # OOM/stall the driver, and a shuffle join is the correct plan
     dup_ids = (
-        cvec.join(F.broadcast(cand), on="c_id")
+        cvec.join(cand, on="c_id")
         .join(F.broadcast(bvec), on="b_id")
         .filter(
             dot(F.col("b_vec"), F.col("c_vec"))

@@ -314,6 +314,7 @@ def incremental_semantic_ingest(
     max_cell_rows: int | None = 100_000,
     compact_every: int | None = None,
     index_sq8: bool = False,
+    index_pq: bool = False,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -368,16 +369,31 @@ def incremental_semantic_ingest(
     derived margin is no longer sound — the failure direction is a
     missed duplicate, never a false drop; under real drift, rebuild
     the index periodically so the bounds re-cover the corpus (see
-    ``incremental_semantic_dedup_sq8``)."""
+    ``incremental_semantic_dedup_sq8``).
+
+    ``index_pq`` (requires ``index_table``, exclusive with
+    ``index_sq8``): the 16 B/vector rung — the maintained index
+    stores PQ codes + per-row reconstruction residuals and gates via
+    ``incremental_semantic_dedup_pq`` (per-row 2·resid/vnorm sound
+    margins + exact recheck ⇒ accepted set identical to the float
+    path, pinned in tests). Unlike SQ8 there is NO append drift
+    caveat: PQ encoding never clamps and each appended row's resid
+    is computed against the stored codebooks, so the per-row margins
+    stay sound as the stream runs."""
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
+        incremental_semantic_dedup_pq,
         incremental_semantic_dedup_sq8,
+        load_pq_codebooks,
         load_sq8_bounds,
         materialize_ivf_index,
+        materialize_pq_index,
     )
 
-    if index_sq8 and index_table is None:
-        raise ValueError("index_sq8=True requires index_table")
+    if (index_sq8 or index_pq) and index_table is None:
+        raise ValueError("index_sq8/index_pq require index_table")
+    if index_sq8 and index_pq:
+        raise ValueError("index_sq8 and index_pq are exclusive")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curated = curate(batch_df) if curate is not None else batch_df
@@ -395,6 +411,17 @@ def incremental_semantic_ingest(
                 load_sq8_bounds(spark, index_table),
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
+            )
+        elif use_index and index_pq:
+            fresh = incremental_semantic_dedup_pq(
+                curated,
+                spark.read.parquet(*prior) if prior else curated.limit(0),
+                centroids,
+                spark.table(index_table),
+                load_pq_codebooks(spark, index_table),
+                id_col=id_col, vec_col=vec_col,
+                threshold=threshold, n_probe=n_probe, impl=impl,
+                max_cell_rows=max_cell_rows,
             )
         elif use_index:
             fresh = incremental_semantic_dedup(
@@ -424,19 +451,31 @@ def incremental_semantic_ingest(
             # and under-gate everything after)
             src = _index_source(spark, corpus_dir, batch_id, use_index)
             if src is not None:
-                materialize_ivf_index(
-                    src.select(
-                        F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"),
-                    ),
-                    index_table,
-                    centroids=centroids,
-                    impl=impl,
-                    num_buckets=index_num_buckets,
-                    path=index_path,
-                    mode="append" if use_index else "overwrite",
-                    sq8=index_sq8,
+                src_v = src.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
                 )
+                if index_pq:
+                    materialize_pq_index(
+                        src_v,
+                        index_table,
+                        centroids=centroids,
+                        impl=impl,
+                        num_buckets=index_num_buckets,
+                        path=index_path,
+                        mode="append" if use_index else "overwrite",
+                    )
+                else:
+                    materialize_ivf_index(
+                        src_v,
+                        index_table,
+                        centroids=centroids,
+                        impl=impl,
+                        num_buckets=index_num_buckets,
+                        path=index_path,
+                        mode="append" if use_index else "overwrite",
+                        sq8=index_sq8,
+                    )
             _maybe_compact(spark, index_table, batch_id, compact_every)
 
     return _run_available_now(

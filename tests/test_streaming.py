@@ -558,18 +558,23 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
     cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
     kept = {}
     try:
-        for mode in ("dirs", "sq8"):
+        for mode in ("dirs", "sq8", "pq"):
             base = str(tmp_path / mode)
             src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
-            kw = (
-                dict(
+            if mode == "sq8":
+                kw = dict(
                     index_table="t_sem_sq8_idx",
                     index_path=f"{base}/idx",
                     index_sq8=True,
                 )
-                if mode == "sq8"
-                else {}
-            )
+            elif mode == "pq":
+                kw = dict(
+                    index_table="t_sem_pq_idx",
+                    index_path=f"{base}/idx",
+                    index_pq=True,
+                )
+            else:
+                kw = {}
 
             def run():
                 return incremental_semantic_ingest(
@@ -589,15 +594,19 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
                 r.vec_id for r in read_corpus(spark, corpus).collect()
             )
             assert run() == 0  # replay: nothing new
-        assert kept["dirs"] == kept["sq8"]
+        assert kept["dirs"] == kept["sq8"] == kept["pq"]
         idx = spark.table("t_sem_sq8_idx")
         assert "codes" in idx.columns and "embedding" not in idx.columns
         assert sorted(r.vec_id for r in idx.collect()) == kept["sq8"]
         # bounds table persisted alongside
         assert spark.table("t_sem_sq8_idx_sq8").count() == 1
+        pidx = spark.table("t_sem_pq_idx")
+        assert "resid" in pidx.columns and "embedding" not in pidx.columns
+        assert sorted(r.vec_id for r in pidx.collect()) == kept["pq"]
     finally:
         for t in ("t_sem_sq8_idx", "t_sem_sq8_idx_centroids",
-                  "t_sem_sq8_idx_sq8"):
+                  "t_sem_sq8_idx_sq8", "t_sem_pq_idx",
+                  "t_sem_pq_idx_centroids", "t_sem_pq_idx_pq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -97,6 +97,20 @@ def main() -> None:
     _, fidx_bytes = dataset_file_stats(
         spark, _table_location(spark, f"{table}_f")
     )
+    # refine_iters=5: the production-quality codebooks. Seeded books
+    # reconstruct this synthetic corpus poorly, which collapses the
+    # PQ gate's per-row margins (thresholds go negative) and the
+    # candidate set degenerates toward |batch| x cell size — measured
+    # and documented in PLANS.md; refined books keep resid, and
+    # therefore the margins, usable. resid is computed against
+    # whichever books encode the index, so soundness is unaffected.
+    pidx, _, books = similarity.materialize_pq_index(
+        corpus, f"{table}_p", centroids=cents, num_buckets=64,
+        path=f"{path}_p", refine_iters=5,
+    )
+    _, pidx_bytes = dataset_file_stats(
+        spark, _table_location(spark, f"{table}_p")
+    )
 
     kinds = {
         "float_blas_gate": lambda: similarity.incremental_semantic_dedup(
@@ -106,6 +120,12 @@ def main() -> None:
         "sq8_two_stage_gate": lambda: (
             similarity.incremental_semantic_dedup_sq8(
                 batch, corpus, cents, idx, bounds,
+                threshold=0.95, n_probe=2, impl="blas",
+            )
+        ),
+        "pq_two_stage_gate": lambda: (
+            similarity.incremental_semantic_dedup_pq(
+                batch, corpus, cents, pidx, books,
                 threshold=0.95, n_probe=2, impl="blas",
             )
         ),
@@ -129,6 +149,7 @@ def main() -> None:
                         "batch": n_b,
                         "index_bytes": (
                             idx_bytes if kind.startswith("sq8")
+                            else pidx_bytes if kind.startswith("pq")
                             else fidx_bytes
                         ),
                         "kept": n_kept,
@@ -140,9 +161,12 @@ def main() -> None:
         assert len(set(kept.values())) == 1, kept  # identical verdicts
     finally:
         for t in (table, f"{table}_centroids", f"{table}_sq8",
-                  f"{table}_f", f"{table}_f_centroids"):
+                  f"{table}_f", f"{table}_f_centroids",
+                  f"{table}_p", f"{table}_p_centroids",
+                  f"{table}_p_pq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        for sfx in ("", "_centroids", "_sq8", "_f", "_f_centroids"):
+        for sfx in ("", "_centroids", "_sq8", "_f", "_f_centroids",
+                    "_p", "_p_centroids", "_p_pq"):
             shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
 
 
