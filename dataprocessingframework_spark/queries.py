@@ -3111,6 +3111,138 @@ ORDER BY vec_id
 """
 
 
+def q_emb_gate_margin_report(spark, sf_dir):
+    """Sizing report for the SQ8 compressed gate (r11) — the numbers
+    a user reads BEFORE switching the gate to the compressed index:
+    the quantization error radius Δ = sqrt(Σ(stepᵢ/2)²), the
+    corpus min/mean stored vnorm, the derived sound margin
+    2Δ/min‖v‖, and how much stage-1 headroom that leaves at the
+    default 0.95 threshold (threshold − margin). All pure floor/
+    bounds arithmetic over the seeded index, so the one-row report
+    is FULL-oracled; a margin that eats the whole threshold tells
+    the user their embedding scale is too small for SQ8 gating and
+    to renormalize or stay on the float gate."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        SQ8_LEVELS,
+        _ivf_centroids,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gate_mr_{tag}"
+    path = f"/root/repo/.scratch/gate_mr_{tag}"
+    idx, _ = materialize_ivf_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path, sq8=True,
+    )
+    bounds = spark.table(f"{table}_sq8").select(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "mins",
+                    "maxs",
+                    lambda mn, mx: F.when(
+                        mx > mn,
+                        ((mx - mn) / F.lit(float(SQ8_LEVELS)) / F.lit(2.0))
+                        * ((mx - mn) / F.lit(float(SQ8_LEVELS)) / F.lit(2.0)),
+                    ).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("delta")
+    )
+    stats = idx.filter(F.col("vnorm") > 0).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("vnorm").alias("min_vnorm"),
+        F.avg("vnorm").alias("mean_vnorm"),
+    )
+    out = (
+        stats.crossJoin(bounds)
+        .select(
+            "n_rows",
+            F.round("delta", 4).alias("delta"),
+            F.round("min_vnorm", 4).alias("min_vnorm"),
+            F.round("mean_vnorm", 4).alias("mean_vnorm"),
+            F.round(
+                F.lit(2.0) * F.col("delta") / F.col("min_vnorm"), 4
+            ).alias("margin"),
+            F.round(
+                F.lit(0.95)
+                - F.lit(2.0) * F.col("delta") / F.col("min_vnorm"),
+                4,
+            ).alias("stage1_threshold"),
+        )
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_sq8"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_sq8"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "n_rows long, delta double, min_vnorm double,"
+            " mean_vnorm double, margin double,"
+            " stage1_threshold double"
+        ),
+    )
+
+
+SQL_EMB_GATE_MARGIN_REPORT = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+       WHERE sqrt(list_dot_product(v, v)) > 0
+       GROUP BY i),
+b AS (SELECT list(mn ORDER BY pos) AS mins,
+             list(mx ORDER BY pos) AS maxs FROM pe),
+delta AS (
+  SELECT sqrt(SUM(CASE WHEN mx > mn
+                  THEN ((mx - mn) / 256.0 / 2.0)
+                       * ((mx - mn) / 256.0 / 2.0)
+                  ELSE 0.0 END)) AS delta
+  FROM pe
+),
+deq AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN maxs[i] > mins[i]
+        THEN mins[i]
+             + (GREATEST(0, LEAST(255, CAST(FLOOR((v[i] - mins[i])
+                      / (maxs[i] - mins[i]) * 256.0) AS BIGINT))) + 0.5)
+               * ((maxs[i] - mins[i]) / 256.0)
+        ELSE mins[i] END) AS dv
+  FROM e CROSS JOIN b
+  WHERE sqrt(list_dot_product(v, v)) > 0
+),
+norms AS (
+  SELECT sqrt(list_dot_product(dv, dv)) AS dn FROM deq
+),
+stats AS (
+  SELECT COUNT(*) AS n_rows, MIN(dn) AS min_vnorm,
+         AVG(dn) AS mean_vnorm
+  FROM norms WHERE dn > 0
+)
+SELECT n_rows,
+       ROUND(delta, 4) AS delta,
+       ROUND(min_vnorm, 4) AS min_vnorm,
+       ROUND(mean_vnorm, 4) AS mean_vnorm,
+       ROUND(2.0 * delta / min_vnorm, 4) AS margin,
+       ROUND(0.95 - 2.0 * delta / min_vnorm, 4) AS stage1_threshold
+FROM stats CROSS JOIN delta
+"""
+
+
 def q_emb_gate_blas_parity(spark, sf_dir):
     """Driver-checks the blas PRODUCTION path of the semantic gate
     (streaming.incremental_semantic_ingest defaults impl='blas')
@@ -9746,6 +9878,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_gate_recall": (q_emb_gate_recall, SQL_EMB_GATE_RECALL),
     "emb_gate_sq8": (q_emb_gate_sq8, SQL_EMB_GATE_SQ8),
     "emb_gate_pq": (q_emb_gate_pq, SQL_EMB_GATE_PQ),
+    "emb_gate_margin_report": (
+        q_emb_gate_margin_report,
+        SQL_EMB_GATE_MARGIN_REPORT,
+    ),
     "emb_gate_blas_parity": (
         q_emb_gate_blas_parity,
         SQL_EMB_GATE_BLAS_PARITY,
@@ -10140,7 +10276,7 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
-# r11 WINDOW: positions 1-5 are the never-driver-checked queries —
+# r11 WINDOW: positions 1-6 are the never-driver-checked queries —
 # emb_ivf_pq_rerank (the production-recommended two-stage PQ serving
 # path, added after the r10 window froze), emb_kcenter_batched
 # (NEW r11: pooled-batch k-center with pool covering the corpus =
@@ -10148,19 +10284,22 @@ assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 # (NEW r11: one-row IVF cell-balance report on the seeded
 # quantizer, FULL oracle), emb_gate_sq8 (NEW r11: two-stage
 # SQ8-compressed semantic gate with the sound derived margin —
-# provably equal to the exact gate, FULL oracle), and emb_gate_pq
+# provably equal to the exact gate, FULL oracle), emb_gate_pq
 # (NEW r11: the PQ twin — per-row 2·resid/vnorm margins from the
-# stored reconstruction residuals, FULL oracle). Positions 6-32
-# are the ENTIRE 27-query r5-stale cohort in registry order (all
-# re-verified locally by the r10 judge, 27/27 green — confirmation,
-# not risk). Positions 33-50 are the oldest 18 of the 47-query r6
-# cohort in registry order (dd_incremental_clusters .. j_anti; the
-# remaining 29 r6 queries, a1_summary_stats first, lead the r12
-# rotation). Post-r11 staleness: nothing never-checked, nothing
-# older than r6. Rotation history in COVERAGE.md.
+# stored reconstruction residuals, FULL oracle), and
+# emb_gate_margin_report (NEW r11: one-row sizing report for the
+# compressed gate — Δ, min/mean vnorm, derived margin, stage-1
+# headroom; FULL oracle). Positions 7-33 are the ENTIRE 27-query
+# r5-stale cohort in registry order (all re-verified locally by the
+# r10 judge, 27/27 green — confirmation, not risk). Positions 34-50
+# are the oldest 17 of the 47-query r6 cohort in registry order
+# (dd_incremental_clusters .. j_semi; the remaining 30 r6 queries,
+# j_anti first, lead the r12 rotation). Post-r11 staleness: nothing
+# never-checked, nothing older than r6. Rotation history in
+# COVERAGE.md.
 _R11_WINDOW = [
     "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_ivf_cell_stats",
-    "emb_gate_sq8", "emb_gate_pq",
+    "emb_gate_sq8", "emb_gate_pq", "emb_gate_margin_report",
     "emb_code_dedup",
     "a_sketch_intersection", "w_time_travel", "w_incremental_read",
     "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
@@ -10178,7 +10317,7 @@ _R11_WINDOW = [
     "s2_provenance", "s4_inmemory", "p1_filter",
     "p2_df_filter", "p3_projection", "p4_column_expr",
     "p6_notnull", "j1_filter_merge", "j3_inner_join",
-    "j_semi", "j_anti",
+    "j_semi",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 REGISTRY = {
