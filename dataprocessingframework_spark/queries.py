@@ -2925,13 +2925,13 @@ h AS (
              ORDER BY list_dot_product(d.v, c.cv) DESC, c.cell) AS rn
     FROM deq d CROSS JOIN cents c
     WHERE sqrt(list_dot_product(d.v, d.v)) > 0)
-  WHERE rn = 1 AND dn > 0
+  WHERE rn = 1
 ), margin AS (
   SELECT 2.0 * sqrt(SUM(CASE WHEN mx > mn
                    THEN ((mx - mn) / 256.0 / 2.0)
                         * ((mx - mn) / 256.0 / 2.0)
                    ELSE 0.0 END))
-         / (SELECT MIN(dn) FROM corpus_cells) AS m
+         / (SELECT MIN(dn) FROM corpus_cells WHERE dn > 0) AS m
   FROM pe
 ), probes AS (
   SELECT b_id, bv, bn, cell FROM (
@@ -2945,8 +2945,10 @@ h AS (
   SELECT DISTINCT p.b_id, cc.c_id
   FROM corpus_cells cc JOIN probes p USING (cell) CROSS JOIN margin
   WHERE cc.c_id <> p.b_id
-    AND list_dot_product(p.bv, cc.dvv) / (p.bn * cc.dn)
-        >= 0.95 - margin.m
+    AND CASE WHEN cc.dn > 0
+        THEN list_dot_product(p.bv, cc.dvv) / (p.bn * cc.dn)
+             >= 0.95 - margin.m
+        ELSE TRUE END
 ), dropped AS (
   SELECT DISTINCT cand.b_id
   FROM cand

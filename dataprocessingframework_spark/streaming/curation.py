@@ -411,6 +411,7 @@ def incremental_semantic_ingest(
                 load_sq8_bounds(spark, index_table),
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
+                max_cell_rows=max_cell_rows,
             )
         elif use_index and index_pq:
             fresh = incremental_semantic_dedup_pq(
