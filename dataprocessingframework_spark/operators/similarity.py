@@ -2954,6 +2954,77 @@ def _degenerate_recon_candidates(
     return cand.unionByName(extra).distinct()
 
 
+def pq_gate_margin_report(
+    index: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """One-row sizing report for the PQ-compressed gate — the go/no-go
+    instrument BEFORE switching a production gate to the 16 B rung
+    (:func:`incremental_semantic_dedup_pq`). Unlike the SQ8 gate's
+    single global margin (2Δ/min‖v‖ — ``emb_gate_margin_report``),
+    the PQ gate's stage-1 margin is PER-ROW (2·resid/‖v̂‖) and
+    collapses exactly when the codebooks reconstruct the corpus
+    poorly — a regime invisible until stage 1 floods. This report is
+    pure arithmetic over the index's stored ``resid``/``vnorm``
+    columns (one map-side-combined agg, never a corpus re-scan):
+
+    - ``n_rows`` / ``n_degenerate``: index rows, and rows whose
+      reconstruction norm collapsed to <= 0 (unscoreable in stage 1,
+      routed unconditionally to the exact recheck);
+    - ``resid_p50/p95/max``: the reconstruction-residual distribution
+      (the raw quantization-quality signal; compare to mean_vnorm);
+    - ``min_vnorm`` / ``mean_vnorm``: stored reconstruction norms
+      over scoreable rows;
+    - ``margin_p50/p95/max``: the per-row stage-1 margin
+      2·resid/vnorm — each row's stage-1 test runs at
+      ``threshold - margin``, so a margin near/over the threshold
+      means that row is shortlisted against its whole probed cell;
+    - ``frac_no_headroom``: fraction of rows with NO stage-1 pruning
+      power at ``threshold`` (margin >= threshold, or degenerate) —
+      the single number to alert on: near 0.0 the PQ gate prunes
+      like SQ8; near 1.0 every batch degenerates to the exact gate
+      plus wasted code scans, and the fix is better codebooks
+      (``refine_iters``) or the SQ8 rung.
+
+    Reference parity: the reference has no compression tier; this
+    instruments the repo's beyond-ref PQ gate
+    (`similarity.py` incremental_semantic_dedup_pq)."""
+    if "resid" not in index.columns:
+        raise ValueError(
+            "index has no 'resid' column — build it with"
+            " materialize_pq_index (this report sizes the PQ gate's"
+            " per-row margins)"
+        )
+    m_col = F.when(
+        F.col("vnorm") > 0, F.lit(2.0) * F.col("resid") / F.col("vnorm")
+    )
+    no_head = (
+        F.when(~(F.col("vnorm") > 0), 1)
+        .when(m_col >= F.lit(threshold), 1)
+        .otherwise(0)
+    )
+    return index.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~(F.col("vnorm") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+        F.round(F.percentile("resid", F.lit(0.5)), 4).alias("resid_p50"),
+        F.round(F.percentile("resid", F.lit(0.95)), 4).alias("resid_p95"),
+        F.round(F.max("resid"), 4).alias("resid_max"),
+        F.round(
+            F.min(F.when(F.col("vnorm") > 0, F.col("vnorm"))), 4
+        ).alias("min_vnorm"),
+        F.round(
+            F.avg(F.when(F.col("vnorm") > 0, F.col("vnorm"))), 4
+        ).alias("mean_vnorm"),
+        F.round(F.percentile(m_col, F.lit(0.5)), 4).alias("margin_p50"),
+        F.round(F.percentile(m_col, F.lit(0.95)), 4).alias("margin_p95"),
+        F.round(F.max(m_col), 4).alias("margin_max"),
+        F.round(
+            F.sum(no_head).cast("double") / F.count(F.lit(1)), 4
+        ).alias("frac_no_headroom"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -3245,6 +3245,127 @@ FROM stats CROSS JOIN delta
 """
 
 
+def q_emb_gate_pq_margin_report(spark, sf_dir):
+    """Sizing report for the PQ compressed gate (r12 — VERDICT r11
+    item 2): the SQ8 report's twin for the 16 B rung, where the
+    stage-1 margin is PER-ROW (2·resid/‖v̂‖ from the stored
+    reconstruction residuals) and collapses when the codebooks
+    reconstruct the corpus poorly — the exact regime a user must
+    detect BEFORE switching a production gate to PQ. Builds the
+    seeded oracle-portable IVF-PQ index and reads
+    ``pq_gate_margin_report``'s one-row aggregate: residual
+    distribution, reconstruction norms, per-row margin distribution,
+    and the fraction of corpus rows with NO stage-1 pruning power at
+    threshold 0.95 (degenerate or margin >= threshold). All pure
+    arithmetic over the index's resid/vnorm columns, so FULL-oracled:
+    the oracle replays seeded codebooks → argmin codes →
+    reconstruction → residuals → the same percentile arithmetic."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        materialize_pq_index,
+        pq_gate_margin_report,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gate_pqmr_{tag}"
+    path = f"/root/repo/.scratch/gate_pqmr_{tag}"
+    idx, _, _ = materialize_pq_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path,
+    )
+    out = pq_gate_margin_report(idx, threshold=0.95).collect()
+    for t in (table, f"{table}_centroids", f"{table}_pq"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_pq"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "n_rows long, n_degenerate long, resid_p50 double,"
+            " resid_p95 double, resid_max double, min_vnorm double,"
+            " mean_vnorm double, margin_p50 double, margin_p95 double,"
+            " margin_max double, frac_no_headroom double"
+        ),
+    )
+
+
+# Replays the PQ encode (seeded codebooks -> argmin codes ->
+# reconstruction -> per-row residuals, identical CTEs to
+# SQL_EMB_GATE_PQ) and aggregates the same one-row report;
+# quantile_cont matches Spark's exact percentile (both linear
+# interpolation at rank p*(n-1)).
+SQL_EMB_GATE_PQ_MARGIN_REPORT = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+),
+cb AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS c FROM (
+    SELECT v AS cv, hh FROM h
+    WHERE sqrt(list_dot_product(v, v)) > 0
+    ORDER BY hh LIMIT 256)
+),
+dists AS (
+  SELECT e.vec_id, sub.s, cb.c,
+         list_sum(list_transform(range(1, 9), j ->
+           pow(e.v[sub.s * 8 + j] - cb.cv[sub.s * 8 + j], 2))) AS d
+  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub CROSS JOIN cb
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+),
+pqc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, c) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT p.vec_id,
+         flatten(list(cb.cv[(p.s * 8 + 1):(p.s * 8 + 8)]
+                      ORDER BY p.s)) AS rv
+  FROM pqc p JOIN cb ON cb.c = p.c GROUP BY p.vec_id
+),
+rows_ AS (
+  SELECT sqrt(list_dot_product(r.rv, r.rv)) AS dn,
+         sqrt(list_dot_product(
+           list_transform(range(1, 65), i -> e.v[i] - r.rv[i]),
+           list_transform(range(1, 65), i -> e.v[i] - r.rv[i])))
+           AS resid
+  FROM e JOIN recon r USING (vec_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN dn <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       ROUND(quantile_cont(resid, 0.5), 4) AS resid_p50,
+       ROUND(quantile_cont(resid, 0.95), 4) AS resid_p95,
+       ROUND(MAX(resid), 4) AS resid_max,
+       ROUND(MIN(dn) FILTER (WHERE dn > 0), 4) AS min_vnorm,
+       ROUND(AVG(dn) FILTER (WHERE dn > 0), 4) AS mean_vnorm,
+       ROUND(quantile_cont(2.0 * resid / dn, 0.5)
+             FILTER (WHERE dn > 0), 4) AS margin_p50,
+       ROUND(quantile_cont(2.0 * resid / dn, 0.95)
+             FILTER (WHERE dn > 0), 4) AS margin_p95,
+       ROUND(MAX(2.0 * resid / dn) FILTER (WHERE dn > 0), 4)
+         AS margin_max,
+       ROUND(SUM(CASE WHEN dn <= 0 THEN 1
+                      WHEN 2.0 * resid / dn >= 0.95 THEN 1
+                      ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS frac_no_headroom
+FROM rows_
+"""
+
+
 def q_emb_gate_blas_parity(spark, sf_dir):
     """Driver-checks the blas PRODUCTION path of the semantic gate
     (streaming.incremental_semantic_ingest defaults impl='blas')
@@ -9883,6 +10004,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_gate_margin_report": (
         q_emb_gate_margin_report,
         SQL_EMB_GATE_MARGIN_REPORT,
+    ),
+    "emb_gate_pq_margin_report": (
+        q_emb_gate_pq_margin_report,
+        SQL_EMB_GATE_PQ_MARGIN_REPORT,
     ),
     "emb_gate_blas_parity": (
         q_emb_gate_blas_parity,

@@ -1303,3 +1303,54 @@ def test_pq_index_resid_numpy_parity(spark, sf_dir, tmp_path):
             for t in (f"t_resid_{impl}", f"t_resid_{impl}_centroids",
                       f"t_resid_{impl}_pq"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_gate_margin_report_flags_bad_codebooks(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 item 2): the PQ-gate sizing report must make
+    the 16 B rung's failure mode VISIBLE before a user switches a
+    production gate to it. On a well-quantized corpus (k_codes covers
+    every seeded sub-vector, so residuals vanish) frac_no_headroom is
+    ~0; on a deliberately-bad codebook build (k_codes=2 over the same
+    diverse corpus) per-row margins 2*resid/vnorm blow past the
+    threshold and the report flags most rows as having no stage-1
+    pruning power. Also pins the degenerate-row accounting and the
+    loud error on a non-PQ index."""
+    import pytest as _pytest
+
+    from dataprocessingframework_spark.operators.similarity import (
+        materialize_pq_index,
+        pq_gate_margin_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(120)
+    try:
+        good_idx, _, _ = materialize_pq_index(
+            emb, "t_pqmr_good", n_cells=4, iters=0,
+            num_buckets=4, path=str(tmp_path / "good"),
+        )
+        bad_idx, _, _ = materialize_pq_index(
+            emb, "t_pqmr_bad", n_cells=4, iters=0, k_codes=2,
+            num_buckets=4, path=str(tmp_path / "bad"),
+        )
+        good = pq_gate_margin_report(good_idx).collect()[0]
+        bad = pq_gate_margin_report(bad_idx).collect()[0]
+        assert good.n_rows == bad.n_rows == 120
+        assert good.n_degenerate == 0
+        # 120 rows, k_eff=120 seeded FROM corpus sub-vectors: every
+        # sub-vector is its own codeword, residuals ~0, full headroom
+        assert good.resid_max < 1e-6
+        assert good.frac_no_headroom == 0.0
+        # 2 codewords per subspace cannot reconstruct a diverse
+        # corpus: margins collapse and the report says so loudly
+        assert bad.resid_p50 > 0.0
+        assert bad.margin_p50 > good.margin_p95
+        assert bad.frac_no_headroom > 0.5
+        assert bad.margin_max >= bad.margin_p95 >= bad.margin_p50
+        with _pytest.raises(ValueError, match="resid"):
+            pq_gate_margin_report(good_idx.drop("resid"))
+    finally:
+        for base in ("t_pqmr_good", "t_pqmr_bad"):
+            for t in (base, f"{base}_centroids", f"{base}_pq"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
