@@ -1851,6 +1851,7 @@ def materialize_ivf_index(
     path: str | None = None,
     mode: str = "overwrite",
     sq8: bool = False,
+    clamp_stats: dict | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Persist the IVF inverted lists: every corpus vector with its
     nearest-centroid ``cell``, hash-BUCKETED on the single ``cell``
@@ -1883,7 +1884,21 @@ def materialize_ivf_index(
     ranking is approximate within quantization distortion
     (recall-vs-distortion pinned in tests), and the whole path stays
     floor-arithmetic portable — the ``emb_ivf_sq8_topk`` registry
-    query carries a FULL DuckDB oracle."""
+    query carries a FULL DuckDB oracle.
+
+    ``clamp_stats`` (sq8 only, r12 — the runtime signal for the
+    append-drift caveat in :func:`incremental_semantic_dedup_sq8`):
+    pass a dict and it is filled with ``n_rows`` (encoded rows),
+    ``rows_clamped`` (rows with >= 1 dimension outside the stored
+    bounds — those dims clamp to the code rails and their dequant
+    error exceeds step/2, so the gate's derived margin no longer
+    covers them) and ``dims_clamped`` (total such dims). One extra
+    batch-sized agg, no corpus scan. Fresh builds report 0 by
+    construction (bounds ARE the corpus min/max); a growing
+    rows_clamped fraction across appends is the rebuild trigger —
+    the failure direction until rebuild is MISSED duplicates, never
+    false drops. :func:`streaming.curation.incremental_semantic_ingest`
+    echoes this per batch via its ``clamp_log`` hook."""
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
     )
@@ -1942,6 +1957,40 @@ def materialize_ivf_index(
         n_probe=1,
         impl=impl,
     )
+    if sq8 and clamp_stats is not None:
+        # drift telemetry: count dims landing OUTSIDE the stored
+        # bounds (they clamp to the code rails, where dequant error
+        # exceeds step/2 and the gate margin is no longer sound).
+        # For degenerate dims (mx <= mn, everything codes 0) any
+        # x != mn is equally uncovered — the x<mn|x>mx test already
+        # says exactly that. Statically unrolled like the pack expr;
+        # one batch-sized agg.
+        cexpr = None
+        for i in range(len(mins)):
+            x = F.col("embedding")[i].cast("double")
+            t = F.when(
+                (x < F.lit(mins[i])) | (x > F.lit(maxs[i])), 1
+            ).otherwise(0)
+            cexpr = t if cexpr is None else cexpr + t
+        crow = (
+            corpus.select(
+                F.col(vec_col).alias("embedding"),
+                norm(F.col(vec_col)).alias("vnorm"),
+            )
+            .filter(F.col("vnorm") > 0)
+            .select(cexpr.alias("cd"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("cd") > 0, 1).otherwise(0)).alias("r"),
+                F.sum("cd").alias("d"),
+            )
+            .collect()[0]
+        )
+        clamp_stats.update(
+            n_rows=int(crow.n),
+            rows_clamped=int(crow.r or 0),
+            dims_clamped=int(crow.d or 0),
+        )
     if sq8:
         # vnorm becomes the DEQUANTIZED vector's norm (direct
         # per-dim midpoint exprs — value-identical to unpacking the

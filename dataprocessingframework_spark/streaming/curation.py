@@ -315,6 +315,7 @@ def incremental_semantic_ingest(
     compact_every: int | None = None,
     index_sq8: bool = False,
     index_pq: bool = False,
+    clamp_log: list | None = None,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -379,7 +380,15 @@ def incremental_semantic_ingest(
     path, pinned in tests). Unlike SQ8 there is NO append drift
     caveat: PQ encoding never clamps and each appended row's resid
     is computed against the stored codebooks, so the per-row margins
-    stay sound as the stream runs."""
+    stay sound as the stream runs.
+
+    ``clamp_log`` (sq8 only, r12): pass a list and every index
+    write appends ``{batch_id, n_rows, rows_clamped, dims_clamped}``
+    — the runtime signal for the SQ8 append-drift caveat above
+    (clamped rows are exactly the ones the derived margin no longer
+    covers). The bootstrap overwrite reports 0 by construction; a
+    growing rows_clamped fraction across batches is the cue to
+    rebuild the index so the bounds re-cover the corpus."""
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
         incremental_semantic_dedup_pq,
@@ -467,6 +476,10 @@ def incremental_semantic_ingest(
                         mode="append" if use_index else "overwrite",
                     )
                 else:
+                    cstats: dict | None = (
+                        {} if (index_sq8 and clamp_log is not None)
+                        else None
+                    )
                     materialize_ivf_index(
                         src_v,
                         index_table,
@@ -476,7 +489,12 @@ def incremental_semantic_ingest(
                         path=index_path,
                         mode="append" if use_index else "overwrite",
                         sq8=index_sq8,
+                        clamp_stats=cstats,
                     )
+                    if cstats is not None:
+                        clamp_log.append(
+                            {"batch_id": batch_id, **cstats}
+                        )
             _maybe_compact(spark, index_table, batch_id, compact_every)
 
     return _run_available_now(

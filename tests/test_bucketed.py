@@ -666,9 +666,17 @@ def test_sq8_index_append_reuses_stored_bounds_and_clamps(
                 "embedding", lambda x: x * F.lit(100.0)
             ).alias("embedding"),
         )
+        cstats: dict = {}
         idx2, _ = materialize_ivf_index(
-            wild, "t_sq8_app", mode="append", sq8=True
+            wild, "t_sq8_app", mode="append", sq8=True,
+            clamp_stats=cstats,
         )
+        # r12 drift telemetry: the x100 batch lands outside the
+        # stored bounds on most dims — every row must be counted,
+        # turning the documented missed-dup caveat into a signal
+        assert cstats["n_rows"] == 3
+        assert cstats["rows_clamped"] == 3
+        assert cstats["dims_clamped"] > 3 * 32, cstats
         assert load_sq8_bounds(spark, "t_sq8_app") == bounds_before
         assert idx2.count() == n0 + 3
         import numpy as np

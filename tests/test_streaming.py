@@ -562,10 +562,12 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
             base = str(tmp_path / mode)
             src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
             if mode == "sq8":
+                clamp_log: list = []
                 kw = dict(
                     index_table="t_sem_sq8_idx",
                     index_path=f"{base}/idx",
                     index_sq8=True,
+                    clamp_log=clamp_log,
                 )
             elif mode == "pq":
                 kw = dict(
@@ -600,6 +602,12 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
         assert sorted(r.vec_id for r in idx.collect()) == kept["sq8"]
         # bounds table persisted alongside
         assert spark.table("t_sem_sq8_idx_sq8").count() == 1
+        # r12 clamp telemetry: one entry per index write (bootstrap
+        # overwrite + wave-2 append), and this in-distribution data
+        # stays inside the bootstrap bounds on the bootstrap at least
+        assert [e["batch_id"] for e in clamp_log] == [0, 1]
+        assert all(e["n_rows"] > 0 for e in clamp_log)
+        assert clamp_log[0]["rows_clamped"] == 0  # bounds ARE the corpus
         pidx = spark.table("t_sem_pq_idx")
         assert "resid" in pidx.columns and "embedding" not in pidx.columns
         assert sorted(r.vec_id for r in pidx.collect()) == kept["pq"]
