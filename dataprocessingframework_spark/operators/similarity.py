@@ -3003,6 +3003,135 @@ def _degenerate_recon_candidates(
     return cand.unionByName(extra).distinct()
 
 
+def semantic_dedup_gate(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    centroids: list[list[float]],
+    index: DataFrame | None = None,
+    gate_kind: str = "auto",
+    index_table: str | None = None,
+    sq8_bounds: tuple[list, list] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    impl: str = "jvm",
+    pushdown_candidate_ids: bool = False,
+    max_cell_rows: int | None = 100_000,
+) -> DataFrame:
+    """ONE entry point for the semantic dedup gate across the whole
+    compression ladder (r12 — VERDICT r11 item 4). The three rungs —
+    :func:`incremental_semantic_dedup` (float),
+    :func:`incremental_semantic_dedup_sq8` (7.7x codes) and
+    :func:`incremental_semantic_dedup_pq` (16 B/vector) — share one
+    contract (same kept set, proven per rung); this dispatcher picks
+    the rung from the index you hand it, so pipeline code does not
+    change when an index is re-materialized at a different rung.
+
+    ``gate_kind='auto'`` (default) detects from the index's columns:
+    no index → the float gate over ``corpus``; ``resid`` column →
+    PQ; ``codes`` column → SQ8; a float
+    :func:`materialize_ivf_index` table → the float gate with
+    ``corpus_cells`` (cells reused, corpus never re-assigned).
+    Passing an explicit kind that contradicts the index's columns
+    raises instead of silently gating with the wrong arithmetic.
+
+    Sidecars (SQ8 bounds / PQ codebooks) are taken from
+    ``sq8_bounds``/``codebooks`` if given, else loaded from
+    ``index_table``'s companion tables; ``index_table`` alone also
+    suffices for the index itself. ``corpus`` is the accepted FLOAT
+    corpus — the compressed rungs touch it only for the exact
+    recheck of stage-1 candidates; the float-index rung never reads
+    it (pass None there). ``pushdown_candidate_ids`` applies to the
+    compressed rungs only (stage 2's IN-pushdown knob). Rung choice
+    guidance lives in docs/llm_operators.md; size the compressed
+    rungs first with ``emb_gate_margin_report`` (SQ8) /
+    ``emb_gate_pq_margin_report`` (PQ)."""
+    spark = batch.sparkSession
+    if index is None and index_table is not None:
+        index = spark.table(index_table)
+    if gate_kind == "auto":
+        if index is None:
+            gate_kind = "float"
+        elif "resid" in index.columns:
+            gate_kind = "pq"
+        elif "codes" in index.columns:
+            gate_kind = "sq8"
+        else:
+            gate_kind = "float"
+    if gate_kind == "pq":
+        if index is None or "resid" not in index.columns:
+            raise ValueError(
+                "gate_kind='pq' needs a materialize_pq_index table"
+                " (codes + resid columns)"
+            )
+        if codebooks is None:
+            if index_table is None:
+                raise ValueError(
+                    "gate_kind='pq' needs codebooks= or index_table="
+                    " (to load the persisted codebooks)"
+                )
+            codebooks = load_pq_codebooks(spark, index_table)
+        return incremental_semantic_dedup_pq(
+            batch, corpus, centroids, index, codebooks,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_probe=n_probe, impl=impl,
+            pushdown_candidate_ids=pushdown_candidate_ids,
+            max_cell_rows=max_cell_rows,
+        )
+    if gate_kind == "sq8":
+        if index is None or "codes" not in index.columns:
+            raise ValueError(
+                "gate_kind='sq8' needs a"
+                " materialize_ivf_index(sq8=True) table (codes column)"
+            )
+        if "resid" in index.columns:
+            raise ValueError(
+                "index has a resid column — that is a PQ index; use"
+                " gate_kind='pq' (SQ8 dequant arithmetic would read"
+                " its packed words wrong)"
+            )
+        if sq8_bounds is None:
+            if index_table is None:
+                raise ValueError(
+                    "gate_kind='sq8' needs sq8_bounds= or index_table="
+                    " (to load the persisted bounds)"
+                )
+            sq8_bounds = load_sq8_bounds(spark, index_table)
+        return incremental_semantic_dedup_sq8(
+            batch, corpus, centroids, index, sq8_bounds,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_probe=n_probe, impl=impl,
+            pushdown_candidate_ids=pushdown_candidate_ids,
+            max_cell_rows=max_cell_rows,
+        )
+    if gate_kind != "float":
+        raise ValueError(
+            f"unknown gate_kind {gate_kind!r}:"
+            " expected 'auto'|'float'|'sq8'|'pq'"
+        )
+    if index is not None and (
+        "codes" in index.columns or "resid" in index.columns
+    ):
+        raise ValueError(
+            "gate_kind='float' got a compressed index (codes/resid"
+            " columns) — its float cosine arithmetic cannot score"
+            " packed codes; use gate_kind='auto'"
+        )
+    cells = None
+    if index is not None:
+        cells = index.withColumnRenamed(
+            "vec_id", id_col
+        ).withColumnRenamed("embedding", vec_col)
+    return incremental_semantic_dedup(
+        batch, corpus, centroids,
+        id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_probe=n_probe, impl=impl, corpus_cells=cells,
+        max_cell_rows=max_cell_rows,
+    )
+
+
 def pq_gate_margin_report(
     index: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

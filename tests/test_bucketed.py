@@ -1362,3 +1362,102 @@ def test_pq_gate_margin_report_flags_bad_codebooks(spark, sf_dir, tmp_path):
         for base in ("t_pqmr_good", "t_pqmr_bad"):
             for t in (base, f"{base}_centroids", f"{base}_pq"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semantic_dedup_gate_dispatcher_equivalence(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 item 4): semantic_dedup_gate is ONE entry
+    point across the compression ladder — auto-detected rungs must
+    return byte-identical kept sets to the direct per-rung calls
+    (and, on this data, to each other: all rungs provably equal the
+    exact gate), and explicit gate_kind mismatches must raise rather
+    than score packed codes with the wrong arithmetic."""
+    import pytest as _pytest
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup,
+        materialize_ivf_index,
+        materialize_pq_index,
+        semantic_dedup_gate,
+    )
+    from dataprocessingframework_spark.queries import (
+        _perturbed_gate_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    n = corpus.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+
+    def ids(df):
+        return sorted(r.vec_id for r in df.select("vec_id").collect())
+
+    try:
+        fidx, _ = materialize_ivf_index(
+            corpus, "t_disp_f", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16, path=str(tmp_path / "f"),
+        )
+        sidx, _ = materialize_ivf_index(
+            corpus, "t_disp_s", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16, path=str(tmp_path / "s"),
+            sq8=True,
+        )
+        pidx, _, _ = materialize_pq_index(
+            corpus, "t_disp_p", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16, path=str(tmp_path / "p"),
+        )
+        exact = ids(
+            incremental_semantic_dedup(
+                batch, corpus, cents, threshold=0.95, n_probe=2
+            )
+        )
+        assert 0 < len(exact) < batch.count()
+        # auto-detection per rung: no index -> float; float index ->
+        # corpus_cells float; codes -> sq8; resid -> pq. All equal
+        # the exact gate on sound margins.
+        for kw in (
+            dict(corpus=corpus),
+            dict(corpus=None, index=fidx),
+            dict(corpus=corpus, index=sidx, index_table="t_disp_s"),
+            dict(corpus=corpus, index=pidx, index_table="t_disp_p"),
+            dict(corpus=corpus, index_table="t_disp_s"),  # table-only
+        ):
+            got = ids(
+                semantic_dedup_gate(
+                    batch, centroids=cents, threshold=0.95,
+                    n_probe=2, **kw,
+                )
+            )
+            assert got == exact, kw.keys()
+        # explicit-kind contradictions fail loudly
+        with _pytest.raises(ValueError, match="pq"):
+            semantic_dedup_gate(
+                batch, corpus, cents, index=pidx, gate_kind="sq8"
+            )
+        with _pytest.raises(ValueError, match="compressed"):
+            semantic_dedup_gate(
+                batch, corpus, cents, index=sidx, gate_kind="float"
+            )
+        with _pytest.raises(ValueError, match="codes"):
+            semantic_dedup_gate(
+                batch, corpus, cents, index=fidx, gate_kind="sq8"
+            )
+        with _pytest.raises(ValueError, match="gate_kind"):
+            semantic_dedup_gate(
+                batch, corpus, cents, gate_kind="int4"
+            )
+        # compressed rung without sidecars or table name: loud error
+        with _pytest.raises(ValueError, match="bounds"):
+            semantic_dedup_gate(batch, corpus, cents, index=sidx)
+    finally:
+        batch.unpersist()
+        for t in ("t_disp_f", "t_disp_f_centroids", "t_disp_s",
+                  "t_disp_s_centroids", "t_disp_s_sq8", "t_disp_p",
+                  "t_disp_p_centroids", "t_disp_p_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
