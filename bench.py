@@ -446,6 +446,33 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     return {k: v for k, v in out.items() if k in only}
 
 
+def trial_spread(runs: list[float]) -> float:
+    """max/min of a query's timed trials — the contamination metric.
+    A settled query on an idle machine stays under ~2x (JIT noise);
+    r10/r11 both saw background contention land single 3-30x outlier
+    trials that min-of-trials absorbs but that poison every future
+    BENCH comparison, and detection was manual prose in PLANS.md.
+    >3x is mechanically CONTAMINATED (r12, VERDICT r11 item 5)."""
+    return max(runs) / min(runs)
+
+
+CONTAMINATION_SPREAD = 3.0
+CONTAMINATION_RESETTLE_SEC = 10
+
+
+def resolve_contamination(
+    runs: list[float], rerun: list[float]
+) -> tuple[list[float], bool]:
+    """Decide what a contaminated query's final trial set is, given
+    the post-resettle re-run: a clean re-run REPLACES the tainted set
+    (its minima carry no contention); a still-noisy re-run means the
+    machine is busy — keep ALL evidence and flag the query. Pure so
+    the planted-outlier unit test can pin the policy."""
+    if trial_spread(rerun) <= CONTAMINATION_SPREAD:
+        return rerun, False
+    return runs + rerun, True
+
+
 def run_tier(names: list[str], settle_sec: int = 0) -> dict:
     """Run the named queries in THIS process (one fresh JVM) and
     return {"queries": minima, "trials": per-trial, "extra": setup}."""
@@ -488,6 +515,7 @@ def run_tier(names: list[str], settle_sec: int = 0) -> dict:
 
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
+    contaminated: list[str] = []
     for name in names:  # preserve tier order
         thunk = thunks[name]
         # isolate queries: persisted intermediates from earlier queries
@@ -525,6 +553,29 @@ def run_tier(names: list[str], settle_sec: int = 0) -> dict:
             t0 = time.time()
             thunk()
             runs.append(round(time.time() - t0, 3))
+        # mechanical contamination handling (r12): if the spread is
+        # still past 3x after adaptive extension, something outside
+        # the query (background contention, another JVM) hit a trial.
+        # Flag it, let the machine settle, and take one fresh
+        # trial set — exactly the manual procedure PLANS.md
+        # prescribed since r10, now in code so BENCH artifacts are
+        # trustworthy without a judge re-run.
+        if trial_spread(runs) > CONTAMINATION_SPREAD:
+            print(
+                f"CONTAMINATED {name}: trial spread "
+                f"{trial_spread(runs):.1f}x {runs} — resettling and "
+                f"re-running",
+                file=sys.stderr,
+            )
+            time.sleep(CONTAMINATION_RESETTLE_SEC)
+            rerun = []
+            for _ in range(3):
+                t0 = time.time()
+                thunk()
+                rerun.append(round(time.time() - t0, 3))
+            runs, still_bad = resolve_contamination(runs, rerun)
+            if still_bad:
+                contaminated.append(name)
         # per-trial times recorded so a one-off outlier in the minima
         # (e.g. background contention) is self-diagnosing in the
         # BENCH_r{N}.json artifact rather than needing a re-run
@@ -534,7 +585,12 @@ def run_tier(names: list[str], settle_sec: int = 0) -> dict:
     cleanup = extra.pop("_cleanup", None)
     if cleanup is not None:
         cleanup()
-    return {"queries": timings, "trials": trials, "extra": extra}
+    return {
+        "queries": timings,
+        "trials": trials,
+        "extra": extra,
+        "contaminated": contaminated,
+    }
 
 
 def main() -> None:
@@ -560,6 +616,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
+    contaminated: list[str] = []
     for tier in TIERS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--tier", tier],
@@ -573,6 +630,14 @@ def main() -> None:
         timings.update(result["queries"])
         trials.update(result["trials"])
         extra.update(result.get("extra", {}))
+        contaminated.extend(result.get("contaminated", []))
+    if contaminated:
+        print(
+            f"WARNING: contaminated even after resettle+re-run "
+            f"(spread >{CONTAMINATION_SPREAD}x): {contaminated} — "
+            f"minima recorded but treat comparisons with suspicion",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -586,6 +651,9 @@ def main() -> None:
                 # untimed one-off setup costs (e.g. the bucketed ANN
                 # index build that ann_index_probe amortizes away)
                 "extra": extra,
+                # queries whose trial spread stayed >3x even after a
+                # mechanical resettle+re-run (r12); [] = trustworthy
+                "contaminated": contaminated,
                 "isolation": "per-tier JVM (fresh subprocess per tier)",
                 "sf": float(sf) if sf else None,
             }
