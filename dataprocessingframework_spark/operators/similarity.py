@@ -2230,6 +2230,7 @@ def kcenter_select(
     checkpoint_every: int = 16,
     batch_m: int = 1,
     pool_factor: int = 4,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Greedy farthest-point (k-center) selection over an embedding
     column — the classic diverse-coreset / data-pruning pick: start
@@ -2274,7 +2275,23 @@ def kcenter_select(
     reproduces the exact trajectory and stays the default (and the
     oracle-checked path). Within-pool distance updates use float64
     numpy (same arithmetic, summation order may differ from the JVM
-    fold in the last ulp)."""
+    fold in the last ulp).
+
+    ``round_stats`` (batch_m>1 only, r12 — VERDICT r11 item 6, the
+    mirror of the CC contraction hook): pass a list and each pooled
+    round appends ``{round, picks, min_selected_dist,
+    next_global_max, pool_miss}``. ``min_selected_dist`` is the
+    round's LAST pick's distance; ``next_global_max`` is the global
+    farthest remaining distance observed right after the round (the
+    next pool's head — the final round pays one extra TakeOrdered to
+    close the ledger). Because min-distances only ever DECREASE,
+    ``next_global_max > min_selected_dist`` is a sound WITNESS that
+    the true farthest point sat outside the pool when that pick was
+    made — exact greedy would have picked it first. Any
+    ``pool_miss=True`` round is the cue to raise ``pool_factor``;
+    all-False certifies this run's picks followed the exact greedy
+    distance ordering (modulo the documented last-ulp numpy/JVM
+    drift; the comparison carries a 1e-9 slack)."""
     from dataprocessingframework_spark.functions.hashing import hash64
 
     spark = df.sparkSession
@@ -2305,6 +2322,7 @@ def kcenter_select(
         import numpy as np
 
         rank, rounds = 1, 0
+        prev_round: dict | None = None
         ckpt_rounds = max(1, checkpoint_every // batch_m)
         while rank < k:
             m = min(batch_m, k - rank)
@@ -2313,6 +2331,24 @@ def kcenter_select(
                 .limit(pool_factor * m)
                 .collect()
             )
+            if round_stats is not None and prev_round is not None:
+                # close the PREVIOUS round's ledger with this pool's
+                # head = the global max remaining distance after its
+                # picks (min-distances only decrease, so a head above
+                # the round's last pick is a sound pool-miss witness)
+                gm = float(pool_rows[0].mind) if pool_rows else None
+                round_stats.append(
+                    {
+                        **prev_round,
+                        "next_global_max": gm,
+                        "pool_miss": (
+                            gm is not None
+                            and gm
+                            > prev_round["min_selected_dist"] + 1e-9
+                        ),
+                    }
+                )
+                prev_round = None
             if not pool_rows:
                 break  # fewer than k usable vectors
             pv = np.array(
@@ -2338,6 +2374,12 @@ def kcenter_select(
                 pmind[i] = -np.inf
             if not picked:
                 break
+            if round_stats is not None:
+                prev_round = {
+                    "round": rounds,
+                    "picks": len(picked),
+                    "min_selected_dist": float(selected[-1][2]),
+                }
             cur = cur.filter(
                 ~F.col("kid").isin([int(pids[i]) for i in picked])
             ).withColumn(
@@ -2353,6 +2395,25 @@ def kcenter_select(
             rounds += 1
             if rounds % ckpt_rounds == 0:
                 cur = cur.localCheckpoint(eager=False)
+        if round_stats is not None and prev_round is not None:
+            # final round: one extra TakeOrdered (top-1, no vectors
+            # needed beyond the head) so the ledger is complete
+            top = (
+                cur.orderBy(F.desc("mind"), F.asc("kid"))
+                .limit(1)
+                .collect()
+            )
+            gm = float(top[0].mind) if top else None
+            round_stats.append(
+                {
+                    **prev_round,
+                    "next_global_max": gm,
+                    "pool_miss": (
+                        gm is not None
+                        and gm > prev_round["min_selected_dist"] + 1e-9
+                    ),
+                }
+            )
     else:
         for r in range(1, k):
             top_rows = (

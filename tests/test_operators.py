@@ -1637,10 +1637,12 @@ def test_kcenter_batched_full_pool_matches_exact(spark):
         .orderBy("sel_rank")
         .collect()
     ]
+    stats: list = []
     pooled = [
         (r.sel_rank, r.vec_id, r.dist)
         for r in similarity.kcenter_select(
-            df, k=8, batch_m=4, pool_factor=20, checkpoint_every=2
+            df, k=8, batch_m=4, pool_factor=20, checkpoint_every=2,
+            round_stats=stats,
         )
         .orderBy("sel_rank")
         .collect()
@@ -1648,6 +1650,10 @@ def test_kcenter_batched_full_pool_matches_exact(spark):
     assert [(a, b) for a, b, _ in pooled] == [(a, b) for a, b, _ in exact]
     for (_, _, gd), (_, _, wd) in zip(pooled, exact):
         assert abs(gd - wd) < 2e-4, (pooled, exact)
+    # r12: a corpus-covering pool must certify itself — one ledger
+    # entry per round (7 picks / batch_m=4 -> 2 rounds), no misses
+    assert [e["picks"] for e in stats] == [4, 3]
+    assert all(not e["pool_miss"] for e in stats), stats
 
 
 def test_kcenter_batched_spreads_within_round(spark):
@@ -1677,6 +1683,62 @@ def test_kcenter_batched_spreads_within_round(spark):
     ).collect()
     assert len(sel) == 3
     assert {r.vec_id % 3 for r in sel} == {0, 1, 2}, sel
+
+
+def test_kcenter_batched_round_stats_witness_pool_miss(spark):
+    """r12 (VERDICT r11 item 6): the round_stats hook must WITNESS a
+    pool miss. Geometry: two near-duplicates opposite the seed (both
+    at cosine distance ~2) and one moderately-far point (distance 1).
+    With pool_factor=1 the round-1 pool holds only the two near-dups;
+    after the first pick the second collapses to ~0 but gets picked
+    anyway (the true farthest point sits OUTSIDE the pool) — the
+    closing ledger entry must flag pool_miss with next_global_max >>
+    min_selected_dist. pool_factor=4 covers the corpus: exact greedy,
+    all rounds certified miss-free, and the previously-missed point
+    is selected."""
+    from dataprocessingframework_spark.functions.hashing import hash64
+
+    ids = [1, 2, 3, 4]
+    base = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    seed_id = (
+        base.withColumn("h", hash64(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .first()
+        .vec_id
+    )
+    a_id, b_id, c_id = [i for i in ids if i != seed_id]
+
+    def vec(head):
+        v = [0.0] * 16
+        for j, x in enumerate(head):
+            v[j] = x
+        return v
+
+    df = spark.createDataFrame(
+        [
+            (seed_id, vec([10.0])),
+            (a_id, vec([-10.0, 0.01])),   # farthest from seed
+            (b_id, vec([-10.0, -0.01])),  # near-dup of a_id
+            (c_id, vec([0.0, 10.0])),     # true 2nd-farthest pick
+        ],
+        schema="vec_id long, embedding array<double>",
+    )
+    stats: list = []
+    sel = similarity.kcenter_select(
+        df, k=3, batch_m=2, pool_factor=1, round_stats=stats
+    ).collect()
+    assert len(sel) == 3 and len(stats) == 1
+    e = stats[0]
+    assert e["picks"] == 2 and e["pool_miss"] is True
+    assert e["next_global_max"] > e["min_selected_dist"] + 0.5
+    assert c_id not in {r.vec_id for r in sel}  # the miss, concretely
+
+    stats2: list = []
+    sel2 = similarity.kcenter_select(
+        df, k=3, batch_m=2, pool_factor=4, round_stats=stats2
+    ).collect()
+    assert stats2 and all(not e["pool_miss"] for e in stats2)
+    assert c_id in {r.vec_id for r in sel2}
 
 
 def test_ivf_cell_stats_planted_skew_and_empty_cells(spark):
