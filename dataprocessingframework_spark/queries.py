@@ -10447,9 +10447,42 @@ _R11_WINDOW = [
     "j_semi",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+
+# r12 driver window: positions 1-2 are the round's new/changed
+# queries (emb_gate_pq_margin_report — NEW r12: one-row FULL-oracled
+# sizing report for the PQ gate's per-row margins, the 16 B rung's
+# go/no-go instrument; emb_gate_sq8 — oracle CHANGED r12: degenerate
+# dn<=0 corpus rows now modeled as unconditional candidates, ADVICE
+# r11). Positions 3-32 are the ENTIRE 30-query r6-stale cohort in
+# registry order (the oldest driver checks remaining; all 30
+# re-verified green locally by the r11 judge — confirmation, not
+# risk). Positions 33-50 are the oldest 18 of the 49-query r7 cohort
+# in registry order (emb_ann_recall .. f_date_extract). Post-r12
+# staleness: nothing never-checked, nothing older than r7. Rotation
+# history in COVERAGE.md.
+_R12_WINDOW = [
+    "emb_gate_pq_margin_report", "emb_gate_sq8",
+    "j_anti", "a1_summary_stats", "a3_group_agg", "a4_count_distinct",
+    "a5_dup_detect", "a_rollup", "d1_distinct", "d1_keep_first",
+    "d2_shuffle", "d4_union", "d5_topk", "d7_limit_offset",
+    "set_intersect", "set_except", "w_window_topn", "w_window_running",
+    "f1_basename", "f2_substring", "f3_concat", "f4_suffix",
+    "f5_regex_clean", "f6_lower_trim", "f7_arith",
+    "tx_quality_classifier", "dd_minhash_calibration",
+    "dd_semantic_vs_lexical", "stream_quality_gate",
+    "ev_engagement_profile", "stream_near_dup_ingest",
+    "emb_centroid_prune",
+    "emb_ann_recall", "emb_lsh_topk", "emb_lsh_multi_topk",
+    "dd_jaccard_ngram", "dd_jaccard_lsh", "dd_clusters",
+    "dd_clusters_lsh", "j_asof_nulls", "j_range", "emb_near_dup",
+    "pipeline_stages", "pipeline_curation", "profile_table",
+    "a1_quartiles", "a_cube", "a_grouping_sets",
+    "f_explode_wordcount", "f_date_extract",
+]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R11_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R11_WINDOW},
+    **{k: REGISTRY[k] for k in _R12_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R12_WINDOW},
 }
 
 

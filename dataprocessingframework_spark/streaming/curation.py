@@ -316,6 +316,7 @@ def incremental_semantic_ingest(
     index_sq8: bool = False,
     index_pq: bool = False,
     clamp_log: list | None = None,
+    rebuild_on_clamp_frac: float | None = None,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -383,12 +384,25 @@ def incremental_semantic_ingest(
     stay sound as the stream runs.
 
     ``clamp_log`` (sq8 only, r12): pass a list and every index
-    write appends ``{batch_id, n_rows, rows_clamped, dims_clamped}``
-    — the runtime signal for the SQ8 append-drift caveat above
-    (clamped rows are exactly the ones the derived margin no longer
-    covers). The bootstrap overwrite reports 0 by construction; a
-    growing rows_clamped fraction across batches is the cue to
-    rebuild the index so the bounds re-cover the corpus."""
+    write appends ``{batch_id, n_rows, rows_clamped, dims_clamped,
+    rebuilt}`` — the runtime signal for the SQ8 append-drift caveat
+    above (clamped rows are exactly the ones the derived margin no
+    longer covers). The bootstrap overwrite reports 0 by
+    construction; a growing rows_clamped fraction across batches is
+    the cue to rebuild the index so the bounds re-cover the corpus.
+
+    ``rebuild_on_clamp_frac`` (sq8 only, r12): closes that loop —
+    when an append's rows_clamped/n_rows exceeds the fraction, the
+    index is REBUILT from the whole accepted corpus in the same
+    micro-batch (one bounded ``read_corpus`` pass, same shape as the
+    bootstrap overwrite), so the bounds re-cover the drifted
+    distribution and the gate's margin is sound again from the NEXT
+    batch on. The drifted batch itself was already gated before its
+    write (its clamped rows can only have missed dups against
+    themselves — the documented caveat direction); the rebuild bounds
+    the exposure to one batch instead of forever. Keep the threshold
+    above the noise floor (a few in 10k rows) — each rebuild is a
+    full corpus re-encode."""
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
         incremental_semantic_dedup_pq,
@@ -477,7 +491,12 @@ def incremental_semantic_ingest(
                     )
                 else:
                     cstats: dict | None = (
-                        {} if (index_sq8 and clamp_log is not None)
+                        {}
+                        if index_sq8
+                        and (
+                            clamp_log is not None
+                            or rebuild_on_clamp_frac is not None
+                        )
                         else None
                     )
                     materialize_ivf_index(
@@ -491,9 +510,42 @@ def incremental_semantic_ingest(
                         sq8=index_sq8,
                         clamp_stats=cstats,
                     )
-                    if cstats is not None:
+                    rebuilt = False
+                    if (
+                        cstats is not None
+                        and rebuild_on_clamp_frac is not None
+                        and use_index
+                        and cstats["rows_clamped"]
+                        > rebuild_on_clamp_frac * max(cstats["n_rows"], 1)
+                    ):
+                        # bounds no longer cover the corpus: rebuild
+                        # from ALL accepted batches (bootstrap shape),
+                        # re-deriving bounds so the gate margin is
+                        # sound again from the next batch on
+                        full = _index_source(
+                            spark, corpus_dir, batch_id, False
+                        )
+                        materialize_ivf_index(
+                            full.select(
+                                F.col(id_col).alias("vec_id"),
+                                F.col(vec_col).alias("embedding"),
+                            ),
+                            index_table,
+                            centroids=centroids,
+                            impl=impl,
+                            num_buckets=index_num_buckets,
+                            path=index_path,
+                            mode="overwrite",
+                            sq8=True,
+                        )
+                        rebuilt = True
+                    if cstats is not None and clamp_log is not None:
                         clamp_log.append(
-                            {"batch_id": batch_id, **cstats}
+                            {
+                                "batch_id": batch_id,
+                                **cstats,
+                                "rebuilt": rebuilt,
+                            }
                         )
             _maybe_compact(spark, index_table, batch_id, compact_every)
 

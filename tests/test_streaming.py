@@ -935,3 +935,77 @@ def test_semantic_ingest_compact_every_keeps_gate_and_layout(
         for t in ("t_ce_plain", "t_ce_plain_centroids", "t_ce_compact",
                   "t_ce_compact_centroids", "t_ce_compact__compact"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_semantic_ingest_sq8_rebuild_on_clamp_drift(
+    spark, tmp_path
+):
+    """r12: rebuild_on_clamp_frac closes the SQ8 drift loop — a
+    drifted wave (x3-scaled vectors, outside the bootstrap bounds on
+    every row) must trip the clamp threshold and trigger an in-batch
+    rebuild from the whole accepted corpus, after which the stored
+    bounds re-cover the drifted distribution (gate margins sound
+    again). The bootstrap write must not count as a rebuild."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        load_sq8_bounds,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    wave1 = emb.filter(F.col("vec_id") < cut)
+    wave2 = emb.filter(F.col("vec_id") >= cut).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    cents = _ivf_centroids(emb, "vec_id", "embedding", 8, iters=0)
+    base = str(tmp_path / "drift")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    clamp_log: list = []
+
+    def run():
+        return incremental_semantic_ingest(
+            spark, src, "vec_id long, embedding array<float>",
+            corpus, ckpt, cents,
+            threshold=0.9999, n_probe=2, src_format="parquet",
+            impl="jvm", index_table="t_sq8_rebuild",
+            index_path=f"{base}/idx", index_sq8=True,
+            clamp_log=clamp_log, rebuild_on_clamp_frac=0.05,
+        )
+
+    try:
+        wave1.write.mode("append").parquet(src)
+        run()
+        bounds_w1 = load_sq8_bounds(spark, "t_sq8_rebuild")
+        wave2.write.mode("append").parquet(src)
+        run()
+        assert [e["rebuilt"] for e in clamp_log] == [False, True]
+        assert clamp_log[0]["rows_clamped"] == 0
+        # the x3 wave drifts every row outside the bootstrap bounds
+        assert (
+            clamp_log[1]["rows_clamped"] == clamp_log[1]["n_rows"] > 0
+        )
+        # rebuild re-derived the bounds over the WHOLE corpus: the
+        # envelope now covers the x3 wave (strictly wider), and the
+        # index covers every accepted row
+        mins1, maxs1 = bounds_w1
+        mins2, maxs2 = load_sq8_bounds(spark, "t_sq8_rebuild")
+        assert max(maxs2) > 2.5 * max(maxs1)
+        assert min(mins2) < 2.5 * min(mins1)  # mins are negative
+        n_corpus = read_corpus(spark, corpus).count()
+        assert spark.table("t_sq8_rebuild").count() == n_corpus
+        assert run() == 0  # replay-safe after a rebuild
+    finally:
+        for t in ("t_sq8_rebuild", "t_sq8_rebuild_centroids",
+                  "t_sq8_rebuild_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
