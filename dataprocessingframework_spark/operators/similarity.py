@@ -1838,6 +1838,112 @@ def ivf_pq_topk_rerank(
     return _per_query_topk(scored, k)
 
 
+def balance_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    max_cell_rows: int,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "jvm",
+    round_stats: list | None = None,
+) -> list[list[float]]:
+    """Split HOT quantizer cells by seeding new centroids inside them
+    (r12) — the fix-at-source companion to the gates' salting caps:
+    salting bounds per-TASK memory when a mega-cell exists, but every
+    probe of that cell still scans all of it; splitting the cell
+    makes the quantizer itself balanced, so probe latency and gate
+    candidate sets shrink at the source. The IVF skew risk at 100 TB
+    is exactly this (`ivf_cell_stats` is the detector; this is the
+    repair).
+
+    Per round: assign the corpus to its nearest centroid (one narrow
+    argmax-dot pass, no shuffle), count cells (map-side-combined,
+    n_cells-bounded), and for every cell with more than
+    ``max_cell_rows`` rows pick that cell's 2 md5-hash-order seed
+    ROWS as replacement centroids — seed 1 replaces the hot
+    centroid in place, seed 2 appends (in ascending hot-cell order,
+    so ids are deterministic). All portable arithmetic (same
+    hash-order seeding as :func:`_ivf_centroids`, same argmax-dot +
+    lower-cell tiebreak as :func:`assign_cells`), so the whole
+    trajectory is DuckDB-replayable — the ``emb_ivf_balance``
+    registry query carries a FULL oracle. Only the seed rows (2 per
+    hot cell, <= 2 x n_cells) ever reach the driver.
+
+    Stops early when no cell is hot. A DIRECTION-TIGHT cell is
+    unsplittable under argmax-dot assignment: any two in-cell seeds
+    define a linear separator through the origin, which leaves a
+    tight same-direction cluster (identical vectors are the extreme
+    case) entirely on one side — measured in the planted-geometry
+    test. That shape is also the least harmful hot cell (its rows
+    are near-duplicates a probe WANTS co-located); the realistic
+    catch-all mega-cell (diverse directions absorbed by a poorly
+    seeded centroid) splits readily — the real-data test drives
+    max_cell 139→57 under a 63 cap in two rounds. ``rounds`` caps
+    the attempts and
+    ``round_stats`` (pass a list) records per round
+    ``{round, n_cells, hot_cells, max_cell}`` so a stall is visible;
+    keep the gates' ``max_cell_rows`` salting as the backstop for
+    that pathology. Returns the new centroid list — persist it by
+    passing ``centroids=`` to :func:`materialize_ivf_index` /
+    :func:`materialize_pq_index` (probes reload it from the
+    ``_centroids`` table, so the split quantizer is what every later
+    batch probes)."""
+    from dataprocessingframework_spark.functions.hashing import hash64
+
+    cents = [[float(x) for x in c] for c in centroids]
+    nz = corpus.select(
+        F.col(id_col).alias("bid"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+        norm(F.col(vec_col)).alias("bn"),
+    ).filter(F.col("bn") > 0)
+    for r in range(rounds):
+        assigned = assign_cells(nz, cents, "bid", "bv", n_probe=1,
+                                impl=impl)
+        sizes = {
+            row.cell: row.n
+            for row in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        hot = sorted(c for c, n in sizes.items() if n > max_cell_rows)
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "round": r,
+                    "n_cells": len(cents),
+                    "hot_cells": len(hot),
+                    "max_cell": max(sizes.values()) if sizes else 0,
+                }
+            )
+        if not hot:
+            break
+        w = Window.partitionBy("cell").orderBy("h", "bid")
+        seeds = (
+            assigned.filter(F.col("cell").isin(hot))
+            .withColumn("h", hash64(F.col("bid").cast("string")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("cell", "rn", "bv")
+            .collect()
+        )
+        by_cell: dict[int, dict[int, list[float]]] = {}
+        for row in seeds:
+            by_cell.setdefault(int(row.cell), {})[int(row.rn)] = [
+                float(x) for x in row.bv
+            ]
+        new_cents = list(cents)
+        appended = []
+        for c in hot:
+            picks = by_cell.get(c, {})
+            if 1 in picks:
+                new_cents[c] = picks[1]
+            if 2 in picks:
+                appended.append(picks[2])
+        cents = new_cents + appended
+    return cents
+
+
 def materialize_ivf_index(
     corpus: DataFrame,
     table: str,

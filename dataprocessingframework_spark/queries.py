@@ -8787,6 +8787,100 @@ FROM sizes
 """
 
 
+def q_emb_ivf_balance(spark, sf_dir):
+    """Hot-cell quantizer splitting end to end (r12): seed a
+    DELIBERATELY coarse quantizer (n_cells=4, so at least one cell
+    must exceed the ceil(N/8) cap), run ONE balance_centroids round
+    (each hot cell's centroid replaced by its md5-hash-order seed
+    row, second seed appended), and report the rebalanced cell-size
+    table. The repair companion to emb_ivf_cell_stats: at 100 TB a
+    mega-cell is probe latency AND gate-candidate blowup, and
+    salting only caps task memory — splitting fixes the quantizer.
+    Every step is portable arithmetic (hash-order seeds, argmax-dot
+    assignment, lower-cell ties), so the post-split assignment is
+    FULL-oracled."""
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    nz = corpus.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("bv"),
+        similarity.norm(F.col("embedding")).alias("bn"),
+    ).filter(F.col("bn") > 0)
+    cap = (nz.count() + 7) // 8
+    cents = similarity._ivf_centroids(
+        corpus, "vec_id", "embedding", 4, iters=0
+    )
+    balanced = similarity.balance_centroids(
+        corpus, cents, cap, rounds=1, impl="jvm"
+    )
+    return (
+        similarity.assign_cells(nz, balanced, "bid", "bv", n_probe=1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("cell").cast("int").alias("cell"), "n_rows")
+        .orderBy("cell")
+    )
+
+
+SQL_EMB_IVF_BALANCE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  -- seeds from the UNFILTERED corpus, mirroring _ivf_centroids
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 4)
+), nz AS (
+  SELECT vec_id, v FROM e
+  WHERE sqrt(list_dot_product(v, v)) > 0
+), cap AS (
+  SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS cap FROM nz
+), a0 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT nz.vec_id, nz.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+             ORDER BY list_dot_product(nz.v, c.cv) DESC, c.cell) AS rn
+    FROM nz CROSS JOIN cents c) WHERE rn = 1
+), hot AS (
+  SELECT cell FROM a0 CROSS JOIN cap
+  GROUP BY cell, cap HAVING COUNT(*) > cap
+), seeds AS (
+  -- 2 md5-hash-order seed rows per hot cell (ties -> lower id)
+  SELECT cell, srn, v FROM (
+    SELECT a0.cell, a0.v,
+           ROW_NUMBER() OVER (PARTITION BY a0.cell
+             ORDER BY h.hh, a0.vec_id) AS srn
+    FROM a0 JOIN h USING (vec_id) JOIN hot USING (cell)) WHERE srn <= 2
+), final_cents AS (
+  -- seed 1 replaces the hot centroid in place; seed 2 appends in
+  -- ascending hot-cell order after the original list
+  SELECT c.cell AS fc, COALESCE(s1.v, c.cv) AS cv
+  FROM cents c LEFT JOIN (SELECT cell, v FROM seeds WHERE srn = 1) s1
+    ON s1.cell = c.cell
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM cents)
+         + ROW_NUMBER() OVER (ORDER BY cell) - 1 AS fc, v
+  FROM seeds WHERE srn = 2
+), a1 AS (
+  SELECT vec_id, fc FROM (
+    SELECT nz.vec_id, f.fc,
+           ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+             ORDER BY list_dot_product(nz.v, f.cv) DESC, f.fc) AS rn
+    FROM nz CROSS JOIN final_cents f) WHERE rn = 1
+)
+SELECT CAST(fc AS INT) AS cell, COUNT(*) AS n_rows
+FROM a1 GROUP BY fc ORDER BY fc
+"""
+
+
 def q_j_interval_overlap(spark, sf_dir):
     """Interval × interval overlap join: user sessions (30-min gap)
     against daily 09:00-17:00 "office hour" windows — which sessions
@@ -10137,6 +10231,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ivf_sq8_topk": (q_emb_ivf_sq8_topk, SQL_EMB_IVF_SQ8_TOPK),
     "emb_ivf_pq_topk": (q_emb_ivf_pq_topk, SQL_EMB_IVF_PQ_TOPK),
     "emb_ivf_pq_rerank": (q_emb_ivf_pq_rerank, SQL_EMB_IVF_PQ_RERANK),
+    "emb_ivf_balance": (q_emb_ivf_balance, SQL_EMB_IVF_BALANCE),
     "emb_ivf_cell_stats": (
         q_emb_ivf_cell_stats,
         SQL_EMB_IVF_CELL_STATS,
@@ -10448,20 +10543,22 @@ _R11_WINDOW = [
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
-# r12 driver window: positions 1-2 are the round's new/changed
-# queries (emb_gate_pq_margin_report — NEW r12: one-row FULL-oracled
-# sizing report for the PQ gate's per-row margins, the 16 B rung's
+# r12 driver window: positions 1-3 are the round's new/changed
+# queries (emb_ivf_balance — NEW r12: hot-cell quantizer splitting,
+# FULL oracle over the seed/reassign arithmetic;
+# emb_gate_pq_margin_report — NEW r12: one-row FULL-oracled sizing
+# report for the PQ gate's per-row margins, the 16 B rung's
 # go/no-go instrument; emb_gate_sq8 — oracle CHANGED r12: degenerate
 # dn<=0 corpus rows now modeled as unconditional candidates, ADVICE
-# r11). Positions 3-32 are the ENTIRE 30-query r6-stale cohort in
+# r11). Positions 4-33 are the ENTIRE 30-query r6-stale cohort in
 # registry order (the oldest driver checks remaining; all 30
 # re-verified green locally by the r11 judge — confirmation, not
-# risk). Positions 33-50 are the oldest 18 of the 49-query r7 cohort
-# in registry order (emb_ann_recall .. f_date_extract). Post-r12
-# staleness: nothing never-checked, nothing older than r7. Rotation
-# history in COVERAGE.md.
+# risk). Positions 34-50 are the oldest 17 of the 49-query r7 cohort
+# in registry order (emb_ann_recall .. f_explode_wordcount).
+# Post-r12 staleness: nothing never-checked, nothing older than r7.
+# Rotation history in COVERAGE.md.
 _R12_WINDOW = [
-    "emb_gate_pq_margin_report", "emb_gate_sq8",
+    "emb_ivf_balance", "emb_gate_pq_margin_report", "emb_gate_sq8",
     "j_anti", "a1_summary_stats", "a3_group_agg", "a4_count_distinct",
     "a5_dup_detect", "a_rollup", "d1_distinct", "d1_keep_first",
     "d2_shuffle", "d4_union", "d5_topk", "d7_limit_offset",
@@ -10477,7 +10574,7 @@ _R12_WINDOW = [
     "dd_clusters_lsh", "j_asof_nulls", "j_range", "emb_near_dup",
     "pipeline_stages", "pipeline_curation", "profile_table",
     "a1_quartiles", "a_cube", "a_grouping_sets",
-    "f_explode_wordcount", "f_date_extract",
+    "f_explode_wordcount",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 REGISTRY = {

@@ -1815,3 +1815,60 @@ def test_semantic_dedup_ignores_same_id_matches(spark):
             batch, corpus, cents, threshold=0.999, n_probe=4, impl=impl
         )
         assert {r.vec_id for r in kept.collect()} == {3, 7}, impl
+
+
+def test_balance_centroids_splits_hot_cells_and_stalls_loudly(spark, sf_dir):
+    """r12: on the real embeddings table a deliberately coarse
+    quantizer (n_cells=4, cap N/8) leaves multiple hot catch-all
+    cells; balance_centroids must drive max_cell under the cap
+    within the round budget with a monotone ledger, and the final
+    assignment over the returned list must respect the cap. A cell
+    of IDENTICAL vectors is unsplittable under argmax-dot (both
+    seeds coincide; any linear separator through the origin leaves a
+    tight same-direction cluster on one side) and must stall VISIBLY
+    via the ledger rather than loop."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = df.count()
+    cap = (n + 7) // 8
+    cents = similarity._ivf_centroids(df, "vec_id", "embedding", 4, iters=0)
+    stats: list = []
+    bal = similarity.balance_centroids(
+        df, cents, max_cell_rows=cap, rounds=6, round_stats=stats
+    )
+    assert len(bal) > 4  # splits happened
+    sizes = (
+        similarity.assign_cells(
+            df.selectExpr("vec_id as bid", "embedding as bv"),
+            bal, "bid", "bv",
+        )
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in sizes) == n
+    assert max(r["count"] for r in sizes) <= cap
+    assert stats[0]["max_cell"] > cap  # started hot
+    assert stats[-1]["hot_cells"] == 0  # converged, early-exited
+    # ledger is monotone in the hot mass it tracks
+    maxes = [s["max_cell"] for s in stats]
+    assert all(a >= b for a, b in zip(maxes, maxes[1:]))
+
+    # unsplittable pathology: every vector identical -> seeds
+    # coincide, the split is a no-op, and the ledger shows the stall
+    same = spark.createDataFrame(
+        [(i, [1.0] * 16) for i in range(50)],
+        schema="vec_id long, embedding array<double>",
+    )
+    scents = similarity._ivf_centroids(same, "vec_id", "embedding", 1, iters=0)
+    sstats: list = []
+    sbal = similarity.balance_centroids(
+        same, scents, max_cell_rows=10, rounds=3, round_stats=sstats
+    )
+    assert all(s["max_cell"] == 50 for s in sstats)  # never improves
+    assert len(sstats) == 3  # rounds cap stops it, loudly
+    assert all(s["hot_cells"] >= 1 for s in sstats)
+    assert len(sbal) >= 1
