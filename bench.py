@@ -62,6 +62,7 @@ TIERS: dict[str, list[str]] = {
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
         "ann_ivf_index_probe", "ann_ivf_sq8_probe", "ann_ivf_pq_probe",
         "ann_ivf_pq_rerank",
+        "ann_gate_sq8",
         "ann_kcenter",
         "ann_kcenter_batched",
     ],
@@ -227,6 +228,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         out["ann_ivf_sq8_probe"] = lambda: None
         out["ann_ivf_pq_probe"] = lambda: None
         out["ann_ivf_pq_rerank"] = lambda: None
+        out["ann_gate_sq8"] = lambda: None
         return out
     if "ann_index_probe" in only:
         import shutil
@@ -443,6 +445,58 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
                 shutil.rmtree(f"{pq_path}{sfx}", ignore_errors=True)
 
         extra["_cleanup"] = pq_cleanup
+
+    # SQ8 compressed semantic-dedup gate (r12): THE production
+    # dedup-ingest shape at 100 TB — per arriving batch, shortlist on
+    # the packed-code index (sound derived margin), exact-recheck the
+    # shortlist against the float corpus via broadcast semi-lookup.
+    # Index build + batch construction in extra (untimed, amortized
+    # across the stream); timed = one batch through the gate, blas.
+    if "ann_gate_sq8" in only:
+        import shutil
+        import uuid
+
+        g_tag = uuid.uuid4().hex[:8]
+        g_table = f"bench_gate_sq8_{g_tag}"
+        g_path = f"/root/repo/.scratch/bench_gate_sq8_{g_tag}"
+        emb5 = q.T(spark, SF_DIR, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        t0 = time.time()
+        g_idx, _ = similarity.materialize_ivf_index(
+            emb5, g_table, n_cells=16, iters=1,
+            num_buckets=16, path=g_path, sq8=True,
+        )
+        g_cents = similarity.load_ivf_centroids(spark, g_table)
+        g_bounds = similarity.load_sq8_bounds(spark, g_table)
+        g_batch = q._perturbed_gate_batch(emb5, emb5.count()).cache()
+        g_batch.count()
+        extra["ann_gate_sq8_setup"] = round(time.time() - t0, 3)
+
+        def gate_sq8():
+            _noop(
+                similarity.incremental_semantic_dedup_sq8(
+                    g_batch, emb5, g_cents, g_idx, g_bounds,
+                    threshold=0.95, n_probe=2, impl="blas",
+                )
+            )
+
+        out["ann_gate_sq8"] = gate_sq8
+
+        prev_cleanup4 = extra.get("_cleanup")
+
+        def gate_cleanup():
+            if prev_cleanup4 is not None:
+                prev_cleanup4()
+            g_batch.unpersist()
+            for t in (g_table, f"{g_table}_centroids",
+                      f"{g_table}_sq8"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for sfx in ("", "_centroids", "_sq8"):
+                shutil.rmtree(f"{g_path}{sfx}", ignore_errors=True)
+
+        extra["_cleanup"] = gate_cleanup
     return {k: v for k, v in out.items() if k in only}
 
 
