@@ -1868,7 +1868,11 @@ def balance_centroids(
     lower-cell tiebreak as :func:`assign_cells`), so the whole
     trajectory is DuckDB-replayable — the ``emb_ivf_balance``
     registry query carries a FULL oracle. Only the seed rows (2 per
-    hot cell, <= 2 x n_cells) ever reach the driver.
+    hot cell, <= 2 x n_cells) ever reach the driver, and the seed
+    window's rn<=2 plans a MAP-SIDE ``WindowGroupLimit Partial``
+    below the cell exchange (plan-verified), so even the mega-cell
+    being split ships only per-task top-2 rows — the hot cell never
+    shuffles whole.
 
     Stops early when no cell is hot. A DIRECTION-TIGHT cell is
     unsplittable under argmax-dot assignment: any two in-cell seeds
