@@ -1874,17 +1874,27 @@ def balance_centroids(
     being split ships only per-task top-2 rows — the hot cell never
     shuffles whole.
 
-    Stops early when no cell is hot. A DIRECTION-TIGHT cell is
-    unsplittable under argmax-dot assignment: any two in-cell seeds
-    define a linear separator through the origin, which leaves a
-    tight same-direction cluster (identical vectors are the extreme
-    case) entirely on one side — measured in the planted-geometry
-    test. That shape is also the least harmful hot cell (its rows
-    are near-duplicates a probe WANTS co-located); the realistic
-    catch-all mega-cell (diverse directions absorbed by a poorly
-    seeded centroid) splits readily — the real-data test drives
-    max_cell 139→57 under a 63 cap in two rounds. ``rounds`` caps
-    the attempts and
+    Stops early when no cell is hot, and tracks per-cell progress
+    through the split LINEAGE (a split's surviving mass can land on
+    either child, including the freshly appended id — both inherit
+    the parent's reference size): a DIRECTION-TIGHT cell is
+    unsplittable by
+    any two in-cell seed rows under argmax-dot — the separator
+    dot(v, a−b)=0 passes through the origin, and a tight
+    same-direction cluster far from the origin lies entirely on one
+    side (measured: a 5.8k-row planted cluster oscillated ±10 rows
+    across 8 hash-pair rounds). A hot cell that keeps >=95% of its
+    size for a round escalates to the MEAN-SIDEWAYS split: with μ =
+    the cell's vector mean and side = seed1 − proj_μ(seed1), the
+    pair (μ+side, μ−side) has a−b = 2·side exactly ⊥ μ, so the
+    boundary cuts the cluster through its middle on sideways noise
+    (numpy-verified 50.2/49.8 on the oscillating cluster; equal
+    norms, so no norm bias; in-cell mass still beats foreign
+    centroids). Still pure portable arithmetic — one extra
+    posexplode-avg over the stuck cells' rows. A cell stuck even
+    after its mean-sideways round (side = 0: identical vectors) is
+    marked unsplittable and excluded — the gates' salting caps
+    remain its backstop. ``rounds`` caps the attempts and
     ``round_stats`` (pass a list) records per round
     ``{round, n_cells, hot_cells, max_cell}`` so a stall is visible;
     keep the gates' ``max_cell_rows`` salting as the backstop for
@@ -1901,6 +1911,15 @@ def balance_centroids(
         F.col(vec_col).cast("array<double>").alias("bv"),
         norm(F.col(vec_col)).alias("bn"),
     ).filter(F.col("bn") > 0)
+    # hot-cell LINEAGE state: current cell id -> (reference size,
+    # consecutive no-progress rounds). A split's surviving mass can
+    # land on EITHER child — the replaced parent id or the appended
+    # id (measured: a dominant-norm seed2 takes the whole cell, so
+    # the hot mass hops to a brand-new id every round, which any
+    # per-id tracker misses) — so after a split BOTH children
+    # inherit the parent's reference size and counter.
+    hot_state: dict[int, tuple[int, int]] = {}
+    unsplittable: set[int] = set()
     for r in range(rounds):
         assigned = assign_cells(nz, cents, "bid", "bv", n_probe=1,
                                 impl=impl)
@@ -1910,7 +1929,32 @@ def balance_centroids(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        hot = sorted(c for c, n in sizes.items() if n > max_cell_rows)
+        # per-lineage progress: a hot cell that kept >=95% of its
+        # ancestor's size made no real progress — escalate it to the
+        # mean-sideways split; stuck even after that round, mark it
+        # unsplittable and stop burning rounds on it (the gates'
+        # salting caps remain its backstop).
+        stuck = set()
+        new_state: dict[int, tuple[int, int]] = {}
+        for c, n in sizes.items():
+            if n <= max_cell_rows:
+                continue
+            ref = hot_state.get(c)
+            if ref is not None and n >= 0.95 * ref[0]:
+                cons = ref[1] + 1
+                if cons >= 2:
+                    unsplittable.add(c)
+                else:
+                    stuck.add(c)
+            else:
+                cons = 0
+            new_state[c] = (n, cons)
+        hot_state = new_state
+        hot = sorted(
+            c
+            for c, n in sizes.items()
+            if n > max_cell_rows and c not in unsplittable
+        )
         if round_stats is not None:
             round_stats.append(
                 {
@@ -1918,6 +1962,8 @@ def balance_centroids(
                     "n_cells": len(cents),
                     "hot_cells": len(hot),
                     "max_cell": max(sizes.values()) if sizes else 0,
+                    "reflected": len(stuck & set(hot)),
+                    "unsplittable": len(unsplittable),
                 }
             )
         if not hot:
@@ -1936,14 +1982,69 @@ def balance_centroids(
             by_cell.setdefault(int(row.cell), {})[int(row.rn)] = [
                 float(x) for x in row.bv
             ]
+        mus: dict[int, list[float]] = {}
+        stuck_hot = sorted(stuck & set(hot))
+        if stuck_hot:
+            # per-cell vector means for the escalated cells: one
+            # posexplode-avg over only those cells' rows, a
+            # |stuck| x dim result
+            acc: dict[int, dict[int, float]] = {}
+            for row in (
+                assigned.filter(F.col("cell").isin(stuck_hot))
+                .select("cell", F.posexplode("bv").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            ):
+                acc.setdefault(int(row.cell), {})[int(row.pos)] = float(
+                    row.m
+                )
+            mus = {
+                c: [d[i] for i in range(len(d))] for c, d in acc.items()
+            }
         new_cents = list(cents)
         appended = []
         for c in hot:
             picks = by_cell.get(c, {})
-            if 1 in picks:
-                new_cents[c] = picks[1]
-            if 2 in picks:
-                appended.append(picks[2])
+            if 1 not in picks:
+                continue
+            s1 = picks[1]
+            if c in stuck:
+                # hash pairs cannot cut this cell: mean-sideways
+                # split — boundary exactly ⊥ the cell mean, cutting
+                # a tight cluster through its middle
+                mu = mus.get(c)
+                if mu is None:
+                    continue
+                mn2 = sum(x * x for x in mu)
+                if mn2 <= 0:
+                    unsplittable.add(c)
+                    continue
+                k2 = sum(a * b for a, b in zip(s1, mu)) / mn2
+                side = [a - k2 * b for a, b in zip(s1, mu)]
+                if all(x == 0.0 for x in side):
+                    # no sideways component (identical-vector cell):
+                    # provably uncuttable, stop trying
+                    unsplittable.add(c)
+                    continue
+                s1 = [m + s for m, s in zip(mu, side)]
+                s2 = [m - s for m, s in zip(mu, side)]
+            else:
+                if 2 not in picks:
+                    continue
+                s2 = picks[2]
+            child = len(cents) + len(appended)
+            new_cents[c] = s1
+            appended.append(s2)
+            # both children inherit the lineage state: wherever the
+            # surviving mass lands next round, it is measured
+            # against THIS cell's size
+            if c in hot_state:
+                hot_state[child] = hot_state[c]
+        if not appended and all(
+            new_cents[i] == cents[i] for i in range(len(cents))
+        ):
+            break  # nothing left that can move
         cents = new_cents + appended
     return cents
 
