@@ -2063,6 +2063,7 @@ def materialize_ivf_index(
     mode: str = "overwrite",
     sq8: bool = False,
     clamp_stats: dict | None = None,
+    balance_cell_rows: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Persist the IVF inverted lists: every corpus vector with its
     nearest-centroid ``cell``, hash-BUCKETED on the single ``cell``
@@ -2109,7 +2110,21 @@ def materialize_ivf_index(
     rows_clamped fraction across appends is the rebuild trigger —
     the failure direction until rebuild is MISSED duplicates, never
     false drops. :func:`streaming.curation.incremental_semantic_ingest`
-    echoes this per batch via its ``clamp_log`` hook."""
+    echoes this per batch via its ``clamp_log`` hook.
+
+    ``balance_cell_rows`` (fresh builds only, r12): after training
+    the quantizer, run :func:`balance_centroids` with this cap
+    before encoding, so the PERSISTED quantizer is the balanced one
+    — every later probe/gate/append inherits even cells without the
+    caller composing the two calls. Ignored (error) in append mode:
+    rebalancing under an existing index would move rows between
+    cells without rewriting them."""
+    if mode == "append" and balance_cell_rows is not None:
+        raise ValueError(
+            "balance_cell_rows is a fresh-build option: rebalancing"
+            " under an existing index would reassign cells without"
+            " rewriting stored rows — rebuild instead"
+        )
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
     )
@@ -2148,6 +2163,11 @@ def materialize_ivf_index(
         cents = centroids or _ivf_centroids(
             corpus, id_col, vec_col, n_cells, iters, impl=impl
         )
+        if balance_cell_rows is not None:
+            cents = balance_centroids(
+                corpus, cents, balance_cell_rows,
+                rounds=8, id_col=id_col, vec_col=vec_col, impl=impl,
+            )
         if sq8:
             mins, maxs = _sq8_bounds(
                 corpus.select(

@@ -1461,3 +1461,66 @@ def test_semantic_dedup_gate_dispatcher_equivalence(spark, sf_dir, tmp_path):
                   "t_disp_s_centroids", "t_disp_s_sq8", "t_disp_p",
                   "t_disp_p_centroids", "t_disp_p_pq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_index_build_with_balance_cell_rows(spark, sf_dir, tmp_path):
+    """r12: materialize_ivf_index(balance_cell_rows=cap) persists the
+    BALANCED quantizer, so later probes/gates/appends inherit even
+    cells without composing two calls; probe results still match a
+    plain build probed with n_probe == n_cells (exact regime). Append
+    mode rejects the option loudly."""
+    from dataprocessingframework_spark.operators.similarity import (
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    cap = (n + 7) // 8
+    try:
+        idx, cents = materialize_ivf_index(
+            emb, "t_ivf_balb", n_cells=4, iters=0, impl="jvm",
+            num_buckets=4, path=str(tmp_path / "balb"),
+            balance_cell_rows=cap,
+        )
+        assert len(cents) > 4  # splits happened and were persisted
+        assert load_ivf_centroids(spark, "t_ivf_balb") == [
+            [float(x) for x in c] for c in cents
+        ]
+        sizes = idx.groupBy("cell").count().collect()
+        assert max(r["count"] for r in sizes) <= cap
+        assert sum(r["count"] for r in sizes) == n
+        # exact regime (probe every cell): ranking equals brute force
+        # regardless of quantizer shape — balanced index included
+        qs = emb.filter(F.col("vec_id") < 3)
+        got = {
+            (r.q_id, r.nbr_id)
+            for r in ivf_topk_from_index(
+                idx, cents, qs, k=3, n_probe=len(cents)
+            ).collect()
+        }
+        plain_idx, plain_cents = materialize_ivf_index(
+            emb, "t_ivf_plainb", n_cells=4, iters=0, impl="jvm",
+            num_buckets=4, path=str(tmp_path / "plainb"),
+        )
+        want = {
+            (r.q_id, r.nbr_id)
+            for r in ivf_topk_from_index(
+                plain_idx, plain_cents, qs, k=3, n_probe=4
+            ).collect()
+        }
+        assert got == want and got
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="fresh-build"):
+            materialize_ivf_index(
+                emb.limit(5), "t_ivf_balb", mode="append",
+                balance_cell_rows=cap,
+            )
+    finally:
+        for t in ("t_ivf_balb", "t_ivf_balb_centroids",
+                  "t_ivf_plainb", "t_ivf_plainb_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
