@@ -117,3 +117,21 @@ def test_notebook_code_cells_execute(spark, nb_path):
             raise AssertionError(
                 f"{nb_path} cell {i} failed: {e}\n---\n{src}"
             ) from e
+
+
+def test_semantic_gate_ladder_end_to_end(spark, tmp_path):
+    """r12: the compressed-gate ladder example must keep running —
+    quantizer health -> repair -> 3-rung indexing -> sizing reports
+    -> one batch gated identically on every rung via the dispatcher."""
+    import semantic_gate_ladder
+
+    try:
+        result = semantic_gate_ladder.run_pipeline(
+            spark, "/root/testdata/sf0.001", str(tmp_path / "ladder")
+        )
+    finally:
+        semantic_gate_ladder.cleanup(spark)
+    assert result["rungs_agree"] is True
+    assert result["max_cell_after"] < result["max_cell_before"]
+    assert 0 < result["kept_rows"] < result["batch_rows"]
+    assert 0.0 <= result["pq_frac_no_headroom"] <= 1.0
