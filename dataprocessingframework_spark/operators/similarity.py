@@ -1893,12 +1893,15 @@ def balance_centroids(
     centroids). Still pure portable arithmetic — one extra
     posexplode-avg over the stuck cells' rows. A cell stuck even
     after its mean-sideways round (side = 0: identical vectors) is
-    marked unsplittable and excluded — the gates' salting caps
-    remain its backstop. ``rounds`` caps the attempts and
-    ``round_stats`` (pass a list) records per round
-    ``{round, n_cells, hot_cells, max_cell}`` so a stall is visible;
-    keep the gates' ``max_cell_rows`` salting as the backstop for
-    that pathology. Returns the new centroid list — persist it by
+    marked unsplittable and excluded (until a later round moves >5%
+    new mass into it, which clears the mark and retries — shifted
+    boundaries can make a once-tight cell diverse) — the gates'
+    salting caps remain its backstop. ``rounds`` caps the attempts
+    and ``round_stats`` (pass a list) records per round
+    ``{round, n_cells, hot_cells, max_cell, reflected,
+    unsplittable}`` (the last updated after the split loop, so
+    'provably unsplittable' and 'budget exhausted' read differently
+    in the ledger). Returns the new centroid list — persist it by
     passing ``centroids=`` to :func:`materialize_ivf_index` /
     :func:`materialize_pq_index` (probes reload it from the
     ``_centroids`` table, so the split quantizer is what every later
@@ -1919,7 +1922,12 @@ def balance_centroids(
     # per-id tracker misses) — so after a split BOTH children
     # inherit the parent's reference size and counter.
     hot_state: dict[int, tuple[int, int]] = {}
-    unsplittable: set[int] = set()
+    # cell id -> size at the moment it was marked unsplittable; a
+    # later round that moves meaningfully MORE mass into the cell
+    # (boundaries shift when other centroids are replaced) clears
+    # the mark and retries — the new mass may be diverse and
+    # splittable even though the original was not
+    unsplittable: dict[int, int] = {}
     for r in range(rounds):
         assigned = assign_cells(nz, cents, "bid", "bv", n_probe=1,
                                 impl=impl)
@@ -1939,11 +1947,13 @@ def balance_centroids(
         for c, n in sizes.items():
             if n <= max_cell_rows:
                 continue
+            if c in unsplittable and n > 1.05 * unsplittable[c]:
+                del unsplittable[c]  # new mass arrived: retry it
             ref = hot_state.get(c)
             if ref is not None and n >= 0.95 * ref[0]:
                 cons = ref[1] + 1
                 if cons >= 2:
-                    unsplittable.add(c)
+                    unsplittable[c] = n
                 else:
                     stuck.add(c)
             else:
@@ -2018,14 +2028,14 @@ def balance_centroids(
                     continue
                 mn2 = sum(x * x for x in mu)
                 if mn2 <= 0:
-                    unsplittable.add(c)
+                    unsplittable[c] = sizes[c]
                     continue
                 k2 = sum(a * b for a, b in zip(s1, mu)) / mn2
                 side = [a - k2 * b for a, b in zip(s1, mu)]
                 if all(x == 0.0 for x in side):
                     # no sideways component (identical-vector cell):
                     # provably uncuttable, stop trying
-                    unsplittable.add(c)
+                    unsplittable[c] = sizes[c]
                     continue
                 s1 = [m + s for m, s in zip(mu, side)]
                 s2 = [m - s for m, s in zip(mu, side)]
@@ -2039,8 +2049,12 @@ def balance_centroids(
             # both children inherit the lineage state: wherever the
             # surviving mass lands next round, it is measured
             # against THIS cell's size
-            if c in hot_state:
-                hot_state[child] = hot_state[c]
+            hot_state[child] = hot_state[c]
+        if round_stats is not None and round_stats:
+            # marks made inside the split loop (side == 0 cells)
+            # must be ledger-visible: 'provably unsplittable' and
+            # 'round budget exhausted' read differently
+            round_stats[-1]["unsplittable"] = len(unsplittable)
         if not appended and all(
             new_cents[i] == cents[i] for i in range(len(cents))
         ):
@@ -2555,6 +2569,21 @@ def kcenter_select(
         rank, rounds = 1, 0
         prev_round: dict | None = None
         ckpt_rounds = max(1, checkpoint_every // batch_m)
+
+        def close_round(prev: dict, gm: float | None) -> dict:
+            # one definition of the miss witness for BOTH the
+            # intermediate closes (next pool's head) and the final
+            # top-1 close — the 1e-9 slack absorbs numpy/JVM ulp
+            # drift in the distance folds
+            return {
+                **prev,
+                "next_global_max": gm,
+                "pool_miss": (
+                    gm is not None
+                    and gm > prev["min_selected_dist"] + 1e-9
+                ),
+            }
+
         while rank < k:
             m = min(batch_m, k - rank)
             pool_rows = (
@@ -2568,17 +2597,7 @@ def kcenter_select(
                 # picks (min-distances only decrease, so a head above
                 # the round's last pick is a sound pool-miss witness)
                 gm = float(pool_rows[0].mind) if pool_rows else None
-                round_stats.append(
-                    {
-                        **prev_round,
-                        "next_global_max": gm,
-                        "pool_miss": (
-                            gm is not None
-                            and gm
-                            > prev_round["min_selected_dist"] + 1e-9
-                        ),
-                    }
-                )
+                round_stats.append(close_round(prev_round, gm))
                 prev_round = None
             if not pool_rows:
                 break  # fewer than k usable vectors
@@ -2635,16 +2654,7 @@ def kcenter_select(
                 .collect()
             )
             gm = float(top[0].mind) if top else None
-            round_stats.append(
-                {
-                    **prev_round,
-                    "next_global_max": gm,
-                    "pool_miss": (
-                        gm is not None
-                        and gm > prev_round["min_selected_dist"] + 1e-9
-                    ),
-                }
-            )
+            round_stats.append(close_round(prev_round, gm))
     else:
         for r in range(1, k):
             top_rows = (
@@ -3352,6 +3362,12 @@ def semantic_dedup_gate(
             gate_kind = "sq8"
         else:
             gate_kind = "float"
+    if gate_kind in ("sq8", "pq") and corpus is None:
+        raise ValueError(
+            f"gate_kind={gate_kind!r} needs the accepted FLOAT corpus"
+            " for the exact stage-2 recheck — corpus=None is only"
+            " valid for the float-index rung (which never reads it)"
+        )
     if gate_kind == "pq":
         if index is None or "resid" not in index.columns:
             raise ValueError(
@@ -3416,6 +3432,11 @@ def semantic_dedup_gate(
         cells = index.withColumnRenamed(
             "vec_id", id_col
         ).withColumnRenamed("embedding", vec_col)
+    elif corpus is None:
+        raise ValueError(
+            "the float gate needs corpus= (or a float index /"
+            " index_table to gate against)"
+        )
     return incremental_semantic_dedup(
         batch, corpus, centroids,
         id_col=id_col, vec_col=vec_col, threshold=threshold,

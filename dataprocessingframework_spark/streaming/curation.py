@@ -521,7 +521,17 @@ def incremental_semantic_ingest(
                         # bounds no longer cover the corpus: rebuild
                         # from ALL accepted batches (bootstrap shape),
                         # re-deriving bounds so the gate margin is
-                        # sound again from the next batch on
+                        # sound again from the next batch on. The
+                        # CURRENT catalog location is authoritative —
+                        # compact_every may have relocated the
+                        # external table since bootstrap, and writing
+                        # back to the stale index_path would orphan
+                        # the compacted directory and silently move
+                        # the index
+                        from dataprocessingframework_spark.sources.compact import (  # noqa: E501
+                            _table_location,
+                        )
+
                         full = _index_source(
                             spark, corpus_dir, batch_id, False
                         )
@@ -534,7 +544,11 @@ def incremental_semantic_ingest(
                             centroids=centroids,
                             impl=impl,
                             num_buckets=index_num_buckets,
-                            path=index_path,
+                            path=(
+                                _table_location(spark, index_table)
+                                if index_path is not None
+                                else None
+                            ),
                             mode="overwrite",
                             sq8=True,
                         )

@@ -90,6 +90,7 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
     # 5. one arriving batch through every rung via the ONE entry
     #    point — kept sets must be identical (stage 2 is exact)
     batch = _perturbed_gate_batch(corpus, n).cache()
+    batch_rows = batch.count()
     kept = {}
     for rung, kw in (
         ("float", dict(corpus=corpus)),
@@ -114,7 +115,7 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
         "max_cell_after": after.max_cell,
         "n_cells_after": after.n_used,
         "pq_frac_no_headroom": pq_report.frac_no_headroom,
-        "batch_rows": 60,
+        "batch_rows": batch_rows,
         "kept_rows": len(kept["float"]),
         "rungs_agree": True,
     }

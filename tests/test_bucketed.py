@@ -1455,6 +1455,15 @@ def test_semantic_dedup_gate_dispatcher_equivalence(spark, sf_dir, tmp_path):
         # compressed rung without sidecars or table name: loud error
         with _pytest.raises(ValueError, match="bounds"):
             semantic_dedup_gate(batch, corpus, cents, index=sidx)
+        # compressed rung without the float corpus: loud error (the
+        # exact stage-2 recheck needs it), not a NoneType crash
+        with _pytest.raises(ValueError, match="corpus"):
+            semantic_dedup_gate(
+                batch, None, cents, index_table="t_disp_s"
+            )
+        # float rung with neither corpus nor index: loud error
+        with _pytest.raises(ValueError, match="corpus"):
+            semantic_dedup_gate(batch, None, cents)
     finally:
         batch.unpersist()
         for t in ("t_disp_f", "t_disp_f_centroids", "t_disp_s",

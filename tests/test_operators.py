@@ -1874,4 +1874,7 @@ def test_balance_centroids_splits_hot_cells_and_stalls_loudly(spark, sf_dir):
     assert all(s["max_cell"] == 50 for s in sstats)  # never improves
     assert len(sstats) == 2  # early exit, not the 5-round budget
     assert sstats[1]["reflected"] == 1  # escalation attempted
+    # in-loop marks are ledger-visible: 'provably unsplittable'
+    # reads differently from 'round budget exhausted'
+    assert sstats[1]["unsplittable"] == 1
     assert len(sbal) >= 1
