@@ -1491,6 +1491,7 @@ def materialize_pq_index(
     m: int = 8,
     k_codes: int = 256,
     refine_iters: int = 0,
+    balance_cell_rows: int | None = None,
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """IVF-PQ: the canonical billion-scale ANN layout (Jegou et al.
     2011) Spark-first — inverted lists bucketed on ``cell`` exactly
@@ -1513,12 +1514,21 @@ def materialize_pq_index(
     consistent for what the index holds). ``mode='append'`` reuses
     the persisted centroids AND codebooks — re-seeding on a batch
     would shift the code space under existing rows. Probe via
-    :func:`ivf_pq_topk_from_index`."""
+    :func:`ivf_pq_topk_from_index`. ``balance_cell_rows``: as in
+    :func:`materialize_ivf_index` — fresh builds only, runs
+    :func:`balance_centroids` after training so the persisted
+    quantizer is the balanced one."""
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
     )
 
     spark = corpus.sparkSession
+    if mode == "append" and balance_cell_rows is not None:
+        raise ValueError(
+            "balance_cell_rows is a fresh-build option: rebalancing"
+            " under an existing index would reassign cells without"
+            " rewriting stored rows — rebuild instead"
+        )
     if k_codes > 256:
         raise ValueError(
             f"k_codes={k_codes} > 256: PQ codes are packed one byte"
@@ -1551,6 +1561,11 @@ def materialize_pq_index(
         cents = centroids or _ivf_centroids(
             corpus, id_col, vec_col, n_cells, iters, impl=impl
         )
+        if balance_cell_rows is not None:
+            cents = balance_centroids(
+                corpus, cents, balance_cell_rows,
+                rounds=8, id_col=id_col, vec_col=vec_col, impl=impl,
+            )
         nz = corpus.select(
             F.col(id_col).alias("pid"),
             F.col(vec_col).alias("pv"),

@@ -1533,3 +1533,42 @@ def test_ivf_index_build_with_balance_cell_rows(spark, sf_dir, tmp_path):
         for t in ("t_ivf_balb", "t_ivf_balb_centroids",
                   "t_ivf_plainb", "t_ivf_plainb_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_build_with_balance_cell_rows(spark, sf_dir, tmp_path):
+    """r12: the PQ builder gets the same fresh-build balancing knob
+    as the IVF one — the persisted quantizer is the balanced list,
+    index cells respect the cap, and append rejects the option."""
+    import pytest as _pytest
+
+    from dataprocessingframework_spark.operators.similarity import (
+        load_ivf_centroids,
+        materialize_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    cap = (n + 7) // 8
+    try:
+        idx, cents, _ = materialize_pq_index(
+            emb, "t_pq_balt", n_cells=4, iters=0, impl="jvm",
+            num_buckets=4, path=str(tmp_path / "pqbal"),
+            balance_cell_rows=cap,
+        )
+        assert len(cents) > 4
+        assert load_ivf_centroids(spark, "t_pq_balt") == [
+            [float(x) for x in c] for c in cents
+        ]
+        sizes = idx.groupBy("cell").count().collect()
+        assert max(r["count"] for r in sizes) <= cap
+        assert sum(r["count"] for r in sizes) == n
+        with _pytest.raises(ValueError, match="fresh-build"):
+            materialize_pq_index(
+                emb.limit(5), "t_pq_balt", mode="append",
+                balance_cell_rows=cap,
+            )
+    finally:
+        for t in ("t_pq_balt", "t_pq_balt_centroids", "t_pq_balt_pq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
