@@ -405,12 +405,9 @@ def incremental_semantic_ingest(
     full corpus re-encode."""
     from dataprocessingframework_spark.operators.similarity import (
         incremental_semantic_dedup,
-        incremental_semantic_dedup_pq,
-        incremental_semantic_dedup_sq8,
-        load_pq_codebooks,
-        load_sq8_bounds,
         materialize_ivf_index,
         materialize_pq_index,
+        semantic_dedup_gate,
     )
 
     if (index_sq8 or index_pq) and index_table is None:
@@ -425,36 +422,32 @@ def incremental_semantic_ingest(
             index_table is not None
             and spark.catalog.tableExists(index_table)
         )
-        if use_index and index_sq8:
-            fresh = incremental_semantic_dedup_sq8(
+        if use_index:
+            # ONE gate entry point across the ladder (r12): the
+            # explicit gate_kind also validates that the index's
+            # columns match the index_sq8/index_pq flags — a
+            # mismatched table fails loudly instead of scoring
+            # packed words with the wrong arithmetic. The compressed
+            # rungs read the float batch-dir corpus only for the
+            # exact stage-2 recheck of shortlisted candidates; the
+            # float-index rung never reads it.
+            kind = "sq8" if index_sq8 else "pq" if index_pq else "float"
+            fresh = semantic_dedup_gate(
                 curated,
-                spark.read.parquet(*prior) if prior else curated.limit(0),
+                (
+                    (
+                        spark.read.parquet(*prior)
+                        if prior
+                        else curated.limit(0)
+                    )
+                    if kind != "float"
+                    else None
+                ),
                 centroids,
-                spark.table(index_table),
-                load_sq8_bounds(spark, index_table),
+                gate_kind=kind,
+                index_table=index_table,
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
-                max_cell_rows=max_cell_rows,
-            )
-        elif use_index and index_pq:
-            fresh = incremental_semantic_dedup_pq(
-                curated,
-                spark.read.parquet(*prior) if prior else curated.limit(0),
-                centroids,
-                spark.table(index_table),
-                load_pq_codebooks(spark, index_table),
-                id_col=id_col, vec_col=vec_col,
-                threshold=threshold, n_probe=n_probe, impl=impl,
-                max_cell_rows=max_cell_rows,
-            )
-        elif use_index:
-            fresh = incremental_semantic_dedup(
-                curated, None, centroids,
-                id_col=id_col, vec_col=vec_col,
-                threshold=threshold, n_probe=n_probe, impl=impl,
-                corpus_cells=spark.table(index_table).withColumnRenamed(
-                    "vec_id", id_col
-                ).withColumnRenamed("embedding", vec_col),
                 max_cell_rows=max_cell_rows,
             )
         elif prior:
