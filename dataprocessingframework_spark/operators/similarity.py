@@ -2877,6 +2877,7 @@ def incremental_semantic_dedup_sq8(
     impl: str = "jvm",
     pushdown_candidate_ids: bool = False,
     max_cell_rows: int | None = 100_000,
+    gate_stats: dict | None = None,
 ) -> DataFrame:
     """The semantic dedup gate over an SQ8-COMPRESSED corpus index —
     :func:`incremental_semantic_dedup` re-shaped for the deployment
@@ -3063,7 +3064,7 @@ def incremental_semantic_dedup_sq8(
     cand = _degenerate_recon_candidates(index, b, cand)
     return _exact_gate_recheck(
         batch, corpus, cand, id_col, vec_col, threshold,
-        pushdown_candidate_ids,
+        pushdown_candidate_ids, gate_stats=gate_stats,
     )
 
 
@@ -3075,14 +3076,28 @@ def _exact_gate_recheck(
     vec_col: str,
     threshold: float,
     pushdown_candidate_ids: bool,
+    gate_stats: dict | None = None,
 ) -> DataFrame:
     """Stage 2 of the compressed gates: fetch ONLY the shortlisted
     (b_id, c_id) pairs' corpus float vectors (broadcast semi-lookup,
     optional candidate-id scan pushdown) and drop batch rows with an
     exact cosine >= threshold witness. Shared by the SQ8 and PQ
     gates — the exactness of this stage is what makes their stage-1
-    margins a superset filter rather than a verdict."""
+    margins a superset filter rather than a verdict.
+
+    ``gate_stats`` (opt-in): filled with ``stage1_candidates`` (the
+    shortlisted pair count — the number whose explosion signals a
+    margin collapse at runtime, the thing the sizing reports predict
+    offline) and ``distinct_corpus_ids`` (the corpus rows stage 2
+    actually fetches). Costs one localCheckpoint + count of the
+    skinny pair frame; leave off on hot paths."""
     src = corpus
+    if gate_stats is not None:
+        cand = cand.localCheckpoint()
+        gate_stats["stage1_candidates"] = cand.count()
+        gate_stats["distinct_corpus_ids"] = (
+            cand.select("c_id").distinct().count()
+        )
     if pushdown_candidate_ids:
         # materialize the skinny pair set once; it is consumed twice
         # (id collect + recheck join) and recomputing it would re-run
@@ -3137,6 +3152,7 @@ def incremental_semantic_dedup_pq(
     impl: str = "jvm",
     pushdown_candidate_ids: bool = False,
     max_cell_rows: int | None = 100_000,
+    gate_stats: dict | None = None,
 ) -> DataFrame:
     """The semantic dedup gate over an IVF-PQ corpus index — the
     16 B/vector rung made gate-capable by a PER-ROW sound margin.
@@ -3293,7 +3309,7 @@ def incremental_semantic_dedup_pq(
     cand = _degenerate_recon_candidates(index, b, cand)
     return _exact_gate_recheck(
         batch, corpus, cand, id_col, vec_col, threshold,
-        pushdown_candidate_ids,
+        pushdown_candidate_ids, gate_stats=gate_stats,
     )
 
 
@@ -3336,6 +3352,7 @@ def semantic_dedup_gate(
     impl: str = "jvm",
     pushdown_candidate_ids: bool = False,
     max_cell_rows: int | None = 100_000,
+    gate_stats: dict | None = None,
 ) -> DataFrame:
     """ONE entry point for the semantic dedup gate across the whole
     compression ladder (r12 — VERDICT r11 item 4). The three rungs —
@@ -3361,9 +3378,13 @@ def semantic_dedup_gate(
     corpus — the compressed rungs touch it only for the exact
     recheck of stage-1 candidates; the float-index rung never reads
     it (pass None there). ``pushdown_candidate_ids`` applies to the
-    compressed rungs only (stage 2's IN-pushdown knob). Rung choice
-    guidance lives in docs/llm_operators.md; size the compressed
-    rungs first with ``emb_gate_margin_report`` (SQ8) /
+    compressed rungs only (stage 2's IN-pushdown knob), as does
+    ``gate_stats`` (opt-in dict filled with stage1_candidates /
+    distinct_corpus_ids — the runtime flood signal whose offline
+    predictors are the sizing reports; ignored on the float rungs,
+    which have no compressed stage 1). Rung choice guidance lives in
+    docs/llm_operators.md; size the compressed rungs first with
+    ``emb_gate_margin_report`` (SQ8) /
     ``emb_gate_pq_margin_report`` (PQ)."""
     spark = batch.sparkSession
     if index is None and index_table is not None:
@@ -3401,7 +3422,7 @@ def semantic_dedup_gate(
             id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_probe=n_probe, impl=impl,
             pushdown_candidate_ids=pushdown_candidate_ids,
-            max_cell_rows=max_cell_rows,
+            max_cell_rows=max_cell_rows, gate_stats=gate_stats,
         )
     if gate_kind == "sq8":
         if index is None or "codes" not in index.columns:
@@ -3427,7 +3448,7 @@ def semantic_dedup_gate(
             id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_probe=n_probe, impl=impl,
             pushdown_candidate_ids=pushdown_candidate_ids,
-            max_cell_rows=max_cell_rows,
+            max_cell_rows=max_cell_rows, gate_stats=gate_stats,
         )
     if gate_kind != "float":
         raise ValueError(

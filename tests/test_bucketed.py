@@ -1572,3 +1572,74 @@ def test_pq_index_build_with_balance_cell_rows(spark, sf_dir, tmp_path):
     finally:
         for t in ("t_pq_balt", "t_pq_balt_centroids", "t_pq_balt_pq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compressed_gate_stats_expose_margin_collapse(spark, sf_dir, tmp_path):
+    """r12: gate_stats is the RUNTIME flood signal the sizing reports
+    predict offline — on healthy seeded codebooks the PQ gate's
+    stage-1 shortlist is candidate-sized; on a deliberately-bad
+    2-codeword build the per-row margins collapse and the shortlist
+    explodes toward batch x cell mass. Verdicts stay identical either
+    way (stage 2 is exact) — only the cost changes, and the hook
+    makes it visible."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        materialize_pq_index,
+        semantic_dedup_gate,
+    )
+    from dataprocessingframework_spark.queries import (
+        _perturbed_gate_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    n = corpus.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    try:
+        materialize_pq_index(
+            corpus, "t_gs_good", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16, path=str(tmp_path / "g"),
+        )
+        materialize_pq_index(
+            corpus, "t_gs_bad", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16, path=str(tmp_path / "b"),
+            k_codes=2,
+        )
+        kept, stats = {}, {}
+        for tag in ("good", "bad"):
+            st: dict = {}
+            kept[tag] = sorted(
+                r.vec_id
+                for r in semantic_dedup_gate(
+                    batch, corpus, cents, index_table=f"t_gs_{tag}",
+                    threshold=0.95, n_probe=2, gate_stats=st,
+                ).select("vec_id").collect()
+            )
+            stats[tag] = st
+        assert kept["good"] == kept["bad"]  # verdicts identical
+        assert 0 < stats["good"]["stage1_candidates"]
+        # margin collapse = the shortlist grows toward probed-cell
+        # mass and stage 2 ends up fetching essentially the WHOLE
+        # corpus (the seeded 'good' codebooks are themselves mediocre
+        # on this synthetic data, so the ratio is modest — the
+        # distinct-ids saturation is the unambiguous flood signal)
+        assert (
+            stats["bad"]["stage1_candidates"]
+            > 1.5 * stats["good"]["stage1_candidates"]
+        ), stats
+        assert stats["bad"]["distinct_corpus_ids"] >= 0.9 * n, stats
+        assert (
+            stats["good"]["distinct_corpus_ids"]
+            < stats["bad"]["distinct_corpus_ids"]
+        )
+    finally:
+        batch.unpersist()
+        for base in ("t_gs_good", "t_gs_bad"):
+            for t in (base, f"{base}_centroids", f"{base}_pq"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
