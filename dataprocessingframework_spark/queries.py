@@ -2889,9 +2889,11 @@ def q_emb_gate_sq8(spark, sf_dir):
     )
 
 
-SQL_EMB_GATE_SQ8 = f"""
-WITH {_GATE_BATCH_CTE},
-pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+# shared CTE body of the SQ8-gate oracle: bounds -> codes ->
+# dequant -> margin -> seeded cells -> shortlist (cand) -> exact
+# recheck (dropped). Used by both the kept-set oracle
+# (emb_gate_sq8) and the telemetry oracle (emb_gate_sq8_stats).
+_GATE_SQ8_CTES = """pe AS (SELECT i AS pos, MIN(v[i]) AS mn, MAX(v[i]) AS mx
        FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
        WHERE sqrt(list_dot_product(v, v)) > 0
        GROUP BY i),
@@ -2959,11 +2961,95 @@ h AS (
         / (sqrt(list_dot_product(b2.bv, b2.bv))
            * sqrt(list_dot_product(e.v, e.v)))
         >= 0.95
-)
+)"""
+
+SQL_EMB_GATE_SQ8 = f"""
+WITH {_GATE_BATCH_CTE},
+{_GATE_SQ8_CTES}
 SELECT b_id AS vec_id FROM batch
 WHERE b_id NOT IN (SELECT b_id FROM dropped)
 ORDER BY vec_id
 """
+
+# the gate_stats hook, FULL-oracled: on impl='jvm' the stage-1
+# shortlist is pure bit-portable arithmetic (unrolled dequant
+# fold, derived margin, seeded cells), so its SIZE is
+# cross-engine exact, not just the kept set
+SQL_EMB_GATE_SQ8_STATS = f"""
+WITH {_GATE_BATCH_CTE},
+{_GATE_SQ8_CTES}
+SELECT
+  (SELECT COUNT(*) FROM batch
+   WHERE b_id NOT IN (SELECT b_id FROM dropped)) AS kept_rows,
+  (SELECT COUNT(*) FROM cand) AS stage1_candidates,
+  (SELECT COUNT(DISTINCT c_id) FROM cand) AS distinct_corpus_ids
+"""
+
+
+def q_emb_gate_sq8_stats(spark, sf_dir):
+    """The compressed gate's RUNTIME telemetry, driver-checked (r12):
+    gate_stats fills stage1_candidates (shortlisted pair count — the
+    number whose explosion signals margin collapse) and
+    distinct_corpus_ids (float rows stage 2 actually fetches). On
+    impl='jvm' the whole stage-1 shortlist is bit-portable
+    arithmetic, so the telemetry itself carries a FULL oracle — the
+    DuckDB twin replays the identical shortlist and counts it, which
+    pins not just the gate's verdicts but its COST model
+    cross-engine."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup_sq8,
+        load_ivf_centroids,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n)
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gate_s8s_{tag}"
+    path = f"/root/repo/.scratch/gate_s8s_{tag}"
+    idx, _ = materialize_ivf_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path, sq8=True,
+    )
+    st: dict = {}
+    kept = incremental_semantic_dedup_sq8(
+        batch,
+        corpus,
+        load_ivf_centroids(spark, table),
+        idx,
+        load_sq8_bounds(spark, table),
+        threshold=0.95,
+        n_probe=2,
+        gate_stats=st,
+    ).count()
+    for t in (table, f"{table}_centroids", f"{table}_sq8"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_sq8"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                kept,
+                st["stage1_candidates"],
+                st["distinct_corpus_ids"],
+            )
+        ],
+        schema=(
+            "kept_rows long, stage1_candidates long,"
+            " distinct_corpus_ids long"
+        ),
+    )
 
 
 def q_emb_gate_pq(spark, sf_dir):
@@ -10094,6 +10180,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ann_recall": (q_emb_ann_recall, SQL_EMB_ANN_RECALL),
     "emb_gate_recall": (q_emb_gate_recall, SQL_EMB_GATE_RECALL),
     "emb_gate_sq8": (q_emb_gate_sq8, SQL_EMB_GATE_SQ8),
+    "emb_gate_sq8_stats": (q_emb_gate_sq8_stats, SQL_EMB_GATE_SQ8_STATS),
     "emb_gate_pq": (q_emb_gate_pq, SQL_EMB_GATE_PQ),
     "emb_gate_margin_report": (
         q_emb_gate_margin_report,
@@ -10543,22 +10630,25 @@ _R11_WINDOW = [
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
-# r12 driver window: positions 1-3 are the round's new/changed
+# r12 driver window: positions 1-4 are the round's new/changed
 # queries (emb_ivf_balance — NEW r12: hot-cell quantizer splitting,
 # FULL oracle over the seed/reassign arithmetic;
 # emb_gate_pq_margin_report — NEW r12: one-row FULL-oracled sizing
 # report for the PQ gate's per-row margins, the 16 B rung's
 # go/no-go instrument; emb_gate_sq8 — oracle CHANGED r12: degenerate
 # dn<=0 corpus rows now modeled as unconditional candidates, ADVICE
-# r11). Positions 4-33 are the ENTIRE 30-query r6-stale cohort in
-# registry order (the oldest driver checks remaining; all 30
-# re-verified green locally by the r11 judge — confirmation, not
-# risk). Positions 34-50 are the oldest 17 of the 49-query r7 cohort
-# in registry order (emb_ann_recall .. f_explode_wordcount).
+# r11; emb_gate_sq8_stats — NEW r12: the gate_stats runtime
+# telemetry itself FULL-oracled, the jvm stage-1 shortlist size is
+# bit-portable). Positions 5-34 are the ENTIRE 30-query r6-stale
+# cohort in registry order (the oldest driver checks remaining; all
+# 30 re-verified green locally by the r11 judge — confirmation, not
+# risk). Positions 35-50 are the oldest 16 of the 49-query r7 cohort
+# in registry order (emb_ann_recall .. a_grouping_sets).
 # Post-r12 staleness: nothing never-checked, nothing older than r7.
 # Rotation history in COVERAGE.md.
 _R12_WINDOW = [
     "emb_ivf_balance", "emb_gate_pq_margin_report", "emb_gate_sq8",
+    "emb_gate_sq8_stats",
     "j_anti", "a1_summary_stats", "a3_group_agg", "a4_count_distinct",
     "a5_dup_detect", "a_rollup", "d1_distinct", "d1_keep_first",
     "d2_shuffle", "d4_union", "d5_topk", "d7_limit_offset",
@@ -10574,7 +10664,6 @@ _R12_WINDOW = [
     "dd_clusters_lsh", "j_asof_nulls", "j_range", "emb_near_dup",
     "pipeline_stages", "pipeline_curation", "profile_table",
     "a1_quartiles", "a_cube", "a_grouping_sets",
-    "f_explode_wordcount",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 REGISTRY = {
