@@ -703,3 +703,61 @@ def test_pq_code_exprs_python_parity_random(spark):
                 d = ((C - sub[None, :]) ** 2).sum(axis=1)
                 want.append(int(np.argmin(d)))  # first min = lower k
             assert got[i] == want, (trial, i, got[i], want)
+
+
+def test_balance_centroids_invariants_random(spark):
+    """r12 property check over random corpora: whatever the data
+    shape, balance_centroids must (a) preserve total mass — every
+    nonzero row lands in exactly one cell of the returned quantizer;
+    (b) never shrink the centroid list; (c) be deterministic — two
+    runs over the same input return the identical list (the whole
+    trajectory is hash-seeded, no RNG); (d) never worsen the max
+    cell beyond the starting assignment."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        assign_cells,
+        balance_centroids,
+        norm,
+    )
+    from pyspark.sql import functions as F
+
+    for trial, (n, sigma, n_cells) in enumerate(
+        [(120, 0.5, 3), (200, 4.0, 5), (80, 0.01, 2)]
+    ):
+        rng = np.random.RandomState(100 + trial)
+        centers = rng.randn(6, 12) * 8.0
+        cl = rng.randint(0, 6, size=n)
+        vecs = centers[cl] + rng.randn(n, 12) * sigma
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+        rows.append((n, [0.0] * 12))  # zero-norm row: excluded
+        df = spark.createDataFrame(
+            rows, schema="vec_id long, embedding array<double>"
+        )
+        cents0 = _ivf_centroids(
+            df, "vec_id", "embedding", n_cells, iters=0
+        )
+        cap = max(1, n // (2 * n_cells))
+        bal1 = balance_centroids(df, cents0, cap, rounds=4)
+        bal2 = balance_centroids(df, cents0, cap, rounds=4)
+        assert bal1 == bal2, trial  # deterministic trajectory
+        assert len(bal1) >= len(cents0), trial
+        nz = df.select(
+            F.col("vec_id").alias("bid"),
+            F.col("embedding").alias("bv"),
+            norm(F.col("embedding")).alias("bn"),
+        ).filter(F.col("bn") > 0)
+
+        def sizes(cents):
+            return [
+                r.n
+                for r in assign_cells(nz, cents, "bid", "bv")
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+
+        s0, s1 = sizes(cents0), sizes(bal1)
+        assert sum(s1) == sum(s0) == n, trial  # mass preserved
+        assert max(s1) <= max(s0), trial  # never worse
