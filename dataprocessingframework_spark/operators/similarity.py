@@ -1853,6 +1853,54 @@ def ivf_pq_topk_rerank(
     return _per_query_topk(scored, k)
 
 
+def update_hot_lineage(
+    sizes: dict[int, int],
+    max_cell_rows: int,
+    hot_state: dict[int, tuple[int, int]],
+    unsplittable: dict[int, int],
+) -> tuple[dict[int, tuple[int, int]], set[int]]:
+    """Per-round lineage bookkeeping for :func:`balance_centroids`.
+
+    Pure driver-side arithmetic over the n_cells-bounded ``sizes``
+    map: for every still-hot cell, compare its size against its
+    lineage reference (``hot_state``: cell -> (reference size,
+    consecutive no-progress rounds)) and classify it — fresh (first
+    attempt, or real progress made), ``stuck`` (kept >=95% of its
+    reference once: escalate to the mean-sideways split), or
+    ``unsplittable`` (no progress twice: stop burning rounds on it).
+
+    Mutates ``unsplittable`` in place. A marked cell that gained
+    >5% new mass since the mark has its mark cleared AND its
+    lineage reset (``ref = None``), so the retry gets one full
+    fresh hash-pair -> mean-sideways escalation cycle. Without the
+    reset the retry path is dead: the stale lineage carries
+    cons >= 2, and growth always satisfies n >= 0.95*ref, so the
+    cell would be re-marked in the same pass before any split ran
+    (ADVICE r12).
+
+    Returns ``(new_hot_state, stuck)``.
+    """
+    stuck: set[int] = set()
+    new_state: dict[int, tuple[int, int]] = {}
+    for c, n in sizes.items():
+        if n <= max_cell_rows:
+            continue
+        ref = hot_state.get(c)
+        if c in unsplittable and n > 1.05 * unsplittable[c]:
+            del unsplittable[c]  # new mass arrived: retry it
+            ref = None  # fresh lineage: full escalation cycle
+        if ref is not None and n >= 0.95 * ref[0]:
+            cons = ref[1] + 1
+            if cons >= 2:
+                unsplittable[c] = n
+            else:
+                stuck.add(c)
+        else:
+            cons = 0
+        new_state[c] = (n, cons)
+    return new_state, stuck
+
+
 def balance_centroids(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -1957,24 +2005,9 @@ def balance_centroids(
         # mean-sideways split; stuck even after that round, mark it
         # unsplittable and stop burning rounds on it (the gates'
         # salting caps remain its backstop).
-        stuck = set()
-        new_state: dict[int, tuple[int, int]] = {}
-        for c, n in sizes.items():
-            if n <= max_cell_rows:
-                continue
-            if c in unsplittable and n > 1.05 * unsplittable[c]:
-                del unsplittable[c]  # new mass arrived: retry it
-            ref = hot_state.get(c)
-            if ref is not None and n >= 0.95 * ref[0]:
-                cons = ref[1] + 1
-                if cons >= 2:
-                    unsplittable[c] = n
-                else:
-                    stuck.add(c)
-            else:
-                cons = 0
-            new_state[c] = (n, cons)
-        hot_state = new_state
+        hot_state, stuck = update_hot_lineage(
+            sizes, max_cell_rows, hot_state, unsplittable
+        )
         hot = sorted(
             c
             for c, n in sizes.items()
@@ -2548,10 +2581,17 @@ def kcenter_select(
     ``next_global_max > min_selected_dist`` is a sound WITNESS that
     the true farthest point sat outside the pool when that pick was
     made — exact greedy would have picked it first. Any
-    ``pool_miss=True`` round is the cue to raise ``pool_factor``;
-    all-False certifies this run's picks followed the exact greedy
-    distance ordering (modulo the documented last-ulp numpy/JVM
-    drift; the comparison carries a 1e-9 slack)."""
+    ``pool_miss=True`` round is the cue to raise ``pool_factor``.
+    The witness is ONE-SIDED: pool_miss=True is a sound proof of a
+    miss, but all-False does NOT certify the exact greedy
+    trajectory — ``next_global_max`` is measured only after the
+    whole round closes, so a mid-round miss goes unwitnessed when a
+    LATER in-round pick collapses the missed point's min-distance
+    below ``min_selected_dist`` before the measurement (ADVICE
+    r12). All-False means no miss was *observable at round
+    granularity* (modulo the documented last-ulp numpy/JVM drift;
+    the comparison carries a 1e-9 slack); for a per-pick guarantee
+    run ``batch_m=1``, which is exact by construction."""
     from dataprocessingframework_spark.functions.hashing import hash64
 
     spark = df.sparkSession

@@ -1878,3 +1878,39 @@ def test_balance_centroids_splits_hot_cells_and_stalls_loudly(spark, sf_dir):
     # reads differently from 'round budget exhausted'
     assert sstats[1]["unsplittable"] == 1
     assert len(sbal) >= 1
+
+
+def test_update_hot_lineage_retry_after_growth_is_live():
+    """ADVICE r12: a cell marked unsplittable that later gains >5%
+    new mass must get a FULL fresh escalation cycle (hash-pair then
+    mean-sideways), not be instantly re-marked by its stale lineage
+    (whose cons >= 2 plus growth trivially satisfying n >= 0.95*ref
+    would re-mark it in the same pass). Pure driver arithmetic — no
+    Spark session needed."""
+    cap = 10
+    # round A: cell 0 hot at 100 — fresh attempt
+    hs, stuck = similarity.update_hot_lineage({0: 100}, cap, {}, {})
+    assert hs == {0: (100, 0)} and stuck == set()
+    # round B: no progress (kept >=95%) — escalate to mean-sideways
+    uns: dict = {}
+    hs, stuck = similarity.update_hot_lineage({0: 99}, cap, hs, uns)
+    assert stuck == {0} and uns == {}
+    # round C: still no progress — marked unsplittable
+    hs, stuck = similarity.update_hot_lineage({0: 98}, cap, hs, uns)
+    assert uns == {0: 98} and stuck == set()
+    # round D: growth <=5% — mark holds (no thrash)
+    hs, stuck = similarity.update_hot_lineage({0: 101}, cap, hs, uns)
+    assert 0 in uns and stuck == set()
+    # round E: >5% new mass — mark cleared AND lineage reset: the
+    # cell is a fresh attempt (cons=0, not stuck, not re-marked)
+    hs, stuck = similarity.update_hot_lineage({0: 150}, cap, hs, uns)
+    assert uns == {} and stuck == set() and hs[0] == (150, 0)
+    # rounds F/G: the retry gets the full cycle again — stuck once,
+    # then unsplittable on the second consecutive no-progress round
+    hs, stuck = similarity.update_hot_lineage({0: 149}, cap, hs, uns)
+    assert stuck == {0} and uns == {}
+    hs, stuck = similarity.update_hot_lineage({0: 148}, cap, hs, uns)
+    assert uns == {0: 148}
+    # a cell that drops under the cap leaves the state entirely
+    hs, stuck = similarity.update_hot_lineage({0: 5}, cap, hs, {})
+    assert hs == {} and stuck == set()
