@@ -4083,9 +4083,61 @@ ORDER BY q_id, nbr_id
 
 
 def q_d3_sample(spark, sf_dir):
-    """D3 seeded random sample (`processors/processor.py:295-320`) —
-    nondeterministic across engines by design; rows-only check."""
-    return D(spark, sf_dir, "lineitem").random_sample(0.1, seed=42).df
+    """D3 seeded random sample (`processors/processor.py:295-320`).
+    The sampled ROWS are nondeterministic across engines by design
+    (Spark's Bernoulli sampler is engine-specific), so — the
+    emb_ann_recall pattern (r13, VERDICT r12 item 2) — the oracle
+    pins deterministic VERDICTS about the sample instead of the
+    sample: (a) ``subset_violations``: every sampled row exists in
+    the source (distributed anti-join on the (l_orderkey,
+    l_linenumber) key; always 0 for a correct sampler); (b)
+    ``count_in_bounds``: the sample size sits within ±6σ binomial
+    bounds around n·p (a 6σ miss is ~2e-9 — a sampler bug, not
+    luck); (c) ``seed_determinism_ok``: re-sampling the same source
+    with the same seed is bit-identical (two exceptAll probes, both
+    directions). ``n_source`` is SQL-derivable so the oracle pins a
+    data-driven value, not only constants."""
+    ds = D(spark, sf_dir, "lineitem")
+    p = 0.1
+    s1 = ds.random_sample(p, seed=42).df
+    s2 = ds.random_sample(p, seed=42).df
+    n = ds.df.count()
+    k = s1.count()
+    mu = n * p
+    sd = (n * p * (1.0 - p)) ** 0.5
+    bad = (
+        s1.select("l_orderkey", "l_linenumber")
+        .join(
+            ds.df.select("l_orderkey", "l_linenumber"),
+            ["l_orderkey", "l_linenumber"],
+            "left_anti",
+        )
+        .count()
+    )
+    deterministic = (
+        s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                bad,
+                bool(mu - 6.0 * sd <= k <= mu + 6.0 * sd),
+                bool(deterministic),
+            )
+        ],
+        schema=(
+            "n_source long, subset_violations long,"
+            " count_in_bounds boolean, seed_determinism_ok boolean"
+        ),
+    )
+
+
+SQL_D3_SAMPLE = (
+    "SELECT COUNT(*) AS n_source, CAST(0 AS BIGINT) AS"
+    " subset_violations, TRUE AS count_in_bounds,"
+    " TRUE AS seed_determinism_ok FROM lineitem"
+)
 
 
 # --------------------------------------------------------------------------
@@ -4457,15 +4509,90 @@ GROUP BY b.band_id ORDER BY b.band_id
 
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (the FAISS-style scale path, next to
-    emb_lsh_topk). Approximate by design → rows-only check; recall vs
-    the exact path is asserted in tests/test_joins_and_ivf.py."""
-    from dataprocessingframework_spark.operators.similarity import ivf_topk
+    emb_lsh_topk), on the UNSEEDED Lloyd quantizer — the float-mean
+    iteration order is engine-specific, so its top-k rows cannot be
+    value-matched by another engine (the seeded twin
+    emb_ivf_topk_seeded FULL-oracles the probe arithmetic). r13
+    (VERDICT r12 item 2): instead of a no-oracle rows check, collapse
+    the engine-specific half to a deterministic recall@k >= floor
+    boolean (the emb_ann_recall pattern) and value-match the exact
+    half (pair count + mean exact top-k cosine) against the DuckDB
+    brute force. All set arithmetic distributed: exact/approx lists
+    semi-join per (q_id, nbr_id), only per-query counts aggregate."""
+    from dataprocessingframework_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
 
     emb = T(spark, sf_dir, "embeddings")
-    qs = emb.orderBy("vec_id").limit(10)
-    return ivf_topk(emb, qs, k=5, n_cells=16, n_probe=4).orderBy(
-        "q_id", F.desc("cos"), "nbr_id"
+    qs = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    exact = cosine_topk(emb, qs, k=k).select("q_id", "nbr_id", "cos")
+    approx = ivf_topk(emb, qs, k=k, n_cells=16, n_probe=4)
+    hits = (
+        exact.join(
+            approx.select("q_id", "nbr_id"), ["q_id", "nbr_id"], "left_semi"
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
     )
+    per_q = (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
+    )
+    recall = float(
+        per_q.agg(F.round(F.avg(F.col("n_hit") / F.lit(k)), 4)).collect()[
+            0
+        ][0]
+    )
+    n_exact, mean_cos = exact.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("cos"), 4).alias("m"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(k, 10, int(n_exact), float(mean_cos), recall >= RECALL_FLOOR_IVF_K5)],
+        schema=(
+            "k int, n_queries int, n_exact_pairs long,"
+            " mean_exact_cos double, recall_ivf_ok boolean"
+        ),
+    )
+
+
+# Deterministic floor: recall of the unseeded-Lloyd IVF probe at
+# k=5 / n_cells=16 / n_probe=4 over the 10 lowest-id query vectors
+# depends only on the fixed testdata (measured: sf0.001 0.54,
+# sf0.01 0.52, sf0.1 0.62 at authoring time); set below the
+# observed minimum with margin — the boolean is the contract
+# "probing 1/4 of a 16-cell index keeps about half of the exact
+# neighbors on clusterless random data", not a precision pin.
+RECALL_FLOOR_IVF_K5 = 0.4
+
+SQL_EMB_IVF_TOPK = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      AS cos_raw
+  FROM q, c WHERE c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT ROUND(cos_raw, 4) AS cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cos_raw DESC, nbr_id) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+)
+SELECT CAST(5 AS INTEGER) AS k, CAST(10 AS INTEGER) AS n_queries,
+       COUNT(*) AS n_exact_pairs,
+       ROUND(AVG(cos), 4) AS mean_exact_cos,
+       TRUE AS recall_ivf_ok
+FROM topk
+"""
 
 
 def q_stream_sliding(spark, sf_dir):
@@ -10218,7 +10345,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # rows-only by design (driver records a rows-only check):
     # IVF centroids come from distributed Lloyd averaging whose
     # float-sum order is partitioning-dependent — no bit-stable twin.
-    "emb_ivf_topk": (q_emb_ivf_topk, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
     # -- new in round 4 ----------------------------------------------
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
@@ -10434,7 +10561,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "d1_distinct": (q_d1_distinct, SQL_D1),
     "d1_keep_first": (q_d1_keep_first, SQL_D1_KEEP_FIRST),
     "d2_shuffle": (q_d2_shuffle, SQL_D2),
-    "d3_sample": (q_d3_sample, None),
+    "d3_sample": (q_d3_sample, SQL_D3_SAMPLE),
     "d4_union": (q_d4_union, SQL_D4),
     "d5_topk": (q_d5_topk, SQL_D5),
     "d7_limit_offset": (q_d7_limit_offset, SQL_D7),
