@@ -78,6 +78,27 @@ def test_regex_filter(spark):
     assert out.text.startswith("Stock")  # passthrough preserved
 
 
+def test_regex_filter_custom_ordered_corpus(spark):
+    """docs/migration.md: a user ports the reference's regexs.py
+    corpus by passing rules=. Order must be preserved — earlier
+    replacements feed later patterns (rule 2 only matches the text
+    produced by rule 1), exactly the reference's sequential loop."""
+    df = spark.createDataFrame(
+        [(1, "(c) 2021 PHOTO BANK beautiful cat")],
+        schema="id int, text string",
+    )
+    rules = [  # input is lowercased+trimmed before the rule loop
+        (r"\(c\)\s*\d{4}", "yeartag"),   # 1: rewrites into a marker
+        (r"yeartag photo bank", " "),     # 2: matches rule 1's output
+        (r"\s+", " "),
+    ]
+    out = RegexFilter(rules=rules)(df).collect()[0]
+    assert out.clean_caption == "beautiful cat"
+    # reversed order breaks rule 2's dependency -> marker survives
+    out2 = RegexFilter(rules=[rules[1], rules[0], rules[2]])(df).collect()[0]
+    assert "yeartag" in out2.clean_caption
+
+
 def test_token_stats_row_contract(spark):
     df = spark.createDataFrame([(1, "aa bbb c")], schema="id int, text string")
     row = TokenStatsFilter()(df).collect()[0]
