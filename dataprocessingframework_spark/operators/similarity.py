@@ -2404,6 +2404,63 @@ def ivf_cell_stats(
     )
 
 
+def rebalance_trigger(
+    assigned: DataFrame,
+    imbalance_threshold: float,
+    max_cell_rows: int,
+    cell_col: str = "cell",
+) -> dict:
+    """Deterministic auto-rebalance DECISION for the skew-repair loop
+    (r13 — VERDICT r12 item 4): given any frame with a cell column
+    (a maintained index, a fresh :func:`assign_cells` output),
+    compute the balance signal and decide whether a
+    :func:`balance_centroids` rebuild is warranted. The glue between
+    the detector (:func:`ivf_cell_stats`) and the repair
+    (:func:`balance_centroids`) that
+    ``incremental_semantic_ingest(rebalance_on_imbalance=...)``
+    evaluates after every index append.
+
+    ``imbalance`` is max/avg over NON-EMPTY cells (the
+    ivf_cell_stats arithmetic — exact integer counts divided in
+    float64, portable across engines). ``triggered`` requires BOTH
+    ``imbalance > imbalance_threshold`` AND
+    ``max_cell > max_cell_rows``: a skewed-but-tiny index needs no
+    repair (nothing exceeds the cap, so balance_centroids would
+    no-op), and a uniformly-huge one is a capacity problem a split
+    cannot fix (splitting a balanced quantizer just reshuffles equal
+    mass).
+
+    Scale shape: ONE map-side-combined groupBy(cell) count and one
+    aggregate over the ≤ n_cells-row size table; the single returned
+    dict is the only driver-resident data."""
+    row = (
+        assigned.groupBy(F.col(cell_col))
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.sum("sz").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_used"),
+            F.max("sz").alias("max_cell"),
+            F.avg("sz").alias("avg_cell"),
+        )
+        .collect()[0]
+    )
+    n_rows = int(row.n_rows or 0)
+    max_cell = int(row.max_cell or 0)
+    imb = (
+        float(row.max_cell) / float(row.avg_cell) if n_rows else 0.0
+    )
+    return {
+        "n_rows": n_rows,
+        "n_used": int(row.n_used or 0),
+        "max_cell": max_cell,
+        "avg_cell": float(row.avg_cell or 0.0),
+        "imbalance": imb,
+        "triggered": bool(
+            imb > imbalance_threshold and max_cell > max_cell_rows
+        ),
+    }
+
+
 def ivf_topk_from_index(
     index: DataFrame,
     centroids: list[list[float]],

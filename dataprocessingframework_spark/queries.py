@@ -9038,6 +9038,94 @@ def q_emb_ivf_balance(spark, sf_dir):
     )
 
 
+def q_emb_rebalance_policy(spark, sf_dir):
+    """Auto-rebalance DECISION arithmetic (r13 — VERDICT r12 item 4):
+    the deterministic trigger that
+    ``incremental_semantic_ingest(rebalance_on_imbalance=...)``
+    evaluates after every index append, FULL-oracled on the seeded
+    coarse quantizer (n_cells=4, iters=0 — hash-order seeds +
+    argmax-dot assignment, the same portable arithmetic the
+    emb_ivf_balance oracle replays). ``triggered_hot`` is the
+    production decision (imbalance > 1.5 AND max_cell > ceil(N/8));
+    ``capacity_guard_triggered`` pins the guard's other leg — with
+    the cap at the whole corpus size no cell can exceed it, so a
+    skewed-but-uncappable index must NOT fire (splitting can't fix a
+    capacity problem). Both booleans are DERIVED in the oracle from
+    the same cell sizes, not pinned constants."""
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    nz = corpus.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("bv"),
+        similarity.norm(F.col("embedding")).alias("bn"),
+    ).filter(F.col("bn") > 0)
+    cap = (nz.count() + 7) // 8
+    cents = similarity._ivf_centroids(
+        corpus, "vec_id", "embedding", 4, iters=0
+    )
+    assigned = similarity.assign_cells(nz, cents, "bid", "bv", n_probe=1)
+    hot = similarity.rebalance_trigger(assigned, 1.5, cap)
+    guard = similarity.rebalance_trigger(assigned, 1.5, hot["n_rows"])
+    return spark.createDataFrame(
+        [
+            (
+                hot["n_rows"],
+                hot["n_used"],
+                hot["max_cell"],
+                round(hot["imbalance"], 4),
+                hot["triggered"],
+                guard["triggered"],
+            )
+        ],
+        schema=(
+            "n_rows long, n_used long, max_cell long, imbalance double,"
+            " triggered_hot boolean, capacity_guard_triggered boolean"
+        ),
+    )
+
+
+SQL_EMB_REBALANCE_POLICY = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+h AS (
+  SELECT vec_id, v,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT v AS cv, hh FROM h ORDER BY hh LIMIT 4)
+), nz AS (
+  SELECT vec_id, v FROM e
+  WHERE sqrt(list_dot_product(v, v)) > 0
+), cap AS (
+  SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS cap FROM nz
+), a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT nz.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY nz.vec_id
+             ORDER BY list_dot_product(nz.v, c.cv) DESC, c.cell) AS rn
+    FROM nz CROSS JOIN cents c) WHERE rn = 1
+), sizes AS (
+  SELECT cell, COUNT(*) AS sz FROM a0 GROUP BY cell
+), agg AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(MAX(sz) AS BIGINT) AS max_cell,
+         CAST(MAX(sz) AS DOUBLE) / AVG(sz) AS imb
+  FROM sizes
+)
+SELECT n_rows, n_used, max_cell, ROUND(imb, 4) AS imbalance,
+       (imb > 1.5 AND max_cell > cap.cap) AS triggered_hot,
+       (imb > 1.5 AND max_cell > n_rows) AS capacity_guard_triggered
+FROM agg CROSS JOIN cap
+"""
+
+
 SQL_EMB_IVF_BALANCE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -10446,6 +10534,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_ivf_pq_topk": (q_emb_ivf_pq_topk, SQL_EMB_IVF_PQ_TOPK),
     "emb_ivf_pq_rerank": (q_emb_ivf_pq_rerank, SQL_EMB_IVF_PQ_RERANK),
     "emb_ivf_balance": (q_emb_ivf_balance, SQL_EMB_IVF_BALANCE),
+    "emb_rebalance_policy": (
+        q_emb_rebalance_policy,
+        SQL_EMB_REBALANCE_POLICY,
+    ),
     "emb_ivf_cell_stats": (
         q_emb_ivf_cell_stats,
         SQL_EMB_IVF_CELL_STATS,

@@ -317,6 +317,10 @@ def incremental_semantic_ingest(
     index_pq: bool = False,
     clamp_log: list | None = None,
     rebuild_on_clamp_frac: float | None = None,
+    rebalance_on_imbalance: float | None = None,
+    rebalance_cell_rows: int | None = None,
+    rebalance_rounds: int = 4,
+    rebalance_log: list | None = None,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -402,11 +406,42 @@ def incremental_semantic_ingest(
     themselves — the documented caveat direction); the rebuild bounds
     the exposure to one batch instead of forever. Keep the threshold
     above the noise floor (a few in 10k rows) — each rebuild is a
-    full corpus re-encode."""
+    full corpus re-encode.
+
+    ``rebalance_on_imbalance`` (r13 — VERDICT r12 item 4, requires
+    ``index_table``): the opt-in AUTO-REBALANCE policy closing the
+    skew-repair loop (detector ``ivf_cell_stats`` → decision
+    ``rebalance_trigger`` → repair ``balance_centroids``). After
+    every index write, one groupBy(cell)-count over the maintained
+    index evaluates ``rebalance_trigger(index,
+    rebalance_on_imbalance, rebalance_cell_rows)``; when it fires
+    (imbalance above the threshold AND a cell above the cap — a
+    drifted stream piling mass into one quantizer cell), the
+    quantizer is SPLIT via ``balance_centroids`` over the whole
+    accepted corpus and the index is rebuilt bootstrap-shaped with
+    the split centroid list — so from the NEXT batch on, batch
+    assignment and index cells both use the repaired quantizer (they
+    must move together: the gate equi-joins batch cells against
+    index cells). The current batch was already gated before the
+    rebuild, and the gate's verdicts are quantizer-independent in
+    the sound regime (cells only bound WHERE candidates are probed;
+    the threshold decision is exact cosine), so acceptance semantics
+    are unchanged — pinned by the mid-stream-rebalance test equaling
+    the exact gate. ``rebalance_cell_rows`` defaults to
+    ``max_cell_rows`` (the salting cap — the same mega-cell the cap
+    defends against is the one worth splitting);
+    ``rebalance_rounds`` caps each repair's split rounds;
+    ``rebalance_log`` (pass a list) records per index write
+    ``{batch_id, n_rows, max_cell, imbalance, triggered,
+    n_cells_before, n_cells_after, rebalanced}``. Cost when idle:
+    one column-pruned cell-count scan per batch; when fired: one
+    balance_centroids pass + one bootstrap-shaped index rebuild."""
     from dataprocessingframework_spark.operators.similarity import (
+        balance_centroids,
         incremental_semantic_dedup,
         materialize_ivf_index,
         materialize_pq_index,
+        rebalance_trigger,
         semantic_dedup_gate,
     )
 
@@ -414,6 +449,36 @@ def incremental_semantic_ingest(
         raise ValueError("index_sq8/index_pq require index_table")
     if index_sq8 and index_pq:
         raise ValueError("index_sq8 and index_pq are exclusive")
+    if rebalance_on_imbalance is not None:
+        if index_table is None:
+            raise ValueError(
+                "rebalance_on_imbalance requires index_table (the"
+                " policy reads the maintained index's cell sizes)"
+            )
+        if rebalance_cell_rows is None and max_cell_rows is None:
+            raise ValueError(
+                "rebalance_on_imbalance needs a cell cap: pass"
+                " rebalance_cell_rows= (or leave max_cell_rows set)"
+            )
+    # the quantizer is MUTABLE stream state once the rebalance policy
+    # is on: batch assignment and index cells must flip together, so
+    # _process reads it from this box every batch
+    state = {"cents": [[float(x) for x in c] for c in centroids]}
+    if rebalance_on_imbalance is not None and spark.catalog.tableExists(
+        f"{index_table}_centroids"
+    ):
+        # with the policy on, the PERSISTED quantizer is the source
+        # of truth, not the caller's argument: a previous run (or a
+        # restart) may have split the quantizer and rebuilt the index
+        # with it — seeding from the stale argument would assign
+        # batch cells under one quantizer and equi-join them against
+        # index cells written under another, silently missing
+        # candidates
+        from dataprocessingframework_spark.operators.similarity import (
+            load_ivf_centroids,
+        )
+
+        state["cents"] = load_ivf_centroids(spark, index_table)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         curated = curate(batch_df) if curate is not None else batch_df
@@ -443,7 +508,7 @@ def incremental_semantic_ingest(
                     if kind != "float"
                     else None
                 ),
-                centroids,
+                state["cents"],
                 gate_kind=kind,
                 index_table=index_table,
                 id_col=id_col, vec_col=vec_col,
@@ -453,7 +518,7 @@ def incremental_semantic_ingest(
         elif prior:
             corpus = spark.read.parquet(*prior)
             fresh = incremental_semantic_dedup(
-                curated, corpus, centroids,
+                curated, corpus, state["cents"],
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
                 max_cell_rows=max_cell_rows,
@@ -476,7 +541,7 @@ def incremental_semantic_ingest(
                     materialize_pq_index(
                         src_v,
                         index_table,
-                        centroids=centroids,
+                        centroids=state["cents"],
                         impl=impl,
                         num_buckets=index_num_buckets,
                         path=index_path,
@@ -495,7 +560,7 @@ def incremental_semantic_ingest(
                     materialize_ivf_index(
                         src_v,
                         index_table,
-                        centroids=centroids,
+                        centroids=state["cents"],
                         impl=impl,
                         num_buckets=index_num_buckets,
                         path=index_path,
@@ -534,7 +599,7 @@ def incremental_semantic_ingest(
                                 F.col(vec_col).alias("embedding"),
                             ),
                             index_table,
-                            centroids=centroids,
+                            centroids=state["cents"],
                             impl=impl,
                             num_buckets=index_num_buckets,
                             path=(
@@ -555,6 +620,76 @@ def incremental_semantic_ingest(
                             }
                         )
             _maybe_compact(spark, index_table, batch_id, compact_every)
+        if (
+            rebalance_on_imbalance is not None
+            and index_table is not None
+            and spark.catalog.tableExists(index_table)
+        ):
+            cap = (
+                rebalance_cell_rows
+                if rebalance_cell_rows is not None
+                else max_cell_rows
+            )
+            decision = rebalance_trigger(
+                spark.table(index_table), rebalance_on_imbalance, cap
+            )
+            n_before = len(state["cents"])
+            rebalanced = False
+            if decision["triggered"]:
+                # repair at the source: split the quantizer over the
+                # WHOLE accepted corpus, then rebuild the index
+                # bootstrap-shaped with the split list so batch
+                # assignment (state) and index cells flip together
+                full = _index_source(spark, corpus_dir, batch_id, False)
+                if full is not None:
+                    fv = full.select(
+                        F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"),
+                    )
+                    new_cents = balance_centroids(
+                        fv, state["cents"], cap,
+                        rounds=rebalance_rounds, impl=impl,
+                    )
+                    if new_cents != state["cents"]:
+                        from dataprocessingframework_spark.sources.compact import (  # noqa: E501
+                            _table_location,
+                        )
+
+                        loc = (
+                            _table_location(spark, index_table)
+                            if index_path is not None
+                            else None
+                        )
+                        if index_pq:
+                            materialize_pq_index(
+                                fv, index_table, centroids=new_cents,
+                                impl=impl,
+                                num_buckets=index_num_buckets,
+                                path=loc, mode="overwrite",
+                            )
+                        else:
+                            materialize_ivf_index(
+                                fv, index_table, centroids=new_cents,
+                                impl=impl,
+                                num_buckets=index_num_buckets,
+                                path=loc, mode="overwrite",
+                                sq8=index_sq8,
+                            )
+                        state["cents"] = new_cents
+                        rebalanced = True
+            if rebalance_log is not None:
+                rebalance_log.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_rows": decision["n_rows"],
+                        "max_cell": decision["max_cell"],
+                        "imbalance": round(decision["imbalance"], 4),
+                        "triggered": decision["triggered"],
+                        "n_cells_before": n_before,
+                        "n_cells_after": len(state["cents"]),
+                        "rebalanced": rebalanced,
+                    }
+                )
 
     return _run_available_now(
         spark, src_dir, schema, checkpoint_dir, _process,

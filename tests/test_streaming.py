@@ -618,6 +618,104 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_incremental_semantic_ingest_auto_rebalance(spark, tmp_path):
+    """r13 (VERDICT r12 item 4): the opt-in auto-rebalance policy
+    closes the skew-repair loop. A planted drift wave (a tight
+    off-distribution cluster) piles into one quantizer cell; after
+    its append the trigger fires (imbalance over threshold AND a
+    cell over the cap), the quantizer is split mid-stream via
+    balance_centroids, and the index is rebuilt with the split list.
+    The NEXT wave must still be gated exactly: its accepted set must
+    equal the brute-force exact cosine gate's (scaled copies share
+    their source's argmax cell under ANY quantizer — direction-only
+    — so IVF probing provably sees them)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    w1 = rng.randn(120, dim)  # spread wave
+    b = rng.randn(dim)
+    w2 = 3.0 * b[None, :] + 0.1 * rng.randn(100, dim)  # drift cluster
+    w3_fresh = rng.randn(30, dim)
+
+    def df_of(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+            schema="vec_id long, embedding array<double>",
+        )
+
+    base = str(tmp_path / "reb")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    cents0 = _ivf_centroids(df_of(w1, 0), "vec_id", "embedding", 8, iters=0)
+    log: list = []
+
+    def run():
+        return incremental_semantic_ingest(
+            spark, src, "vec_id long, embedding array<double>",
+            corpus, ckpt, cents0,
+            threshold=0.95, n_probe=2, src_format="parquet",
+            impl="jvm",
+            index_table="t_sem_reb_idx", index_path=f"{base}/idx",
+            rebalance_on_imbalance=2.0, rebalance_cell_rows=40,
+            rebalance_rounds=4, rebalance_log=log,
+        )
+
+    try:
+        df_of(w1, 0).write.mode("append").parquet(src)
+        run()
+        assert log and not log[-1]["triggered"]  # wave 1 is balanced
+        assert log[-1]["n_cells_after"] == 8
+
+        df_of(w2, 1000).write.mode("append").parquet(src)
+        run()
+        drift = log[-1]
+        assert drift["triggered"] and drift["rebalanced"]
+        assert drift["max_cell"] >= 100  # the planted mega-cell
+        assert drift["n_cells_after"] > drift["n_cells_before"]
+        # the split quantizer is PERSISTED with the rebuilt index
+        n_cents = spark.table("t_sem_reb_idx_centroids").count()
+        assert n_cents == drift["n_cells_after"]
+        accepted_12 = read_corpus(spark, corpus)
+        assert accepted_12.count() == 220  # drift wave fully accepted
+
+        # wave 3 after the mid-stream rebalance: scaled copies of
+        # accepted rows (cos exactly 1 -> must drop) + fresh rows
+        copies = np.vstack([2.0 * w1[:15], 2.0 * w2[:15]])
+        w3 = np.vstack([copies, w3_fresh])
+        df_of(w3, 2000).write.mode("append").parquet(src)
+        run()
+        kept3 = {
+            r.vec_id
+            for r in read_corpus(spark, corpus).collect()
+            if r.vec_id >= 2000
+        }
+        # exact brute-force gate over the pre-wave-3 corpus
+        cmat = np.vstack([w1, w2])
+        cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        w3n = w3 / np.linalg.norm(w3, axis=1, keepdims=True)
+        exact_kept = {
+            2000 + i
+            for i in range(len(w3))
+            if float((w3n[i] @ cn.T).max()) < 0.95
+        }
+        assert kept3 == exact_kept
+        assert not (kept3 & set(range(2000, 2030)))  # all copies dropped
+
+        assert run() == 0  # replay-safe
+    finally:
+        for t in ("t_sem_reb_idx", "t_sem_reb_idx_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sq8_gate_pushdown_candidate_ids_equivalent(spark):
     """r11: pushdown_candidate_ids=True must return exactly the
     default path's kept set (it only narrows the recheck scan), and
