@@ -107,21 +107,88 @@ class DatasetReader:
     def _read_shard_tables(
         self, config: ShardsDatasetConfig | ShardedFilesDatasetConfig
     ) -> DataFrame:
-        glob = os.path.join(config.path, "*.csv")
         if config.metadata_format == "parquet":
             glob = os.path.join(config.path, "*.parquet")
             df = self.spark.read.parquet(glob)
+            # provenance column: shard id from source file name
+            # (`dataset_reader.py:125-130`)
+            df = df.withColumn(
+                SPLIT_COLUMN,
+                F.regexp_extract(
+                    F.input_file_name(), r"([^/]+)\.(csv|parquet)$", 1
+                ),
+            )
         else:
-            df = self.spark.read.options(header=True, inferSchema=True).csv(glob)
-        # provenance column: shard id from source file name
-        # (`dataset_reader.py:125-130`)
-        df = df.withColumn(
-            SPLIT_COLUMN,
-            F.regexp_extract(F.input_file_name(), r"([^/]+)\.(csv|parquet)$", 1),
-        )
+            # csv shards go through the DSv2 source (r13 — one shard
+            # pair per InputPartition, split_name partition pruning;
+            # see sources/shards_source.py). Schema comes from the
+            # legacy Spark csv inference pass so types match the
+            # pre-DSv2 rounds exactly; split_name is emitted by the
+            # source itself (one literal per partition — no
+            # input_file_name regex needed)
+            df = self._shards_v2(config.path, with_content=False)
         df = self._apply_renames(df, config.rename)
         self._check_required(df, config.required_columns)
         return df
+
+    def _shards_v2(
+        self,
+        path: str,
+        with_content: bool,
+        name_col: str = "name",
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Read csv(+tar) shards through the ``dpf_shards`` Python
+        DataSource with Spark-csv-inferred metadata types."""
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from dataprocessingframework_spark.sources.shards_source import (
+            register_shards_source,
+        )
+
+        register_shards_source(self.spark)
+        glob = os.path.join(path, "*.csv")
+        base = self.spark.read.options(
+            header=True, inferSchema=True
+        ).csv(glob)
+        fields = list(base.schema.fields)
+        fields.append(StructField(SPLIT_COLUMN, StringType()))
+        if with_content:
+            fields.append(StructField(content_col, BinaryType()))
+            fields.append(StructField("is_correct", BooleanType()))
+            fields.append(StructField("error", StringType()))
+        return (
+            self.spark.read.format("dpf_shards")
+            .schema(StructType(fields))
+            .option("name_col", name_col)
+            .option("content_col", content_col)
+            .option("content", "true" if with_content else "false")
+            .load(path)
+        )
+
+    def read_shards_with_bytes(
+        self, config: ShardsDatasetConfig, name_col: str = "name"
+    ) -> Dataset:
+        """S6 through the DSv2 source: metadata + tar-member bytes in
+        ONE scan with one-tar-per-partition planning — each task opens
+        its shard's archive exactly once (the reference's
+        `shards_dataset.py:86-131` worker-slicing locality, expressed
+        at the planner level instead of via repartition+mapInPandas).
+        Adds ``content``/``is_correct``/``error`` columns with the
+        same error-tolerant contract as ``media.load_shard_bytes``."""
+        self._check_pairing(config.path, f".{config.archive_ext}")
+        df = self._shards_v2(
+            config.path, with_content=True, name_col=name_col
+        )
+        df = self._apply_renames(df, config.rename)
+        self._check_required(df, config.required_columns)
+        return Dataset(df, config)
 
     @staticmethod
     def _apply_renames(df: DataFrame, rename: dict[str, str]) -> DataFrame:

@@ -1,0 +1,172 @@
+"""DSv2 shards source (r13 — VERDICT r12 item 5): one-tar-per-
+partition planning, split_name partition pruning, value parity with
+the mapInPandas path, and the error-tolerant member contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In
+
+from dataprocessingframework_spark.configs import ShardsDatasetConfig
+from dataprocessingframework_spark.sources.media import load_shard_bytes
+from dataprocessingframework_spark.sources.reader import DatasetReader
+from dataprocessingframework_spark.sources.shards_source import (
+    ShardsReader,
+    register_shards_source,
+)
+from dataprocessingframework_spark.sources.writers import write_shards
+
+
+@pytest.fixture()
+def shard_dir(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [
+            (f"img_{i:02d}.jpg", f'cap "q,\n{i}', i, bytes([i]) * 3)
+            for i in range(24)
+        ],
+        schema="name string, caption string, k int, content binary",
+    )
+    write_shards(
+        df, out, max_files_in_shard=6, media_col="content", name_col="name"
+    )
+    return out
+
+
+def test_one_shard_pair_per_partition(spark, shard_dir):
+    """The planning contract: partitions() returns exactly one
+    InputPartition per csv/tar pair, each carrying its own tar — the
+    reference's worker-slicing locality (shards_dataset.py:86-131)
+    expressed at the planner level. Observable end-to-end: the scan
+    RDD has #shards partitions, no repartition needed."""
+    n_shards = len([f for f in os.listdir(shard_dir) if f.endswith(".csv")])
+    assert n_shards == 4
+    ds = DatasetReader(spark).read_shards_with_bytes(
+        ShardsDatasetConfig(path=shard_dir)
+    )
+    reader = ShardsReader(ds.df.schema, {"path": shard_dir})
+    parts = reader.partitions()
+    assert len(parts) == n_shards
+    assert sorted(p.split_name for p in parts) == ["0", "1", "2", "3"]
+    assert all(p.tar_path and p.tar_path.endswith(".tar") for p in parts)
+    assert ds.df.rdd.getNumPartitions() == n_shards
+
+
+def test_pushdown_prunes_shard_pairs(spark, shard_dir):
+    """Plan test: an EqualTo/In predicate on split_name removes whole
+    shard pairs at planning (pruned shards' csv AND tar are never
+    opened); every filter is still returned to Spark for re-apply, so
+    the reader never becomes the predicate evaluator of record.
+    End-to-end the pruned scan runs with fewer RDD partitions."""
+    ds = DatasetReader(spark).read_shards_with_bytes(
+        ShardsDatasetConfig(path=shard_dir)
+    )
+    schema = ds.df.schema
+    r = ShardsReader(schema, {"path": shard_dir})
+    flt = [EqualTo(("split_name",), "2"), EqualTo(("k",), 7)]
+    returned = list(r.pushFilters(flt))
+    assert returned == flt  # conservative: Spark re-applies everything
+    assert [p.split_name for p in r.partitions()] == ["2"]
+
+    r2 = ShardsReader(schema, {"path": shard_dir})
+    r2.pushFilters([In(("split_name",), ("1", "3", "nope"))])
+    assert [p.split_name for p in r2.partitions()] == ["1", "3"]
+
+    # non-split_name filters never prune
+    r3 = ShardsReader(schema, {"path": shard_dir})
+    r3.pushFilters([EqualTo(("name",), "img_00.jpg")])
+    assert len(r3.partitions()) == 4
+
+    # end-to-end: the filtered scan plans 1 partition, values correct
+    one = ds.df.filter(F.col("split_name") == "2")
+    assert one.rdd.getNumPartitions() == 1
+    byo = {r.name for r in one.collect()}
+    full = {
+        r.name for r in ds.df.collect() if r.split_name == "2"
+    }
+    assert byo == full and byo
+    # fully-pruned scan yields zero rows (Spark's [None] sentinel)
+    assert ds.df.filter(F.col("split_name") == "nope").count() == 0
+
+
+def test_dsv2_matches_mapinpandas_path(spark, shard_dir):
+    """Value parity: read_shards_with_bytes (DSv2, one scan) returns
+    exactly what the legacy read_shards + load_shard_bytes composition
+    returns — metadata types included (the DSv2 path reuses the
+    Spark-csv-inferred schema), bytes included, adversarial captions
+    (embedded quote/comma/newline) included."""
+    rd = DatasetReader(spark)
+    v2 = rd.read_shards_with_bytes(ShardsDatasetConfig(path=shard_dir)).df
+    legacy_meta = rd.read_shards(
+        ShardsDatasetConfig(path=shard_dir, name_columns=["name"])
+    ).df
+    legacy = load_shard_bytes(legacy_meta, "name_tar_path", "name")
+    cols = ["name", "caption", "k", "split_name", "is_correct"]
+    a = {
+        tuple(r[c] for c in cols) + (bytes(r.content),)
+        for r in v2.collect()
+    }
+    b = {
+        tuple(r[c] for c in cols) + (bytes(r.content),)
+        for r in legacy.collect()
+    }
+    assert a == b and len(a) == 24
+    # metadata types match the legacy inference exactly
+    v2_meta_types = [
+        (f.name, f.dataType)
+        for f in v2.schema.fields
+        if f.name in ("name", "caption", "k")
+    ]
+    leg_types = [
+        (f.name, f.dataType)
+        for f in legacy_meta.schema.fields
+        if f.name in ("name", "caption", "k")
+    ]
+    assert v2_meta_types == leg_types
+
+
+def test_error_tolerant_member_contract(spark, tmp_path):
+    """A csv row whose member is absent from the tar yields
+    content=None / is_correct=False / error set — the reference's
+    return_none_on_error (shards_dataset.py:101-115) — instead of
+    failing the task."""
+    import tarfile
+
+    out = str(tmp_path / "bad")
+    os.makedirs(out)
+    with open(f"{out}/0.csv", "w") as f:
+        f.write("name,k\na.bin,1\nmissing.bin,2\n")
+    with tarfile.open(f"{out}/0.tar", "w") as tf:
+        import io
+
+        info = tarfile.TarInfo("a.bin")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"ok"))
+    ds = DatasetReader(spark).read_shards_with_bytes(
+        ShardsDatasetConfig(path=out)
+    )
+    rows = {r.name: r for r in ds.df.collect()}
+    assert rows["a.bin"].is_correct and bytes(rows["a.bin"].content) == b"ok"
+    bad = rows["missing.bin"]
+    assert not bad.is_correct and bad.content is None
+    assert "missing.bin" in bad.error
+
+
+def test_pairing_validation_and_registration_idempotent(spark, tmp_path):
+    """csv without a tar mate fails loudly in the content-reading
+    mode (dataset_reader.py:183-192 contract); re-registering the
+    source on a session that already has it is a no-op."""
+    out = str(tmp_path / "unpaired")
+    os.makedirs(out)
+    with open(f"{out}/0.csv", "w") as f:
+        f.write("name,k\na.bin,1\n")
+    register_shards_source(spark)
+    register_shards_source(spark)  # idempotent
+    with pytest.raises(Exception, match="without archive"):
+        DatasetReader(spark).read_shards_with_bytes(
+            ShardsDatasetConfig(path=out)
+        ).df.collect()
+    # metadata-only read of the same dir is fine (no pairing demand)
+    meta = DatasetReader(spark).read_metadata_shards(out)
+    assert meta.df.count() == 1
