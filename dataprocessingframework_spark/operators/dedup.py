@@ -202,9 +202,19 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket_size: int | None = 1000,
     bucket_key: str = "prefix64",
+    bucket_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: (id_a, id_b) with
     id_a < id_b that collide in >= 1 band.
+
+    ``bucket_stats``: pass a dict to receive the band-bucket census —
+    ``n_buckets`` (size >= 2), ``max_bucket``, ``n_oversized`` /
+    ``oversized_members`` (buckets past ``max_bucket_size``, i.e. the
+    star-collapse guard's trigger rate), and ``pairs_uncapped`` (the
+    s(s-1)/2 pair volume the guard WOULD have emitted) — the
+    diagnostic counterpart of connected_components_star's
+    ``round_stats`` (tools/lexical_soak.py). Costs one extra
+    aggregate job over the bucket pre-count; leave None in pipelines.
 
     ``bucket_key`` picks the band-bucket key representation:
     ``"prefix64"`` (default) keys every bucket shuffle/join on the
@@ -319,6 +329,28 @@ def minhash_lsh_candidates(
     ).select("_m", "bb.band", "bb.bucket")
     star_pairs = None
     grouped_src = buckets
+    if bucket_stats is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 2**62
+        census = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("_n").alias("max_bucket"),
+                F.sum(
+                    F.when(F.col("_n") > cap, 1).otherwise(0)
+                ).alias("n_oversized"),
+                F.sum(
+                    F.when(F.col("_n") > cap, F.col("_n")).otherwise(0)
+                ).alias("oversized_members"),
+                F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias(
+                    "pairs_uncapped"
+                ),
+            )
+            .collect()[0]
+        )
+        bucket_stats.update(census.asDict())
     if max_bucket_size is not None:
         # cheap pre-count pass (rows shrink to one per bucket via
         # map-side partial agg); oversized buckets' members then STREAM

@@ -10885,9 +10885,48 @@ _R12_WINDOW = [
     "a1_quartiles", "a_cube", "a_grouping_sets",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+
+# r13 driver window (rotation per VERDICT r12 item 1): positions 1-4
+# are this round's new/changed queries (emb_rebalance_policy — NEW
+# r13: the auto-rebalance trigger's deterministic decision arithmetic
+# FULL-oracled, VERDICT r12 item 4; d3_sample — oracle NEW r13: was
+# the last perpetual no-oracle row, now a partial verdict-boolean
+# oracle (subset anti-join + seeded-binomial count bounds + seed
+# determinism), VERDICT r12 item 2; emb_ivf_topk — oracle NEW r13:
+# recall@k-vs-exact >= threshold boolean, VERDICT r12 item 2;
+# stream_semantic_ingest — code path CHANGED r13: curation.py now
+# hosts the opt-in auto-rebalance policy, off by default but the
+# ingest loop was re-plumbed, so re-verify under the driver).
+# Positions 5-36 are the ENTIRE remaining 32-query r7-stale cohort
+# in registry order (d3_sample, the 33rd, already leads) — after
+# r13 nothing in the registry is staler than r8. Positions 37-50
+# are the oldest 14 of the 50-query r8 cohort in registry order
+# (d_hash_sample .. a_pivot; stream_semantic_ingest, also r8, is in
+# position 4). Rotation history in COVERAGE.md.
+_R13_WINDOW = [
+    "emb_rebalance_policy", "d3_sample", "emb_ivf_topk",
+    "stream_semantic_ingest",
+    "f_explode_wordcount", "f_date_extract", "f_histogram",
+    "h1_pricing_summary", "h3_top_orders", "h5_region_revenue",
+    "h6_forecast_revenue", "h7_nation_volume", "h13_count_distribution",
+    "h14_promo_revenue", "h15_top_supplier", "h18_large_orders",
+    "h19_disjunctive", "h22_idle_customers", "stream_sliding_window",
+    "tx_pii_scrub", "set_except_nonempty", "f8_json",
+    "f9_least_greatest", "f_date_trunc", "f_time_bucket",
+    "stream_tumbling_window", "v2_key_unique", "v3_referential",
+    "w1_roundtrip_shards", "w4_update_columns", "w5_rename_columns",
+    "w6_delete_columns", "tx_token_stats", "tx_quality", "tx_langid",
+    "tx_fingerprint",
+    "d_hash_sample", "w_jsonl_roundtrip", "h4_priority_exists",
+    "h10_returned_items", "h12_priority_by_status",
+    "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
+    "emb_label_centroids", "stream_interval_join", "w_convert_formats",
+    "a_approx_sketches", "ev_funnel", "a_pivot",
+]
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R12_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R12_WINDOW},
+    **{k: REGISTRY[k] for k in _R13_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R13_WINDOW},
 }
 
 

@@ -149,6 +149,39 @@ def test_lsh_star_collapse_preserves_clusters(spark):
     assert cc_full == cc_capped
 
 
+def test_lsh_bucket_stats_census(spark):
+    """The opt-in bucket_stats hook reports the guard's trigger rate
+    exactly: 8 identical docs -> one size-8 bucket per band, all 4
+    past cap=5, and the uncapped pair volume is 4 bands x C(8,2)."""
+    from dataprocessingframework_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = [(i, "common text shared by every doc") for i in range(8)]
+    rows += [(100, "unique alpha beta"), (200, "different gamma delta")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    stats: dict = {}
+    out = minhash_lsh_candidates(
+        docs, "text", "doc_id", 8, 4, max_bucket_size=5, bucket_stats=stats
+    )
+    assert out.count() == 7  # the star
+    assert stats["n_buckets"] == 4
+    assert stats["max_bucket"] == 8
+    assert stats["n_oversized"] == 4
+    assert stats["oversized_members"] == 32
+    assert stats["pairs_uncapped"] == 4 * (8 * 7 // 2)
+
+    # cap=None: census still reported, nothing oversized
+    stats2: dict = {}
+    minhash_lsh_candidates(
+        docs, "text", "doc_id", 8, 4, max_bucket_size=None,
+        bucket_stats=stats2,
+    ).count()
+    assert stats2["n_oversized"] == 0
+    assert stats2["pairs_uncapped"] == 4 * (8 * 7 // 2)
+
+
 def test_hamming_near_dup_exact_vs_bruteforce(spark):
     """Pigeonhole exactness: banded candidate generation + verify ==
     quadratic scan, on random 64-bit fingerprints with planted
