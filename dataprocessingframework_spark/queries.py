@@ -1212,6 +1212,52 @@ SQL_W1 = (
 )
 
 
+def q_w_shards_native_roundtrip(spark, sf_dir):
+    """Native DSv2 shards write+read round-trip (r13): documents ->
+    ``df.write.format("dpf_shards")`` (commit-protocol writer, rolled
+    shard pairs) -> ``spark.read.format("dpf_shards")`` -> aggregate.
+    The text column carries real quotes/commas/newlines, so identity
+    here pins the csv dialect through BOTH native paths; n_shards pins
+    the rolling arithmetic (count/max_files_in_shard, ceil)."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_native_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .mode("append")
+            .save(out)
+        )
+        back = spark.read.format("dpf_shards").load(out)
+        res = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("split_name").alias("n_shards"),
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_SHARDS_NATIVE = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards FROM documents"
+)
+
+
 def q_w5_rename(spark, sf_dir):
     return (
         D(spark, sf_dir, "orders")
@@ -10677,6 +10723,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "v2_key_unique": (q_v2_key_unique, SQL_V2),
     "v3_referential": (q_v3_referential, SQL_V3),
     "w1_roundtrip_shards": (q_w1_roundtrip, SQL_W1),
+    "w_shards_native_roundtrip": (
+        q_w_shards_native_roundtrip,
+        SQL_W_SHARDS_NATIVE,
+    ),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
     "w5_rename_columns": (q_w5_rename, SQL_W5),
     "w6_delete_columns": (q_w6_delete, SQL_W6),
@@ -10897,15 +10947,18 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # stream_semantic_ingest — code path CHANGED r13: curation.py now
 # hosts the opt-in auto-rebalance policy, off by default but the
 # ingest loop was re-plumbed, so re-verify under the driver).
-# Positions 5-36 are the ENTIRE remaining 32-query r7-stale cohort
+# w_shards_native_roundtrip — NEW r13: the DSv2 shards WRITE path
+# (commit-protocol writer) round-tripped through the DSv2 reader,
+# FULL oracle incl. the shard-rolling arithmetic.
+# Positions 6-37 are the ENTIRE remaining 32-query r7-stale cohort
 # in registry order (d3_sample, the 33rd, already leads) — after
-# r13 nothing in the registry is staler than r8. Positions 37-50
-# are the oldest 14 of the 50-query r8 cohort in registry order
-# (d_hash_sample .. a_pivot; stream_semantic_ingest, also r8, is in
-# position 4). Rotation history in COVERAGE.md.
+# r13 nothing in the registry is staler than r8. Positions 38-50
+# are the oldest 13 of the 50-query r8 cohort in registry order
+# (d_hash_sample .. ev_funnel; stream_semantic_ingest, also r8, is
+# in position 4). Rotation history in COVERAGE.md.
 _R13_WINDOW = [
     "emb_rebalance_policy", "d3_sample", "emb_ivf_topk",
-    "stream_semantic_ingest",
+    "stream_semantic_ingest", "w_shards_native_roundtrip",
     "f_explode_wordcount", "f_date_extract", "f_histogram",
     "h1_pricing_summary", "h3_top_orders", "h5_region_revenue",
     "h6_forecast_revenue", "h7_nation_volume", "h13_count_distribution",
@@ -10921,7 +10974,7 @@ _R13_WINDOW = [
     "h10_returned_items", "h12_priority_by_status",
     "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
     "emb_label_centroids", "stream_interval_join", "w_convert_formats",
-    "a_approx_sketches", "ev_funnel", "a_pivot",
+    "a_approx_sketches", "ev_funnel",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 REGISTRY = {

@@ -45,16 +45,19 @@ the task.
 
 from __future__ import annotations
 
+import io
 import os
 import tarfile
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -278,6 +281,204 @@ class ShardsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ShardsReader:
         return ShardsReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ShardsWriter":
+        return ShardsWriter(schema, dict(self.options), overwrite)
+
+
+@dataclass
+class ShardsCommitMessage(WriterCommitMessage):
+    """Per-task manifest: (partition_id, seq, tmp_csv, tmp_tar, rows)."""
+
+    shards: list
+
+
+class ShardsWriter(DataSourceArrowWriter):
+    """``df.write.format("dpf_shards")`` — commit-protocol-correct
+    shard writing.
+
+    The legacy ``writers.write_shards`` (mapInPandas) writes FINAL
+    file names directly from tasks: correct on a happy path, but a
+    speculative duplicate attempt can race the winner on the same
+    ``N.tar``, and a failed job leaves a partial dataset that a
+    subsequent shards scan happily reads. This writer speaks Spark's
+    commit protocol instead — the property that actually matters at
+    1000 executors where task retries and speculation are routine,
+    not exceptional:
+
+    - every task attempt writes ATTEMPT-UNIQUE temp names
+      (``.{job}-p{pid}-a{attempt}-s{seq}.csv.tmp`` — dot-prefixed and
+      ``.tmp``-suffixed, invisible to ``_list_shards``), so attempts
+      never collide and a half-written file can never shadow a shard;
+    - the driver's ``commit()`` runs only after EVERY task succeeded:
+      it orders the collected manifests by (partition, seq), assigns
+      the final contiguous shard numbers, and ``os.replace``s temps
+      into place (per-file atomic on posix; object stores swap in a
+      copy-manifest here) — losers of speculative races are swept, not
+      renamed, because only the winning attempt's manifest reaches
+      the driver;
+    - ``abort()`` deletes this job's temps, leaving a failed write
+      invisible.
+
+    ``mode("append")`` numbers new shards after the existing maximum
+    (the same immutable-shards divergence from the reference's
+    in-place last-shard fill as ``writers.write_shards``, see
+    ``_next_shard_index``); ``mode("overwrite")`` clears existing
+    shard pairs at commit time. Shard size: one shard pair per input
+    partition by default (repartition to choose), or roll within a
+    task every ``max_files_in_shard`` rows.
+
+    Column contract (mirrors the reader): ``content_col`` (binary)
+    streams into ``N.tar`` keyed by ``name_col``; every other column
+    except the derived ``split_name``/``is_correct``/``error`` lands
+    in ``N.csv``. Null content writes no tar member (re-reads as
+    ``is_correct=false``, the tolerant contract).
+    """
+
+    def __init__(
+        self, schema: StructType, options: dict, overwrite: bool
+    ) -> None:
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("dpf_shards requires a path")
+        self._path = path
+        self._overwrite = overwrite
+        self._name_col = options.get("name_col", "name")
+        self._content_col = options.get("content_col", "content")
+        self._archive_ext = options.get("archive_ext", "tar")
+        max_rows = int(options.get("max_files_in_shard", "0"))
+        self._max_rows = max_rows if max_rows > 0 else None
+        self._with_content = self._content_col in schema.fieldNames()
+        if self._with_content and self._name_col not in schema.fieldNames():
+            raise ValueError(
+                f"content column {self._content_col!r} requires member-name "
+                f"column {self._name_col!r}"
+            )
+        derived = {SPLIT_COLUMN, self._content_col, *_META_COLS}
+        self._meta_cols = [
+            f.name for f in schema.fields if f.name not in derived
+        ]
+        # driver-side job token: one namespace for every temp file this
+        # job writes, so commit/abort can sweep stragglers by prefix
+        self._token = uuid.uuid4().hex[:12]
+        os.makedirs(path, exist_ok=True)
+
+    # ---- executor side -------------------------------------------------
+    def write(self, iterator) -> ShardsCommitMessage:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        prefix = os.path.join(
+            self._path, f".{self._token}-p{pid:06d}-a{attempt}"
+        )
+        shards: list[tuple[int, int, str, str | None, int]] = []
+        frames: list[pd.DataFrame] = []
+        rows = 0
+        seq = 0
+        tar: tarfile.TarFile | None = None
+        tmp_tar: str | None = None
+
+        def roll() -> None:
+            nonlocal frames, rows, seq, tar, tmp_tar
+            if rows == 0:
+                return
+            if tar is not None:
+                tar.close()
+            tmp_csv = f"{prefix}-s{seq}.csv.tmp"
+            pd.concat(frames, ignore_index=True)[self._meta_cols].to_csv(
+                tmp_csv, index=False
+            )
+            shards.append((pid, seq, tmp_csv, tmp_tar, rows))
+            frames, rows, seq, tar, tmp_tar = [], 0, seq + 1, None, None
+
+        for batch in iterator:
+            pdf = batch.to_pandas()
+            while len(pdf) > 0:
+                take = len(pdf)
+                if self._max_rows is not None:
+                    take = min(take, self._max_rows - rows)
+                chunk, pdf = pdf.iloc[:take], pdf.iloc[take:]
+                if self._with_content:
+                    if tar is None:
+                        tmp_tar = f"{prefix}-s{seq}.{self._archive_ext}.tmp"
+                        tar = tarfile.open(tmp_tar, "w")
+                    for name, data in zip(
+                        chunk[self._name_col], chunk[self._content_col]
+                    ):
+                        if data is None:
+                            continue
+                        payload = bytes(data)
+                        info = tarfile.TarInfo(name=str(name))
+                        info.size = len(payload)
+                        info.mtime = 0
+                        tar.addfile(info, io.BytesIO(payload))
+                frames.append(chunk[self._meta_cols])
+                rows += len(chunk)
+                if self._max_rows is not None and rows >= self._max_rows:
+                    roll()
+        roll()
+        return ShardsCommitMessage(shards=shards)
+
+    # ---- driver side ---------------------------------------------------
+    def _sweep_temps(self) -> None:
+        for f in os.listdir(self._path):
+            if f.startswith(f".{self._token}-") and f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass
+
+    def commit(self, messages) -> None:
+        manifest = sorted(
+            entry
+            for m in messages
+            if m is not None
+            for entry in m.shards
+        )
+        if self._overwrite:
+            csvs, tars = _list_shards(self._path, self._archive_ext)
+            for stem in {*csvs, *tars}:
+                for ext in ("csv", self._archive_ext):
+                    try:
+                        os.remove(os.path.join(self._path, f"{stem}.{ext}"))
+                    except FileNotFoundError:
+                        pass
+            start = 0
+        else:
+            start = _next_shard_index_for(self._path)
+        for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
+            idx = start + i
+            if tmp_tar is not None:
+                os.replace(
+                    tmp_tar,
+                    os.path.join(
+                        self._path, f"{idx}.{self._archive_ext}"
+                    ),
+                )
+            os.replace(tmp_csv, os.path.join(self._path, f"{idx}.csv"))
+        # speculative losers' temps never reach a manifest — sweep them
+        self._sweep_temps()
+
+    def abort(self, messages) -> None:
+        self._sweep_temps()
+
+
+def _next_shard_index_for(out_dir: str) -> int:
+    """max(existing numeric shard stem) + 1 — append numbering (same
+    contract as writers._next_shard_index, local to avoid an import
+    cycle; cloudpickle ships this module by value, so driver-side
+    helpers must be self-contained too)."""
+    mx = -1
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            stem = f.split(".")[0]
+            if stem.isdigit():
+                mx = max(mx, int(stem))
+    return mx + 1
 
 
 def register_shards_source(spark) -> None:

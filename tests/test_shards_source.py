@@ -170,3 +170,129 @@ def test_pairing_validation_and_registration_idempotent(spark, tmp_path):
     # metadata-only read of the same dir is fine (no pairing demand)
     meta = DatasetReader(spark).read_metadata_shards(out)
     assert meta.df.count() == 1
+
+
+# --------------------------------------------------------------------------
+# write path (commit protocol)
+# --------------------------------------------------------------------------
+
+
+def _mk_media_df(spark, n=24):
+    return spark.createDataFrame(
+        [
+            (f"img_{i:02d}.jpg", f'cap "q,\n{i}', i, bytes([i]) * 3)
+            for i in range(n)
+        ],
+        schema="name string, caption string, k int, content binary",
+    )
+
+
+def test_dsv2_writer_roundtrip_with_rolling(spark, tmp_path):
+    """write.format('dpf_shards') -> numbered csv+tar pairs; a single
+    input partition rolls a new pair every max_files_in_shard rows;
+    re-reading through the SAME source returns the exact rows and
+    leaves no temp files behind."""
+    register_shards_source(spark)
+    out = str(tmp_path / "native")
+    df = _mk_media_df(spark).repartition(1)
+    (
+        df.write.format("dpf_shards")
+        .option("max_files_in_shard", "6")
+        .mode("append")
+        .save(out)
+    )
+    files = sorted(os.listdir(out))
+    assert files == sorted(
+        [f"{i}.csv" for i in range(4)] + [f"{i}.tar" for i in range(4)]
+    )
+    back = spark.read.format("dpf_shards").load(out)
+    assert back.rdd.getNumPartitions() == 4
+    got = {
+        r.name: (r.caption, r.k, bytes(r.content), r.is_correct)
+        for r in back.collect()
+    }
+    want = {
+        r.name: (r.caption, r.k, bytes(r.content), True)
+        for r in df.collect()
+    }
+    assert got == want
+
+
+def test_dsv2_writer_append_and_overwrite(spark, tmp_path):
+    """mode('append') numbers new shards after the existing maximum
+    (immutable existing shards); mode('overwrite') replaces the whole
+    dataset at commit time."""
+    register_shards_source(spark)
+    out = str(tmp_path / "modes")
+    base = _mk_media_df(spark, 12).repartition(1)
+    base.write.format("dpf_shards").option(
+        "max_files_in_shard", "6"
+    ).mode("append").save(out)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "0.csv", "1.csv",
+    ]
+    base.limit(6).repartition(1).write.format("dpf_shards").mode(
+        "append"
+    ).save(out)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "0.csv", "1.csv", "2.csv",
+    ]
+    assert spark.read.format("dpf_shards").load(out).count() == 18
+    small = _mk_media_df(spark, 5).repartition(1)
+    small.write.format("dpf_shards").mode("overwrite").save(out)
+    assert sorted(os.listdir(out)) == ["0.csv", "0.tar"]
+    assert spark.read.format("dpf_shards").load(out).count() == 5
+
+
+def test_dsv2_writer_csv_only_and_null_content(spark, tmp_path):
+    """No content column -> metadata-only csv shards, no archives;
+    a NULL content row writes no tar member and re-reads as
+    is_correct=false (the tolerant contract, symmetric with the
+    reader)."""
+    register_shards_source(spark)
+    meta_out = str(tmp_path / "metaonly")
+    meta = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], schema="id int, text string"
+    ).repartition(2)
+    meta.write.format("dpf_shards").mode("append").save(meta_out)
+    assert all(f.endswith(".csv") for f in os.listdir(meta_out))
+    assert (
+        spark.read.format("dpf_shards").load(meta_out).count() == 8
+    )
+
+    null_out = str(tmp_path / "nullcontent")
+    df = spark.createDataFrame(
+        [("a.bin", bytes([1])), ("b.bin", None)],
+        schema="name string, content binary",
+    ).repartition(1)
+    df.write.format("dpf_shards").mode("append").save(null_out)
+    rows = {
+        r.name: r
+        for r in spark.read.format("dpf_shards").load(null_out).collect()
+    }
+    assert rows["a.bin"].is_correct
+    assert not rows["b.bin"].is_correct and rows["b.bin"].content is None
+
+
+def test_dsv2_writer_failed_job_leaves_dataset_untouched(spark, tmp_path):
+    """The commit protocol's whole point: a job with a failing task
+    must leave NO final shard files and NO temps — and an existing
+    dataset untouched — because temps only become shards inside
+    commit(), which never runs."""
+    register_shards_source(spark)
+    out = str(tmp_path / "atomic")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(out)
+    before = sorted(os.listdir(out))
+
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def boom(name):
+        raise RuntimeError("planted failure")
+
+    bad = _mk_media_df(spark, 12).withColumn("name", boom("name"))
+    with pytest.raises(Exception, match="planted failure"):
+        bad.write.format("dpf_shards").mode("append").save(out)
+    assert sorted(os.listdir(out)) == before  # no temps, no new shards

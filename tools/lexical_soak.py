@@ -65,8 +65,8 @@ def plan_families(rows: int, seed: int = 13):
     rng = np.random.RandomState(seed)
     fam_of = np.full(rows, -1, dtype=np.int64)
     member_of = np.zeros(rows, dtype=np.int32)
-    sizes = [BOILERPLATE]
-    budget = max(0, int(rows * 0.04) - BOILERPLATE)
+    sizes = [min(BOILERPLATE, rows // 20)]
+    budget = int(rows * 0.04)  # near-dup families on top of the clique
     while budget > 2:
         s = min(2 + int(rng.zipf(2.0)), 64, budget)
         if s < 2:
