@@ -1258,6 +1258,67 @@ SQL_W_SHARDS_NATIVE = (
 )
 
 
+def q_stream_shards_sink(spark, sf_dir):
+    """Streaming shard sink (r13): documents as an availableNow stream
+    -> ``writeStream.format("dpf_shards")`` (per-batch commit markers,
+    replay-idempotent) -> re-read through the DSv2 reader, aggregate.
+    A SECOND availableNow run against the same checkpoint must append
+    nothing (n_after_rerun pins the exactly-once contract in the
+    oracle, not just in a test)."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    tag = uuid.uuid4().hex[:8]
+    out = f"/root/repo/.scratch/stream_shards_{tag}"
+    ckpt = f"/root/repo/.scratch/stream_shards_ckpt_{tag}"
+    stage_dir = f"/root/repo/.scratch/stream_shards_src_{tag}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        # stage a directory copy (readStream sources need a dir)
+        docs.write.mode("overwrite").parquet(stage_dir)
+
+        def run() -> None:
+            q = (
+                spark.readStream.schema(docs.schema)
+                .parquet(stage_dir)
+                .writeStream.format("dpf_shards")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()
+        n_first = spark.read.format("dpf_shards").load(out).count()
+        run()  # replay/no-new-data: the sink must not grow
+        back = spark.read.format("dpf_shards").load(out)
+        res = back.agg(
+            F.count(F.lit(1)).alias("n_after_rerun"),
+            F.lit(int(n_first)).alias("n_first"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+SQL_STREAM_SHARDS_SINK = (
+    "SELECT COUNT(*) AS n_after_rerun, COUNT(*) AS n_first, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents"
+)
+
+
 def q_w5_rename(spark, sf_dir):
     return (
         D(spark, sf_dir, "orders")
@@ -10727,6 +10788,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_w_shards_native_roundtrip,
         SQL_W_SHARDS_NATIVE,
     ),
+    "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
     "w5_rename_columns": (q_w5_rename, SQL_W5),
     "w6_delete_columns": (q_w6_delete, SQL_W6),
@@ -10949,16 +11011,19 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # ingest loop was re-plumbed, so re-verify under the driver).
 # w_shards_native_roundtrip — NEW r13: the DSv2 shards WRITE path
 # (commit-protocol writer) round-tripped through the DSv2 reader,
-# FULL oracle incl. the shard-rolling arithmetic.
-# Positions 6-37 are the ENTIRE remaining 32-query r7-stale cohort
+# FULL oracle incl. the shard-rolling arithmetic;
+# stream_shards_sink — NEW r13: the STREAMING shard sink, oracle pins
+# the exactly-once rerun (n_after_rerun == n_first == count).
+# Positions 7-38 are the ENTIRE remaining 32-query r7-stale cohort
 # in registry order (d3_sample, the 33rd, already leads) — after
-# r13 nothing in the registry is staler than r8. Positions 38-50
-# are the oldest 13 of the 50-query r8 cohort in registry order
-# (d_hash_sample .. ev_funnel; stream_semantic_ingest, also r8, is
-# in position 4). Rotation history in COVERAGE.md.
+# r13 nothing in the registry is staler than r8. Positions 39-50
+# are the oldest 12 of the 50-query r8 cohort in registry order
+# (d_hash_sample .. a_approx_sketches; stream_semantic_ingest, also
+# r8, is in position 4). Rotation history in COVERAGE.md.
 _R13_WINDOW = [
     "emb_rebalance_policy", "d3_sample", "emb_ivf_topk",
     "stream_semantic_ingest", "w_shards_native_roundtrip",
+    "stream_shards_sink",
     "f_explode_wordcount", "f_date_extract", "f_histogram",
     "h1_pricing_summary", "h3_top_orders", "h5_region_revenue",
     "h6_forecast_revenue", "h7_nation_volume", "h13_count_distribution",
@@ -10974,7 +11039,7 @@ _R13_WINDOW = [
     "h10_returned_items", "h12_priority_by_status",
     "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
     "emb_label_centroids", "stream_interval_join", "w_convert_formats",
-    "a_approx_sketches", "ev_funnel",
+    "a_approx_sketches",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 REGISTRY = {

@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     In,
     InputPartition,
@@ -285,6 +286,11 @@ class ShardsDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "ShardsWriter":
         return ShardsWriter(schema, dict(self.options), overwrite)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "ShardsStreamWriter":
+        return ShardsStreamWriter(schema, dict(self.options), overwrite)
+
 
 @dataclass
 class ShardsCommitMessage(WriterCommitMessage):
@@ -464,6 +470,52 @@ class ShardsWriter(DataSourceArrowWriter):
         self._sweep_temps()
 
     def abort(self, messages) -> None:
+        self._sweep_temps()
+
+
+_COMMITS_DIR = "_shards_commits"
+
+
+class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("dpf_shards")`` — a continuous shard
+    sink: each micro-batch lands as new numbered csv(+tar) pairs via
+    the same temp-then-rename protocol as the batch writer, plus a
+    per-batch commit marker (``_shards_commits/{batchId}``) that makes
+    REPLAYS no-ops: after a failure-restart Structured Streaming
+    re-runs the last uncommitted batch, whose re-written temps are
+    swept instead of renamed if the marker already exists — exactly-
+    once at the shard level, the same idempotence contract as
+    ``streaming/ingest.py``'s versioned-table sink.
+
+    Append-only (a shard dataset has no notion of replacing history
+    from a stream); numbering continues after existing shards, so a
+    sink dir is also a valid cold-start dataset. Micro-batches within
+    one query never overlap, so the job-token temp sweep in commit
+    cannot race a later batch's in-flight temps."""
+
+    def __init__(
+        self, schema: StructType, options: dict, overwrite: bool
+    ) -> None:
+        if overwrite:
+            raise ValueError(
+                "dpf_shards stream sink is append-only "
+                "(use outputMode('append'))"
+            )
+        super().__init__(schema, options, overwrite=False)
+        os.makedirs(os.path.join(self._path, _COMMITS_DIR), exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self._path, _COMMITS_DIR, str(batch_id))
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if os.path.exists(self._marker(batchId)):
+            self._sweep_temps()  # replayed batch: temps are duplicates
+            return
+        ShardsWriter.commit(self, messages)
+        with open(self._marker(batchId), "w") as f:
+            f.write("committed")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._sweep_temps()
 
 

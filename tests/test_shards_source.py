@@ -296,3 +296,83 @@ def test_dsv2_writer_failed_job_leaves_dataset_untouched(spark, tmp_path):
     with pytest.raises(Exception, match="planted failure"):
         bad.write.format("dpf_shards").mode("append").save(out)
     assert sorted(os.listdir(out)) == before  # no temps, no new shards
+
+
+def test_dsv2_stream_sink_end_to_end(spark, tmp_path):
+    """writeStream.format('dpf_shards'): each micro-batch lands as new
+    numbered shard pairs, a restart with no new data appends nothing,
+    and new data after a restart keeps numbering contiguous."""
+    register_shards_source(spark)
+    src = tmp_path / "src"
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = _mk_media_df(spark, 12)
+    base.filter("k < 6").repartition(1).write.parquet(f"{src}/a.parquet")
+    base.filter("k >= 6").repartition(1).write.parquet(f"{src}/b.parquet")
+
+    def run():
+        q = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+            .writeStream.format("dpf_shards")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert len(shards) >= 2  # one per micro-batch at least
+    markers = os.listdir(os.path.join(out, "_shards_commits"))
+    assert len(markers) == len(shards)
+    back = spark.read.format("dpf_shards").load(out)
+    got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
+    assert got == {r.name: (r.k, bytes(r.content)) for r in base.collect()}
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    run()  # no new source files: a no-op restart
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == shards
+
+    base.limit(3).repartition(1).write.parquet(f"{src}/c.parquet")
+    run()
+    after = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert len(after) == len(shards) + 1
+    assert spark.read.format("dpf_shards").load(out).count() == 15
+
+
+def test_dsv2_stream_sink_replayed_batch_is_noop(spark, tmp_path):
+    """The commit-marker contract directly: committing the same
+    batchId twice renames once — the replay's temps are swept, never
+    renamed, so failure-restart replays cannot duplicate shards."""
+    import pandas as pd
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        ShardsCommitMessage,
+        ShardsStreamWriter,
+    )
+    from pyspark.sql.types import StructType
+
+    out = str(tmp_path / "replay")
+    schema = StructType.fromDDL("id int, text string")
+    w = ShardsStreamWriter(schema, {"path": out}, overwrite=False)
+
+    def fake_task_output(tag):
+        tmp = os.path.join(out, f".{w._token}-p000000-a{tag}-s0.csv.tmp")
+        pd.DataFrame({"id": [1], "text": [tag]}).to_csv(tmp, index=False)
+        return ShardsCommitMessage(shards=[(0, 0, tmp, None, 1)])
+
+    w.commit([fake_task_output("first")], batchId=0)
+    assert sorted(os.listdir(out)) == ["0.csv", "_shards_commits"]
+    w.commit([fake_task_output("replay")], batchId=0)  # replayed batch
+    assert sorted(os.listdir(out)) == ["0.csv", "_shards_commits"]
+    with open(os.path.join(out, "0.csv")) as f:
+        assert "first" in f.read()  # the original commit won
+    w.commit([fake_task_output("next")], batchId=1)
+    assert sorted(os.listdir(out)) == ["0.csv", "1.csv", "_shards_commits"]
+
+    with pytest.raises(ValueError, match="append-only"):
+        ShardsStreamWriter(schema, {"path": out}, overwrite=True)
