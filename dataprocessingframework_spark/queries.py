@@ -1319,6 +1319,64 @@ SQL_STREAM_SHARDS_SINK = (
 )
 
 
+def q_w_shards_compact(spark, sf_dir):
+    """Shard compaction (r13): documents written as a deliberately
+    tiny-sharded dataset (50 rows/pair — the streaming sink's
+    small-files tail), then ``compact_shards`` merges the undersized
+    pairs into ceil(n/200) right-sized ones behind its two-phase
+    manifest commit. The oracle pins the WHOLE compaction arithmetic
+    (retired count, new count, rows moved) plus content identity
+    after the rewrite."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        compact_shards,
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_compact_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "50")
+            .mode("append")
+            .save(out)
+        )
+        res = compact_shards(
+            spark, out, max_files_in_shard=200, min_rows=60
+        )
+        back = spark.read.format("dpf_shards").load(out)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("split_name").alias("n_shards_after"),
+        ).withColumns(
+            {
+                "n_retired": F.lit(len(res["retired"])).cast("long"),
+                "n_new": F.lit(len(res["new"])).cast("long"),
+                "rows_moved": F.lit(res["rows"]).cast("long"),
+            }
+        )
+        agg = agg.cache()
+        agg.count()
+        return agg
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_SHARDS_COMPACT = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards_after, "
+    "CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS n_retired, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_new, "
+    "COUNT(*) AS rows_moved FROM documents"
+)
+
+
 def q_w5_rename(spark, sf_dir):
     return (
         D(spark, sf_dir, "orders")
@@ -10789,6 +10847,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         SQL_W_SHARDS_NATIVE,
     ),
     "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
+    "w_shards_compact": (q_w_shards_compact, SQL_W_SHARDS_COMPACT),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
     "w5_rename_columns": (q_w5_rename, SQL_W5),
     "w6_delete_columns": (q_w6_delete, SQL_W6),
@@ -11013,17 +11072,19 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # (commit-protocol writer) round-tripped through the DSv2 reader,
 # FULL oracle incl. the shard-rolling arithmetic;
 # stream_shards_sink — NEW r13: the STREAMING shard sink, oracle pins
-# the exactly-once rerun (n_after_rerun == n_first == count).
-# Positions 7-38 are the ENTIRE remaining 32-query r7-stale cohort
+# the exactly-once rerun (n_after_rerun == n_first == count);
+# w_shards_compact — NEW r13: two-phase manifest-committed shard
+# compaction, oracle pins the whole retire/rewrite arithmetic.
+# Positions 8-39 are the ENTIRE remaining 32-query r7-stale cohort
 # in registry order (d3_sample, the 33rd, already leads) — after
-# r13 nothing in the registry is staler than r8. Positions 39-50
-# are the oldest 12 of the 50-query r8 cohort in registry order
-# (d_hash_sample .. a_approx_sketches; stream_semantic_ingest, also
+# r13 nothing in the registry is staler than r8. Positions 40-50
+# are the oldest 11 of the 50-query r8 cohort in registry order
+# (d_hash_sample .. w_convert_formats; stream_semantic_ingest, also
 # r8, is in position 4). Rotation history in COVERAGE.md.
 _R13_WINDOW = [
     "emb_rebalance_policy", "d3_sample", "emb_ivf_topk",
     "stream_semantic_ingest", "w_shards_native_roundtrip",
-    "stream_shards_sink",
+    "stream_shards_sink", "w_shards_compact",
     "f_explode_wordcount", "f_date_extract", "f_histogram",
     "h1_pricing_summary", "h3_top_orders", "h5_region_revenue",
     "h6_forecast_revenue", "h7_nation_volume", "h13_count_distribution",
@@ -11039,7 +11100,6 @@ _R13_WINDOW = [
     "h10_returned_items", "h12_priority_by_status",
     "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
     "emb_label_centroids", "stream_interval_join", "w_convert_formats",
-    "a_approx_sketches",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 REGISTRY = {

@@ -81,6 +81,32 @@ class ShardPartition(InputPartition):
     tar_path: str | None
 
 
+_COMPACTION_MANIFEST = "_compaction.json"
+
+
+def _read_compaction_manifest(path: str) -> dict | None:
+    import json
+
+    mpath = os.path.join(path, _COMPACTION_MANIFEST)
+    try:
+        with open(mpath) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_compaction_manifest(path: str, manifest: dict) -> None:
+    """Single-file atomic replace — THE reader-visible commit point of
+    a compaction (posix rename; object stores swap a pointer here)."""
+    import json
+
+    mpath = os.path.join(path, _COMPACTION_MANIFEST)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+
+
 def _list_shards(path: str, archive_ext: str) -> tuple[list[str], set[str]]:
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
@@ -91,6 +117,14 @@ def _list_shards(path: str, archive_ext: str) -> tuple[list[str], set[str]]:
         for n in names
         if n.endswith(f".{archive_ext}")
     }
+    # a DONE compaction manifest retires shards logically before their
+    # files are garbage-collected: readers exclude them even if the
+    # collector hasn't run (crash-healable; see compact_shards)
+    manifest = _read_compaction_manifest(path)
+    if manifest is not None and manifest.get("state") == "done":
+        retired = set(manifest.get("retired", []))
+        csvs = [s for s in csvs if s not in retired]
+        tars = {s for s in tars if s not in retired}
     return csvs, tars
 
 
@@ -517,6 +551,135 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._sweep_temps()
+
+
+def _delete_stems(path: str, stems, archive_ext: str) -> None:
+    for stem in stems:
+        for ext in ("csv", archive_ext):
+            try:
+                os.remove(os.path.join(path, f"{stem}.{ext}"))
+            except FileNotFoundError:
+                pass
+
+
+def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
+    """Complete or roll back an interrupted compact_shards run.
+
+    Returns the healed state ('done' → completed the garbage
+    collection, 'compacting' → rolled back the orphaned new shards)
+    or None when there was nothing to heal. Safe to call any time —
+    compact_shards calls it first, and readers never needed it (the
+    manifest's state field already gives them a consistent view)."""
+    manifest = _read_compaction_manifest(path)
+    if manifest is None:
+        return None
+    state = manifest.get("state")
+    if state == "done":
+        # flip committed: retired shards are already invisible to
+        # readers; finish deleting their files and clear the manifest
+        _delete_stems(path, manifest.get("retired", []), archive_ext)
+    else:
+        # flip never happened: the retired shards are still live, so
+        # any already-written new shards are DUPLICATES — delete them,
+        # restoring the exact pre-compaction dataset
+        _delete_stems(path, manifest.get("pending", []), archive_ext)
+    os.remove(os.path.join(path, _COMPACTION_MANIFEST))
+    return state
+
+
+def compact_shards(
+    spark,
+    path: str,
+    max_files_in_shard: int = 1000,
+    min_rows: int | None = None,
+    archive_ext: str = "tar",
+) -> dict:
+    """Merge undersized shard pairs into right-sized ones — the
+    janitor for the streaming sink's long tail (every micro-batch
+    appends its own shards, so a low-rate stream accumulates many
+    tiny csv+tar pairs: the classic small-files problem).
+
+    Two-phase, crash-healable, single-writer:
+
+    1. *Intent*: a ``_compaction.json`` manifest with
+       ``state=compacting`` records the shards to retire and the
+       exact new shard numbers about to be written. Readers ignore a
+       compacting manifest — the dataset is unchanged.
+    2. The retired shards' rows are re-read through the DSv2 source
+       (``split_name IN`` pushdown prunes every right-sized shard
+       from the scan) and appended as ``ceil(rows/max)`` new pairs by
+       the commit-protocol writer.
+    3. *Commit*: the manifest atomically flips to ``state=done`` —
+       from this single rename on, readers exclude the retired stems
+       (``_list_shards``) even though their files still exist.
+    4. Garbage collection: retired files deleted, manifest removed.
+
+    A crash in 1-2 heals by deleting the orphaned new shards (the
+    flip never happened, so the old shards were always live — no
+    loss, no duplicates); a crash in 3-4 heals by finishing the
+    deletes. The only reader-visible anomaly is duplicates in the
+    instants between the writer's commit and the flip — milliseconds,
+    and healed by the next ``heal_compaction``/``compact_shards``.
+    Concurrent writers are not supported during a compaction (the
+    usual single-janitor assumption).
+
+    Returns ``{"retired": [...], "new": [...], "rows": n}``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    register_shards_source(spark)
+    heal_compaction(path, archive_ext)
+    if min_rows is None:
+        min_rows = max_files_in_shard // 2
+    csvs, tars = _list_shards(path, archive_ext)
+    meta = (
+        spark.read.format("dpf_shards")
+        .option("path", path)
+        .option("content", "false")
+        .option("archive_ext", archive_ext)
+        .load()
+    )
+    census = {
+        r["split_name"]: r["n"]
+        for r in meta.groupBy(SPLIT_COLUMN)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    smalls = sorted(s for s, n in census.items() if n < min_rows)
+    if len(smalls) < 2:
+        return {"retired": [], "new": [], "rows": 0}
+    total = sum(census[s] for s in smalls)
+    n_new = max(1, math.ceil(total / max_files_in_shard))
+    start = _next_shard_index_for(path)
+    pending = [str(start + i) for i in range(n_new)]
+    _write_compaction_manifest(
+        path,
+        {"state": "compacting", "retired": smalls, "pending": pending},
+    )
+    with_content = bool(tars)
+    src = (
+        spark.read.format("dpf_shards")
+        .option("path", path)
+        .option("content", "true" if with_content else "false")
+        .option("archive_ext", archive_ext)
+        .load()
+        .where(F.col(SPLIT_COLUMN).isin(smalls))
+    )
+    # one shard pair per partition (no in-task rolling), so the new
+    # shard numbers are exactly the manifest's pending list
+    (
+        src.repartition(n_new)
+        .write.format("dpf_shards")
+        .option("archive_ext", archive_ext)
+        .mode("append")
+        .save(path)
+    )
+    _write_compaction_manifest(path, {"state": "done", "retired": smalls})
+    _delete_stems(path, smalls, archive_ext)
+    os.remove(os.path.join(path, _COMPACTION_MANIFEST))
+    return {"retired": smalls, "new": pending, "rows": total}
 
 
 def _next_shard_index_for(out_dir: str) -> int:

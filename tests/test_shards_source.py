@@ -376,3 +376,121 @@ def test_dsv2_stream_sink_replayed_batch_is_noop(spark, tmp_path):
 
     with pytest.raises(ValueError, match="append-only"):
         ShardsStreamWriter(schema, {"path": out}, overwrite=True)
+
+
+# --------------------------------------------------------------------------
+# compaction (the streaming sink's small-files janitor)
+# --------------------------------------------------------------------------
+
+
+def test_compact_shards_merges_small_tail(spark, tmp_path):
+    """Six tiny shard pairs (a low-rate stream's accumulation) merge
+    into ceil(24/12)=2 right-sized pairs: same rows and content, the
+    retired files and the manifest are gone."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        compact_shards,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "tail")
+    df = _mk_media_df(spark, 24)
+    for lo in range(0, 24, 4):  # six 4-row appends, like micro-batches
+        df.filter(f"k >= {lo} and k < {lo + 4}").repartition(1).write.format(
+            "dpf_shards"
+        ).mode("append").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".csv")]) == 6
+
+    res = compact_shards(spark, out, max_files_in_shard=12)
+    assert res["retired"] == [str(i) for i in range(6)]
+    assert res["new"] == ["6", "7"] and res["rows"] == 24
+    assert sorted(os.listdir(out)) == ["6.csv", "6.tar", "7.csv", "7.tar"]
+    back = spark.read.format("dpf_shards").load(out)
+    got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
+    assert got == {r.name: (r.k, bytes(r.content)) for r in df.collect()}
+
+    # already compact: a second run is a no-op
+    assert compact_shards(spark, out, max_files_in_shard=12) == {
+        "retired": [], "new": [], "rows": 0,
+    }
+
+
+def test_compact_shards_leaves_right_sized_shards_alone(spark, tmp_path):
+    """Only the undersized tail is rewritten — the big shard's files
+    are untouched (same stem), which is what bounds compaction cost by
+    the tail, not the dataset."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        compact_shards,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "mixed")
+    df = _mk_media_df(spark, 30)
+    df.filter("k < 20").repartition(1).write.format("dpf_shards").mode(
+        "append"
+    ).save(out)  # shard 0: 20 rows (right-sized)
+    for lo in (20, 25):
+        df.filter(f"k >= {lo} and k < {lo + 5}").repartition(1).write.format(
+            "dpf_shards"
+        ).mode("append").save(out)  # shards 1, 2: 5 rows each
+    mtime0 = os.path.getmtime(f"{out}/0.csv")
+    res = compact_shards(spark, out, max_files_in_shard=20, min_rows=10)
+    assert res["retired"] == ["1", "2"] and res["new"] == ["3"]
+    assert os.path.getmtime(f"{out}/0.csv") == mtime0
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "0.csv", "3.csv",
+    ]
+    assert spark.read.format("dpf_shards").load(out).count() == 30
+
+
+def test_compaction_heal_rollback_and_complete(spark, tmp_path):
+    """Crash healing on both sides of the manifest flip: a
+    'compacting' manifest rolls back orphaned new shards (old shards
+    were always live — no loss, no dupes); a 'done' manifest already
+    hides the retired stems from readers, and heal finishes the
+    deletes."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        _COMPACTION_MANIFEST,
+        heal_compaction,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "heal")
+    df = _mk_media_df(spark, 8)
+    for lo in (0, 4):
+        df.filter(f"k >= {lo} and k < {lo + 4}").repartition(1).write.format(
+            "dpf_shards"
+        ).mode("append").save(out)
+
+    # crash before the flip: an orphan new shard (2) exists alongside
+    # the still-live originals
+    import shutil
+
+    shutil.copy(f"{out}/0.csv", f"{out}/2.csv")
+    shutil.copy(f"{out}/0.tar", f"{out}/2.tar")
+    with open(os.path.join(out, _COMPACTION_MANIFEST), "w") as f:
+        json.dump(
+            {"state": "compacting", "retired": ["0", "1"], "pending": ["2"]},
+            f,
+        )
+    # readers see the PRE-compaction dataset plus the orphan is the
+    # only anomaly a compacting manifest allows; heal removes it
+    assert heal_compaction(out) == "compacting"
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "0.csv", "1.csv",
+    ]
+    assert spark.read.format("dpf_shards").load(out).count() == 8
+
+    # crash after the flip: retired files still on disk must already
+    # be invisible to readers; heal garbage-collects them
+    shutil.copy(f"{out}/0.csv", f"{out}/9.csv")  # stand-in "new" shard
+    shutil.copy(f"{out}/0.tar", f"{out}/9.tar")
+    with open(os.path.join(out, _COMPACTION_MANIFEST), "w") as f:
+        json.dump({"state": "done", "retired": ["0", "1"]}, f)
+    assert spark.read.format("dpf_shards").load(out).count() == 4  # 9 only
+    assert heal_compaction(out) == "done"
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "9.csv",
+    ]
+    assert heal_compaction(out) is None
