@@ -210,11 +210,14 @@ def minhash_lsh_candidates(
     ``bucket_stats``: pass a dict to receive the band-bucket census —
     ``n_buckets`` (size >= 2), ``max_bucket``, ``n_oversized`` /
     ``oversized_members`` (buckets past ``max_bucket_size``, i.e. the
-    star-collapse guard's trigger rate), and ``pairs_uncapped`` (the
-    s(s-1)/2 pair volume the guard WOULD have emitted) — the
-    diagnostic counterpart of connected_components_star's
-    ``round_stats`` (tools/lexical_soak.py). Costs one extra
-    aggregate job over the bucket pre-count; leave None in pipelines.
+    star-collapse guard's trigger rate), ``pairs_uncapped`` (the full
+    s(s-1)/2 pair volume over ALL buckets), and ``pairs_oversized``
+    (that volume in oversized buckets only — the guard refused
+    ``pairs_oversized - (oversized_members - n_oversized)`` pairs,
+    keeping the s-1 star pairs per bucket) — the diagnostic
+    counterpart of connected_components_star's ``round_stats``
+    (tools/lexical_soak.py). Costs one extra aggregate job over the
+    bucket pre-count; leave None in pipelines.
 
     ``bucket_key`` picks the band-bucket key representation:
     ``"prefix64"`` (default) keys every bucket shuffle/join on the
@@ -337,16 +340,32 @@ def minhash_lsh_candidates(
             .filter(F.col("_n") >= 2)
             .agg(
                 F.count(F.lit(1)).alias("n_buckets"),
-                F.max("_n").alias("max_bucket"),
-                F.sum(
-                    F.when(F.col("_n") > cap, 1).otherwise(0)
+                F.coalesce(F.max("_n"), F.lit(0)).alias("max_bucket"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)),
+                    F.lit(0),
                 ).alias("n_oversized"),
-                F.sum(
-                    F.when(F.col("_n") > cap, F.col("_n")).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_n") > cap, F.col("_n")).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("oversized_members"),
-                F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias(
-                    "pairs_uncapped"
-                ),
+                F.coalesce(
+                    F.sum(F.col("_n") * (F.col("_n") - 1) / 2), F.lit(0.0)
+                ).alias("pairs_uncapped"),
+                # the clique volume living in OVERSIZED buckets only —
+                # what the star-collapse guard actually declines (minus
+                # the s-1 star pairs it still emits per bucket)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_n") > cap,
+                            F.col("_n") * (F.col("_n") - 1) / 2,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0.0),
+                ).alias("pairs_oversized"),
             )
             .collect()[0]
         )

@@ -137,6 +137,7 @@ class DatasetReader:
         with_content: bool,
         name_col: str = "name",
         content_col: str = "content",
+        archive_ext: str = "tar",
     ) -> DataFrame:
         """Read csv(+tar) shards through the ``dpf_shards`` Python
         DataSource with Spark-csv-inferred metadata types."""
@@ -169,6 +170,7 @@ class DatasetReader:
             .option("name_col", name_col)
             .option("content_col", content_col)
             .option("content", "true" if with_content else "false")
+            .option("archive_ext", archive_ext)
             .load(path)
         )
 
@@ -184,7 +186,10 @@ class DatasetReader:
         same error-tolerant contract as ``media.load_shard_bytes``."""
         self._check_pairing(config.path, f".{config.archive_ext}")
         df = self._shards_v2(
-            config.path, with_content=True, name_col=name_col
+            config.path,
+            with_content=True,
+            name_col=name_col,
+            archive_ext=config.archive_ext,
         )
         df = self._apply_renames(df, config.rename)
         self._check_required(df, config.required_columns)

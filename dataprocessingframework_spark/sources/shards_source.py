@@ -140,7 +140,13 @@ class ShardsReader(DataSourceReader):
         self._name_col = options.get("name_col", "name")
         self._content_col = options.get("content_col", "content")
         self._archive_ext = options.get("archive_ext", "tar")
-        self._with_content = self._content_col in schema.fieldNames()
+        # an explicit content='false' wins over the schema heuristic: a
+        # metadata-only csv is allowed to carry a column literally
+        # named 'content' without flipping the reader into tar mode
+        self._with_content = (
+            self._content_col in schema.fieldNames()
+            and options.get("content", "auto") != "false"
+        )
         csvs, tars = _list_shards(path, self._archive_ext)
         if self._with_content:
             # csv<->tar pairing contract (`dataset_reader.py:183-192`)
@@ -191,7 +197,12 @@ class ShardsReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        special = {SPLIT_COLUMN, self._content_col, *_META_COLS}
+        # in metadata-only mode nothing but split_name is derived —
+        # csv columns named 'content'/'is_correct'/'error' read as the
+        # plain metadata they are
+        special = {SPLIT_COLUMN}
+        if self._with_content:
+            special |= {self._content_col, *_META_COLS}
         meta_fields = [
             f for f in self._schema.fields if f.name not in special
         ]
@@ -360,6 +371,13 @@ class ShardsWriter(DataSourceArrowWriter):
     - ``abort()`` deletes this job's temps, leaving a failed write
       invisible.
 
+    Caveat (batch mode): a DRIVER crash mid-``commit()`` can leave a
+    partially-renamed dataset — the inherent posix multi-file-rename
+    limit (Hadoop committers have the same window). Callers needing
+    dataset-level atomicity wrap the write in ``writers.
+    atomic_publish``; the STREAMING sink closes the window itself with
+    its per-batch write-ahead marker (see ``ShardsStreamWriter``).
+
     ``mode("append")`` numbers new shards after the existing maximum
     (the same immutable-shards divergence from the reference's
     in-place last-shard fill as ``writers.write_shards``, see
@@ -480,13 +498,18 @@ class ShardsWriter(DataSourceArrowWriter):
             for entry in m.shards
         )
         if self._overwrite:
-            csvs, tars = _list_shards(self._path, self._archive_ext)
-            for stem in {*csvs, *tars}:
-                for ext in ("csv", self._archive_ext):
-                    try:
-                        os.remove(os.path.join(self._path, f"{stem}.{ext}"))
-                    except FileNotFoundError:
-                        pass
+            # RAW listing, not _list_shards: a leftover done-state
+            # compaction manifest hides retired stems from readers, but
+            # overwrite replaces the dataset wholesale — retired FILES
+            # must go too, and the manifest with them (otherwise fresh
+            # shards that reuse a retired number stay invisible)
+            heal_compaction(self._path, self._archive_ext)
+            stems = {
+                f.split(".")[0]
+                for f in os.listdir(self._path)
+                if f.endswith(".csv") or f.endswith(f".{self._archive_ext}")
+            }
+            _delete_stems(self._path, stems, self._archive_ext)
             start = 0
         else:
             start = _next_shard_index_for(self._path)
@@ -513,41 +536,114 @@ _COMMITS_DIR = "_shards_commits"
 class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("dpf_shards")`` — a continuous shard
     sink: each micro-batch lands as new numbered csv(+tar) pairs via
-    the same temp-then-rename protocol as the batch writer, plus a
-    per-batch commit marker (``_shards_commits/{batchId}``) that makes
-    REPLAYS no-ops: after a failure-restart Structured Streaming
-    re-runs the last uncommitted batch, whose re-written temps are
-    swept instead of renamed if the marker already exists — exactly-
-    once at the shard level, the same idempotence contract as
-    ``streaming/ingest.py``'s versioned-table sink.
+    the same attempt-unique temps as the batch writer, made EXACTLY-
+    ONCE across failure-restarts by a per-batch write-ahead marker:
+
+    - markers live under ``_shards_commits/{checkpoint-ns}/{batchId}``
+      where the namespace is derived from the query's
+      ``checkpointLocation`` — two different queries (or one restarted
+      with a fresh checkpoint, whose batchIds restart at 0) can share
+      a sink dir without one query's markers silently swallowing the
+      other's batches;
+    - ``commit()`` first persists the FULL tmp→final rename plan in
+      the marker (``state=renaming``, one atomic file replace), then
+      executes the renames, then flips the marker to ``done``. A
+      replayed batchId therefore either (a) finds ``done`` and sweeps
+      its duplicate temps, or (b) finds ``renaming`` and COMPLETES the
+      recorded plan — the crashed attempt's surviving temps are
+      renamed to their planned names, never re-planned — so a driver
+      crash at ANY point (before the marker, mid-renames, before the
+      flip) replays to exactly one copy of the batch;
+    - temps from a crashed attempt that never reached a marker are
+      garbage (their batch will be fully re-written) and every commit
+      sweeps ALL ``.tmp`` files — single writer per dataset dir, the
+      same janitor assumption as compact_shards.
 
     Append-only (a shard dataset has no notion of replacing history
     from a stream); numbering continues after existing shards, so a
-    sink dir is also a valid cold-start dataset. Micro-batches within
-    one query never overlap, so the job-token temp sweep in commit
-    cannot race a later batch's in-flight temps."""
+    sink dir is also a valid cold-start dataset."""
 
     def __init__(
         self, schema: StructType, options: dict, overwrite: bool
     ) -> None:
+        import hashlib
+
         if overwrite:
             raise ValueError(
                 "dpf_shards stream sink is append-only "
                 "(use outputMode('append'))"
             )
         super().__init__(schema, options, overwrite=False)
-        os.makedirs(os.path.join(self._path, _COMMITS_DIR), exist_ok=True)
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        ns = (
+            hashlib.md5(ckpt.encode()).hexdigest()[:12]
+            if ckpt
+            else "default"
+        )
+        self._commits = os.path.join(self._path, _COMMITS_DIR, ns)
+        os.makedirs(self._commits, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self._path, _COMMITS_DIR, str(batch_id))
+        return os.path.join(self._commits, str(batch_id))
+
+    def _sweep_all_temps(self) -> None:
+        for f in os.listdir(self._path):
+            if f.startswith(".") and f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass
+
+    @staticmethod
+    def _write_marker(marker_path: str, payload: dict) -> None:
+        import json
+
+        tmp = marker_path + ".wip"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, marker_path)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
-        if os.path.exists(self._marker(batchId)):
-            self._sweep_temps()  # replayed batch: temps are duplicates
+        import json
+
+        marker = self._marker(batchId)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                state = json.load(f)
+            if state.get("state") == "renaming":
+                # crashed mid-commit: complete the recorded plan —
+                # the crashed attempt's surviving temps take their
+                # planned names; already-renamed entries no-op
+                for tmp, final in state["map"].items():
+                    if os.path.exists(tmp):
+                        os.replace(tmp, final)
+                self._write_marker(marker, {"state": "done"})
+            self._sweep_all_temps()  # this replay's temps are duplicates
             return
-        ShardsWriter.commit(self, messages)
-        with open(self._marker(batchId), "w") as f:
-            f.write("committed")
+        manifest = sorted(
+            entry
+            for m in messages
+            if m is not None
+            for entry in m.shards
+        )
+        start = _next_shard_index_for(self._path)
+        mapping: dict[str, str] = {}
+        for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
+            idx = start + i
+            if tmp_tar is not None:
+                mapping[tmp_tar] = os.path.join(
+                    self._path, f"{idx}.{self._archive_ext}"
+                )
+            mapping[tmp_csv] = os.path.join(self._path, f"{idx}.csv")
+        self._write_marker(
+            marker, {"state": "renaming", "map": mapping}
+        )
+        for tmp, final in mapping.items():
+            os.replace(tmp, final)
+        self._write_marker(marker, {"state": "done"})
+        self._sweep_all_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._sweep_temps()

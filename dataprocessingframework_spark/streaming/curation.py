@@ -635,7 +635,20 @@ def incremental_semantic_ingest(
             )
             n_before = len(state["cents"])
             rebalanced = False
-            if decision["triggered"]:
+            # cooldown: if a triggered attempt changed nothing (the hot
+            # cells were unsplittable — e.g. a pile of byte-identical
+            # vectors), don't re-run the whole-corpus balance job every
+            # micro-batch; retry only once the corpus has grown enough
+            # (>=10%) that new mass could make the split succeed —
+            # the stream-level mirror of balance_centroids' own
+            # lineage-based unsplittable retry
+            stale_at = state.get("rebalance_stale_at")
+            cooling = (
+                decision["triggered"]
+                and stale_at is not None
+                and decision["n_rows"] <= 1.1 * stale_at
+            )
+            if decision["triggered"] and not cooling:
                 # repair at the source: split the quantizer over the
                 # WHOLE accepted corpus, then rebuild the index
                 # bootstrap-shaped with the split list so batch
@@ -677,6 +690,10 @@ def incremental_semantic_ingest(
                             )
                         state["cents"] = new_cents
                         rebalanced = True
+                if rebalanced:
+                    state["rebalance_stale_at"] = None
+                else:
+                    state["rebalance_stale_at"] = decision["n_rows"]
             if rebalance_log is not None:
                 rebalance_log.append(
                     {
@@ -688,6 +705,7 @@ def incremental_semantic_ingest(
                         "n_cells_before": n_before,
                         "n_cells_after": len(state["cents"]),
                         "rebalanced": rebalanced,
+                        "skipped_cooldown": cooling,
                     }
                 )
 

@@ -171,6 +171,7 @@ def test_lsh_bucket_stats_census(spark):
     assert stats["n_oversized"] == 4
     assert stats["oversized_members"] == 32
     assert stats["pairs_uncapped"] == 4 * (8 * 7 // 2)
+    assert stats["pairs_oversized"] == 4 * (8 * 7 // 2)  # all oversized
 
     # cap=None: census still reported, nothing oversized
     stats2: dict = {}
@@ -180,6 +181,23 @@ def test_lsh_bucket_stats_census(spark):
     ).count()
     assert stats2["n_oversized"] == 0
     assert stats2["pairs_uncapped"] == 4 * (8 * 7 // 2)
+    assert stats2["pairs_oversized"] == 0
+
+    # no collisions at all: every census field is 0, never None
+    lone = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        schema="doc_id long, text string",
+    )
+    stats3: dict = {}
+    minhash_lsh_candidates(
+        lone, "text", "doc_id", 8, 4, max_bucket_size=5,
+        bucket_stats=stats3,
+    ).count()
+    assert stats3 == {
+        "n_buckets": 0, "max_bucket": 0, "n_oversized": 0,
+        "oversized_members": 0, "pairs_uncapped": 0.0,
+        "pairs_oversized": 0.0,
+    }
 
 
 def test_hamming_near_dup_exact_vs_bruteforce(spark):

@@ -327,7 +327,9 @@ def test_dsv2_stream_sink_end_to_end(spark, tmp_path):
     run()
     shards = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
     assert len(shards) >= 2  # one per micro-batch at least
-    markers = os.listdir(os.path.join(out, "_shards_commits"))
+    # markers are namespaced by checkpoint (one ns dir for this query)
+    (ns,) = os.listdir(os.path.join(out, "_shards_commits"))
+    markers = os.listdir(os.path.join(out, "_shards_commits", ns))
     assert len(markers) == len(shards)
     back = spark.read.format("dpf_shards").load(out)
     got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
@@ -373,6 +375,44 @@ def test_dsv2_stream_sink_replayed_batch_is_noop(spark, tmp_path):
         assert "first" in f.read()  # the original commit won
     w.commit([fake_task_output("next")], batchId=1)
     assert sorted(os.listdir(out)) == ["0.csv", "1.csv", "_shards_commits"]
+
+    # crash MID-COMMIT: the write-ahead marker recorded the rename
+    # plan but the renames never ran; the replay must COMPLETE the
+    # recorded plan (the crashed attempt's temps take their planned
+    # names) and sweep its own duplicate temps
+    import json
+
+    crashed = fake_task_output("crashed-attempt")
+    (_pid, _seq, tmp_csv, _tmp_tar, _rows) = crashed.shards[0]
+    w._write_marker(
+        w._marker(2),
+        {"state": "renaming", "map": {tmp_csv: os.path.join(out, "2.csv")}},
+    )
+    w.commit([fake_task_output("replay-of-2")], batchId=2)
+    assert sorted(os.listdir(out)) == [
+        "0.csv", "1.csv", "2.csv", "_shards_commits",
+    ]
+    with open(os.path.join(out, "2.csv")) as f:
+        assert "crashed-attempt" in f.read()  # the planned temps won
+    with open(w._marker(2)) as f:
+        assert json.load(f)["state"] == "done"
+
+    # a DIFFERENT query (new checkpoint) restarting batchIds at 0 must
+    # not be swallowed by the first query's batch-0 marker
+    w2 = ShardsStreamWriter(
+        schema, {"path": out, "checkpointlocation": "/ckpt/other"},
+        overwrite=False,
+    )
+    tmp2 = os.path.join(out, f".{w2._token}-p000000-aX-s0.csv.tmp")
+    pd.DataFrame({"id": [9], "text": ["other-query"]}).to_csv(
+        tmp2, index=False
+    )
+    w2.commit(
+        [ShardsCommitMessage(shards=[(0, 0, tmp2, None, 1)])], batchId=0
+    )
+    assert os.path.exists(os.path.join(out, "3.csv"))
+    with open(os.path.join(out, "3.csv")) as f:
+        assert "other-query" in f.read()
 
     with pytest.raises(ValueError, match="append-only"):
         ShardsStreamWriter(schema, {"path": out}, overwrite=True)
@@ -494,3 +534,69 @@ def test_compaction_heal_rollback_and_complete(spark, tmp_path):
         "9.csv",
     ]
     assert heal_compaction(out) is None
+
+
+def test_metadata_only_csv_may_use_reserved_column_names(spark, tmp_path):
+    """A metadata-only csv with columns literally named 'content' /
+    'is_correct' / 'error' reads as plain metadata (the legacy csv
+    path did; the DSv2 route must not flip into tar mode or drop
+    them)."""
+    out = str(tmp_path / "reserved")
+    os.makedirs(out)
+    with open(f"{out}/0.csv", "w") as f:
+        f.write("name,content,error,k\na.bin,meta-payload,none,1\n")
+    ds = DatasetReader(spark).read_metadata_shards(out)
+    row = ds.df.collect()[0]
+    assert row.content == "meta-payload" and row.error == "none"
+    assert row.k == 1 and row.split_name == "0"
+
+
+def test_read_shards_with_bytes_custom_archive_ext(spark, tmp_path):
+    """archive_ext from the config must reach the DSv2 source — a
+    .tgz-paired dataset is valid end-to-end."""
+    import io
+    import tarfile
+
+    out = str(tmp_path / "tgz")
+    os.makedirs(out)
+    with open(f"{out}/0.csv", "w") as f:
+        f.write("name,k\na.bin,1\n")
+    with tarfile.open(f"{out}/0.tgz", "w") as tf:
+        info = tarfile.TarInfo("a.bin")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"ok"))
+    ds = DatasetReader(spark).read_shards_with_bytes(
+        ShardsDatasetConfig(path=out, archive_ext="tgz")
+    )
+    row = ds.df.collect()[0]
+    assert row.is_correct and bytes(row.content) == b"ok"
+
+
+def test_overwrite_heals_leftover_compaction_manifest(spark, tmp_path):
+    """mode('overwrite') onto a dataset with a leftover done-state
+    compaction manifest must delete the retired FILES too and clear
+    the manifest — otherwise fresh shards reusing a retired number
+    stay invisible to every read."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        _COMPACTION_MANIFEST,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "owheal")
+    _mk_media_df(spark, 8).repartition(1).write.format("dpf_shards").option(
+        "max_files_in_shard", "2"
+    ).mode("append").save(out)  # shards 0..3
+    with open(os.path.join(out, _COMPACTION_MANIFEST), "w") as f:
+        json.dump({"state": "done", "retired": ["2", "3"]}, f)
+    # overwrite with 6 rows in 3 shards: stems 0,1,2 — '2' reuses a
+    # retired number and must be readable afterwards
+    _mk_media_df(spark, 6).repartition(1).write.format("dpf_shards").option(
+        "max_files_in_shard", "2"
+    ).mode("overwrite").save(out)
+    assert not os.path.exists(os.path.join(out, _COMPACTION_MANIFEST))
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "0.csv", "1.csv", "2.csv",
+    ]
+    assert spark.read.format("dpf_shards").load(out).count() == 6

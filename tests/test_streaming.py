@@ -716,6 +716,68 @@ def test_incremental_semantic_ingest_auto_rebalance(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_auto_rebalance_cooldown_after_failed_split(spark, tmp_path):
+    """When a triggered rebalance changes nothing (unsplittable hot
+    cell — forced here via rebalance_rounds=0), the policy must NOT
+    re-run the whole-corpus balance job every micro-batch: the next
+    batch skips under cooldown until the corpus grows >=10%."""
+    import numpy as np
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    w1 = rng.randn(120, dim)
+    b = rng.randn(dim)
+    w2 = 3.0 * b[None, :] + 0.1 * rng.randn(100, dim)  # drift pile
+    w3 = rng.randn(5, dim)  # tiny: growth stays under 10%
+
+    def df_of(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+            schema="vec_id long, embedding array<double>",
+        )
+
+    base = str(tmp_path / "cool")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    cents0 = _ivf_centroids(df_of(w1, 0), "vec_id", "embedding", 8, iters=0)
+    log: list = []
+    # three source files BEFORE the run + maxFilesPerTrigger=1 ->
+    # three micro-batches sharing one stream state
+    df_of(w1, 0).repartition(1).write.mode("append").parquet(src)
+    df_of(w2, 1000).repartition(1).write.mode("append").parquet(src)
+    df_of(w3, 2000).repartition(1).write.mode("append").parquet(src)
+    try:
+        incremental_semantic_ingest(
+            spark, src, "vec_id long, embedding array<double>",
+            corpus, ckpt, cents0,
+            threshold=0.95, n_probe=2, src_format="parquet",
+            impl="jvm", max_files_per_trigger=1,
+            index_table="t_sem_cool_idx", index_path=f"{base}/idx",
+            rebalance_on_imbalance=2.0, rebalance_cell_rows=40,
+            rebalance_rounds=0,  # split can never succeed
+            rebalance_log=log,
+        )
+        by_batch = {e["batch_id"]: e for e in log}
+        assert not by_batch[0]["triggered"]
+        hot = by_batch[1]
+        assert hot["triggered"] and not hot["rebalanced"]
+        assert not hot["skipped_cooldown"]  # the one real attempt
+        cooled = by_batch[2]
+        assert cooled["triggered"]  # imbalance is still there...
+        assert cooled["skipped_cooldown"]  # ...but no repeat attempt
+        assert not cooled["rebalanced"]
+        assert cooled["n_cells_after"] == 8  # quantizer untouched
+    finally:
+        for t in ("t_sem_cool_idx", "t_sem_cool_idx_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sq8_gate_pushdown_candidate_ids_equivalent(spark):
     """r11: pushdown_candidate_ids=True must return exactly the
     default path's kept set (it only narrows the recheck scan), and

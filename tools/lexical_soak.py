@@ -198,7 +198,10 @@ def main() -> None:
     n_cands = cands.count()
     t_cand = time.monotonic() - t0
     sh1 = window_shuffle(app_url, s0)
-    guard_refused = bstats["pairs_uncapped"] - (
+    # refused = the oversized buckets' clique volume minus the s-1
+    # star pairs the guard still emits per bucket (pairs_uncapped also
+    # counts normal buckets' pairs, which WERE emitted)
+    guard_refused = bstats["pairs_oversized"] - (
         bstats["oversized_members"] - bstats["n_oversized"]
     )
     print(
