@@ -119,6 +119,26 @@ def test_notebook_code_cells_execute(spark, nb_path):
             ) from e
 
 
+def test_shards_lifecycle_end_to_end(spark, tmp_path):
+    """r13: the shards-lifecycle walkthrough (batch commit-protocol
+    write -> exactly-once streaming appends -> compaction -> pruned
+    read) must keep running with its documented invariants."""
+    import shards_lifecycle
+
+    result = shards_lifecycle.run_pipeline(spark, str(tmp_path / "life"))
+    assert result["shards_after_batch"] == 2
+    assert result["rows_after_stream"] == 52
+    assert result["rows_after_rerun"] == 52  # exactly-once rerun
+    assert result["shards_after_stream"] == 5
+    assert result["compaction"]["retired"] == ["2", "3", "4"]
+    assert result["compaction"]["new"] == ["5"] and (
+        result["compaction"]["rows"] == 12
+    )
+    assert result["shards_after_compact"] == 3
+    assert result["rows_total"] == 52
+    assert result["pruned_partitions"] == 1
+
+
 def test_semantic_gate_ladder_end_to_end(spark, tmp_path):
     """r12: the compressed-gate ladder example must keep running —
     quantizer health -> repair -> 3-rung indexing -> sizing reports

@@ -600,3 +600,17 @@ def test_overwrite_heals_leftover_compaction_manifest(spark, tmp_path):
         "0.csv", "1.csv", "2.csv",
     ]
     assert spark.read.format("dpf_shards").load(out).count() == 6
+
+
+def test_dataset_write_shards_native(spark, tmp_path):
+    """The Dataset-level convenience routes through the DSv2 writer
+    with the same layout contract as write_shards."""
+    from dataprocessingframework_spark.dataset import Dataset
+
+    out = str(tmp_path / "native_ds")
+    ds = Dataset(_mk_media_df(spark, 12).repartition(1))
+    ds.write_shards_native(out, max_files_in_shard=6)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == [
+        "0.csv", "1.csv",
+    ]
+    assert spark.read.format("dpf_shards").load(out).count() == 12
