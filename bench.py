@@ -181,7 +181,19 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
                 broadcast_queries=True,  # known-small probe batch
             )
         ),
-        "ann_ivf_topk": small(q.q_emb_ivf_topk),
+        # raw IVF probe, same shape/params the entry has benched since
+        # r4 (q_emb_ivf_topk itself now ALSO computes the exact
+        # brute-force recall verification for its r13 oracle — that
+        # would double this entry's cost and break its history)
+        "ann_ivf_topk": big(
+            lambda s, d: similarity.ivf_topk(
+                q.T(s, d, "embeddings"),
+                q.T(s, d, "embeddings").filter(F.col("vec_id") < 10),
+                k=5,
+                n_cells=16,
+                n_probe=4,
+            )
+        ),
         # multi-table LSH (OR-amplification, r6): L=3 plane tables,
         # one (table, bucket) equi-join, skinny-pair dedup pre-ranking
         "ann_lsh_multi_topk": big(
