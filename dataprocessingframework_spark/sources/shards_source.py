@@ -425,7 +425,8 @@ class ShardsWriter(DataSourceArrowWriter):
 
     # ---- executor side -------------------------------------------------
     def write(self, iterator) -> ShardsCommitMessage:
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -434,38 +435,44 @@ class ShardsWriter(DataSourceArrowWriter):
             self._path, f".{self._token}-p{pid:06d}-a{attempt}"
         )
         shards: list[tuple[int, int, str, str | None, int]] = []
-        frames: list[pd.DataFrame] = []
+        batches: list = []  # arrow RecordBatches of the meta columns
         rows = 0
         seq = 0
         tar: tarfile.TarFile | None = None
         tmp_tar: str | None = None
 
         def roll() -> None:
-            nonlocal frames, rows, seq, tar, tmp_tar
+            nonlocal batches, rows, seq, tar, tmp_tar
             if rows == 0:
                 return
             if tar is not None:
                 tar.close()
             tmp_csv = f"{prefix}-s{seq}.csv.tmp"
-            pd.concat(frames, ignore_index=True)[self._meta_cols].to_csv(
-                tmp_csv, index=False
+            # arrow-native csv emit (C++) — RFC4180 doublequote, the
+            # exact dialect the reader's pyarrow parser and the legacy
+            # pandas round-trip already speak; nulls write as empty
+            # (reader: strings_can_be_null=True)
+            pacsv.write_csv(
+                pa.Table.from_batches(batches), tmp_csv
             )
             shards.append((pid, seq, tmp_csv, tmp_tar, rows))
-            frames, rows, seq, tar, tmp_tar = [], 0, seq + 1, None, None
+            batches, rows, seq, tar, tmp_tar = [], 0, seq + 1, None, None
 
         for batch in iterator:
-            pdf = batch.to_pandas()
-            while len(pdf) > 0:
-                take = len(pdf)
+            offset = 0
+            while offset < batch.num_rows:
+                take = batch.num_rows - offset
                 if self._max_rows is not None:
                     take = min(take, self._max_rows - rows)
-                chunk, pdf = pdf.iloc[:take], pdf.iloc[take:]
+                chunk = batch.slice(offset, take)
+                offset += take
                 if self._with_content:
                     if tar is None:
                         tmp_tar = f"{prefix}-s{seq}.{self._archive_ext}.tmp"
                         tar = tarfile.open(tmp_tar, "w")
                     for name, data in zip(
-                        chunk[self._name_col], chunk[self._content_col]
+                        chunk.column(self._name_col).to_pylist(),
+                        chunk.column(self._content_col).to_pylist(),
                     ):
                         if data is None:
                             continue
@@ -474,8 +481,8 @@ class ShardsWriter(DataSourceArrowWriter):
                         info.size = len(payload)
                         info.mtime = 0
                         tar.addfile(info, io.BytesIO(payload))
-                frames.append(chunk[self._meta_cols])
-                rows += len(chunk)
+                batches.append(chunk.select(self._meta_cols))
+                rows += chunk.num_rows
                 if self._max_rows is not None and rows >= self._max_rows:
                     roll()
         roll()

@@ -614,3 +614,59 @@ def test_dataset_write_shards_native(spark, tmp_path):
         "0.csv", "1.csv",
     ]
     assert spark.read.format("dpf_shards").load(out).count() == 12
+
+
+def test_dsv2_writer_randomized_roundtrip_invariants(spark, tmp_path):
+    """Seeded randomized trials over (rows, partitions, max rows,
+    content yes/no): every shard respects the rolling cap, csv+tar
+    pairing is consistent, and the roundtrip is the identity — the
+    property-test analog of the balance_centroids invariant loop."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    register_shards_source(spark)
+    rng = random.Random(13)
+    for trial in range(5):
+        n = rng.randint(1, 60)
+        parts = rng.randint(1, 4)
+        maxr = rng.choice([None, rng.randint(1, 25)])
+        with_content = rng.random() < 0.5
+        out = str(tmp_path / f"rand{trial}")
+        df = spark.range(n).select(
+            F.concat(F.lit("m_"), F.col("id")).alias("name"),
+            F.col("id").cast("int").alias("k"),
+            *(
+                [F.sha2(F.col("id").cast("string"), 256)
+                 .cast("binary").alias("content")]
+                if with_content
+                else []
+            ),
+        ).repartition(parts)
+        w = df.write.format("dpf_shards").mode("append")
+        if maxr is not None:
+            w = w.option("max_files_in_shard", str(maxr))
+        w.save(out)
+
+        back = spark.read.format("dpf_shards").load(out)
+        sizes = {
+            r["split_name"]: r["n"]
+            for r in back.groupBy("split_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sum(sizes.values()) == n, (trial, n, parts, maxr)
+        if maxr is not None:
+            assert all(v <= maxr for v in sizes.values()), (trial, sizes)
+        # contiguous numbering from 0
+        assert sorted(int(s) for s in sizes) == list(range(len(sizes)))
+        csvs = {f for f in os.listdir(out) if f.endswith(".csv")}
+        tars = {f for f in os.listdir(out) if f.endswith(".tar")}
+        assert len(csvs) == len(sizes)
+        assert len(tars) == (len(sizes) if with_content else 0)
+        got = {
+            (r.name, r.k) for r in back.select("name", "k").collect()
+        }
+        assert got == {(f"m_{i}", i) for i in range(n)}
+        if with_content:
+            assert back.filter("NOT is_correct").count() == 0
