@@ -1319,6 +1319,19 @@ def load_sq8_bounds(
     return [float(x) for x in r.mins], [float(x) for x in r.maxs]
 
 
+def load_prefix_dims(spark: SparkSession, table: str) -> tuple[int, int]:
+    """(prefix_dims, full_dim) persisted by
+    materialize_ivf_index(prefix_dims=...)."""
+    rows = spark.table(f"{table}_prefix").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{table}_prefix must hold exactly one geometry row, got"
+            f" {len(rows)}; rebuild via"
+            " materialize_ivf_index(prefix_dims=...)"
+        )
+    return int(rows[0].dims), int(rows[0].full_dim)
+
+
 def _nested_array_lit(mat: list[list[float]]) -> Column:
     """A k x d nested-array literal built as ONE parsed SQL
     expression. ``F.lit(nested_list)`` issues a py4j call per element
@@ -2126,6 +2139,7 @@ def materialize_ivf_index(
     sq8: bool = False,
     clamp_stats: dict | None = None,
     balance_cell_rows: int | None = None,
+    prefix_dims: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Persist the IVF inverted lists: every corpus vector with its
     nearest-centroid ``cell``, hash-BUCKETED on the single ``cell``
@@ -2174,6 +2188,21 @@ def materialize_ivf_index(
     false drops. :func:`streaming.curation.incremental_semantic_ingest`
     echoes this per batch via its ``clamp_log`` hook.
 
+    ``prefix_dims=d_p`` (r13, mutually exclusive with ``sq8``) stores
+    the PREFIX compression rung: rows become (cell, vec_id,
+    ``prefix`` = the first d_p coordinates, ``rest_norm`` =
+    ||v[d_p:]||, ``vnorm``) — a dim/d_p payload cut with NO training,
+    codebooks, or quantization grid. The point is the per-pair
+    Cauchy-Schwarz bound cos(b,v) <= (<b_p,v_p> + ||b_r||·||v_r||) /
+    (||b||·||v||), which :func:`incremental_semantic_dedup_prefix`
+    uses as a SOUND stage-1 margin (tighter than SQ8's global bound:
+    it adapts per pair, and is exact when either remainder is zero).
+    Matryoshka-trained embeddings concentrate mass in the prefix, so
+    d_p = dim/4 typically keeps rest_norm/vnorm small and the bound
+    tight; the ``{table}_prefix`` companion persists d_p for appends
+    (:func:`load_prefix_dims`). Append mode validates the batch's
+    vector length against the stored geometry, as SQ8/PQ do.
+
     ``balance_cell_rows`` (fresh builds only, r12): after training
     the quantizer, run :func:`balance_centroids` with this cap
     before encoding, so the PERSISTED quantizer is the balanced one
@@ -2186,6 +2215,11 @@ def materialize_ivf_index(
             "balance_cell_rows is a fresh-build option: rebalancing"
             " under an existing index would reassign cells without"
             " rewriting stored rows — rebuild instead"
+        )
+    if sq8 and prefix_dims is not None:
+        raise ValueError(
+            "sq8 and prefix_dims are distinct compression rungs —"
+            " pick one (stack them by materializing two indexes)"
         )
     from dataprocessingframework_spark.sources.bucketed import (
         write_bucketed,
@@ -2220,6 +2254,24 @@ def materialize_ivf_index(
                 raise ValueError(
                     f"append batch dim {first[0]} != stored sq8"
                     f" bounds dim {len(mins)} for {table}"
+                )
+        existing_cols = corpus.sparkSession.table(table).columns
+        if prefix_dims is not None or "rest_norm" in existing_cols:
+            stored_dp, stored_dim = load_prefix_dims(
+                corpus.sparkSession, table
+            )
+            if prefix_dims is not None and prefix_dims != stored_dp:
+                raise ValueError(
+                    f"append prefix_dims {prefix_dims} != stored"
+                    f" {stored_dp} for {table} — the stored geometry"
+                    " is authoritative"
+                )
+            prefix_dims = stored_dp
+            first = corpus.select(F.size(vec_col)).first()
+            if first is not None and first[0] != stored_dim:
+                raise ValueError(
+                    f"append batch dim {first[0]} != stored prefix"
+                    f" geometry dim {stored_dim} for {table}"
                 )
     else:
         cents = centroids or _ivf_centroids(
@@ -2310,6 +2362,26 @@ def materialize_ivf_index(
             _sq8_pack_expr("embedding", mins, maxs).alias("codes"),
             norm(deq).alias("vnorm"),
         )
+    elif prefix_dims is not None:
+        first = corpus.select(F.size(vec_col)).first()
+        full_dim = int(first[0]) if first is not None else prefix_dims + 1
+        if not (1 <= prefix_dims < full_dim):
+            raise ValueError(
+                f"prefix_dims must be in [1, dim): got {prefix_dims}"
+                f" for dim {full_dim}"
+            )
+        idx = idx.select(
+            "cell",
+            "vec_id",
+            F.expr(f"slice(embedding, 1, {prefix_dims})").alias("prefix"),
+            norm(
+                F.expr(
+                    f"slice(embedding, {prefix_dims + 1},"
+                    " size(embedding))"
+                )
+            ).alias("rest_norm"),
+            "vnorm",
+        )
     else:
         idx = idx.select("cell", "vec_id", "embedding", "vnorm")
     write_bucketed(
@@ -2345,6 +2417,15 @@ def materialize_ivf_index(
             if path:
                 wb = wb.option("path", f"{path}_sq8")
             wb.saveAsTable(f"{table}_sq8")
+        if prefix_dims is not None:
+            p_df = spark.createDataFrame(
+                [(int(prefix_dims), int(full_dim))],
+                schema="dims int, full_dim int",
+            )
+            wp = p_df.coalesce(1).write.mode(mode).format("parquet")
+            if path:
+                wp = wp.option("path", f"{path}_prefix")
+            wp.saveAsTable(f"{table}_prefix")
     return spark.table(table), cents
 
 
@@ -3235,6 +3316,158 @@ def _exact_gate_recheck(
     return batch.join(dup_ids, on=id_col, how="left_anti")
 
 
+def incremental_semantic_dedup_prefix(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    index: DataFrame,
+    prefix_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    margin: float = 0.0,
+    n_probe: int = 2,
+    impl: str = "jvm",
+    pushdown_candidate_ids: bool = False,
+    max_cell_rows: int | None = 100_000,
+    gate_stats: dict | None = None,
+) -> DataFrame:
+    """The semantic dedup gate over a PREFIX-compressed corpus index
+    (r13) — the dim/d_p rung of the compression ladder, between the
+    float gate and SQ8. The index stores each vector's first
+    ``prefix_dims`` coordinates plus the scalar norm of the REMAINDER
+    (``materialize_ivf_index(prefix_dims=...)``); stage 1 scores the
+    per-pair Cauchy-Schwarz upper bound
+
+        cos(b, v) = (<b_p, v_p> + <b_r, v_r>) / (||b||·||v||)
+                 <= (<b_p, v_p> + ||b_r||·||v_r||) / (||b||·||v||)
+
+    and shortlists pairs whose BOUND reaches ``threshold - margin``;
+    stage 2 (shared :func:`_exact_gate_recheck`) fetches only the
+    shortlisted float vectors and decides exactly. Because the bound
+    can only over-estimate the true cosine, ``margin=0.0`` is already
+    SOUND — the kept set equals the exact gate's with no derived
+    global slack at all (contrast SQ8's corpus-wide
+    :func:`sq8_gate_margin`): the bound is PER PAIR, exact whenever
+    either remainder is zero, and tightens as the embedding
+    concentrates mass in the prefix (matryoshka-trained embeddings
+    are the design target; for generic embeddings the
+    ``emb_gate_prefix_report`` registry query sizes the rest-mass
+    distribution before committing to a d_p). A positive ``margin``
+    only WIDENS the shortlist (audit headroom); narrowing below 0 is
+    rejected — it would trade soundness silently.
+
+    Same contracts as the sibling rungs: same-id pairs never count,
+    zero-norm batch rows are always kept, within-batch duplicates are
+    kept, degenerate stored rows (vnorm <= 0) route unconditionally
+    to the exact recheck, 'jvm' stage 1 is the bit-portable
+    oracle-exact fold and 'blas' cogroups per cell into one matmul
+    with ``max_cell_rows`` salting."""
+    if margin < 0:
+        raise ValueError(
+            "prefix gate margin must be >= 0 — the Cauchy-Schwarz"
+            " bound is already sound at 0; a negative margin would"
+            " silently trade missed duplicates"
+        )
+    for col in ("prefix", "rest_norm"):
+        if col not in index.columns:
+            raise ValueError(
+                f"index has no {col!r} column — build it with"
+                " materialize_ivf_index(prefix_dims=...)"
+            )
+    dp = int(prefix_dims)
+    b = assign_cells(
+        batch.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("b_vec"),
+            norm(F.col(vec_col)).alias("b_norm"),
+        ).filter(F.col("b_norm") > 0),
+        centroids,
+        "b_id",
+        "b_vec",
+        n_probe=n_probe,
+        impl=impl,
+    ).select(
+        "cell",
+        "b_id",
+        F.expr(f"slice(b_vec, 1, {dp})").alias("b_prefix"),
+        norm(
+            F.expr(f"slice(b_vec, {dp + 1}, size(b_vec))")
+        ).alias("b_rest"),
+        "b_norm",
+    )
+    c = index.filter(F.col("vnorm") > 0).select(
+        "cell",
+        F.col("vec_id").alias("c_id"),
+        F.col("prefix").alias("c_prefix"),
+        F.col("rest_norm").alias("c_rest"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    thr = threshold - margin
+    if impl == "blas":
+        import numpy as np
+        import pandas as pd
+
+        c_g, b_g, keys = _salt_cell_blocks(
+            c, b, "c_id", "cell", max_cell_rows
+        )
+
+        def stage1(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "b_id": pd.Series([], dtype="int64"),
+                    "c_id": pd.Series([], dtype="int64"),
+                }
+            )
+            if len(cpdf) == 0 or len(bpdf) == 0:
+                return empty
+            cp = np.stack(cpdf["c_prefix"].values).astype(np.float64)
+            cr = cpdf["c_rest"].values.astype(np.float64)
+            cn = cpdf["c_norm"].values.astype(np.float64)
+            cids = cpdf["c_id"].values
+            bp = np.stack(bpdf["b_prefix"].values).astype(np.float64)
+            br = bpdf["b_rest"].values.astype(np.float64)
+            bn = bpdf["b_norm"].values.astype(np.float64)
+            bids = bpdf["b_id"].values
+            bound = (bp @ cp.T + np.outer(br, cr)) / np.outer(bn, cn)
+            mask = (bound >= thr) & (bids[:, None] != cids[None, :])
+            bi, ci = np.nonzero(mask)
+            if not len(bi):
+                return empty
+            return pd.DataFrame(
+                {
+                    "b_id": bids[bi].astype("int64"),
+                    "c_id": cids[ci].astype("int64"),
+                }
+            )
+
+        cand = (
+            c_g.groupby(*keys)
+            .cogroup(b_g.groupby(*keys))
+            .applyInPandas(stage1, schema="b_id long, c_id long")
+            .distinct()
+        )
+    else:
+        bound = (
+            dot(F.col("b_prefix"), F.col("c_prefix"))
+            + F.col("b_rest") * F.col("c_rest")
+        ) / (F.col("b_norm") * F.col("c_norm"))
+        cand = (
+            c.join(F.broadcast(b), on="cell")
+            .filter(F.col("c_id") != F.col("b_id"))
+            .filter(bound >= F.lit(thr))
+            .select("b_id", "c_id")
+            .distinct()
+        )
+    cand = _degenerate_recon_candidates(
+        index, b.select("cell", "b_id"), cand
+    )
+    return _exact_gate_recheck(
+        batch, corpus, cand, id_col, vec_col, threshold,
+        pushdown_candidate_ids, gate_stats=gate_stats,
+    )
+
+
 def incremental_semantic_dedup_pq(
     batch: DataFrame,
     corpus: DataFrame,
@@ -3442,6 +3675,7 @@ def semantic_dedup_gate(
     index_table: str | None = None,
     sq8_bounds: tuple[list, list] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    prefix_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
@@ -3452,8 +3686,10 @@ def semantic_dedup_gate(
     gate_stats: dict | None = None,
 ) -> DataFrame:
     """ONE entry point for the semantic dedup gate across the whole
-    compression ladder (r12 — VERDICT r11 item 4). The three rungs —
+    compression ladder (r12 — VERDICT r11 item 4). The four rungs —
     :func:`incremental_semantic_dedup` (float),
+    :func:`incremental_semantic_dedup_prefix` (dim/d_p prefix +
+    Cauchy-Schwarz remainder bound, r13),
     :func:`incremental_semantic_dedup_sq8` (7.7x codes) and
     :func:`incremental_semantic_dedup_pq` (16 B/vector) — share one
     contract (same kept set, proven per rung); this dispatcher picks
@@ -3462,8 +3698,8 @@ def semantic_dedup_gate(
 
     ``gate_kind='auto'`` (default) detects from the index's columns:
     no index → the float gate over ``corpus``; ``resid`` column →
-    PQ; ``codes`` column → SQ8; a float
-    :func:`materialize_ivf_index` table → the float gate with
+    PQ; ``codes`` column → SQ8; ``rest_norm`` column → prefix; a
+    float :func:`materialize_ivf_index` table → the float gate with
     ``corpus_cells`` (cells reused, corpus never re-assigned).
     Passing an explicit kind that contradicts the index's columns
     raises instead of silently gating with the wrong arithmetic.
@@ -3493,9 +3729,11 @@ def semantic_dedup_gate(
             gate_kind = "pq"
         elif "codes" in index.columns:
             gate_kind = "sq8"
+        elif "rest_norm" in index.columns:
+            gate_kind = "prefix"
         else:
             gate_kind = "float"
-    if gate_kind in ("sq8", "pq") and corpus is None:
+    if gate_kind in ("sq8", "pq", "prefix") and corpus is None:
         raise ValueError(
             f"gate_kind={gate_kind!r} needs the accepted FLOAT corpus"
             " for the exact stage-2 recheck — corpus=None is only"
@@ -3547,13 +3785,36 @@ def semantic_dedup_gate(
             pushdown_candidate_ids=pushdown_candidate_ids,
             max_cell_rows=max_cell_rows, gate_stats=gate_stats,
         )
+    if gate_kind == "prefix":
+        if index is None or "rest_norm" not in index.columns:
+            raise ValueError(
+                "gate_kind='prefix' needs a"
+                " materialize_ivf_index(prefix_dims=...) table"
+                " (prefix + rest_norm columns)"
+            )
+        if prefix_dims is None:
+            if index_table is None:
+                raise ValueError(
+                    "gate_kind='prefix' needs prefix_dims= or"
+                    " index_table= (to load the persisted geometry)"
+                )
+            prefix_dims, _ = load_prefix_dims(spark, index_table)
+        return incremental_semantic_dedup_prefix(
+            batch, corpus, centroids, index, prefix_dims,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_probe=n_probe, impl=impl,
+            pushdown_candidate_ids=pushdown_candidate_ids,
+            max_cell_rows=max_cell_rows, gate_stats=gate_stats,
+        )
     if gate_kind != "float":
         raise ValueError(
             f"unknown gate_kind {gate_kind!r}:"
-            " expected 'auto'|'float'|'sq8'|'pq'"
+            " expected 'auto'|'float'|'sq8'|'pq'|'prefix'"
         )
     if index is not None and (
-        "codes" in index.columns or "resid" in index.columns
+        "codes" in index.columns
+        or "resid" in index.columns
+        or "rest_norm" in index.columns
     ):
         raise ValueError(
             "gate_kind='float' got a compressed index (codes/resid"

@@ -3217,6 +3217,218 @@ def q_emb_gate_sq8_stats(spark, sf_dir):
     )
 
 
+def q_emb_gate_prefix(spark, sf_dir):
+    """The PREFIX-compressed semantic gate end to end (r13) — the
+    training-free rung of the compression ladder: the index stores
+    each corpus vector's first 16 of 64 coordinates plus the scalar
+    remainder norm, and stage 1 shortlists pairs whose per-pair
+    Cauchy-Schwarz bound (<b_p,v_p> + ||b_r||·||v_r||)/(||b||·||v||)
+    reaches the 0.95 threshold; stage 2 rechecks exactly. The bound
+    can only OVER-estimate the true cosine, so margin=0 is sound and
+    the kept set provably equals the exact gate's. The DuckDB oracle
+    replicates prefix slices -> remainder norms -> seeded cells ->
+    bound shortlist -> exact recheck and must match the kept ids
+    exactly."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup_prefix,
+        load_ivf_centroids,
+        load_prefix_dims,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n)
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gate_pfx_{tag}"
+    path = f"/root/repo/.scratch/gate_pfx_{tag}"
+    idx, _ = materialize_ivf_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path, prefix_dims=16,
+    )
+    dp, _full = load_prefix_dims(spark, table)
+    kept = (
+        incremental_semantic_dedup_prefix(
+            batch,
+            corpus,
+            load_ivf_centroids(spark, table),
+            idx,
+            dp,
+            threshold=0.95,
+            n_probe=2,
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+        .collect()
+    )
+    for t in (table, f"{table}_centroids", f"{table}_prefix"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_prefix"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.vec_id,) for r in kept], schema="vec_id long"
+    )
+
+
+# shared CTE body of the prefix-gate oracle: seeded cells ->
+# prefix/remainder geometry -> per-pair Cauchy-Schwarz bound
+# shortlist (cand) -> exact recheck (dropped). d_p = 16 of 64.
+_GATE_PREFIX_CTES = """h AS (
+  SELECT vec_id,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM e
+), cents AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS cell FROM (
+    SELECT e.v AS cv, hh FROM e JOIN h USING (vec_id)
+    ORDER BY hh LIMIT 16)
+), corpus_cells AS (
+  SELECT c_id, cp, cr, cn, cell FROM (
+    SELECT d.vec_id AS c_id, d.v[1:16] AS cp,
+           sqrt(list_dot_product(d.v[17:64], d.v[17:64])) AS cr,
+           sqrt(list_dot_product(d.v, d.v)) AS cn, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.v, c.cv) DESC, c.cell) AS rn
+    FROM e d CROSS JOIN cents c
+    WHERE sqrt(list_dot_product(d.v, d.v)) > 0)
+  WHERE rn = 1
+), probes AS (
+  SELECT b_id, bv, bp, br, bn, cell FROM (
+    SELECT b.b_id, b.bv, b.bv[1:16] AS bp,
+           sqrt(list_dot_product(b.bv[17:64], b.bv[17:64])) AS br,
+           sqrt(list_dot_product(b.bv, b.bv)) AS bn,
+           c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.b_id
+             ORDER BY list_dot_product(b.bv, c.cv) DESC, c.cell) AS rn
+    FROM batch b CROSS JOIN cents c
+    WHERE sqrt(list_dot_product(b.bv, b.bv)) > 0) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT p.b_id, cc.c_id
+  FROM corpus_cells cc JOIN probes p USING (cell)
+  WHERE cc.c_id <> p.b_id
+    AND (list_dot_product(p.bp, cc.cp) + p.br * cc.cr)
+        / (p.bn * cc.cn) >= 0.95
+), dropped AS (
+  SELECT DISTINCT cand.b_id
+  FROM cand
+  JOIN e ON e.vec_id = cand.c_id
+  JOIN (SELECT b_id, bv FROM batch) b2 ON b2.b_id = cand.b_id
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+    AND list_dot_product(b2.bv, e.v)
+        / (sqrt(list_dot_product(b2.bv, b2.bv))
+           * sqrt(list_dot_product(e.v, e.v)))
+        >= 0.95
+)"""
+
+SQL_EMB_GATE_PREFIX = f"""
+WITH {_GATE_BATCH_CTE},
+{_GATE_PREFIX_CTES}
+SELECT b_id AS vec_id FROM batch
+WHERE b_id NOT IN (SELECT b_id FROM dropped)
+ORDER BY vec_id
+"""
+
+
+def q_emb_gate_prefix_report(spark, sf_dir):
+    """Sizing report for the prefix rung (r13) — the offline check a
+    user runs BEFORE committing to a d_p: the Cauchy-Schwarz bound's
+    looseness for a pair is driven by the REST-MASS product
+    (||b_r||/||b||)·(||v_r||/||v||), so the corpus rest-mass
+    distribution at the candidate d_p predicts shortlist flood
+    before any index is built (matryoshka-trained embeddings
+    concentrate mass early -> small rest mass -> tight bound; the
+    synthetic random testdata is the WORST case, rest mass ~
+    sqrt(1 - 16/64), and the report says so honestly). One row:
+    rest-mass mean/p95/max at d_p=16 plus the measured gate
+    telemetry (kept rows, stage-1 shortlist, distinct fetched ids)
+    — all bit-portable arithmetic, FULL oracle."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup_prefix,
+        materialize_ivf_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    batch = _perturbed_gate_batch(emb, n)
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    tag = uuid.uuid4().hex[:8]
+    table = f"t_gpr_{tag}"
+    path = f"/root/repo/.scratch/gate_pfx_rep_{tag}"
+    idx, _ = materialize_ivf_index(
+        corpus, table, n_cells=16, iters=0, impl="jvm",
+        centroids=cents, num_buckets=16, path=path, prefix_dims=16,
+    )
+    st: dict = {}
+    kept = incremental_semantic_dedup_prefix(
+        batch, corpus, cents, idx, 16,
+        threshold=0.95, n_probe=2, gate_stats=st,
+    ).count()
+    mass = idx.filter(F.col("vnorm") > 0).select(
+        (F.col("rest_norm") / F.col("vnorm")).alias("rm")
+    )
+    mrow = mass.agg(
+        F.round(F.avg("rm"), 4).alias("rest_mass_mean"),
+        F.round(F.expr("percentile(rm, 0.95)"), 4).alias("rest_mass_p95"),
+        F.round(F.max("rm"), 4).alias("rest_mass_max"),
+    ).collect()[0]
+    for t in (table, f"{table}_centroids", f"{table}_prefix"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for sfx in ("", "_centroids", "_prefix"):
+        shutil.rmtree(f"{path}{sfx}", ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                float(mrow.rest_mass_mean),
+                float(mrow.rest_mass_p95),
+                float(mrow.rest_mass_max),
+                int(kept),
+                int(st["stage1_candidates"]),
+                int(st["distinct_corpus_ids"]),
+            )
+        ],
+        schema=(
+            "rest_mass_mean double, rest_mass_p95 double,"
+            " rest_mass_max double, kept_rows long,"
+            " stage1_candidates long, distinct_corpus_ids long"
+        ),
+    )
+
+
+SQL_EMB_GATE_PREFIX_REPORT = f"""
+WITH {_GATE_BATCH_CTE},
+{_GATE_PREFIX_CTES},
+mass AS (
+  SELECT cr / cn AS rm FROM corpus_cells WHERE cn > 0
+)
+SELECT
+  ROUND(AVG(rm), 4) AS rest_mass_mean,
+  ROUND(quantile_cont(rm, 0.95), 4) AS rest_mass_p95,
+  ROUND(MAX(rm), 4) AS rest_mass_max,
+  (SELECT COUNT(*) FROM batch
+   WHERE b_id NOT IN (SELECT b_id FROM dropped)) AS kept_rows,
+  (SELECT COUNT(*) FROM cand) AS stage1_candidates,
+  (SELECT COUNT(DISTINCT c_id) FROM cand) AS distinct_corpus_ids
+FROM mass
+"""
+
+
 def q_emb_gate_pq(spark, sf_dir):
     """The two-stage PQ-compressed semantic gate end to end (r11):
     like emb_gate_sq8 but over the 16 B/vector IVF-PQ index, whose
@@ -10561,6 +10773,11 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_gate_recall": (q_emb_gate_recall, SQL_EMB_GATE_RECALL),
     "emb_gate_sq8": (q_emb_gate_sq8, SQL_EMB_GATE_SQ8),
     "emb_gate_sq8_stats": (q_emb_gate_sq8_stats, SQL_EMB_GATE_SQ8_STATS),
+    "emb_gate_prefix": (q_emb_gate_prefix, SQL_EMB_GATE_PREFIX),
+    "emb_gate_prefix_report": (
+        q_emb_gate_prefix_report,
+        SQL_EMB_GATE_PREFIX_REPORT,
+    ),
     "emb_gate_pq": (q_emb_gate_pq, SQL_EMB_GATE_PQ),
     "emb_gate_margin_report": (
         q_emb_gate_margin_report,
@@ -11074,17 +11291,22 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # stream_shards_sink — NEW r13: the STREAMING shard sink, oracle pins
 # the exactly-once rerun (n_after_rerun == n_first == count);
 # w_shards_compact — NEW r13: two-phase manifest-committed shard
-# compaction, oracle pins the whole retire/rewrite arithmetic.
-# Positions 8-39 are the ENTIRE remaining 32-query r7-stale cohort
+# compaction, oracle pins the whole retire/rewrite arithmetic;
+# emb_gate_prefix — NEW r13: the training-free PREFIX rung of the
+# gate compression ladder (per-pair Cauchy-Schwarz bound, sound at
+# margin=0), FULL kept-set oracle; emb_gate_prefix_report — NEW r13:
+# its one-row rest-mass sizing report + gate telemetry, FULL oracle.
+# Positions 10-41 are the ENTIRE remaining 32-query r7-stale cohort
 # in registry order (d3_sample, the 33rd, already leads) — after
-# r13 nothing in the registry is staler than r8. Positions 40-50
-# are the oldest 11 of the 50-query r8 cohort in registry order
-# (d_hash_sample .. w_convert_formats; stream_semantic_ingest, also
-# r8, is in position 4). Rotation history in COVERAGE.md.
+# r13 nothing in the registry is staler than r8. Positions 42-50
+# are the oldest 9 of the 50-query r8 cohort in registry order
+# (d_hash_sample .. emb_label_centroids; stream_semantic_ingest,
+# also r8, is in position 4). Rotation history in COVERAGE.md.
 _R13_WINDOW = [
     "emb_rebalance_policy", "d3_sample", "emb_ivf_topk",
     "stream_semantic_ingest", "w_shards_native_roundtrip",
-    "stream_shards_sink", "w_shards_compact",
+    "stream_shards_sink", "w_shards_compact", "emb_gate_prefix",
+    "emb_gate_prefix_report",
     "f_explode_wordcount", "f_date_extract", "f_histogram",
     "h1_pricing_summary", "h3_top_orders", "h5_region_revenue",
     "h6_forecast_revenue", "h7_nation_volume", "h13_count_distribution",
@@ -11099,7 +11321,7 @@ _R13_WINDOW = [
     "d_hash_sample", "w_jsonl_roundtrip", "h4_priority_exists",
     "h10_returned_items", "h12_priority_by_status",
     "h21_waiting_suppliers", "tx_tfidf", "tx_zipf",
-    "emb_label_centroids", "stream_interval_join", "w_convert_formats",
+    "emb_label_centroids",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 REGISTRY = {

@@ -1643,3 +1643,117 @@ def test_compressed_gate_stats_expose_margin_collapse(spark, sf_dir, tmp_path):
         for base in ("t_gs_good", "t_gs_bad"):
             for t in (base, f"{base}_centroids", f"{base}_pq"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_prefix_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
+    """r13: the prefix rung's per-pair Cauchy-Schwarz bound is sound
+    at margin=0 — kept set EXACTLY equals the exact gate's on both
+    impls; a positive margin only widens the shortlist (same kept
+    set); negative margins are rejected; append mode validates the
+    stored geometry; and the random testdata is the worst case for
+    bound tightness, so agreeing here is the strong form of the
+    check."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_prefix,
+        load_prefix_dims,
+        materialize_ivf_index,
+        semantic_dedup_gate,
+    )
+    from dataprocessingframework_spark.queries import (
+        _perturbed_gate_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    n = corpus.count()
+    batch = _perturbed_gate_batch(emb, n).cache()
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 16, iters=0)
+    try:
+        idx, _ = materialize_ivf_index(
+            corpus, "t_gate_pfx", n_cells=16, iters=0, impl="jvm",
+            centroids=cents, num_buckets=16,
+            path=str(tmp_path / "gpfx"), prefix_dims=16,
+        )
+        assert set(idx.columns) == {
+            "cell", "vec_id", "prefix", "rest_norm", "vnorm",
+        }
+        assert load_prefix_dims(spark, "t_gate_pfx") == (16, 64)
+        exact = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup(
+                batch, corpus, cents, threshold=0.95, n_probe=2
+            ).collect()
+        )
+        for impl in ("jvm", "blas"):
+            comp = sorted(
+                r.vec_id
+                for r in incremental_semantic_dedup_prefix(
+                    batch, corpus, cents, idx, 16,
+                    threshold=0.95, n_probe=2, impl=impl,
+                ).collect()
+            )
+            assert comp == exact, (impl, len(comp), len(exact))
+        assert 0 < len(exact) < batch.count()
+        # widened margin: still the exact kept set (stage 2 decides)
+        wide = sorted(
+            r.vec_id
+            for r in incremental_semantic_dedup_prefix(
+                batch, corpus, cents, idx, 16,
+                threshold=0.95, margin=0.1, n_probe=2,
+            ).collect()
+        )
+        assert wide == exact
+        with pytest.raises(ValueError, match="margin must be >= 0"):
+            incremental_semantic_dedup_prefix(
+                batch, corpus, cents, idx, 16, margin=-0.01
+            )
+        # dispatcher auto-detects the rung from rest_norm and loads
+        # the persisted geometry from the companion table
+        auto = sorted(
+            r.vec_id
+            for r in semantic_dedup_gate(
+                batch, corpus, cents, index=idx,
+                index_table="t_gate_pfx", threshold=0.95, n_probe=2,
+            ).collect()
+        )
+        assert auto == exact
+        # append under the stored geometry: wrong prefix_dims and
+        # wrong batch dim both fail loudly
+        extra = corpus.limit(5).select(
+            (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+        )
+        materialize_ivf_index(
+            extra, "t_gate_pfx", centroids=cents, mode="append",
+        )
+        assert spark.table("t_gate_pfx").count() == n + 5
+        with pytest.raises(ValueError, match="stored prefix"):
+            materialize_ivf_index(
+                extra.select(
+                    "vec_id", F.expr("slice(embedding, 1, 32)").alias(
+                        "embedding"
+                    )
+                ),
+                "t_gate_pfx", centroids=cents, mode="append",
+            )
+        with pytest.raises(ValueError, match="authoritative"):
+            materialize_ivf_index(
+                extra, "t_gate_pfx", centroids=cents, mode="append",
+                prefix_dims=8,
+            )
+        with pytest.raises(ValueError, match="distinct compression"):
+            materialize_ivf_index(
+                corpus, "t_gate_pfx2", centroids=cents,
+                sq8=True, prefix_dims=16,
+            )
+    finally:
+        batch.unpersist()
+        for t in ("t_gate_pfx", "t_gate_pfx_centroids",
+                  "t_gate_pfx_prefix"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
