@@ -83,6 +83,10 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
         corpus, "t_ladder_pq", centroids=cents, impl="jvm",
         num_buckets=8, path=f"{scratch}/pq",
     )
+    xidx, _ = materialize_ivf_index(
+        corpus, "t_ladder_pfx", centroids=cents, impl="jvm",
+        num_buckets=8, path=f"{scratch}/pfx", prefix_dims=16,
+    )
 
     # 4. rung sizing: read BEFORE switching a production gate
     pq_report = pq_gate_margin_report(pidx, threshold=0.95).collect()[0]
@@ -97,6 +101,7 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
         ("float_index", dict(corpus=None, index=fidx)),
         ("sq8", dict(corpus=corpus, index_table="t_ladder_sq8")),
         ("pq", dict(corpus=corpus, index_table="t_ladder_pq")),
+        ("prefix", dict(corpus=corpus, index_table="t_ladder_pfx")),
     ):
         kept[rung] = sorted(
             r.vec_id
@@ -107,7 +112,8 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
         )
     batch.unpersist()
     assert (
-        kept["float"] == kept["float_index"] == kept["sq8"] == kept["pq"]
+        kept["float"] == kept["float_index"] == kept["sq8"]
+        == kept["pq"] == kept["prefix"]
     )
     return {
         "n_corpus": n,
@@ -122,8 +128,9 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
 
 
 def cleanup(spark) -> None:
-    for base in ("t_ladder_float", "t_ladder_sq8", "t_ladder_pq"):
-        for sfx in ("", "_centroids", "_sq8", "_pq"):
+    for base in ("t_ladder_float", "t_ladder_sq8", "t_ladder_pq",
+                 "t_ladder_pfx"):
+        for sfx in ("", "_centroids", "_sq8", "_pq", "_prefix"):
             spark.sql(f"DROP TABLE IF EXISTS {base}{sfx}")
 
 
