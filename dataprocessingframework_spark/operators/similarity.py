@@ -2260,6 +2260,7 @@ def materialize_ivf_index(
             stored_dp, stored_dim = load_prefix_dims(
                 corpus.sparkSession, table
             )
+            known_full_dim = stored_dim
             if prefix_dims is not None and prefix_dims != stored_dp:
                 raise ValueError(
                     f"append prefix_dims {prefix_dims} != stored"
@@ -2363,8 +2364,16 @@ def materialize_ivf_index(
             norm(deq).alias("vnorm"),
         )
     elif prefix_dims is not None:
-        first = corpus.select(F.size(vec_col)).first()
-        full_dim = int(first[0]) if first is not None else prefix_dims + 1
+        if mode == "append":
+            # the append guard above already probed + validated the
+            # batch dim against the stored geometry — don't pay a
+            # second corpus job per ingest micro-batch
+            full_dim = known_full_dim
+        else:
+            first = corpus.select(F.size(vec_col)).first()
+            full_dim = (
+                int(first[0]) if first is not None else prefix_dims + 1
+            )
         if not (1 <= prefix_dims < full_dim):
             raise ValueError(
                 f"prefix_dims must be in [1, dim): got {prefix_dims}"
@@ -3376,6 +3385,18 @@ def incremental_semantic_dedup_prefix(
                 " materialize_ivf_index(prefix_dims=...)"
             )
     dp = int(prefix_dims)
+    # geometry guard: the jvm bound's zip_with dot would evaluate to
+    # NULL on mismatched prefix lengths, silently emptying stage 1
+    # and KEEPING every duplicate — probe one stored row and fail
+    # loudly instead (the dispatcher loads dp from the companion
+    # table, but this public API can be called with a bare int)
+    stored = index.select(F.size("prefix")).first()
+    if stored is not None and int(stored[0]) != dp:
+        raise ValueError(
+            f"prefix_dims {dp} != the index's stored prefix length"
+            f" {int(stored[0])} — the stored geometry is"
+            " authoritative (load_prefix_dims)"
+        )
     b = assign_cells(
         batch.select(
             F.col(id_col).alias("b_id"),

@@ -418,6 +418,23 @@ class ShardsWriter(DataSourceArrowWriter):
         self._meta_cols = [
             f.name for f in schema.fields if f.name not in derived
         ]
+        # csv is a FLAT format and pyarrow's writer (deliberately)
+        # refuses nested values — fail at PLAN time with the column
+        # name, not deep inside every task with ArrowInvalid
+        from pyspark.sql.types import ArrayType, MapType
+
+        nested = [
+            f.name
+            for f in schema.fields
+            if f.name in self._meta_cols
+            and isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            raise ValueError(
+                f"shard csv metadata cannot hold nested columns"
+                f" {nested} — cast them to string (e.g. to_json)"
+                " before writing"
+            )
         # driver-side job token: one namespace for every temp file this
         # job writes, so commit/abort can sweep stragglers by prefix
         self._token = uuid.uuid4().hex[:12]

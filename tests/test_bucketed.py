@@ -1714,6 +1714,12 @@ def test_prefix_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
             incremental_semantic_dedup_prefix(
                 batch, corpus, cents, idx, 16, margin=-0.01
             )
+        # mismatched geometry fails loudly (the jvm zip_with dot
+        # would otherwise NULL out and silently keep every dup)
+        with pytest.raises(ValueError, match="stored prefix length"):
+            incremental_semantic_dedup_prefix(
+                batch, corpus, cents, idx, 8
+            )
         # dispatcher auto-detects the rung from rest_norm and loads
         # the persisted geometry from the companion table
         auto = sorted(
@@ -1757,3 +1763,4 @@ def test_prefix_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
         for t in ("t_gate_pfx", "t_gate_pfx_centroids",
                   "t_gate_pfx_prefix"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+

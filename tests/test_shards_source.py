@@ -670,3 +670,17 @@ def test_dsv2_writer_randomized_roundtrip_invariants(spark, tmp_path):
         assert got == {(f"m_{i}", i) for i in range(n)}
         if with_content:
             assert back.filter("NOT is_correct").count() == 0
+
+
+def test_nested_metadata_columns_fail_at_plan_time(spark, tmp_path):
+    """csv is flat: a nested metadata column fails loudly at writer
+    construction (with the column name), not deep inside every task
+    with ArrowInvalid."""
+    register_shards_source(spark)
+    df = spark.createDataFrame(
+        [(1, ["a", "b"])], schema="id int, tags array<string>"
+    )
+    with pytest.raises(Exception, match="tags.*cast them to string"):
+        df.write.format("dpf_shards").mode("append").save(
+            str(tmp_path / "nested")
+        )
