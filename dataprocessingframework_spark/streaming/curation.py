@@ -315,6 +315,7 @@ def incremental_semantic_ingest(
     compact_every: int | None = None,
     index_sq8: bool = False,
     index_pq: bool = False,
+    index_prefix_dims: int | None = None,
     clamp_log: list | None = None,
     rebuild_on_clamp_frac: float | None = None,
     rebalance_on_imbalance: float | None = None,
@@ -387,6 +388,17 @@ def incremental_semantic_ingest(
     is computed against the stored codebooks, so the per-row margins
     stay sound as the stream runs.
 
+    ``index_prefix_dims`` (requires ``index_table``, exclusive with
+    ``index_sq8``/``index_pq``, r13): the training-free prefix rung —
+    the maintained index stores each vector's first d_p coordinates
+    plus the remainder norm and gates via
+    ``incremental_semantic_dedup_prefix`` (per-pair Cauchy-Schwarz
+    bound, sound at margin=0 ⇒ accepted set identical to the float
+    path). No append caveat (no bounds, no codebooks); appends
+    validate the batch against the stored geometry. Right for
+    matryoshka-trained embeddings — size d_p first with
+    ``emb_gate_prefix_report``.
+
     ``clamp_log`` (sq8 only, r12): pass a list and every index
     write appends ``{batch_id, n_rows, rows_clamped, dims_clamped,
     rebuilt}`` — the runtime signal for the SQ8 append-drift caveat
@@ -445,10 +457,17 @@ def incremental_semantic_ingest(
         semantic_dedup_gate,
     )
 
-    if (index_sq8 or index_pq) and index_table is None:
-        raise ValueError("index_sq8/index_pq require index_table")
-    if index_sq8 and index_pq:
-        raise ValueError("index_sq8 and index_pq are exclusive")
+    if (
+        index_sq8 or index_pq or index_prefix_dims is not None
+    ) and index_table is None:
+        raise ValueError(
+            "index_sq8/index_pq/index_prefix_dims require index_table"
+        )
+    if sum((index_sq8, index_pq, index_prefix_dims is not None)) > 1:
+        raise ValueError(
+            "index_sq8 / index_pq / index_prefix_dims are exclusive"
+            " compression rungs"
+        )
     if rebalance_on_imbalance is not None:
         if index_table is None:
             raise ValueError(
@@ -496,7 +515,15 @@ def incremental_semantic_ingest(
             # rungs read the float batch-dir corpus only for the
             # exact stage-2 recheck of shortlisted candidates; the
             # float-index rung never reads it.
-            kind = "sq8" if index_sq8 else "pq" if index_pq else "float"
+            kind = (
+                "sq8"
+                if index_sq8
+                else "pq"
+                if index_pq
+                else "prefix"
+                if index_prefix_dims is not None
+                else "float"
+            )
             fresh = semantic_dedup_gate(
                 curated,
                 (
@@ -511,6 +538,7 @@ def incremental_semantic_ingest(
                 state["cents"],
                 gate_kind=kind,
                 index_table=index_table,
+                prefix_dims=index_prefix_dims,
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
                 max_cell_rows=max_cell_rows,
@@ -567,6 +595,7 @@ def incremental_semantic_ingest(
                         mode="append" if use_index else "overwrite",
                         sq8=index_sq8,
                         clamp_stats=cstats,
+                        prefix_dims=index_prefix_dims,
                     )
                     rebuilt = False
                     if (
@@ -687,6 +716,7 @@ def incremental_semantic_ingest(
                                 num_buckets=index_num_buckets,
                                 path=loc, mode="overwrite",
                                 sq8=index_sq8,
+                                prefix_dims=index_prefix_dims,
                             )
                         state["cents"] = new_cents
                         rebalanced = True

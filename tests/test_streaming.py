@@ -558,7 +558,7 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
     cents = _ivf_centroids(emb, "vec_id", "embedding", 16, iters=0)
     kept = {}
     try:
-        for mode in ("dirs", "sq8", "pq"):
+        for mode in ("dirs", "sq8", "pq", "prefix"):
             base = str(tmp_path / mode)
             src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
             if mode == "sq8":
@@ -574,6 +574,12 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
                     index_table="t_sem_pq_idx",
                     index_path=f"{base}/idx",
                     index_pq=True,
+                )
+            elif mode == "prefix":
+                kw = dict(
+                    index_table="t_sem_pfx_idx",
+                    index_path=f"{base}/idx",
+                    index_prefix_dims=16,
                 )
             else:
                 kw = {}
@@ -596,7 +602,9 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
                 r.vec_id for r in read_corpus(spark, corpus).collect()
             )
             assert run() == 0  # replay: nothing new
-        assert kept["dirs"] == kept["sq8"] == kept["pq"]
+        assert (
+            kept["dirs"] == kept["sq8"] == kept["pq"] == kept["prefix"]
+        )
         idx = spark.table("t_sem_sq8_idx")
         assert "codes" in idx.columns and "embedding" not in idx.columns
         assert sorted(r.vec_id for r in idx.collect()) == kept["sq8"]
@@ -611,10 +619,20 @@ def test_incremental_semantic_ingest_sq8_index(spark, tmp_path):
         pidx = spark.table("t_sem_pq_idx")
         assert "resid" in pidx.columns and "embedding" not in pidx.columns
         assert sorted(r.vec_id for r in pidx.collect()) == kept["pq"]
+        # r13 prefix rung: index stores prefix + rest_norm, no floats
+        xidx = spark.table("t_sem_pfx_idx")
+        assert "rest_norm" in xidx.columns
+        assert "embedding" not in xidx.columns
+        assert sorted(r.vec_id for r in xidx.collect()) == kept["prefix"]
+        # geometry companion persisted (validates wave-2 appends)
+        geo = spark.table("t_sem_pfx_idx_prefix").collect()[0]
+        assert (geo.dims, geo.full_dim) == (16, 64)
     finally:
         for t in ("t_sem_sq8_idx", "t_sem_sq8_idx_centroids",
                   "t_sem_sq8_idx_sq8", "t_sem_pq_idx",
-                  "t_sem_pq_idx_centroids", "t_sem_pq_idx_pq"):
+                  "t_sem_pq_idx_centroids", "t_sem_pq_idx_pq",
+                  "t_sem_pfx_idx", "t_sem_pfx_idx_centroids",
+                  "t_sem_pfx_idx_prefix"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
