@@ -141,7 +141,7 @@ def test_shards_lifecycle_end_to_end(spark, tmp_path):
 
 def test_semantic_gate_ladder_end_to_end(spark, tmp_path):
     """r12: the compressed-gate ladder example must keep running —
-    quantizer health -> repair -> 3-rung indexing -> sizing reports
+    quantizer health -> repair -> 4-rung indexing -> sizing reports
     -> one batch gated identically on every rung via the dispatcher."""
     import semantic_gate_ladder
 
