@@ -208,9 +208,15 @@ class ShardsReader(DataSourceReader):
         ]
         arrow_meta = to_arrow_schema(StructType(meta_fields))
         parse = pacsv.ParseOptions(newlines_in_values=True)
+        # quoted "" stays an empty STRING: the arrow writer encodes
+        # null as a bare empty field and '' as a quoted one — the
+        # default quoted_strings_can_be_null=True would collapse both
+        # to null on read (legacy pandas-written shards never encoded
+        # the distinction, so this only tightens the native round-trip)
         convert = pacsv.ConvertOptions(
             column_types={f.name: f.type for f in arrow_meta},
             strings_can_be_null=True,
+            quoted_strings_can_be_null=False,
         )
         try:
             tbl = pacsv.read_csv(
@@ -222,7 +228,12 @@ class ShardsReader(DataSourceReader):
             # a type pyarrow's csv converter cannot parse directly
             # (rare — e.g. exotic decimals): read raw, cast after
             tbl = pacsv.read_csv(
-                partition.csv_path, parse_options=parse
+                partition.csv_path,
+                parse_options=parse,
+                convert_options=pacsv.ConvertOptions(
+                    strings_can_be_null=True,
+                    quoted_strings_can_be_null=False,
+                ),
             )
             tbl = tbl.cast(
                 pa.schema(
@@ -408,13 +419,42 @@ class ShardsWriter(DataSourceArrowWriter):
         self._archive_ext = options.get("archive_ext", "tar")
         max_rows = int(options.get("max_files_in_shard", "0"))
         self._max_rows = max_rows if max_rows > 0 else None
-        self._with_content = self._content_col in schema.fieldNames()
-        if self._with_content and self._name_col not in schema.fieldNames():
-            raise ValueError(
-                f"content column {self._content_col!r} requires member-name "
-                f"column {self._name_col!r}"
-            )
-        derived = {SPLIT_COLUMN, self._content_col, *_META_COLS}
+        # explicit first shard number for this append — used by
+        # compact_shards, whose manifest RESERVES its pending numbers
+        # (so _next_shard_index_for would skip past them); everyone
+        # else lets commit() compute it
+        start_opt = options.get("start_index")
+        self._start_index = int(start_opt) if start_opt is not None else None
+        # mirror the reader's escape hatch: content='false' lets a
+        # metadata-only frame carry a column literally named 'content'
+        # without flipping the writer into tar mode
+        self._with_content = (
+            self._content_col in schema.fieldNames()
+            and options.get("content", "auto") != "false"
+        )
+        if self._with_content:
+            ctype = schema[self._content_col].dataType
+            if not isinstance(ctype, BinaryType):
+                # fail at PLAN time with the real story — otherwise
+                # string content raises TypeError per task and integer
+                # content silently writes bytes(n) zero-byte members
+                raise ValueError(
+                    f"content column {self._content_col!r} must be binary,"
+                    f" got {ctype.simpleString()} — cast it, or pass"
+                    " option('content', 'false') to treat it as csv"
+                    " metadata"
+                )
+            if self._name_col not in schema.fieldNames():
+                raise ValueError(
+                    f"content column {self._content_col!r} requires "
+                    f"member-name column {self._name_col!r}"
+                )
+        # in metadata-only mode nothing but split_name is derived —
+        # mirrors the reader's `special` set, so a csv column literally
+        # named 'content'/'is_correct'/'error' round-trips as metadata
+        derived = {SPLIT_COLUMN}
+        if self._with_content:
+            derived |= {self._content_col, *_META_COLS}
         self._meta_cols = [
             f.name for f in schema.fields if f.name not in derived
         ]
@@ -535,6 +575,8 @@ class ShardsWriter(DataSourceArrowWriter):
             }
             _delete_stems(self._path, stems, self._archive_ext)
             start = 0
+        elif self._start_index is not None:
+            start = self._start_index
         else:
             start = _next_shard_index_for(self._path)
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
@@ -566,9 +608,14 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
     - markers live under ``_shards_commits/{checkpoint-ns}/{batchId}``
       where the namespace is derived from the query's
       ``checkpointLocation`` — two different queries (or one restarted
-      with a fresh checkpoint, whose batchIds restart at 0) can share
-      a sink dir without one query's markers silently swallowing the
-      other's batches;
+      with a fresh checkpoint, whose batchIds restart at 0) can write
+      the same sink dir IN TURN without one query's markers silently
+      swallowing the other's batches. Sharing is sequential-only: every
+      commit sweeps ALL ``.tmp`` files in the dir (the janitor for
+      crashed prior attempts, whose job tokens differ), so a
+      CONCURRENT query's in-flight temps would be swept and its commit
+      would fail — one active writer per dataset dir, the same
+      assumption as ``compact_shards``;
     - ``commit()`` first persists the FULL tmp→final rename plan in
       the marker (``state=renaming``, one atomic file replace), then
       executes the renames, then flips the marker to ``done``. A
@@ -787,12 +834,16 @@ def compact_shards(
         .load()
         .where(F.col(SPLIT_COLUMN).isin(smalls))
     )
-    # one shard pair per partition (no in-task rolling), so the new
-    # shard numbers are exactly the manifest's pending list
+    # one shard pair per partition (no in-task rolling) starting at the
+    # reserved index, so the new shard numbers are exactly the
+    # manifest's pending list (start_index because the manifest itself
+    # now blocks _next_shard_index_for from handing these numbers to
+    # anyone — including us)
     (
         src.repartition(n_new)
         .write.format("dpf_shards")
         .option("archive_ext", archive_ext)
+        .option("start_index", str(start))
         .mode("append")
         .save(path)
     )
@@ -806,12 +857,29 @@ def _next_shard_index_for(out_dir: str) -> int:
     """max(existing numeric shard stem) + 1 — append numbering (same
     contract as writers._next_shard_index, local to avoid an import
     cycle; cloudpickle ships this module by value, so driver-side
-    helpers must be self-contained too)."""
+    helpers must be self-contained too).
+
+    A live ``_compaction.json`` also RESERVES numbers that may not be
+    on disk yet: a crashed mid-rewrite compaction leaves ``pending``
+    stems the healer will later ``_delete_stems`` — an append that
+    reused them (e.g. a stream micro-batch landing between the crash
+    and the heal) would be silently deleted by that rollback, its
+    'done' marker preventing any replay. Folding the manifest's
+    pending/retired numbers into the max makes appends land past the
+    reservation regardless of heal ordering."""
     mx = -1
     if os.path.isdir(out_dir):
         for f in os.listdir(out_dir):
             stem = f.split(".")[0]
             if stem.isdigit():
+                mx = max(mx, int(stem))
+    manifest = _read_compaction_manifest(out_dir)
+    if manifest is not None:
+        for stem in (
+            *manifest.get("pending", []),
+            *manifest.get("retired", []),
+        ):
+            if str(stem).isdigit():
                 mx = max(mx, int(stem))
     return mx + 1
 

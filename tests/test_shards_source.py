@@ -684,3 +684,94 @@ def test_nested_metadata_columns_fail_at_plan_time(spark, tmp_path):
         df.write.format("dpf_shards").mode("append").save(
             str(tmp_path / "nested")
         )
+
+
+def test_append_after_crashed_compaction_skips_pending_numbers(
+    spark, tmp_path
+):
+    """ADVICE r13 (medium): an append landing between a mid-rewrite
+    compaction crash and its heal must NOT reuse the manifest's
+    pending shard numbers — the heal's rollback _delete_stems those
+    stems, which would silently delete the committed batch (its
+    marker/commit already settled, so it is never re-written)."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        _COMPACTION_MANIFEST,
+        _next_shard_index_for,
+        heal_compaction,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "pending")
+    _mk_media_df(spark, 8).repartition(2).write.format("dpf_shards").mode(
+        "append"
+    ).save(out)
+    # crashed compaction: manifest reserves 2,3 but the rewrite never
+    # produced the files (worst case for a disk-only max scan)
+    with open(os.path.join(out, _COMPACTION_MANIFEST), "w") as f:
+        json.dump(
+            {"state": "compacting", "retired": ["0", "1"],
+             "pending": ["2", "3"]},
+            f,
+        )
+    assert _next_shard_index_for(out) == 4  # not 2
+    _mk_media_df(spark, 4).repartition(1).write.format("dpf_shards").mode(
+        "append"
+    ).save(out)
+    csvs = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert "4.csv" in csvs and "2.csv" not in csvs
+    # the heal's rollback deletes only the (absent) pending stems —
+    # the appended shard survives with all its rows
+    assert heal_compaction(out) == "compacting"
+    assert spark.read.format("dpf_shards").load(out).count() == 12
+
+
+def test_native_roundtrip_preserves_empty_vs_null_strings(spark, tmp_path):
+    """ADVICE r13 (low): the arrow csv writer encodes '' as a quoted
+    empty field and null as a bare one; the reader must keep the
+    distinction (quoted_strings_can_be_null=False)."""
+    register_shards_source(spark)
+    out = str(tmp_path / "emptynull")
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], schema="id int, s string"
+    ).repartition(1)
+    df.write.format("dpf_shards").mode("append").save(out)
+    back = {
+        r.id: r.s
+        for r in spark.read.format("dpf_shards")
+        .schema("id int, s string, split_name string")
+        .load(out)
+        .collect()
+    }
+    assert back == {1: "", 2: None, 3: "x"}
+
+
+def test_writer_content_false_and_nonbinary_content_plan_error(
+    spark, tmp_path
+):
+    """ADVICE r13 (low): the writer mirrors the reader's
+    content='false' escape hatch (a metadata column literally named
+    'content' stays csv metadata), and a non-binary content column
+    fails at PLAN time with a cast hint instead of TypeError-per-task
+    or silent zero-byte tar members."""
+    register_shards_source(spark)
+    out = str(tmp_path / "contentfalse")
+    df = spark.createDataFrame(
+        [(1, "body-a"), (2, "")], schema="id int, content string"
+    ).repartition(1)
+    with pytest.raises(Exception, match="content.*must be binary"):
+        df.write.format("dpf_shards").mode("append").save(out)
+    df.write.format("dpf_shards").option("content", "false").mode(
+        "append"
+    ).save(out)
+    assert all(f.endswith(".csv") for f in os.listdir(out))
+    back = {
+        r.id: r.content
+        for r in spark.read.format("dpf_shards")
+        .schema("id int, content string, split_name string")
+        .option("content", "false")
+        .load(out)
+        .collect()
+    }
+    assert back == {1: "body-a", 2: ""}
