@@ -1258,6 +1258,63 @@ SQL_W_SHARDS_NATIVE = (
 )
 
 
+def q_w_shards_objectstore_roundtrip(spark, sf_dir):
+    """Object-store shards lifecycle (r14): the SAME commit-protocol
+    write + DSv2 read as ``w_shards_native_roundtrip``, but through
+    the ``fakeobj://`` backend, which enforces S3-class semantics —
+    whole-object atomic PUTs, copy+delete in place of rename, GET-only
+    reads. Identity of the aggregate pins that the protocol's atomic
+    points survive a store with no rename; ``cnt_shard0`` re-reads one
+    shard through a ``split_name`` pushdown (whole-pair pruning on the
+    object store) and pins the sequential 200-row rolling fill."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    backing = f"/root/repo/.scratch/w_objstore_{uuid.uuid4().hex[:8]}"
+    out = f"fakeobj://{backing}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .mode("append")
+            .save(out)
+        )
+        back = spark.read.format("dpf_shards").load(out)
+        full = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("split_name").alias("n_shards"),
+        )
+        pruned = (
+            spark.read.format("dpf_shards")
+            .load(out)
+            .where(F.col("split_name") == "0")
+            .agg(F.count(F.lit(1)).alias("cnt_shard0"))
+        )
+        res = full.crossJoin(pruned)
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(backing, ignore_errors=True)
+
+
+SQL_W_SHARDS_OBJECTSTORE = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards, "
+    "CAST(LEAST(200, COUNT(*)) AS BIGINT) AS cnt_shard0 FROM documents"
+)
+
+
 def q_stream_shards_sink(spark, sf_dir):
     """Streaming shard sink (r13): documents as an availableNow stream
     -> ``writeStream.format("dpf_shards")`` (per-batch commit markers,
@@ -11062,6 +11119,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "w_shards_native_roundtrip": (
         q_w_shards_native_roundtrip,
         SQL_W_SHARDS_NATIVE,
+    ),
+    "w_shards_objectstore_roundtrip": (
+        q_w_shards_objectstore_roundtrip,
+        SQL_W_SHARDS_OBJECTSTORE,
     ),
     "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
     "w_shards_compact": (q_w_shards_compact, SQL_W_SHARDS_COMPACT),

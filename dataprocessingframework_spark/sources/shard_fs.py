@@ -1,0 +1,300 @@
+"""Filesystem abstraction for the ``dpf_shards`` lifecycle.
+
+The DSv2 shards source's value at 100 TB — planner-visible pruning,
+commit-protocol writes, the exactly-once streaming sink, crash-healable
+compaction — lives on object storage in practice (the reference's own
+S3Connector, `connectors/s3_connector.py:9-81`, makes S3 shard datasets
+a first-class workflow). But a Python DataSource task has no JVM
+gateway, so Hadoop's FileSystem is out of reach from inside ``read()``
+/ ``write()``; the I/O has to be Python-native. This module is the
+~10-operation seam that lets the same lifecycle code run on:
+
+- **posix paths** (``/data/shards``) — ``LocalShardFS``: real file
+  handles, `os.replace` atomic rename. The default; zero behavior
+  change for existing callers.
+- **object stores** (``s3://``, ``s3a://``, ``gs://``, ``abfss://``)
+  — ``FsspecShardFS``: an adapter over `fsspec` (public interface;
+  s3fs/gcsfs speak it), gated behind import-try with a loud error
+  when the driver lacks the package.
+- **``fakeobj:///local/dir``** — ``FakeObjectStoreFS``: a test
+  backend that is BACKED by a real local directory (so Spark's
+  separate executor/driver Python processes all see the same state)
+  but exposes object-store *semantics*: whole-object atomic PUTs and
+  NO atomic rename (``replace`` is copy-then-delete). Every
+  commit-protocol / marker / manifest decision that must survive an
+  object store is exercised by pointing the existing lifecycle tests
+  at a ``fakeobj://`` path.
+
+Commit-protocol mapping for stores without atomic rename
+--------------------------------------------------------
+
+==================  ==========================  =========================
+ step                posix                       object store
+==================  ==========================  =========================
+ task temp write     write ``.tmp`` file         PUT attempt-unique key
+ commit "rename"     ``os.replace`` (atomic)     copy + delete (each PUT
+                                                 is atomic per object;
+                                                 the multi-file window
+                                                 is the same one the
+                                                 Hadoop v1 committer has)
+ marker/manifest     write tmp + ``os.replace``  single PUT (a PUT *is*
+ publish                                         the atomic publish)
+==================  ==========================  =========================
+
+The reader-visible invariants are unchanged: a shard pair either
+appears fully or not at all (per-object PUT atomicity), the
+compaction manifest / stream markers flip in one atomic publish, and
+the heal paths only ever act on stems recorded in a manifest.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import shutil
+
+_SCHEME_RE = re.compile(r"^([a-z0-9+.-]+)://", re.IGNORECASE)
+
+_FAKEOBJ_SCHEME = "fakeobj"
+
+
+def path_scheme(path: str) -> str | None:
+    """URL scheme of ``path``, or None for a plain local path."""
+    m = _SCHEME_RE.match(path)
+    return m.group(1).lower() if m else None
+
+
+def join(base: str, *parts: str) -> str:
+    """Scheme-preserving path join (posix separators throughout)."""
+    out = base.rstrip("/")
+    for p in parts:
+        out = f"{out}/{p.strip('/')}"
+    return out
+
+
+class LocalShardFS:
+    """Posix backend — real files, atomic ``os.replace``."""
+
+    atomic_rename = True
+
+    def local_path(self, path: str) -> str | None:
+        """The path as something ``open``/``tarfile``/``pyarrow`` can
+        take directly — the zero-copy fast path. None on remote FSes."""
+        return path
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def open_read(self, path: str):
+        return open(path, "rb")
+
+    def open_write(self, path: str):
+        return open(path, "wb")
+
+    def replace(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        tmp = path + ".wip"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+
+class _PutOnClose(io.BytesIO):
+    """Buffer that publishes itself as one atomic PUT on close — the
+    write handle object stores hand out (a PUT either lands whole or
+    not at all; there is no partially-written object)."""
+
+    def __init__(self, publish) -> None:
+        super().__init__()
+        self._publish = publish
+        self._done = False
+
+    def close(self) -> None:
+        if not self._done:
+            self._done = True
+            self._publish(self.getvalue())
+        super().close()
+
+
+class FakeObjectStoreFS:
+    """Object-store semantics over a local backing directory.
+
+    ``fakeobj:///abs/backing/dir/...`` maps to ``/abs/backing/dir/...``
+    on disk — stateless, so driver and executor processes agree with
+    no shared registry. Semantics deliberately mimic S3-class stores:
+
+    - writes are whole-object atomic PUTs (emulated with a hidden
+      temp + one backing rename — the *emulation* of PUT atomicity,
+      not a capability the lifecycle may rely on for multi-file
+      transitions);
+    - ``replace`` is COPY + DELETE — two operations, no atomicity
+      across them (``atomic_rename = False``), which is exactly the
+      window the commit protocol's manifests/markers must tolerate;
+    - reads return an in-memory buffer (a GET), never a live handle.
+    """
+
+    atomic_rename = False
+
+    @staticmethod
+    def _backing(path: str) -> str:
+        assert path.startswith(f"{_FAKEOBJ_SCHEME}://")
+        return "/" + path[len(_FAKEOBJ_SCHEME) + 3 :].lstrip("/")
+
+    def local_path(self, path: str) -> str | None:
+        return None
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._backing(path))
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(self._backing(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._backing(path), exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._backing(path))
+
+    def remove(self, path: str) -> None:
+        os.remove(self._backing(path))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._backing(path), "rb") as f:
+            return f.read()
+
+    def open_read(self, path: str):
+        # a GET: the whole object, seekable (tarfile needs seeks)
+        return io.BytesIO(self.read_bytes(path))
+
+    def open_write(self, path: str):
+        return _PutOnClose(lambda data: self.put_atomic(path, data))
+
+    def replace(self, src: str, dst: str) -> None:
+        # copy-then-delete, like an object store's rename: the copy is
+        # an atomic PUT of dst, the delete is separate — a crash
+        # between them leaves BOTH objects, never a torn one
+        bsrc, bdst = self._backing(src), self._backing(dst)
+        tmp = bdst + ".putwip"
+        shutil.copyfile(bsrc, tmp)
+        os.replace(tmp, bdst)  # emulates PUT-of-dst atomicity only
+        os.remove(bsrc)
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        b = self._backing(path)
+        tmp = b + ".putwip"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, b)  # emulates single-PUT atomicity
+
+
+class FsspecShardFS:
+    """Adapter over ``fsspec`` for real object stores (s3/gs/abfs...).
+
+    Import-gated: constructing it without fsspec installed raises with
+    the dependency story instead of an AttributeError mid-job. The
+    ``s3a://`` scheme (Hadoop spelling) is mapped to fsspec's ``s3``.
+    """
+
+    atomic_rename = False
+
+    _SCHEME_ALIASES = {"s3a": "s3", "abfss": "abfs"}
+
+    def __init__(self, scheme: str) -> None:
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                f"reading/writing {scheme}:// shard datasets from the "
+                "dpf_shards DataSource requires the 'fsspec' package "
+                "(plus the protocol driver, e.g. s3fs for s3) on the "
+                "driver AND executors; pip install fsspec s3fs"
+            ) from e
+        self._fs = fsspec.filesystem(
+            self._SCHEME_ALIASES.get(scheme, scheme)
+        )
+        self._scheme = scheme
+
+    def _strip(self, path: str) -> str:
+        return path.split("://", 1)[1]
+
+    def local_path(self, path: str) -> str | None:
+        return None
+
+    def isdir(self, path: str) -> bool:
+        return self._fs.isdir(self._strip(path))
+
+    def listdir(self, path: str) -> list[str]:
+        return [
+            p.rstrip("/").rsplit("/", 1)[-1]
+            for p in self._fs.ls(self._strip(path), detail=False)
+        ]
+
+    def makedirs(self, path: str) -> None:
+        self._fs.makedirs(self._strip(path), exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._strip(path))
+
+    def remove(self, path: str) -> None:
+        try:
+            self._fs.rm_file(self._strip(path))
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # fsspec drivers vary — normalize
+            if "not found" in str(e).lower():
+                raise FileNotFoundError(path) from e
+            raise
+
+    def read_bytes(self, path: str) -> bytes:
+        return self._fs.cat_file(self._strip(path))
+
+    def open_read(self, path: str):
+        return io.BytesIO(self.read_bytes(path))
+
+    def open_write(self, path: str):
+        return _PutOnClose(lambda data: self.put_atomic(path, data))
+
+    def replace(self, src: str, dst: str) -> None:
+        s, d = self._strip(src), self._strip(dst)
+        self._fs.copy(s, d)
+        self._fs.rm_file(s)
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        self._fs.pipe_file(self._strip(path), data)
+
+
+def get_fs(path: str):
+    """Backend for ``path`` by scheme. Stateless — safe to call on the
+    driver and inside pickled DataSource tasks alike."""
+    scheme = path_scheme(path)
+    if scheme is None or scheme == "file":
+        return LocalShardFS()
+    if scheme == _FAKEOBJ_SCHEME:
+        return FakeObjectStoreFS()
+    return FsspecShardFS(scheme)
+
+
+def strip_file_scheme(path: str) -> str:
+    """``file:///x`` → ``/x`` (LocalShardFS wants bare paths)."""
+    if path_scheme(path) == "file":
+        return "/" + path.split("://", 1)[1].lstrip("/")
+    return path

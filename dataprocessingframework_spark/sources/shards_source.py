@@ -41,6 +41,14 @@ Error tolerance mirrors the reference's ``return_none_on_error``
 (`shards_dataset.py:101-115`): a missing/corrupt tar member yields
 ``content=None, is_correct=False, error=<reason>`` instead of failing
 the task.
+
+Storage backends: all I/O goes through the ``shard_fs`` seam — posix
+paths (default), object stores via fsspec (``s3://``/``s3a://``/
+``gs://``/``abfss://``, import-gated), and the ``fakeobj://`` test
+backend that enforces object-store semantics (atomic single-object
+PUTs, copy+delete rename). The commit protocol's atomic points
+(stream markers, the compaction manifest) are single-object publishes
+precisely so the object-store mapping is a PUT, not a rename.
 """
 
 from __future__ import annotations
@@ -49,6 +57,9 @@ import io
 import os
 import tarfile
 from dataclasses import dataclass
+
+from . import shard_fs
+from .shard_fs import get_fs, join as fs_join, strip_file_scheme
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -87,30 +98,30 @@ _COMPACTION_MANIFEST = "_compaction.json"
 def _read_compaction_manifest(path: str) -> dict | None:
     import json
 
-    mpath = os.path.join(path, _COMPACTION_MANIFEST)
     try:
-        with open(mpath) as f:
-            return json.load(f)
+        return json.loads(
+            get_fs(path).read_bytes(fs_join(path, _COMPACTION_MANIFEST))
+        )
     except FileNotFoundError:
         return None
 
 
 def _write_compaction_manifest(path: str, manifest: dict) -> None:
-    """Single-file atomic replace — THE reader-visible commit point of
-    a compaction (posix rename; object stores swap a pointer here)."""
+    """Single-object atomic publish — THE reader-visible commit point
+    of a compaction (posix: tmp + rename; object stores: one PUT)."""
     import json
 
-    mpath = os.path.join(path, _COMPACTION_MANIFEST)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    get_fs(path).put_atomic(
+        fs_join(path, _COMPACTION_MANIFEST),
+        json.dumps(manifest).encode(),
+    )
 
 
 def _list_shards(path: str, archive_ext: str) -> tuple[list[str], set[str]]:
-    if not os.path.isdir(path):
+    fs = get_fs(path)
+    if not fs.isdir(path):
         raise FileNotFoundError(path)
-    names = sorted(os.listdir(path))
+    names = sorted(fs.listdir(path))
     csvs = [n[:-4] for n in names if n.endswith(".csv")]
     tars = {
         n[: -(len(archive_ext) + 1)]
@@ -136,6 +147,7 @@ class ShardsReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("dpf_shards requires a path")
+        path = strip_file_scheme(path)
         self._schema = schema
         self._name_col = options.get("name_col", "name")
         self._content_col = options.get("content_col", "content")
@@ -158,9 +170,9 @@ class ShardsReader(DataSourceReader):
         self._parts: list[ShardPartition] = [
             ShardPartition(
                 split_name=stem,
-                csv_path=os.path.join(path, f"{stem}.csv"),
+                csv_path=fs_join(path, f"{stem}.csv"),
                 tar_path=(
-                    os.path.join(path, f"{stem}.{self._archive_ext}")
+                    fs_join(path, f"{stem}.{self._archive_ext}")
                     if stem in tars and self._with_content
                     else None
                 ),
@@ -218,9 +230,15 @@ class ShardsReader(DataSourceReader):
             strings_can_be_null=True,
             quoted_strings_can_be_null=False,
         )
+        fs = get_fs(partition.csv_path)
+        # local fast path: hand pyarrow the path (mmap-able); remote:
+        # one GET per csv (a shard table is metadata-sized)
+        csv_src = fs.local_path(partition.csv_path)
         try:
             tbl = pacsv.read_csv(
-                partition.csv_path,
+                csv_src
+                if csv_src is not None
+                else fs.open_read(partition.csv_path),
                 parse_options=parse,
                 convert_options=convert,
             )
@@ -228,7 +246,9 @@ class ShardsReader(DataSourceReader):
             # a type pyarrow's csv converter cannot parse directly
             # (rare — e.g. exotic decimals): read raw, cast after
             tbl = pacsv.read_csv(
-                partition.csv_path,
+                csv_src
+                if csv_src is not None
+                else fs.open_read(partition.csv_path),
                 parse_options=parse,
                 convert_options=pacsv.ConvertOptions(
                     strings_can_be_null=True,
@@ -252,7 +272,19 @@ class ShardsReader(DataSourceReader):
             tar_err: str | None = None
             if partition.tar_path is not None:
                 try:
-                    with tarfile.open(partition.tar_path, "r") as tf:
+                    tar_local = fs.local_path(partition.tar_path)
+                    # remote: one GET of the whole archive — a shard
+                    # tar is bounded by max_files_in_shard, and whole-
+                    # archive transfer is the locality the one-shard-
+                    # per-partition plan exists to exploit
+                    with (
+                        tarfile.open(tar_local, "r")
+                        if tar_local is not None
+                        else tarfile.open(
+                            fileobj=fs.open_read(partition.tar_path),
+                            mode="r",
+                        )
+                    ) as tf:
                         for m in tf.getmembers():
                             fh = tf.extractfile(m)
                             if fh is not None:
@@ -308,6 +340,7 @@ class ShardsDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("dpf_shards requires a path")
+        path = strip_file_scheme(path)
         archive_ext = self.options.get("archive_ext", "tar")
         csvs, tars = _list_shards(path, archive_ext)
         if not csvs:
@@ -318,8 +351,11 @@ class ShardsDataSource(DataSource):
         )
         # FIRST-shard inference only (the sampling trade every csv
         # reader makes — pass .schema() to pin types exactly)
+        fs = get_fs(path)
+        first_csv = fs_join(path, f"{csvs[0]}.csv")
+        first_src = fs.local_path(first_csv)
         first = pacsv.read_csv(
-            os.path.join(path, f"{csvs[0]}.csv"),
+            first_src if first_src is not None else fs.open_read(first_csv),
             parse_options=pacsv.ParseOptions(newlines_in_values=True),
         )
         inferred = from_arrow_schema(first.schema)
@@ -412,7 +448,7 @@ class ShardsWriter(DataSourceArrowWriter):
         path = options.get("path")
         if not path:
             raise ValueError("dpf_shards requires a path")
-        self._path = path
+        self._path = strip_file_scheme(path)
         self._overwrite = overwrite
         self._name_col = options.get("name_col", "name")
         self._content_col = options.get("content_col", "content")
@@ -478,7 +514,7 @@ class ShardsWriter(DataSourceArrowWriter):
         # driver-side job token: one namespace for every temp file this
         # job writes, so commit/abort can sweep stragglers by prefix
         self._token = uuid.uuid4().hex[:12]
-        os.makedirs(path, exist_ok=True)
+        get_fs(self._path).makedirs(self._path)
 
     # ---- executor side -------------------------------------------------
     def write(self, iterator) -> ShardsCommitMessage:
@@ -488,7 +524,8 @@ class ShardsWriter(DataSourceArrowWriter):
 
         tc = TaskContext.get()
         pid, attempt = tc.partitionId(), tc.taskAttemptId()
-        prefix = os.path.join(
+        fs = get_fs(self._path)
+        prefix = fs_join(
             self._path, f".{self._token}-p{pid:06d}-a{attempt}"
         )
         shards: list[tuple[int, int, str, str | None, int]] = []
@@ -496,24 +533,26 @@ class ShardsWriter(DataSourceArrowWriter):
         rows = 0
         seq = 0
         tar: tarfile.TarFile | None = None
+        tar_fh = None  # underlying FS handle (PUT-on-close on remote)
         tmp_tar: str | None = None
 
         def roll() -> None:
-            nonlocal batches, rows, seq, tar, tmp_tar
+            nonlocal batches, rows, seq, tar, tar_fh, tmp_tar
             if rows == 0:
                 return
             if tar is not None:
                 tar.close()
+                tar_fh.close()  # tarfile leaves caller-owned fileobjs open
             tmp_csv = f"{prefix}-s{seq}.csv.tmp"
             # arrow-native csv emit (C++) — RFC4180 doublequote, the
             # exact dialect the reader's pyarrow parser and the legacy
             # pandas round-trip already speak; nulls write as empty
             # (reader: strings_can_be_null=True)
-            pacsv.write_csv(
-                pa.Table.from_batches(batches), tmp_csv
-            )
+            with fs.open_write(tmp_csv) as csv_fh:
+                pacsv.write_csv(pa.Table.from_batches(batches), csv_fh)
             shards.append((pid, seq, tmp_csv, tmp_tar, rows))
-            batches, rows, seq, tar, tmp_tar = [], 0, seq + 1, None, None
+            batches, rows, seq = [], 0, seq + 1
+            tar, tar_fh, tmp_tar = None, None, None
 
         for batch in iterator:
             offset = 0
@@ -526,7 +565,8 @@ class ShardsWriter(DataSourceArrowWriter):
                 if self._with_content:
                     if tar is None:
                         tmp_tar = f"{prefix}-s{seq}.{self._archive_ext}.tmp"
-                        tar = tarfile.open(tmp_tar, "w")
+                        tar_fh = fs.open_write(tmp_tar)
+                        tar = tarfile.open(fileobj=tar_fh, mode="w")
                     for name, data in zip(
                         chunk.column(self._name_col).to_pylist(),
                         chunk.column(self._content_col).to_pylist(),
@@ -547,14 +587,16 @@ class ShardsWriter(DataSourceArrowWriter):
 
     # ---- driver side ---------------------------------------------------
     def _sweep_temps(self) -> None:
-        for f in os.listdir(self._path):
+        fs = get_fs(self._path)
+        for f in fs.listdir(self._path):
             if f.startswith(f".{self._token}-") and f.endswith(".tmp"):
                 try:
-                    os.remove(os.path.join(self._path, f))
+                    fs.remove(fs_join(self._path, f))
                 except OSError:
                     pass
 
     def commit(self, messages) -> None:
+        fs = get_fs(self._path)
         manifest = sorted(
             entry
             for m in messages
@@ -570,7 +612,7 @@ class ShardsWriter(DataSourceArrowWriter):
             heal_compaction(self._path, self._archive_ext)
             stems = {
                 f.split(".")[0]
-                for f in os.listdir(self._path)
+                for f in fs.listdir(self._path)
                 if f.endswith(".csv") or f.endswith(f".{self._archive_ext}")
             }
             _delete_stems(self._path, stems, self._archive_ext)
@@ -581,14 +623,15 @@ class ShardsWriter(DataSourceArrowWriter):
             start = _next_shard_index_for(self._path)
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
             idx = start + i
+            # tar FIRST: _list_shards pairs csv->tar, so a crash
+            # between the two leaves an unreferenced tar (invisible),
+            # never a csv whose archive mate is missing
             if tmp_tar is not None:
-                os.replace(
+                fs.replace(
                     tmp_tar,
-                    os.path.join(
-                        self._path, f"{idx}.{self._archive_ext}"
-                    ),
+                    fs_join(self._path, f"{idx}.{self._archive_ext}"),
                 )
-            os.replace(tmp_csv, os.path.join(self._path, f"{idx}.csv"))
+            fs.replace(tmp_csv, fs_join(self._path, f"{idx}.csv"))
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
 
@@ -653,43 +696,44 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
             if ckpt
             else "default"
         )
-        self._commits = os.path.join(self._path, _COMMITS_DIR, ns)
-        os.makedirs(self._commits, exist_ok=True)
+        self._commits = fs_join(self._path, _COMMITS_DIR, ns)
+        get_fs(self._path).makedirs(self._commits)
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self._commits, str(batch_id))
+        return fs_join(self._commits, str(batch_id))
 
     def _sweep_all_temps(self) -> None:
-        for f in os.listdir(self._path):
+        fs = get_fs(self._path)
+        for f in fs.listdir(self._path):
             if f.startswith(".") and f.endswith(".tmp"):
                 try:
-                    os.remove(os.path.join(self._path, f))
+                    fs.remove(fs_join(self._path, f))
                 except OSError:
                     pass
 
-    @staticmethod
-    def _write_marker(marker_path: str, payload: dict) -> None:
+    def _write_marker(self, marker_path: str, payload: dict) -> None:
         import json
 
-        tmp = marker_path + ".wip"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, marker_path)
+        # single-object atomic publish (posix: tmp+rename; object
+        # store: one PUT) — the write-ahead property needs nothing more
+        get_fs(self._path).put_atomic(
+            marker_path, json.dumps(payload).encode()
+        )
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         import json
 
+        fs = get_fs(self._path)
         marker = self._marker(batchId)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                state = json.load(f)
+        if fs.exists(marker):
+            state = json.loads(fs.read_bytes(marker))
             if state.get("state") == "renaming":
                 # crashed mid-commit: complete the recorded plan —
                 # the crashed attempt's surviving temps take their
                 # planned names; already-renamed entries no-op
                 for tmp, final in state["map"].items():
-                    if os.path.exists(tmp):
-                        os.replace(tmp, final)
+                    if fs.exists(tmp):
+                        fs.replace(tmp, final)
                 self._write_marker(marker, {"state": "done"})
             self._sweep_all_temps()  # this replay's temps are duplicates
             return
@@ -704,15 +748,15 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
             idx = start + i
             if tmp_tar is not None:
-                mapping[tmp_tar] = os.path.join(
+                mapping[tmp_tar] = fs_join(
                     self._path, f"{idx}.{self._archive_ext}"
                 )
-            mapping[tmp_csv] = os.path.join(self._path, f"{idx}.csv")
+            mapping[tmp_csv] = fs_join(self._path, f"{idx}.csv")
         self._write_marker(
             marker, {"state": "renaming", "map": mapping}
         )
         for tmp, final in mapping.items():
-            os.replace(tmp, final)
+            fs.replace(tmp, final)
         self._write_marker(marker, {"state": "done"})
         self._sweep_all_temps()
 
@@ -721,10 +765,11 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
 
 
 def _delete_stems(path: str, stems, archive_ext: str) -> None:
+    fs = get_fs(path)
     for stem in stems:
         for ext in ("csv", archive_ext):
             try:
-                os.remove(os.path.join(path, f"{stem}.{ext}"))
+                fs.remove(fs_join(path, f"{stem}.{ext}"))
             except FileNotFoundError:
                 pass
 
@@ -750,7 +795,7 @@ def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
         # any already-written new shards are DUPLICATES — delete them,
         # restoring the exact pre-compaction dataset
         _delete_stems(path, manifest.get("pending", []), archive_ext)
-    os.remove(os.path.join(path, _COMPACTION_MANIFEST))
+    get_fs(path).remove(fs_join(path, _COMPACTION_MANIFEST))
     return state
 
 
@@ -797,6 +842,7 @@ def compact_shards(
     from pyspark.sql import functions as F
 
     register_shards_source(spark)
+    path = strip_file_scheme(path)
     heal_compaction(path, archive_ext)
     if min_rows is None:
         min_rows = max_files_in_shard // 2
@@ -849,7 +895,7 @@ def compact_shards(
     )
     _write_compaction_manifest(path, {"state": "done", "retired": smalls})
     _delete_stems(path, smalls, archive_ext)
-    os.remove(os.path.join(path, _COMPACTION_MANIFEST))
+    get_fs(path).remove(fs_join(path, _COMPACTION_MANIFEST))
     return {"retired": smalls, "new": pending, "rows": total}
 
 
@@ -868,8 +914,9 @@ def _next_shard_index_for(out_dir: str) -> int:
     pending/retired numbers into the max makes appends land past the
     reservation regardless of heal ordering."""
     mx = -1
-    if os.path.isdir(out_dir):
-        for f in os.listdir(out_dir):
+    fs = get_fs(out_dir)
+    if fs.isdir(out_dir):
+        for f in fs.listdir(out_dir):
             stem = f.split(".")[0]
             if stem.isdigit():
                 mx = max(mx, int(stem))
@@ -898,6 +945,7 @@ def register_shards_source(spark) -> None:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(shard_fs)
     # self-enable (runtime-settable SQL conf): Spark REFUSES a reader
     # that implements pushFilters while this flag is false, and the
     # external harness brings a vanilla session — same pattern as the
