@@ -422,11 +422,14 @@ class Dataset:
         name_col: str = "name",
         content_col: str = "content",
         archive_ext: str = "tar",
+        layout: str = "tar",
     ) -> None:
         """W1 through the commit-protocol DSv2 writer — same output
         layout as :meth:`write_shards`, but speculative/retry-safe
         (temps renamed only after every task succeeds; a failed job
-        leaves the dataset untouched). See
+        leaves the dataset untouched). ``layout='dir'`` writes the
+        sharded-files format (W2: N.csv + loose-file folder N/)
+        through the same commit protocol. See
         ``sources/shards_source.ShardsWriter``."""
         from dataprocessingframework_spark.sources.shards_source import (
             register_shards_source,
@@ -439,6 +442,7 @@ class Dataset:
             .option("name_col", name_col)
             .option("content_col", content_col)
             .option("archive_ext", archive_ext)
+            .option("layout", layout)
             .mode(mode)
             .save(out_dir)
         )

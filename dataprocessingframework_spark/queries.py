@@ -1315,6 +1315,68 @@ SQL_W_SHARDS_OBJECTSTORE = (
 )
 
 
+def q_w_shardedfiles_native_roundtrip(spark, sf_dir):
+    """Sharded-files (W2/S3) through the DSv2 lifecycle (r14):
+    documents + a real binary content column -> ``layout='dir'``
+    commit-protocol write (N.csv + loose-file folder N/) -> same-source
+    read. ``sum_content_chars`` decodes the loose members back to text,
+    so identity pins the member bytes path end-to-end, not just the
+    csv; ``n_ok`` pins the tolerant contract finding every member."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_shardedfiles_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "n_chars",
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+                "name"
+            ),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .option("layout", "dir")
+            .mode("append")
+            .save(out)
+        )
+        back = (
+            spark.read.format("dpf_shards")
+            .option("layout", "dir")
+            .load(out)
+        )
+        res = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length(F.decode("content", "UTF-8"))).alias(
+                "sum_content_chars"
+            ),
+            F.count_distinct("split_name").alias("n_shards"),
+            F.sum(F.col("is_correct").cast("long")).alias("n_ok"),
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_SHARDEDFILES_NATIVE = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_content_chars, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards, "
+    "COUNT(*) AS n_ok FROM documents"
+)
+
+
 def q_stream_shards_sink(spark, sf_dir):
     """Streaming shard sink (r13): documents as an availableNow stream
     -> ``writeStream.format("dpf_shards")`` (per-batch commit markers,
@@ -11123,6 +11185,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "w_shards_objectstore_roundtrip": (
         q_w_shards_objectstore_roundtrip,
         SQL_W_SHARDS_OBJECTSTORE,
+    ),
+    "w_shardedfiles_native_roundtrip": (
+        q_w_shardedfiles_native_roundtrip,
+        SQL_W_SHARDEDFILES_NATIVE,
     ),
     "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
     "w_shards_compact": (q_w_shards_compact, SQL_W_SHARDS_COMPACT),

@@ -138,6 +138,7 @@ class DatasetReader:
         name_col: str = "name",
         content_col: str = "content",
         archive_ext: str = "tar",
+        layout: str = "tar",
     ) -> DataFrame:
         """Read csv(+tar) shards through the ``dpf_shards`` Python
         DataSource with Spark-csv-inferred metadata types."""
@@ -155,8 +156,11 @@ class DatasetReader:
 
         register_shards_source(self.spark)
         glob = os.path.join(path, "*.csv")
+        # inference-only pass; multiLine + doublequote escape so the
+        # RFC4180 dialect both writers emit (quoted embedded newlines)
+        # infers the same types the arrow reader will parse
         base = self.spark.read.options(
-            header=True, inferSchema=True
+            header=True, inferSchema=True, multiLine=True, escape='"'
         ).csv(glob)
         fields = list(base.schema.fields)
         fields.append(StructField(SPLIT_COLUMN, StringType()))
@@ -171,6 +175,7 @@ class DatasetReader:
             .option("content_col", content_col)
             .option("content", "true" if with_content else "false")
             .option("archive_ext", archive_ext)
+            .option("layout", layout)
             .load(path)
         )
 
@@ -190,6 +195,25 @@ class DatasetReader:
             with_content=True,
             name_col=name_col,
             archive_ext=config.archive_ext,
+        )
+        df = self._apply_renames(df, config.rename)
+        self._check_required(df, config.required_columns)
+        return Dataset(df, config)
+
+    def read_sharded_files_with_bytes(
+        self, config: ShardedFilesDatasetConfig, name_col: str = "name"
+    ) -> Dataset:
+        """S5-over-S3 through the DSv2 source (r14): metadata + loose
+        file bytes in ONE scan — one csv+folder pair per
+        InputPartition, split_name pruning skips whole folders, and
+        members read with the same error-tolerant contract
+        (`dataset_reader.py:205-254` format; ``layout='dir'``)."""
+        self._check_pairing(config.path, "")
+        df = self._shards_v2(
+            config.path,
+            with_content=True,
+            name_col=name_col,
+            layout="dir",
         )
         df = self._apply_renames(df, config.rename)
         self._check_required(df, config.required_columns)

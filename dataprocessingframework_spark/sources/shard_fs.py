@@ -98,6 +98,9 @@ class LocalShardFS:
     def remove(self, path: str) -> None:
         os.remove(path)
 
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -109,6 +112,8 @@ class LocalShardFS:
         return open(path, "wb")
 
     def replace(self, src: str, dst: str) -> None:
+        # works for directories too (posix rename) — the dir-layout
+        # shard publish relies on it
         os.replace(src, dst)
 
     def put_atomic(self, path: str, data: bytes) -> None:
@@ -177,6 +182,10 @@ class FakeObjectStoreFS:
     def remove(self, path: str) -> None:
         os.remove(self._backing(path))
 
+    def rmtree(self, path: str) -> None:
+        # prefix delete: one DELETE per object under the prefix
+        shutil.rmtree(self._backing(path), ignore_errors=True)
+
     def read_bytes(self, path: str) -> bytes:
         with open(self._backing(path), "rb") as f:
             return f.read()
@@ -191,8 +200,18 @@ class FakeObjectStoreFS:
     def replace(self, src: str, dst: str) -> None:
         # copy-then-delete, like an object store's rename: the copy is
         # an atomic PUT of dst, the delete is separate — a crash
-        # between them leaves BOTH objects, never a torn one
+        # between them leaves BOTH objects, never a torn one. A
+        # directory "rename" is per-member copy+delete (objects under
+        # a prefix) — which is exactly why the dir-layout commit
+        # publishes the csv LAST: the csv is the shard's visibility
+        # gate, so a half-copied member dir is never readable
         bsrc, bdst = self._backing(src), self._backing(dst)
+        if os.path.isdir(bsrc):
+            os.makedirs(bdst, exist_ok=True)
+            for name in os.listdir(bsrc):
+                self.replace(join(src, name), join(dst, name))
+            shutil.rmtree(bsrc, ignore_errors=True)
+            return
         tmp = bdst + ".putwip"
         shutil.copyfile(bsrc, tmp)
         os.replace(tmp, bdst)  # emulates PUT-of-dst atomicity only
@@ -273,8 +292,18 @@ class FsspecShardFS:
     def open_write(self, path: str):
         return _PutOnClose(lambda data: self.put_atomic(path, data))
 
+    def rmtree(self, path: str) -> None:
+        try:
+            self._fs.rm(self._strip(path), recursive=True)
+        except FileNotFoundError:
+            pass
+
     def replace(self, src: str, dst: str) -> None:
         s, d = self._strip(src), self._strip(dst)
+        if self._fs.isdir(s):
+            self._fs.copy(s + "/", d + "/", recursive=True)
+            self._fs.rm(s, recursive=True)
+            return
         self._fs.copy(s, d)
         self._fs.rm_file(s)
 

@@ -95,6 +95,25 @@ class ShardPartition(InputPartition):
 _COMPACTION_MANIFEST = "_compaction.json"
 
 
+def _validated_layout(options: dict) -> str:
+    layout = options.get("layout", "tar")
+    if layout not in ("tar", "dir"):
+        raise ValueError(
+            f"dpf_shards layout must be 'tar' (csv+tar shards) or"
+            f" 'dir' (csv + loose-file folder, the reference's"
+            f" sharded-files format), got {layout!r}"
+        )
+    return layout
+
+
+def _archive_path(path: str, stem: str, archive_ext: str, layout: str) -> str:
+    return (
+        fs_join(path, stem)
+        if layout == "dir"
+        else fs_join(path, f"{stem}.{archive_ext}")
+    )
+
+
 def _read_compaction_manifest(path: str) -> dict | None:
     import json
 
@@ -117,17 +136,30 @@ def _write_compaction_manifest(path: str, manifest: dict) -> None:
     )
 
 
-def _list_shards(path: str, archive_ext: str) -> tuple[list[str], set[str]]:
+def _list_shards(
+    path: str, archive_ext: str, layout: str = "tar"
+) -> tuple[list[str], set[str]]:
     fs = get_fs(path)
     if not fs.isdir(path):
         raise FileNotFoundError(path)
     names = sorted(fs.listdir(path))
     csvs = [n[:-4] for n in names if n.endswith(".csv")]
-    tars = {
-        n[: -(len(archive_ext) + 1)]
-        for n in names
-        if n.endswith(f".{archive_ext}")
-    }
+    if layout == "dir":
+        # sharded-files: the archive mate of N.csv is the loose-file
+        # directory N/ (`dataset_reader.py:205-254`'s pairing assert)
+        tars = {
+            n
+            for n in names
+            if not n.startswith((".", "_"))
+            and "." not in n
+            and fs.isdir(fs_join(path, n))
+        }
+    else:
+        tars = {
+            n[: -(len(archive_ext) + 1)]
+            for n in names
+            if n.endswith(f".{archive_ext}")
+        }
     # a DONE compaction manifest retires shards logically before their
     # files are garbage-collected: readers exclude them even if the
     # collector hasn't run (crash-healable; see compact_shards)
@@ -152,6 +184,7 @@ class ShardsReader(DataSourceReader):
         self._name_col = options.get("name_col", "name")
         self._content_col = options.get("content_col", "content")
         self._archive_ext = options.get("archive_ext", "tar")
+        self._layout = _validated_layout(options)
         # an explicit content='false' wins over the schema heuristic: a
         # metadata-only csv is allowed to carry a column literally
         # named 'content' without flipping the reader into tar mode
@@ -159,9 +192,10 @@ class ShardsReader(DataSourceReader):
             self._content_col in schema.fieldNames()
             and options.get("content", "auto") != "false"
         )
-        csvs, tars = _list_shards(path, self._archive_ext)
+        csvs, tars = _list_shards(path, self._archive_ext, self._layout)
         if self._with_content:
-            # csv<->tar pairing contract (`dataset_reader.py:183-192`)
+            # csv<->tar pairing contract (`dataset_reader.py:183-192`;
+            # dir layout: csv<->folder, `dataset_reader.py:237-243`)
             missing = sorted(set(csvs) - tars)
             if missing:
                 raise ValueError(
@@ -172,7 +206,7 @@ class ShardsReader(DataSourceReader):
                 split_name=stem,
                 csv_path=fs_join(path, f"{stem}.csv"),
                 tar_path=(
-                    fs_join(path, f"{stem}.{self._archive_ext}")
+                    _archive_path(path, stem, self._archive_ext, self._layout)
                     if stem in tars and self._with_content
                     else None
                 ),
@@ -269,8 +303,16 @@ class ShardsReader(DataSourceReader):
         )
         if self._with_content:
             members: dict[str, bytes] = {}
+            loose_dir: str | None = None
             tar_err: str | None = None
-            if partition.tar_path is not None:
+            if partition.tar_path is None:
+                tar_err = "missing archive"
+            elif self._layout == "dir":
+                # loose-file folder: one GET per member below — no
+                # up-front archive read (and no tar locality win; the
+                # tar layout remains the 100 TB-preferred format)
+                loose_dir = partition.tar_path
+            else:
                 try:
                     tar_local = fs.local_path(partition.tar_path)
                     # remote: one GET of the whole archive — a shard
@@ -291,18 +333,24 @@ class ShardsReader(DataSourceReader):
                                 members[m.name] = fh.read()
                 except Exception as e:  # noqa: BLE001 — tolerant contract
                     tar_err = f"{type(e).__name__}: {e}"
-            else:
-                tar_err = "missing archive"
             contents: list[bytes | None] = []
             ok: list[bool] = []
             err: list[str | None] = []
             for name in tbl.column(self._name_col).to_pylist():
                 data = members.get(str(name))
+                member_err = tar_err
+                if data is None and loose_dir is not None:
+                    try:
+                        data = fs.read_bytes(fs_join(loose_dir, str(name)))
+                    except Exception as e:  # noqa: BLE001 — tolerant,
+                        # and per-member: one unreadable loose file
+                        # must not poison its shard siblings
+                        member_err = f"{type(e).__name__}: {e}"
                 if data is None:
                     contents.append(None)
                     ok.append(False)
                     err.append(
-                        tar_err or f"KeyError: {name!r} not in archive"
+                        member_err or f"KeyError: {name!r} not in archive"
                     )
                 else:
                     contents.append(data)
@@ -342,7 +390,9 @@ class ShardsDataSource(DataSource):
             raise ValueError("dpf_shards requires a path")
         path = strip_file_scheme(path)
         archive_ext = self.options.get("archive_ext", "tar")
-        csvs, tars = _list_shards(path, archive_ext)
+        csvs, tars = _list_shards(
+            path, archive_ext, _validated_layout(dict(self.options))
+        )
         if not csvs:
             raise ValueError(f"no .csv shard tables under {path}")
         content_opt = self.options.get("content", "auto")
@@ -453,6 +503,7 @@ class ShardsWriter(DataSourceArrowWriter):
         self._name_col = options.get("name_col", "name")
         self._content_col = options.get("content_col", "content")
         self._archive_ext = options.get("archive_ext", "tar")
+        self._layout = _validated_layout(options)
         max_rows = int(options.get("max_files_in_shard", "0"))
         self._max_rows = max_rows if max_rows > 0 else None
         # explicit first shard number for this append — used by
@@ -562,7 +613,25 @@ class ShardsWriter(DataSourceArrowWriter):
                     take = min(take, self._max_rows - rows)
                 chunk = batch.slice(offset, take)
                 offset += take
-                if self._with_content:
+                if self._with_content and self._layout == "dir":
+                    # sharded-files: loose members under a temp DIR
+                    # (dot-prefixed — invisible to _list_shards); each
+                    # member is its own atomic put, the csv publishes
+                    # the shard
+                    if tmp_tar is None:
+                        tmp_tar = f"{prefix}-s{seq}.dir.tmp"
+                        fs.makedirs(tmp_tar)
+                    for name, data in zip(
+                        chunk.column(self._name_col).to_pylist(),
+                        chunk.column(self._content_col).to_pylist(),
+                    ):
+                        if data is None:
+                            continue
+                        with fs.open_write(
+                            fs_join(tmp_tar, str(name))
+                        ) as mfh:
+                            mfh.write(bytes(data))
+                elif self._with_content:
                     if tar is None:
                         tmp_tar = f"{prefix}-s{seq}.{self._archive_ext}.tmp"
                         tar_fh = fs.open_write(tmp_tar)
@@ -591,7 +660,10 @@ class ShardsWriter(DataSourceArrowWriter):
         for f in fs.listdir(self._path):
             if f.startswith(f".{self._token}-") and f.endswith(".tmp"):
                 try:
-                    fs.remove(fs_join(self._path, f))
+                    if f.endswith(".dir.tmp"):
+                        fs.rmtree(fs_join(self._path, f))
+                    else:
+                        fs.remove(fs_join(self._path, f))
                 except OSError:
                     pass
 
@@ -613,7 +685,9 @@ class ShardsWriter(DataSourceArrowWriter):
             stems = {
                 f.split(".")[0]
                 for f in fs.listdir(self._path)
-                if f.endswith(".csv") or f.endswith(f".{self._archive_ext}")
+                if f.endswith(".csv")
+                or f.endswith(f".{self._archive_ext}")
+                or ("." not in f and not f.startswith((".", "_")))
             }
             _delete_stems(self._path, stems, self._archive_ext)
             start = 0
@@ -623,13 +697,16 @@ class ShardsWriter(DataSourceArrowWriter):
             start = _next_shard_index_for(self._path)
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
             idx = start + i
-            # tar FIRST: _list_shards pairs csv->tar, so a crash
-            # between the two leaves an unreferenced tar (invisible),
-            # never a csv whose archive mate is missing
+            # archive FIRST: _list_shards pairs csv->archive, so a
+            # crash between the two leaves an unreferenced archive
+            # (invisible), never a csv whose archive mate is missing
             if tmp_tar is not None:
                 fs.replace(
                     tmp_tar,
-                    fs_join(self._path, f"{idx}.{self._archive_ext}"),
+                    _archive_path(
+                        self._path, str(idx), self._archive_ext,
+                        self._layout,
+                    ),
                 )
             fs.replace(tmp_csv, fs_join(self._path, f"{idx}.csv"))
         # speculative losers' temps never reach a manifest — sweep them
@@ -707,7 +784,10 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         for f in fs.listdir(self._path):
             if f.startswith(".") and f.endswith(".tmp"):
                 try:
-                    fs.remove(fs_join(self._path, f))
+                    if f.endswith(".dir.tmp"):
+                        fs.rmtree(fs_join(self._path, f))
+                    else:
+                        fs.remove(fs_join(self._path, f))
                 except OSError:
                     pass
 
@@ -748,8 +828,8 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
             idx = start + i
             if tmp_tar is not None:
-                mapping[tmp_tar] = fs_join(
-                    self._path, f"{idx}.{self._archive_ext}"
+                mapping[tmp_tar] = _archive_path(
+                    self._path, str(idx), self._archive_ext, self._layout
                 )
             mapping[tmp_csv] = fs_join(self._path, f"{idx}.csv")
         self._write_marker(
@@ -772,6 +852,10 @@ def _delete_stems(path: str, stems, archive_ext: str) -> None:
                 fs.remove(fs_join(path, f"{stem}.{ext}"))
             except FileNotFoundError:
                 pass
+        # dir-layout archive mate: the loose-file folder N/
+        loose = fs_join(path, str(stem))
+        if fs.isdir(loose):
+            fs.rmtree(loose)
 
 
 def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
@@ -805,6 +889,7 @@ def compact_shards(
     max_files_in_shard: int = 1000,
     min_rows: int | None = None,
     archive_ext: str = "tar",
+    layout: str = "tar",
 ) -> dict:
     """Merge undersized shard pairs into right-sized ones — the
     janitor for the streaming sink's long tail (every micro-batch
@@ -846,12 +931,13 @@ def compact_shards(
     heal_compaction(path, archive_ext)
     if min_rows is None:
         min_rows = max_files_in_shard // 2
-    csvs, tars = _list_shards(path, archive_ext)
+    csvs, tars = _list_shards(path, archive_ext, layout)
     meta = (
         spark.read.format("dpf_shards")
         .option("path", path)
         .option("content", "false")
         .option("archive_ext", archive_ext)
+        .option("layout", layout)
         .load()
     )
     census = {
@@ -877,6 +963,7 @@ def compact_shards(
         .option("path", path)
         .option("content", "true" if with_content else "false")
         .option("archive_ext", archive_ext)
+        .option("layout", layout)
         .load()
         .where(F.col(SPLIT_COLUMN).isin(smalls))
     )
@@ -889,6 +976,7 @@ def compact_shards(
         src.repartition(n_new)
         .write.format("dpf_shards")
         .option("archive_ext", archive_ext)
+        .option("layout", layout)
         .option("start_index", str(start))
         .mode("append")
         .save(path)

@@ -775,3 +775,150 @@ def test_writer_content_false_and_nonbinary_content_plan_error(
         .collect()
     }
     assert back == {1: "body-a", 2: ""}
+
+
+# --------------------------------------------------------------------------
+# sharded-files layout (N.csv + loose-file folder N/) through the same
+# DSv2 lifecycle (r14 — VERDICT r13 item 3)
+# --------------------------------------------------------------------------
+
+
+def test_dir_layout_writer_roundtrip_with_rolling(spark, tmp_path):
+    """layout='dir' writes the reference's sharded-files format
+    (`dataset_reader.py:205-254`): numbered N.csv + folder N/ of loose
+    members, through the SAME commit protocol (temp dirs published at
+    commit, csv last), re-read by the same source with identical rows."""
+    register_shards_source(spark)
+    out = str(tmp_path / "dirshards")
+    df = _mk_media_df(spark).repartition(1)
+    (
+        df.write.format("dpf_shards")
+        .option("max_files_in_shard", "6")
+        .option("layout", "dir")
+        .mode("append")
+        .save(out)
+    )
+    entries = sorted(os.listdir(out))
+    assert entries == sorted([f"{i}.csv" for i in range(4)] + [str(i) for i in range(4)])
+    assert sorted(os.listdir(os.path.join(out, "0"))) == [
+        f"img_{i:02d}.jpg" for i in range(6)
+    ]
+    back = (
+        spark.read.format("dpf_shards").option("layout", "dir").load(out)
+    )
+    assert back.rdd.getNumPartitions() == 4
+    got = {
+        r.name: (r.caption, r.k, bytes(r.content), r.is_correct)
+        for r in back.collect()
+    }
+    want = {
+        r.name: (r.caption, r.k, bytes(r.content), True)
+        for r in df.collect()
+    }
+    assert got == want
+    # pruning works on folders too
+    assert back.where("split_name = '2'").count() == 6
+
+
+def test_dir_layout_tolerant_and_pairing(spark, tmp_path):
+    """A deleted loose member re-reads as is_correct=false WITHOUT
+    poisoning its shard siblings (per-member tolerance); a csv whose
+    folder mate is missing fails pairing like the reference's assert."""
+    register_shards_source(spark)
+    out = str(tmp_path / "tolerant")
+    df = _mk_media_df(spark, 12).repartition(1)
+    df.write.format("dpf_shards").option("layout", "dir").option(
+        "max_files_in_shard", "6"
+    ).mode("append").save(out)
+    os.remove(os.path.join(out, "0", "img_02.jpg"))
+    rows = {
+        r.name: r
+        for r in spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(out)
+        .collect()
+    }
+    assert not rows["img_02.jpg"].is_correct
+    assert rows["img_02.jpg"].content is None
+    assert rows["img_03.jpg"].is_correct  # sibling unaffected
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "0"))
+    with pytest.raises(Exception, match="without archive mates"):
+        spark.read.format("dpf_shards").option("layout", "dir").load(
+            out
+        ).collect()
+
+
+def test_dir_layout_overwrite_compaction_and_legacy_read(spark, tmp_path):
+    """mode('overwrite') clears loose folders too; compact_shards
+    merges the small-file tail in dir layout; and the legacy
+    read_sharded_files / new read_sharded_files_with_bytes routes
+    agree with the native write."""
+    from dataprocessingframework_spark.configs import (
+        ShardedFilesDatasetConfig,
+    )
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+    from dataprocessingframework_spark.sources.shards_source import (
+        compact_shards,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "dircompact")
+    df = _mk_media_df(spark, 24)
+    for lo in range(0, 24, 4):
+        df.filter(f"k >= {lo} and k < {lo + 4}").repartition(1).write.format(
+            "dpf_shards"
+        ).option("layout", "dir").mode("append").save(out)
+    res = compact_shards(spark, out, max_files_in_shard=12, layout="dir")
+    assert res["retired"] == [str(i) for i in range(6)]
+    assert res["new"] == ["6", "7"] and res["rows"] == 24
+    assert sorted(os.listdir(out)) == ["6", "6.csv", "7", "7.csv"]
+
+    # the new bytes route reads it; the legacy metadata route agrees
+    ds = DatasetReader(spark).read_sharded_files_with_bytes(
+        ShardedFilesDatasetConfig(path=out)
+    )
+    got = {r.name: (r.k, bytes(r.content)) for r in ds.df.collect()}
+    assert got == {r.name: (r.k, bytes(r.content)) for r in df.collect()}
+    legacy = DatasetReader(spark).read_sharded_files(
+        ShardedFilesDatasetConfig(path=out, name_columns=["name"])
+    )
+    assert legacy.df.count() == 24
+
+    # overwrite replaces csvs AND folders wholesale
+    small = _mk_media_df(spark, 5).repartition(1)
+    small.write.format("dpf_shards").option("layout", "dir").mode(
+        "overwrite"
+    ).save(out)
+    assert sorted(os.listdir(out)) == ["0", "0.csv"]
+    assert (
+        spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(out)
+        .count()
+        == 5
+    )
+
+
+def test_dir_layout_on_object_store(spark, tmp_path):
+    """The sharded-files lifecycle over fakeobj:// — folder 'rename'
+    is per-member copy+delete, so the csv-last publish order is what
+    keeps a half-copied folder invisible."""
+    register_shards_source(spark)
+    backing = str(tmp_path / "objdir")
+    out = f"fakeobj://{backing}"
+    df = _mk_media_df(spark, 12).repartition(1)
+    (
+        df.write.format("dpf_shards")
+        .option("max_files_in_shard", "6")
+        .option("layout", "dir")
+        .mode("append")
+        .save(out)
+    )
+    assert sorted(os.listdir(backing)) == ["0", "0.csv", "1", "1.csv"]
+    back = (
+        spark.read.format("dpf_shards").option("layout", "dir").load(out)
+    )
+    got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
+    assert got == {r.name: (r.k, bytes(r.content)) for r in df.collect()}
