@@ -3860,6 +3860,165 @@ def semantic_dedup_gate(
     )
 
 
+def gate_rung_signals(
+    corpus: DataFrame,
+    prefix_dims: int,
+    vec_col: str = "embedding",
+    levels: int = SQ8_LEVELS,
+) -> dict:
+    """The training-free inputs to :func:`recommend_gate_rung`,
+    computed from the float corpus in two metadata-sized aggregations
+    (no index needs to exist yet — this is the BEFORE-you-build
+    instrument):
+
+    - ``rest_mass_p95``: p95 of ‖v[d_p:]‖/‖v‖ — the prefix rung's
+      flood predictor (a pair's Cauchy-Schwarz slack is the product
+      of its two rest masses; matryoshka-trained embeddings
+      concentrate mass early, random ones sit near
+      sqrt(1 − d_p/d));
+    - ``delta`` / ``min_vnorm`` / ``sq8_margin``: the SQ8 rung's
+      sound derived margin 2Δ/min‖v‖ evaluated on the corpus's own
+      per-dim min/max grid (exactly the bounds
+      ``materialize_ivf_index(sq8=True)`` would store) — the same
+      arithmetic as :func:`sq8_gate_margin`, pre-index.
+
+    PQ has no training-free signal (its per-row margins exist only
+    after codebooks are trained — run ``pq_gate_margin_report`` on a
+    candidate index instead), so the auto-picker treats PQ as an
+    explicit user choice.
+
+    Scale shape: one narrow per-row projection + percentile (rows
+    never shuffled), one posexplode → groupBy(pos) whose result is
+    dim-sized; the returned dict is the only driver-resident data."""
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    norms = base.select(
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("vnorm"),
+        F.sqrt(
+            F.aggregate(
+                F.expr(f"slice(v, {int(prefix_dims) + 1}, size(v))"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ).alias("rest"),
+    )
+    nrow = norms.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.when(F.col("vnorm") > 0, F.col("vnorm"))).alias(
+            "min_vnorm"
+        ),
+        F.percentile(
+            F.when(F.col("vnorm") > 0, F.col("rest") / F.col("vnorm")),
+            F.lit(0.95),
+        ).alias("rest_mass_p95"),
+    ).collect()[0]
+    drow = (
+        base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.when(
+                        F.col("mx") > F.col("mn"),
+                        F.pow(
+                            (F.col("mx") - F.col("mn"))
+                            / F.lit(float(levels))
+                            / F.lit(2.0),
+                            F.lit(2.0),
+                        ),
+                    ).otherwise(F.lit(0.0))
+                )
+            ).alias("delta")
+        )
+        .collect()[0]
+    )
+    min_vnorm = float(nrow.min_vnorm) if nrow.min_vnorm is not None else 0.0
+    delta = float(drow.delta or 0.0)
+    return {
+        "n_rows": int(nrow.n_rows or 0),
+        "rest_mass_p95": (
+            float(nrow.rest_mass_p95)
+            if nrow.rest_mass_p95 is not None
+            else None
+        ),
+        "delta": delta,
+        "min_vnorm": min_vnorm,
+        "sq8_margin": (
+            2.0 * delta / min_vnorm if min_vnorm > 0 else None
+        ),
+    }
+
+
+def recommend_gate_rung(
+    *,
+    threshold: float = 0.95,
+    rest_mass_p95: float | None = None,
+    sq8_margin: float | None = None,
+    pq_margin_p95: float | None = None,
+    pq_frac_no_headroom: float | None = None,
+    max_rest_mass_p95: float = 0.35,
+    max_margin_frac: float = 0.25,
+    max_frac_no_headroom: float = 0.05,
+) -> dict:
+    """Deterministic RUNG-PICKER verdict over the sizing reports (r14
+    — VERDICT r13 item 5): the ladder has four rungs and three
+    FULL-oracled instruments (``gate_rung_signals`` /
+    ``emb_gate_prefix_report`` for prefix, ``emb_gate_margin_report``
+    for SQ8, ``pq_gate_margin_report`` for PQ), and until now picking
+    was a human reading them. This turns the report columns into a
+    verdict with every cutoff an explicit argument — the
+    ``rebalance_trigger`` pattern: pure scalar arithmetic, the dict
+    is the whole output, trivially oracle-able.
+
+    Viability per rung (a rung whose signal was not supplied is NOT
+    viable — no silent guessing):
+
+    - ``prefix``: ``rest_mass_p95 <= max_rest_mass_p95``. A pair's
+      stage-1 over-estimate is the product of its two rest masses,
+      so at p95 the slack is ~rest_mass_p95² (0.35 → ~0.12) — small
+      enough that stage 1 still prunes; random embeddings
+      (rest mass ≈ sqrt(1 − d_p/d)) fail this, matryoshka corpora
+      pass.
+    - ``sq8``: ``sq8_margin <= max_margin_frac * threshold`` — the
+      global derived margin must leave stage 1 most of its
+      threshold (0.25·0.95 ≈ 0.24 of budget at the defaults).
+    - ``pq``: BOTH ``pq_margin_p95 <= max_margin_frac * threshold``
+      AND ``pq_frac_no_headroom <= max_frac_no_headroom`` — the
+      per-row margins are only as good as their tail.
+
+    ``rung`` is the MOST-COMPRESSED viable rung (pq 16 B < sq8 ~1 B/
+    dim < prefix d_p/d floats < float), falling back to ``float``
+    (always sound — the other rungs buy space, never correctness)."""
+    budget = max_margin_frac * threshold
+    viable_prefix = (
+        rest_mass_p95 is not None and rest_mass_p95 <= max_rest_mass_p95
+    )
+    viable_sq8 = sq8_margin is not None and sq8_margin <= budget
+    viable_pq = (
+        pq_margin_p95 is not None
+        and pq_frac_no_headroom is not None
+        and pq_margin_p95 <= budget
+        and pq_frac_no_headroom <= max_frac_no_headroom
+    )
+    if viable_pq:
+        rung = "pq"
+    elif viable_sq8:
+        rung = "sq8"
+    elif viable_prefix:
+        rung = "prefix"
+    else:
+        rung = "float"
+    return {
+        "rung": rung,
+        "viable_prefix": viable_prefix,
+        "viable_sq8": viable_sq8,
+        "viable_pq": viable_pq,
+        "margin_budget": budget,
+    }
+
+
 def pq_gate_margin_report(
     index: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

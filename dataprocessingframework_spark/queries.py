@@ -9622,6 +9622,124 @@ FROM agg CROSS JOIN cap
 """
 
 
+def q_emb_gate_rung_policy(spark, sf_dir):
+    """Gate-rung auto-picker decision arithmetic (r14 — VERDICT r13
+    item 5): ``gate_rung_signals`` (training-free corpus signals:
+    rest-mass p95 at d_p=16 for the prefix rung, the SQ8 derived
+    margin 2Δ/min‖v‖ on the corpus's own min/max grid) fed through
+    ``recommend_gate_rung`` with explicit cutoffs — the verdict
+    ``incremental_semantic_ingest(auto_rung=...)`` executes at
+    bootstrap. Two corpus variants pin BOTH decision legs: ``raw``
+    (the synthetic random embeddings — rest mass ≈ sqrt(1 − 16/64),
+    prefix REJECTED) and ``matryoshka`` (dims scaled by 0.125^(i//16)
+    — exact power-of-two scaling, bit-portable — mass concentrates
+    early, prefix VIABLE). Every float is derived in the oracle from
+    the same arithmetic; the booleans and the rung string are the
+    policy itself, not pinned constants."""
+    from dataprocessingframework_spark.operators.similarity import (
+        gate_rung_signals,
+        recommend_gate_rung,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    mat = corpus.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * F.pow(F.lit(0.125), F.floor(i / F.lit(16))),
+        ).alias("embedding"),
+    )
+    rows = []
+    for variant, c in (("matryoshka", mat), ("raw", corpus)):
+        sig = gate_rung_signals(c, prefix_dims=16)
+        dec = recommend_gate_rung(
+            threshold=0.95,
+            rest_mass_p95=sig["rest_mass_p95"],
+            sq8_margin=sig["sq8_margin"],
+        )
+        rows.append(
+            (
+                variant,
+                sig["n_rows"],
+                round(float(sig["rest_mass_p95"]), 4),
+                round(float(sig["delta"]), 4),
+                round(float(sig["min_vnorm"]), 4),
+                round(float(sig["sq8_margin"]), 4),
+                dec["viable_prefix"],
+                dec["viable_sq8"],
+                dec["rung"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "variant string, n_rows long, rest_mass_p95 double,"
+            " delta double, min_vnorm double, sq8_margin double,"
+            " viable_prefix boolean, viable_sq8 boolean, rung string"
+        ),
+    )
+
+
+SQL_EMB_GATE_RUNG_POLICY = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(v))) AS BIGINT) AS i,
+         unnest(v) AS x
+  FROM e
+),
+variants AS (
+  SELECT 'raw' AS variant, vec_id, i, x FROM ex
+  UNION ALL
+  SELECT 'matryoshka', vec_id, i, x * power(0.125, i // 16)
+  FROM ex
+),
+norms AS (
+  SELECT variant, vec_id,
+         sqrt(SUM(x * x)) AS vnorm,
+         sqrt(SUM(CASE WHEN i >= 16 THEN x * x ELSE 0 END)) AS rest
+  FROM variants GROUP BY variant, vec_id
+),
+rm AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(vnorm) FILTER (WHERE vnorm > 0) AS min_vnorm,
+         quantile_cont(rest / vnorm, 0.95)
+           FILTER (WHERE vnorm > 0) AS rest_mass_p95
+  FROM norms GROUP BY variant
+),
+dims AS (
+  SELECT variant, i, MIN(x) AS mn, MAX(x) AS mx
+  FROM variants GROUP BY variant, i
+),
+dl AS (
+  SELECT variant,
+         sqrt(SUM(CASE WHEN mx > mn
+           THEN ((mx - mn) / 256.0 / 2.0) * ((mx - mn) / 256.0 / 2.0)
+           ELSE 0 END)) AS delta
+  FROM dims GROUP BY variant
+)
+SELECT r.variant, r.n_rows,
+       ROUND(r.rest_mass_p95, 4) AS rest_mass_p95,
+       ROUND(d.delta, 4) AS delta,
+       ROUND(r.min_vnorm, 4) AS min_vnorm,
+       ROUND(2.0 * d.delta / r.min_vnorm, 4) AS sq8_margin,
+       (r.rest_mass_p95 <= 0.35) AS viable_prefix,
+       (2.0 * d.delta / r.min_vnorm <= 0.25 * 0.95) AS viable_sq8,
+       CASE WHEN 2.0 * d.delta / r.min_vnorm <= 0.25 * 0.95 THEN 'sq8'
+            WHEN r.rest_mass_p95 <= 0.35 THEN 'prefix'
+            ELSE 'float' END AS rung
+FROM rm r JOIN dl d USING (variant)
+ORDER BY variant
+"""
+
+
 SQL_EMB_IVF_BALANCE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -11038,6 +11156,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "emb_rebalance_policy": (
         q_emb_rebalance_policy,
         SQL_EMB_REBALANCE_POLICY,
+    ),
+    "emb_gate_rung_policy": (
+        q_emb_gate_rung_policy,
+        SQL_EMB_GATE_RUNG_POLICY,
     ),
     "emb_ivf_cell_stats": (
         q_emb_ivf_cell_stats,

@@ -322,6 +322,7 @@ def incremental_semantic_ingest(
     rebalance_cell_rows: int | None = None,
     rebalance_rounds: int = 4,
     rebalance_log: list | None = None,
+    auto_rung: dict | None = None,
 ) -> int:
     """Continuous SEMANTIC-dup-gated ingestion: per micro-batch, drop
     arriving embedding rows whose cosine similarity to any
@@ -447,7 +448,24 @@ def incremental_semantic_ingest(
     ``{batch_id, n_rows, max_cell, imbalance, triggered,
     n_cells_before, n_cells_after, rebalanced}``. Cost when idle:
     one column-pruned cell-count scan per batch; when fired: one
-    balance_centroids pass + one bootstrap-shaped index rebuild."""
+    balance_centroids pass + one bootstrap-shaped index rebuild.
+
+    ``auto_rung`` (r14 — VERDICT r13 item 5, requires ``index_table``,
+    exclusive with the explicit rung flags): opt-in AUTOMATIC rung
+    selection. Pass a dict with ``prefix_dims`` (the candidate d_p)
+    and optionally ``max_rest_mass_p95`` / ``max_margin_frac`` — at
+    BOOTSTRAP the ingest computes
+    ``similarity.gate_rung_signals`` over the bootstrap corpus and
+    lets ``similarity.recommend_gate_rung`` pick the most-compressed
+    viable rung (prefix for matryoshka-shaped corpora, SQ8 when the
+    derived margin leaves headroom, float otherwise; PQ is never
+    auto-picked — its signal needs trained codebooks). The dict gains
+    ``signals``/``decision``/``rung`` keys for telemetry. On restart
+    against an existing index, the PERSISTED index's columns are the
+    source of truth (same principle as the persisted quantizer): the
+    rung is re-detected from them, never re-decided — acceptance
+    semantics are rung-independent (every rung provably equals the
+    exact gate), so the pick only moves cost, never verdicts."""
     from dataprocessingframework_spark.operators.similarity import (
         balance_centroids,
         incremental_semantic_dedup,
@@ -479,10 +497,59 @@ def incremental_semantic_ingest(
                 "rebalance_on_imbalance needs a cell cap: pass"
                 " rebalance_cell_rows= (or leave max_cell_rows set)"
             )
+    if auto_rung is not None:
+        if index_table is None:
+            raise ValueError(
+                "auto_rung requires index_table (the picked rung is"
+                " materialized as the maintained index)"
+            )
+        if index_sq8 or index_pq or index_prefix_dims is not None:
+            raise ValueError(
+                "auto_rung is exclusive with the explicit rung flags"
+                " (index_sq8/index_pq/index_prefix_dims)"
+            )
+        if "prefix_dims" not in auto_rung:
+            raise ValueError(
+                "auto_rung needs the candidate 'prefix_dims' (size"
+                " d_p with emb_gate_prefix_report / gate_rung_signals)"
+            )
     # the quantizer is MUTABLE stream state once the rebalance policy
     # is on: batch assignment and index cells must flip together, so
-    # _process reads it from this box every batch
-    state = {"cents": [[float(x) for x in c] for c in centroids]}
+    # _process reads it from this box every batch; with auto_rung the
+    # picked rung is stream state the same way
+    state = {
+        "cents": [[float(x) for x in c] for c in centroids],
+        "rung": None,
+        "prefix_dims": index_prefix_dims,
+    }
+    if auto_rung is None:
+        state["rung"] = (
+            "sq8"
+            if index_sq8
+            else "pq"
+            if index_pq
+            else "prefix"
+            if index_prefix_dims is not None
+            else "float"
+        )
+    elif spark.catalog.tableExists(index_table):
+        # restart: the PERSISTED index's columns are the rung of
+        # record — re-deciding from a fresh signal pass could pick a
+        # different rung than the table actually stores and score
+        # packed words with the wrong arithmetic
+        existing_cols = spark.table(index_table).columns
+        if "rest_norm" in existing_cols:
+            from dataprocessingframework_spark.operators.similarity import (
+                load_prefix_dims,
+            )
+
+            state["rung"] = "prefix"
+            state["prefix_dims"] = load_prefix_dims(spark, index_table)[0]
+        elif "codes" in existing_cols:
+            state["rung"] = "sq8"
+        else:
+            state["rung"] = "float"
+        auto_rung["rung"] = state["rung"]
     if rebalance_on_imbalance is not None and spark.catalog.tableExists(
         f"{index_table}_centroids"
     ):
@@ -509,21 +576,14 @@ def incremental_semantic_ingest(
         if use_index:
             # ONE gate entry point across the ladder (r12): the
             # explicit gate_kind also validates that the index's
-            # columns match the index_sq8/index_pq flags — a
-            # mismatched table fails loudly instead of scoring
-            # packed words with the wrong arithmetic. The compressed
-            # rungs read the float batch-dir corpus only for the
-            # exact stage-2 recheck of shortlisted candidates; the
-            # float-index rung never reads it.
-            kind = (
-                "sq8"
-                if index_sq8
-                else "pq"
-                if index_pq
-                else "prefix"
-                if index_prefix_dims is not None
-                else "float"
-            )
+            # columns match the rung of record (the flags, or the
+            # auto_rung pick) — a mismatched table fails loudly
+            # instead of scoring packed words with the wrong
+            # arithmetic. The compressed rungs read the float
+            # batch-dir corpus only for the exact stage-2 recheck of
+            # shortlisted candidates; the float-index rung never
+            # reads it.
+            kind = state["rung"]
             fresh = semantic_dedup_gate(
                 curated,
                 (
@@ -538,7 +598,7 @@ def incremental_semantic_ingest(
                 state["cents"],
                 gate_kind=kind,
                 index_table=index_table,
-                prefix_dims=index_prefix_dims,
+                prefix_dims=state["prefix_dims"],
                 id_col=id_col, vec_col=vec_col,
                 threshold=threshold, n_probe=n_probe, impl=impl,
                 max_cell_rows=max_cell_rows,
@@ -565,6 +625,37 @@ def incremental_semantic_ingest(
                     F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("embedding"),
                 )
+                if auto_rung is not None and state["rung"] is None:
+                    # bootstrap rung pick (r14): signals over the
+                    # SAME corpus the bootstrap index covers, picked
+                    # once — the persisted index then carries the
+                    # decision across restarts (re-detected from its
+                    # columns above, never re-decided)
+                    from dataprocessingframework_spark.operators.similarity import (  # noqa: E501
+                        gate_rung_signals,
+                        recommend_gate_rung,
+                    )
+
+                    signals = gate_rung_signals(
+                        src_v, auto_rung["prefix_dims"]
+                    )
+                    decision = recommend_gate_rung(
+                        threshold=threshold,
+                        rest_mass_p95=signals["rest_mass_p95"],
+                        sq8_margin=signals["sq8_margin"],
+                        max_rest_mass_p95=auto_rung.get(
+                            "max_rest_mass_p95", 0.35
+                        ),
+                        max_margin_frac=auto_rung.get(
+                            "max_margin_frac", 0.25
+                        ),
+                    )
+                    state["rung"] = decision["rung"]
+                    if decision["rung"] == "prefix":
+                        state["prefix_dims"] = auto_rung["prefix_dims"]
+                    auto_rung["signals"] = signals
+                    auto_rung["decision"] = decision
+                    auto_rung["rung"] = decision["rung"]
                 if index_pq:
                     materialize_pq_index(
                         src_v,
@@ -576,9 +667,10 @@ def incremental_semantic_ingest(
                         mode="append" if use_index else "overwrite",
                     )
                 else:
+                    eff_sq8 = state["rung"] == "sq8"
                     cstats: dict | None = (
                         {}
-                        if index_sq8
+                        if eff_sq8
                         and (
                             clamp_log is not None
                             or rebuild_on_clamp_frac is not None
@@ -593,9 +685,9 @@ def incremental_semantic_ingest(
                         num_buckets=index_num_buckets,
                         path=index_path,
                         mode="append" if use_index else "overwrite",
-                        sq8=index_sq8,
+                        sq8=eff_sq8,
                         clamp_stats=cstats,
-                        prefix_dims=index_prefix_dims,
+                        prefix_dims=state["prefix_dims"],
                     )
                     rebuilt = False
                     if (
@@ -715,8 +807,8 @@ def incremental_semantic_ingest(
                                 impl=impl,
                                 num_buckets=index_num_buckets,
                                 path=loc, mode="overwrite",
-                                sq8=index_sq8,
-                                prefix_dims=index_prefix_dims,
+                                sq8=state["rung"] == "sq8",
+                                prefix_dims=state["prefix_dims"],
                             )
                         state["cents"] = new_cents
                         rebalanced = True

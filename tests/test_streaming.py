@@ -1187,3 +1187,160 @@ def test_incremental_semantic_ingest_sq8_rebuild_on_clamp_drift(
         for t in ("t_sq8_rebuild", "t_sq8_rebuild_centroids",
                   "t_sq8_rebuild_sq8"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_semantic_ingest_auto_rung(spark, tmp_path):
+    """r14 (VERDICT r13 item 5): auto_rung picks the index rung at
+    BOOTSTRAP from training-free corpus signals. Both corpora here
+    are SQ8-hostile (outlier rows stretch the per-dim min/max grid,
+    so the derived margin 2Δ/min‖v‖ eats the whole threshold): the
+    matryoshka-shaped variant (mass concentrated in the first dims)
+    selects the PREFIX rung, the uniform variant rejects prefix and
+    falls back to FLOAT — and in both cases the accepted set equals
+    the exact dir-backed gate (rung choice moves cost, never
+    verdicts). A restart re-detects the rung from the persisted
+    index instead of re-deciding."""
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    cut = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    # negative ids land in wave 1, so the BOOTSTRAP corpus carries the
+    # grid-stretching outliers the signals must see
+    outliers = spark.createDataFrame(
+        [(-1, [10.0] * dim), (-2, [-10.0] * dim)],
+        schema="vec_id long, embedding array<double>",
+    )
+    # most vectors tiny (min_vnorm small), outliers stretch the grid:
+    # sq8_margin blows past the budget, so SQ8 is never the pick
+    small = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(0.01)
+        ).cast("array<double>").alias("embedding"),
+    ).unionByName(outliers)
+
+    def matryoshka(df):
+        return df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * F.pow(F.lit(0.125), F.floor(i / F.lit(16))),
+            ).alias("embedding"),
+        )
+
+    expected = {"mat": "prefix", "uni": "float"}
+    for variant in ("mat", "uni"):
+        data = matryoshka(small) if variant == "mat" else small
+        cents = _ivf_centroids(data, "vec_id", "embedding", 8, iters=0)
+        kept = {}
+        try:
+            for mode in ("dirs", "auto"):
+                base = str(tmp_path / f"{variant}-{mode}")
+                src = f"{base}/src"
+                corpus = f"{base}/corpus"
+                ckpt = f"{base}/ckpt"
+                rung_box = {"prefix_dims": 16}
+                kw = (
+                    dict(
+                        index_table=f"t_autorung_{variant}",
+                        index_path=f"{base}/idx",
+                        auto_rung=rung_box,
+                    )
+                    if mode == "auto"
+                    else {}
+                )
+
+                def run():
+                    return incremental_semantic_ingest(
+                        spark, src,
+                        "vec_id long, embedding array<double>",
+                        corpus, ckpt, cents,
+                        threshold=0.4, n_probe=2, src_format="parquet",
+                        **kw,
+                    )
+
+                data.filter(F.col("vec_id") < cut).write.mode(
+                    "append"
+                ).parquet(src)
+                run()
+                if mode == "auto":
+                    assert rung_box["rung"] == expected[variant], (
+                        variant, rung_box.get("decision"),
+                    )
+                    assert not rung_box["decision"]["viable_sq8"]
+                    idx_cols = spark.table(
+                        f"t_autorung_{variant}"
+                    ).columns
+                    if expected[variant] == "prefix":
+                        assert "rest_norm" in idx_cols
+                    else:
+                        assert "rest_norm" not in idx_cols
+                        assert "codes" not in idx_cols
+                data.filter(F.col("vec_id") >= cut).write.mode(
+                    "append"
+                ).parquet(src)
+                # restart with a FRESH auto_rung box: the persisted
+                # index's columns are the rung of record
+                fresh_box = {"prefix_dims": 16}
+                if mode == "auto":
+                    kw = dict(kw, auto_rung=fresh_box)
+
+                def run2():
+                    return incremental_semantic_ingest(
+                        spark, src,
+                        "vec_id long, embedding array<double>",
+                        corpus, ckpt, cents,
+                        threshold=0.4, n_probe=2, src_format="parquet",
+                        **kw,
+                    )
+
+                run2()
+                if mode == "auto":
+                    assert fresh_box["rung"] == expected[variant]
+                    assert "decision" not in fresh_box  # re-detected
+                kept[mode] = sorted(
+                    r.vec_id
+                    for r in read_corpus(spark, corpus).collect()
+                )
+            assert kept["dirs"] == kept["auto"], variant
+        finally:
+            for sfx in ("", "_centroids", "_prefix", "_sq8"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS t_autorung_{variant}{sfx}"
+                )
+
+
+def test_auto_rung_validation(spark):
+    """auto_rung needs index_table + prefix_dims and is exclusive
+    with the explicit rung flags."""
+    import pytest as _pytest
+
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+    )
+
+    common = dict(
+        spark=spark, src_dir="/nonexistent", schema="vec_id long",
+        corpus_dir="/nonexistent", checkpoint_dir="/nonexistent",
+        centroids=[[1.0]],
+    )
+    with _pytest.raises(ValueError, match="auto_rung requires index_table"):
+        incremental_semantic_ingest(**common, auto_rung={"prefix_dims": 8})
+    with _pytest.raises(ValueError, match="exclusive with the explicit"):
+        incremental_semantic_ingest(
+            **common, index_table="t_x", index_sq8=True,
+            auto_rung={"prefix_dims": 8},
+        )
+    with _pytest.raises(ValueError, match="prefix_dims"):
+        incremental_semantic_ingest(**common, index_table="t_x", auto_rung={})
