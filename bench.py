@@ -66,6 +66,11 @@ TIERS: dict[str, list[str]] = {
         "ann_kcenter",
         "ann_kcenter_batched",
     ],
+    # native shards lifecycle (r14, VERDICT r13 item 8): the DSv2
+    # commit-protocol write and the one-tar-per-partition media read —
+    # regressions in the new lifecycle surface in BENCH_r{N} instead
+    # of living only in the soak's PLANS.md record
+    "shards": ["shards_write_native", "shards_read_media_native"],
 }
 
 # Post-warm-up settle (seconds) for the codegen-rich tiers: the JIT
@@ -241,7 +246,85 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         out["ann_ivf_pq_probe"] = lambda: None
         out["ann_ivf_pq_rerank"] = lambda: None
         out["ann_gate_sq8"] = lambda: None
+        out["shards_write_native"] = lambda: None
+        out["shards_read_media_native"] = lambda: None
         return out
+
+    # Native shards lifecycle (r14): media-shaped documents (binary
+    # content keyed by name) through the DSv2 commit-protocol writer
+    # and the one-tar-per-partition reader. The WRITE entry times the
+    # full job incl. the driver-side rename commit (the protocol's
+    # price); the READ entry times metadata+bytes in one scan over a
+    # fixture built once in extra.
+    if {"shards_write_native", "shards_read_media_native"} & set(only):
+        import shutil
+        import uuid
+
+        from dataprocessingframework_spark.sources.shards_source import (
+            register_shards_source,
+        )
+
+        register_shards_source(spark)
+        media_df = q.T(spark, SF_DIR, "documents").select(
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+                "name"
+            ),
+            "lang",
+            "source",
+            "n_chars",
+            F.encode("text", "UTF-8").alias("content"),
+        )
+        shards_tag = uuid.uuid4().hex[:8]
+        sh_paths = []
+        if "shards_write_native" in only:
+            wdir = f"/root/repo/.scratch/bench_shards_w_{shards_tag}"
+            sh_paths.append(wdir)
+
+            def shards_write():
+                (
+                    media_df.repartition(8)
+                    .write.format("dpf_shards")
+                    .option("max_files_in_shard", "1000")
+                    .mode("overwrite")
+                    .save(wdir)
+                )
+
+            out["shards_write_native"] = shards_write
+        if "shards_read_media_native" in only:
+            rdir = f"/root/repo/.scratch/bench_shards_r_{shards_tag}"
+            sh_paths.append(rdir)
+            t0 = time.time()
+            (
+                media_df.repartition(8)
+                .write.format("dpf_shards")
+                .option("max_files_in_shard", "1000")
+                .mode("append")
+                .save(rdir)
+            )
+            extra["shards_read_fixture_build"] = round(time.time() - t0, 3)
+
+            def shards_read():
+                (
+                    spark.read.format("dpf_shards")
+                    .load(rdir)
+                    .agg(
+                        F.sum(F.length("content")).alias("content_bytes"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
+                )
+
+            out["shards_read_media_native"] = shards_read
+
+        prev_sh_cleanup = extra.get("_cleanup")
+
+        def shards_cleanup():
+            if prev_sh_cleanup is not None:
+                prev_sh_cleanup()
+            for p in sh_paths:
+                shutil.rmtree(p, ignore_errors=True)
+
+        extra["_cleanup"] = shards_cleanup
     if "ann_index_probe" in only:
         import shutil
         import uuid

@@ -109,7 +109,10 @@ class LocalShardFS:
         return open(path, "rb")
 
     def open_write(self, path: str):
-        return open(path, "wb")
+        # 1 MiB buffer: tar emits many small (512 B header + member)
+        # writes — batching them is the "build the roll in one buffer"
+        # optimization without holding whole shards in memory
+        return open(path, "wb", buffering=1 << 20)
 
     def replace(self, src: str, dst: str) -> None:
         # works for directories too (posix rename) — the dir-layout

@@ -598,9 +598,17 @@ class ShardsWriter(DataSourceArrowWriter):
             # arrow-native csv emit (C++) — RFC4180 doublequote, the
             # exact dialect the reader's pyarrow parser and the legacy
             # pandas round-trip already speak; nulls write as empty
-            # (reader: strings_can_be_null=True)
-            with fs.open_write(tmp_csv) as csv_fh:
-                pacsv.write_csv(pa.Table.from_batches(batches), csv_fh)
+            # (reader: strings_can_be_null=True). Local fast path
+            # hands arrow the PATH (C++ owns the fd — no per-write
+            # Python crossing); remote buffers into one PUT
+            csv_local = fs.local_path(tmp_csv)
+            if csv_local is not None:
+                pacsv.write_csv(pa.Table.from_batches(batches), csv_local)
+            else:
+                with fs.open_write(tmp_csv) as csv_fh:
+                    pacsv.write_csv(
+                        pa.Table.from_batches(batches), csv_fh
+                    )
             shards.append((pid, seq, tmp_csv, tmp_tar, rows))
             batches, rows, seq = [], 0, seq + 1
             tar, tar_fh, tmp_tar = None, None, None
@@ -647,7 +655,14 @@ class ShardsWriter(DataSourceArrowWriter):
                         info.size = len(payload)
                         info.mtime = 0
                         tar.addfile(info, io.BytesIO(payload))
-                batches.append(chunk.select(self._meta_cols))
+                # select only when derived columns are actually
+                # present — the common metadata-only batch goes
+                # straight through
+                batches.append(
+                    chunk
+                    if chunk.schema.names == self._meta_cols
+                    else chunk.select(self._meta_cols)
+                )
                 rows += chunk.num_rows
                 if self._max_rows is not None and rows >= self._max_rows:
                     roll()
