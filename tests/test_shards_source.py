@@ -922,3 +922,27 @@ def test_dir_layout_on_object_store(spark, tmp_path):
     )
     got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
     assert got == {r.name: (r.k, bytes(r.content)) for r in df.collect()}
+
+
+def test_sink_chaos_soak_smoke():
+    """CI-sized run of the chaos soak (r14): 30 batches with
+    randomized kill points on both backends must converge to the
+    no-crash twin bit-for-bit (the full 400-batch envelope is
+    recorded in PLANS.md)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable, "/root/repo/tools/sink_chaos_soak.py",
+            "--batches", "30", "--seed", "7",
+            "--root", "/root/repo/.scratch/sink_chaos_ci",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    for backend in ("posix", "fakeobj"):
+        assert res[backend]["identical_to_clean"]
+        assert res[backend]["crashes"] > 0  # chaos actually happened
