@@ -11573,9 +11573,51 @@ _R13_WINDOW = [
     "emb_label_centroids",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+
+# r14 driver window (rotation per VERDICT r13 item 1): positions 1-3
+# are this round's NEW queries (w_shards_objectstore_roundtrip — the
+# dpf_shards lifecycle over the fakeobj:// object-store backend,
+# FULL oracle incl. a split_name-pruned leg, VERDICT r13 item 2;
+# w_shardedfiles_native_roundtrip — the sharded-files layout
+# (N.csv + loose-file folder) through the DSv2 commit protocol with
+# the member bytes decoded back to text, FULL oracle, VERDICT r13
+# item 3; emb_gate_rung_policy — the gate-rung auto-picker's decision
+# arithmetic on raw + matryoshka-transformed corpora, FULL oracle,
+# VERDICT r13 item 4/5). Positions 4-10 are CHANGED-code re-verifies:
+# w_shards_native_roundtrip / stream_shards_sink / w_shards_compact
+# (shards_source rewired through the shard_fs seam + the four ADVICE
+# r13 fixes + the write-path shave), w1_roundtrip_shards and
+# s2_provenance (the _shards_v2 schema-inference pass now parses the
+# RFC4180 dialect with multiLine + doublequote escape),
+# stream_semantic_ingest and emb_rebalance_policy (the ingest loop
+# re-plumbed for the auto_rung rung state). Positions 11-50 are the
+# ENTIRE remaining 40-query r8-stale cohort in registry order
+# (stream_interval_join .. emb_kcenter) — after r14 nothing in the
+# registry is staler than r10. Rotation history in COVERAGE.md.
+_R14_WINDOW = [
+    "w_shards_objectstore_roundtrip", "w_shardedfiles_native_roundtrip",
+    "emb_gate_rung_policy",
+    "w_shards_native_roundtrip", "stream_shards_sink", "w_shards_compact",
+    "w1_roundtrip_shards", "s2_provenance", "stream_semantic_ingest",
+    "emb_rebalance_policy",
+    # the ENTIRE remaining r8-stale cohort (40, registry order)
+    "stream_interval_join", "w_convert_formats", "a_approx_sketches",
+    "ev_funnel", "a_pivot", "f_unpivot", "stream_curation",
+    "d_temperature_sample", "d_per_group_sample",
+    "dd_incremental_near_dup", "tx_unigram_nll", "a_corr_matrix",
+    "w_hive_partitioned", "tx_budget_mix", "d_stratified_sample",
+    "dd_incremental", "emb_lsh_index_topk", "emb_ivf_index_topk",
+    "dd_exact_text", "dd_minhash", "dd_simhash", "dd_jaccard",
+    "dd_hamming", "dd_lsh_candidates", "k2_phash", "u1_column_filter",
+    "u2_data_filter", "j_asof", "j_salted", "emb_topk_cosine",
+    "a_median_exact", "w_analytics", "sql_surface_q10",
+    "h8_market_share", "h17_small_quantity", "stream_session_window",
+    "stream_dedup", "tx_repetition", "tx_decontaminate", "emb_kcenter",
+]
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R13_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R13_WINDOW},
+    **{k: REGISTRY[k] for k in _R14_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R14_WINDOW},
 }
 
 

@@ -373,8 +373,14 @@ class ShardsDataSource(DataSource):
     default auto: bytes columns appear iff any archive exists),
     ``name_col`` (tar member key column, default 'name'),
     ``content_col`` (default 'content'), ``archive_ext`` (default
-    'tar'). When the caller supplies ``.schema(...)``, content columns
-    are emitted iff the schema contains ``content_col``."""
+    'tar'), ``layout`` ('tar' = csv+tar shards, default; 'dir' = csv +
+    loose-file folder N/ — the reference's sharded-files format,
+    `dataset_reader.py:205-254`). When the caller supplies
+    ``.schema(...)``, content columns are emitted iff the schema
+    contains ``content_col``. Paths may be posix, ``file://``,
+    ``fakeobj://`` (test object store), or any fsspec scheme
+    (``s3://``/``s3a://``/``gs://``/``abfss://``, requires fsspec +
+    the protocol driver on driver AND executors)."""
 
     @classmethod
     def name(cls) -> str:
