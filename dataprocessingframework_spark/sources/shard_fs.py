@@ -215,14 +215,22 @@ class FakeObjectStoreFS:
                 self.replace(join(src, name), join(dst, name))
             shutil.rmtree(bsrc, ignore_errors=True)
             return
-        tmp = bdst + ".putwip"
+        tmp = self._putwip(bdst)
         shutil.copyfile(bsrc, tmp)
         os.replace(tmp, bdst)  # emulates PUT-of-dst atomicity only
         os.remove(bsrc)
 
+    @staticmethod
+    def _putwip(backing: str) -> str:
+        # dot-prefixed: an in-flight PUT is INVISIBLE on a real object
+        # store, so its emulation residue must be invisible to
+        # listdir-based callers too
+        d, b = os.path.split(backing)
+        return os.path.join(d, f".{b}.putwip")
+
     def put_atomic(self, path: str, data: bytes) -> None:
         b = self._backing(path)
-        tmp = b + ".putwip"
+        tmp = self._putwip(b)
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, b)  # emulates single-PUT atomicity

@@ -538,6 +538,16 @@ def incremental_semantic_ingest(
         # different rung than the table actually stores and score
         # packed words with the wrong arithmetic
         existing_cols = spark.table(index_table).columns
+        if "resid" in existing_cols:
+            # auto_rung never picks PQ (its signal needs trained
+            # codebooks), so a PQ table here means the caller switched
+            # management modes — appending float rows into it would
+            # corrupt the index; refuse instead
+            raise ValueError(
+                f"auto_rung found an existing PQ index at"
+                f" {index_table!r} — PQ is user-managed; pass"
+                " index_pq=True (without auto_rung) to keep it"
+            )
         if "rest_norm" in existing_cols:
             from dataprocessingframework_spark.operators.similarity import (
                 load_prefix_dims,
