@@ -18,6 +18,13 @@ the same on-disk layout into a managed dataset:
 4. **Pruned reads** — one shard pair per input partition, and a
    ``split_name`` predicate removes whole pairs from the scan before
    any file opens.
+5. **Object storage** (r14) — the same lifecycle runs on paths with
+   no atomic rename: here the ``fakeobj://`` test backend (S3-class
+   semantics — whole-object PUTs, copy+delete rename); on a real
+   cluster, any fsspec scheme (``s3://``/``gs://``/...).
+6. **Sharded-files layout** (r14) — ``layout='dir'`` writes the
+   reference's other format (N.csv + loose-file folder N/) through
+   the same commit protocol and reader.
 
 Run directly (writes under a temp dir by default):
 
@@ -108,6 +115,41 @@ def run_pipeline(spark, workdir: str) -> dict:
     back = spark.read.format("dpf_shards").load(dataset)
     first_split = back.select("split_name").first()["split_name"]
     one = back.filter(F.col("split_name") == first_split)
+    # 5. the same lifecycle on OBJECT-STORE semantics: fakeobj:// has
+    # no atomic rename (copy+delete), whole-object atomic PUTs — the
+    # commit protocol's atomic points are single-object publishes, so
+    # everything above still holds
+    obj_dataset = f"fakeobj://{os.path.join(workdir, 'obj-dataset')}"
+    (
+        docs(0, 40)
+        .repartition(1)
+        .write.format("dpf_shards")
+        .option("max_files_in_shard", "20")
+        .mode("append")
+        .save(obj_dataset)
+    )
+    obj_rows = spark.read.format("dpf_shards").load(obj_dataset).count()
+
+    # 6. sharded-files layout: loose members in N/ folders, same
+    # protocol (csv published LAST — the shard's visibility gate)
+    dir_dataset = os.path.join(workdir, "dir-dataset")
+    (
+        docs(0, 40)
+        .repartition(1)
+        .write.format("dpf_shards")
+        .option("max_files_in_shard", "20")
+        .option("layout", "dir")
+        .mode("append")
+        .save(dir_dataset)
+    )
+    dir_rows = (
+        spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(dir_dataset)
+        .count()
+    )
+    loose_members = len(os.listdir(os.path.join(dir_dataset, "0")))
+
     return {
         "shards_after_batch": shards_after_batch,
         "rows_after_stream": rows_after_stream,
@@ -117,6 +159,9 @@ def run_pipeline(spark, workdir: str) -> dict:
         "shards_after_compact": shards_after_compact,
         "rows_total": back.count(),
         "pruned_partitions": one.rdd.getNumPartitions(),
+        "objectstore_rows": obj_rows,
+        "dir_layout_rows": dir_rows,
+        "dir_layout_loose_members": loose_members,
     }
 
 

@@ -137,6 +137,9 @@ def test_shards_lifecycle_end_to_end(spark, tmp_path):
     assert result["shards_after_compact"] == 3
     assert result["rows_total"] == 52
     assert result["pruned_partitions"] == 1
+    assert result["objectstore_rows"] == 40  # r14: fakeobj:// leg
+    assert result["dir_layout_rows"] == 40  # r14: sharded-files leg
+    assert result["dir_layout_loose_members"] == 20
 
 
 def test_semantic_gate_ladder_end_to_end(spark, tmp_path):

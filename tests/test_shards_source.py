@@ -946,3 +946,46 @@ def test_sink_chaos_soak_smoke():
     for backend in ("posix", "fakeobj"):
         assert res[backend]["identical_to_clean"]
         assert res[backend]["crashes"] > 0  # chaos actually happened
+
+
+def test_dir_layout_stream_sink(spark, tmp_path):
+    """The streaming sink in sharded-files layout: micro-batches land
+    as csv + loose-file folders through the same exactly-once markers;
+    a no-op restart appends nothing."""
+    register_shards_source(spark)
+    src = tmp_path / "src"
+    out = str(tmp_path / "dirsink")
+    ckpt = str(tmp_path / "ckpt")
+    base = _mk_media_df(spark, 12)
+    base.filter("k < 6").repartition(1).write.parquet(f"{src}/a.parquet")
+    base.filter("k >= 6").repartition(1).write.parquet(f"{src}/b.parquet")
+
+    def run():
+        q = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+            .writeStream.format("dpf_shards")
+            .option("path", out)
+            .option("layout", "dir")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    csvs = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    folders = sorted(
+        f for f in os.listdir(out)
+        if os.path.isdir(os.path.join(out, f)) and not f.startswith("_")
+    )
+    assert [c[:-4] for c in csvs] == folders  # paired
+    back = (
+        spark.read.format("dpf_shards").option("layout", "dir").load(out)
+    )
+    got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
+    assert got == {r.name: (r.k, bytes(r.content)) for r in base.collect()}
+    run()  # no new data: nothing appended
+    assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == csvs
