@@ -12,6 +12,11 @@ from dataprocessingframework_spark.sources.layout import (
     file_key_ranges,
     write_range_partitioned,
 )
+from dataprocessingframework_spark.sources.shards_source import (
+    compact_shards,
+    heal_compaction,
+    register_shards_source,
+)
 from dataprocessingframework_spark.sources.writers import (
     write_sharded_files,
     write_shards,
@@ -21,6 +26,9 @@ __all__ = [
     "DatasetReader",
     "write_shards",
     "write_sharded_files",
+    "register_shards_source",
+    "compact_shards",
+    "heal_compaction",
     "write_bucketed",
     "read_bucketed",
     "read_jsonl",

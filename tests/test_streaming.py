@@ -1344,3 +1344,105 @@ def test_auto_rung_validation(spark):
         )
     with _pytest.raises(ValueError, match="prefix_dims"):
         incremental_semantic_ingest(**common, index_table="t_x", auto_rung={})
+
+
+def test_auto_rung_survives_mid_stream_rebalance(spark, tmp_path):
+    """r14 interaction: with auto_rung having picked the PREFIX rung
+    at bootstrap, a mid-stream auto-rebalance (quantizer split +
+    bootstrap-shaped index rebuild) must REBUILD AT THE SAME RUNG —
+    the rebuilt index keeps its rest_norm column and persisted
+    prefix geometry — and gating stays exactly equal to the
+    brute-force gate afterwards."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        load_prefix_dims,
+    )
+    from dataprocessingframework_spark.streaming import (
+        incremental_semantic_ingest,
+        read_corpus,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, d_p = 16, 4
+    shape = np.array([1.0] * d_p + [0.02] * (dim - d_p))
+
+    def mk(mat):  # matryoshka-shaped, small scale (SQ8-hostile grid)
+        return 0.01 * mat * shape[None, :]
+
+    w1 = np.vstack([mk(rng.randn(120, dim)), np.full((2, dim), 10.0)])
+    b = rng.randn(dim)
+    w2 = mk(3.0 * b[None, :] + 0.1 * rng.randn(100, dim))
+
+    def df_of(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+            schema="vec_id long, embedding array<double>",
+        )
+
+    base = str(tmp_path / "autoreb")
+    src, corpus, ckpt = f"{base}/src", f"{base}/corpus", f"{base}/ckpt"
+    cents0 = _ivf_centroids(df_of(w1, 0), "vec_id", "embedding", 8, iters=0)
+    log: list = []
+    rung_box = {"prefix_dims": d_p}
+
+    def run():
+        return incremental_semantic_ingest(
+            spark, src, "vec_id long, embedding array<double>",
+            corpus, ckpt, cents0,
+            threshold=0.95, n_probe=2, src_format="parquet",
+            impl="jvm",
+            index_table="t_autoreb_idx", index_path=f"{base}/idx",
+            auto_rung=rung_box,
+            rebalance_on_imbalance=2.0, rebalance_cell_rows=40,
+            rebalance_rounds=4, rebalance_log=log,
+        )
+
+    try:
+        df_of(w1, 0).write.mode("append").parquet(src)
+        run()
+        assert rung_box["rung"] == "prefix", rung_box.get("decision")
+        assert "rest_norm" in spark.table("t_autoreb_idx").columns
+
+        df_of(w2, 1000).write.mode("append").parquet(src)
+        run()
+        drift = log[-1]
+        assert drift["triggered"] and drift["rebalanced"]
+        # the rebalance rebuild kept the picked rung: rest_norm
+        # column present, persisted geometry intact, split quantizer
+        # persisted
+        idx_cols = spark.table("t_autoreb_idx").columns
+        assert "rest_norm" in idx_cols and "prefix" in idx_cols
+        assert load_prefix_dims(spark, "t_autoreb_idx")[0] == d_p
+        assert (
+            spark.table("t_autoreb_idx_centroids").count()
+            == drift["n_cells_after"]
+        )
+
+        # post-rebalance gating is still exact: scaled copies drop,
+        # fresh rows keep
+        accepted = np.vstack([w1, w2])
+        copies = 2.0 * accepted[::10][:20]
+        fresh = mk(rng.randn(20, dim))
+        w3 = np.vstack([copies, fresh])
+        df_of(w3, 2000).write.mode("append").parquet(src)
+        run()
+        kept3 = {
+            r.vec_id
+            for r in read_corpus(spark, corpus).collect()
+            if r.vec_id >= 2000
+        }
+        cn = accepted / np.linalg.norm(accepted, axis=1, keepdims=True)
+        w3n = w3 / np.linalg.norm(w3, axis=1, keepdims=True)
+        exact_kept = {
+            2000 + i
+            for i in range(len(w3))
+            if float((w3n[i] @ cn.T).max()) < 0.95
+        }
+        assert kept3 == exact_kept
+        assert not (kept3 & set(range(2000, 2020)))  # copies dropped
+    finally:
+        for sfx in ("", "_centroids", "_prefix", "_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS t_autoreb_idx{sfx}")
