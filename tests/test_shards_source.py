@@ -989,3 +989,26 @@ def test_dir_layout_stream_sink(spark, tmp_path):
     assert got == {r.name: (r.k, bytes(r.content)) for r in base.collect()}
     run()  # no new data: nothing appended
     assert sorted(f for f in os.listdir(out) if f.endswith(".csv")) == csvs
+
+
+def test_compaction_chaos_soak_smoke():
+    """CI-sized run of the compaction chaos soak (r14): randomized
+    kills across the whole two-phase compaction must preserve the
+    row multiset, keep crash-window appends alive, and converge
+    (full envelope recorded in PLANS.md)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/shard_compaction_chaos_soak.py",
+            "--rounds", "4", "--seed", "3",
+            "--root", "/root/repo/.scratch/compact_chaos_ci",
+        ],
+        capture_output=True, text=True, timeout=570,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["rounds"] == 4
