@@ -3705,6 +3705,7 @@ def semantic_dedup_gate(
     pushdown_candidate_ids: bool = False,
     max_cell_rows: int | None = 100_000,
     gate_stats: dict | None = None,
+    recommend_stats: dict | None = None,
 ) -> DataFrame:
     """ONE entry point for the semantic dedup gate across the whole
     compression ladder (r12 — VERDICT r11 item 4). The four rungs —
@@ -3739,7 +3740,17 @@ def semantic_dedup_gate(
     which have no compressed stage 1). Rung choice guidance lives in
     docs/llm_operators.md; size the compressed rungs first with
     ``emb_gate_margin_report`` (SQ8) /
-    ``emb_gate_pq_margin_report`` (PQ)."""
+    ``emb_gate_pq_margin_report`` (PQ).
+
+    ``recommend_stats`` (r14, opt-in): pass a dict and it is filled
+    with ``{'signals', 'decision', 'rung', 'active_rung'}`` from
+    :func:`gate_rung_signals` + :func:`recommend_gate_rung` over the
+    FLOAT ``corpus`` (requires it; ``prefix_dims`` defaults to dim/4
+    when not given) — the "you are gating on rung X, the picker
+    recommends Y" instrument. Telemetry only: the dispatch is always
+    decided by the index actually handed in (a recommendation cannot
+    re-materialize it); pay one extra two-aggregation corpus pass
+    only when you ask."""
     spark = batch.sparkSession
     if index is None and index_table is not None:
         index = spark.table(index_table)
@@ -3759,6 +3770,28 @@ def semantic_dedup_gate(
             f"gate_kind={gate_kind!r} needs the accepted FLOAT corpus"
             " for the exact stage-2 recheck — corpus=None is only"
             " valid for the float-index rung (which never reads it)"
+        )
+    if recommend_stats is not None:
+        if corpus is None:
+            raise ValueError(
+                "recommend_stats needs the FLOAT corpus (the picker's"
+                " signals are corpus-side arithmetic)"
+            )
+        d_p = prefix_dims
+        if d_p is None:
+            first = corpus.select(vec_col).first()
+            d_p = max(1, len(first[0]) // 4) if first else 1
+        signals = gate_rung_signals(corpus, d_p, vec_col=vec_col)
+        decision = recommend_gate_rung(
+            threshold=threshold,
+            rest_mass_p95=signals["rest_mass_p95"],
+            sq8_margin=signals["sq8_margin"],
+        )
+        recommend_stats.update(
+            signals=signals,
+            decision=decision,
+            rung=decision["rung"],
+            active_rung=gate_kind,
         )
     if gate_kind == "pq":
         if index is None or "resid" not in index.columns:

@@ -443,3 +443,49 @@ def test_ivf_topk_reuses_supplied_centroids(spark):
     assert sorted(map(tuple, fresh.collect())) == sorted(
         map(tuple, reused.collect())
     )
+
+
+def test_semantic_dedup_gate_recommend_stats(spark):
+    """r14: the dispatcher's opt-in recommendation telemetry — the
+    dispatch is still decided by the index handed in, but the dict
+    reports what the picker would choose from the corpus signals."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataprocessingframework_spark.operators.similarity import (
+        _ivf_centroids,
+        semantic_dedup_gate,
+    )
+
+    corpus = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (F.col("id") + i + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    batch = corpus.withColumn("vec_id", F.col("vec_id") + 1000)
+    cents = _ivf_centroids(corpus, "vec_id", "embedding", 4, iters=0)
+    box: dict = {}
+    kept = semantic_dedup_gate(
+        batch, corpus, cents, gate_kind="float",
+        threshold=0.9999, n_probe=2, recommend_stats=box,
+    )
+    kept.count()
+    assert box["active_rung"] == "float"
+    assert box["rung"] in ("sq8", "prefix", "float")
+    assert box["decision"]["rung"] == box["rung"]
+    assert box["signals"]["n_rows"] == 40
+    # telemetry only — behavior identical to the un-instrumented call
+    plain = semantic_dedup_gate(
+        batch, corpus, cents, gate_kind="float",
+        threshold=0.9999, n_probe=2,
+    )
+    assert sorted(r.vec_id for r in kept.collect()) == sorted(
+        r.vec_id for r in plain.collect()
+    )
+    with _pytest.raises(ValueError, match="recommend_stats needs"):
+        semantic_dedup_gate(
+            batch, None, cents, gate_kind="float",
+            threshold=0.9999, recommend_stats={},
+        )
