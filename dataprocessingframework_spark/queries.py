@@ -1377,6 +1377,64 @@ SQL_W_SHARDEDFILES_NATIVE = (
 )
 
 
+def q_w_update_metadata_native(spark, sf_dir):
+    """W4 write-back through the commit protocol (r14): documents ->
+    shards, then ``update_shard_metadata_native`` doubles ``n_chars``
+    and adds a derived ``lang_up`` column via attempt-unique temps +
+    a write-ahead rename plan; the re-read aggregate pins the merged
+    metadata (doubled sums, new column), ``n_shards_touched`` pins
+    the per-shard rewrite summary, and ``sum_text_len`` pins that the
+    non-updated column survived the rewrite byte-exactly."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_updmeta_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .mode("append")
+            .save(out)
+        )
+        upd = docs.select(
+            "doc_id",
+            (F.col("n_chars") * 2).alias("n_chars"),
+            F.upper("lang").alias("lang_up"),
+        )
+        summary = update_shard_metadata_native(spark, out, upd, "doc_id")
+        n_touched = summary.count()
+        back = spark.read.format("dpf_shards").load(out)
+        res = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars_doubled"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("lang_up").alias("n_langs_up"),
+        ).withColumn("n_shards_touched", F.lit(n_touched).cast("long"))
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_UPDATE_METADATA = (
+    "SELECT COUNT(*) AS cnt, "
+    "CAST(SUM(n_chars * 2) AS BIGINT) AS sum_chars_doubled, "
+    "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len, "
+    "CAST(COUNT(DISTINCT UPPER(lang)) AS BIGINT) AS n_langs_up, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards_touched "
+    "FROM documents"
+)
+
+
 def q_stream_shards_sink(spark, sf_dir):
     """Streaming shard sink (r13): documents as an availableNow stream
     -> ``writeStream.format("dpf_shards")`` (per-batch commit markers,
@@ -11312,6 +11370,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_w_shardedfiles_native_roundtrip,
         SQL_W_SHARDEDFILES_NATIVE,
     ),
+    "w_update_metadata_native": (
+        q_w_update_metadata_native,
+        SQL_W_UPDATE_METADATA,
+    ),
     "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
     "w_shards_compact": (q_w_shards_compact, SQL_W_SHARDS_COMPACT),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
@@ -11590,16 +11652,22 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 # s2_provenance (the _shards_v2 schema-inference pass now parses the
 # RFC4180 dialect with multiLine + doublequote escape),
 # stream_semantic_ingest and emb_rebalance_policy (the ingest loop
-# re-plumbed for the auto_rung rung state). Positions 11-50 are the
+# re-plumbed for the auto_rung rung state; w_update_metadata_native —
+# NEW late-r14: the commit-protocol W4 write-back, FULL oracle).
+# Positions 11-50 are the
 # ENTIRE remaining 40-query r8-stale cohort in registry order
 # (stream_interval_join .. emb_kcenter) — after r14 nothing in the
 # registry is staler than r10. Rotation history in COVERAGE.md.
 _R14_WINDOW = [
     "w_shards_objectstore_roundtrip", "w_shardedfiles_native_roundtrip",
-    "emb_gate_rung_policy",
+    "emb_gate_rung_policy", "w_update_metadata_native",
     "w_shards_native_roundtrip", "stream_shards_sink", "w_shards_compact",
     "w1_roundtrip_shards", "s2_provenance", "stream_semantic_ingest",
-    "emb_rebalance_policy",
+    # (emb_rebalance_policy, r13-checked, yields its slot to the new
+    # w_update_metadata_native; its changed lines — rung-state
+    # plumbing in the rebalance rebuild — are exercised under the
+    # driver by stream_semantic_ingest and locally by the
+    # auto-rung x rebalance interaction test)
     # the ENTIRE remaining r8-stale cohort (40, registry order)
     "stream_interval_join", "w_convert_formats", "a_approx_sketches",
     "ev_funnel", "a_pivot", "f_unpivot", "stream_curation",

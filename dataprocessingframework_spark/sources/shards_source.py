@@ -879,6 +879,152 @@ def _delete_stems(path: str, stems, archive_ext: str) -> None:
             fs.rmtree(loose)
 
 
+_UPDATE_MARKER = "_metadata_update.json"
+
+
+def heal_metadata_update(path: str) -> bool:
+    """Complete an interrupted :func:`update_shard_metadata_native`.
+
+    The marker records the FULL temp→final rename plan before any
+    rename runs (write-ahead, same shape as the streaming sink's
+    per-batch markers), so healing always rolls FORWARD: surviving
+    temps take their planned names (they carry the new metadata),
+    already-renamed entries no-op, and the marker is removed. Returns
+    True when there was a plan to complete. Temps from an attempt
+    that crashed before its marker are invisible garbage (dot-
+    prefixed) and are swept here too — single active updater per
+    dataset dir, the usual janitor assumption."""
+    path = strip_file_scheme(path)
+    import json
+
+    fs = get_fs(path)
+    marker = fs_join(path, _UPDATE_MARKER)
+    had_plan = False
+    if fs.exists(marker):
+        plan = json.loads(fs.read_bytes(marker))
+        for tmp, final in plan["map"].items():
+            if fs.exists(tmp):
+                fs.replace(tmp, final)
+        fs.remove(marker)
+        had_plan = True
+    for f in fs.listdir(path):
+        if f.startswith(".") and "-u" in f and f.endswith(".csv.tmp"):
+            try:
+                fs.remove(fs_join(path, f))
+            except OSError:
+                pass
+    return had_plan
+
+
+def update_shard_metadata_native(
+    spark,
+    shard_dir: str,
+    new_df,
+    key_col: str,
+    layout: str = "tar",
+    archive_ext: str = "tar",
+):
+    """W4 write-back through the commit protocol (r14): merge
+    new/changed metadata columns into the per-shard CSVs, archives
+    untouched — the crash-safe twin of ``writers.update_shard_metadata``
+    (`processors/sharded_processor.py:58-82` semantics), and the only
+    one that runs on object-store paths (all I/O via the shard_fs
+    seam).
+
+    Same integrity prepass (validate-all-then-modify,
+    `helpers/dataframe_helper.py:139-146`): keys unique on both
+    sides, update keys ⊆ existing keys — checked before ANY write.
+    Then:
+
+    1. each shard group rewrites its csv to an attempt-unique
+       dot-prefixed TEMP (arrow csv emit, the native dialect) —
+       invisible to readers, so a failed job changes nothing;
+    2. the driver publishes a write-ahead ``_metadata_update.json``
+       rename plan (single-object atomic PUT), executes the renames
+       (per-csv atomic on posix; copy+delete on object stores, where
+       each csv still lands whole), and removes the marker;
+    3. a crash mid-commit heals FORWARD via
+       :func:`heal_metadata_update` (called here first, like
+       compaction's healer): the surviving temps carry the new
+       metadata and take their planned names.
+
+    Returns a ``(split_name, rows)`` summary DataFrame.
+    """
+    import json
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 — local import
+
+    register_shards_source(spark)
+    path = strip_file_scheme(shard_dir)
+    heal_metadata_update(path)
+    fs = get_fs(path)
+    current = (
+        spark.read.format("dpf_shards")
+        .option("path", path)
+        .option("content", "false")
+        .option("layout", layout)
+        .option("archive_ext", archive_ext)
+        .load()
+    )
+    n_cur = current.count()
+    if n_cur != current.select(key_col).distinct().count():
+        raise ValueError(
+            f"existing metadata has duplicate keys on {key_col}"
+        )
+    if new_df.count() != new_df.select(key_col).distinct().count():
+        raise ValueError(f"update frame has duplicate keys on {key_col}")
+    unmatched = new_df.join(current, on=key_col, how="left_anti").count()
+    if unmatched:
+        raise ValueError(f"{unmatched} update keys not present in dataset")
+
+    overlap = [
+        c for c in new_df.columns if c != key_col and c in current.columns
+    ]
+    merged = (current.drop(*overlap) if overlap else current).join(
+        F.broadcast(new_df), on=key_col, how="left"
+    )
+    meta_cols = [c for c in merged.columns if c != SPLIT_COLUMN]
+    token = uuid.uuid4().hex[:12]
+
+    def rewrite(key, pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        split = key[0]
+        tmp = fs_join(path, f".{token}-u{split}.csv.tmp")
+        wfs = get_fs(path)
+        local = wfs.local_path(tmp)
+        tbl = pa.Table.from_pandas(
+            pdf[meta_cols], preserve_index=False
+        )
+        if local is not None:
+            pacsv.write_csv(tbl, local)
+        else:
+            with wfs.open_write(tmp) as fh:
+                pacsv.write_csv(tbl, fh)
+        return pd.DataFrame({"split_name": [split], "rows": [len(pdf)]})
+
+    summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
+        rewrite, "split_name string, rows long"
+    )
+    summary = summary.cache()
+    splits = [r.split_name for r in summary.select(SPLIT_COLUMN).collect()]
+    mapping = {
+        fs_join(path, f".{token}-u{s}.csv.tmp"): fs_join(path, f"{s}.csv")
+        for s in splits
+    }
+    fs.put_atomic(
+        fs_join(path, _UPDATE_MARKER),
+        json.dumps({"state": "renaming", "map": mapping}).encode(),
+    )
+    for tmp, final in mapping.items():
+        fs.replace(tmp, final)
+    fs.remove(fs_join(path, _UPDATE_MARKER))
+    return summary
+
+
 def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
     """Complete or roll back an interrupted compact_shards run.
 

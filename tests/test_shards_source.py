@@ -1012,3 +1012,133 @@ def test_compaction_chaos_soak_smoke():
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["rounds"] == 4
+
+
+def test_update_shard_metadata_native_roundtrip_and_integrity(
+    spark, tmp_path
+):
+    """r14: the commit-protocol W4 write-back — csvs rewritten via
+    attempt-unique temps + a write-ahead rename plan, archives
+    byte-untouched; the validate-all-then-modify prepass rejects bad
+    updates before any write."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "upd")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    tar_bytes = {
+        f: open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if f.endswith(".tar")
+    }
+    upd = spark.createDataFrame(
+        [(f"img_{i:02d}.jpg", i * 10) for i in range(12)],
+        schema="name string, k int",
+    )
+    summary = update_shard_metadata_native(spark, out, upd, "name")
+    assert sorted(
+        (r.split_name, r.rows) for r in summary.collect()
+    ) == [("0", 6), ("1", 6)]
+    back = spark.read.format("dpf_shards").load(out)
+    got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
+    assert got == {
+        f"img_{i:02d}.jpg": (i * 10, bytes([i]) * 3) for i in range(12)
+    }
+    # archives byte-identical, no temps/markers left
+    for f, data in tar_bytes.items():
+        assert open(os.path.join(out, f), "rb").read() == data
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    assert "_metadata_update.json" not in os.listdir(out)
+
+    # integrity prepass: unknown keys rejected before any write
+    before = sorted(os.listdir(out))
+    bad = spark.createDataFrame(
+        [("nope.jpg", 1)], schema="name string, k int"
+    )
+    with pytest.raises(ValueError, match="not present"):
+        update_shard_metadata_native(spark, out, bad, "name")
+    assert sorted(os.listdir(out)) == before
+    dup = spark.createDataFrame(
+        [("img_00.jpg", 1), ("img_00.jpg", 2)],
+        schema="name string, k int",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        update_shard_metadata_native(spark, out, dup, "name")
+
+
+def test_update_shard_metadata_native_heals_forward(spark, tmp_path):
+    """A crash between the write-ahead plan and the renames heals
+    FORWARD: the temps carry the new metadata and take their planned
+    names on the next update/heal."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        heal_metadata_update,
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "updheal")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(4)], schema="id int, text string"
+    ).repartition(1).write.format("dpf_shards").mode("append").save(out)
+
+    # simulate the crashed attempt: temp with NEW content + marker,
+    # renames never ran
+    tmp = os.path.join(out, ".deadbeef-u0.csv.tmp")
+    with open(tmp, "w") as f:
+        f.write('"id","text"\n0,"NEW"\n1,"NEW"\n2,"NEW"\n3,"NEW"\n')
+    with open(os.path.join(out, "_metadata_update.json"), "w") as f:
+        json.dump(
+            {"state": "renaming",
+             "map": {tmp: os.path.join(out, "0.csv")}},
+            f,
+        )
+    assert heal_metadata_update(out) is True
+    texts = {
+        r.id: r.text
+        for r in spark.read.format("dpf_shards")
+        .schema("id int, text string, split_name string")
+        .load(out)
+        .collect()
+    }
+    assert texts == {i: "NEW" for i in range(4)}
+    assert heal_metadata_update(out) is False  # idempotent
+
+    # and the next update call heals leftover pre-marker temps
+    with open(os.path.join(out, ".cafecafe-u0.csv.tmp"), "w") as f:
+        f.write("garbage")
+    upd = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], schema="id int, text string"
+    )
+    update_shard_metadata_native(spark, out, upd, "id")
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_update_shard_metadata_native_on_object_store(spark, tmp_path):
+    """The W4 write-back over object semantics: temps are whole-object
+    PUTs, the plan is one PUT, renames are copy+delete."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    backing = str(tmp_path / "objupd")
+    out = f"fakeobj://{backing}"
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    upd = spark.createDataFrame(
+        [(f"img_{i:02d}.jpg", i + 100) for i in range(12)],
+        schema="name string, k int",
+    )
+    update_shard_metadata_native(spark, out, upd, "name")
+    back = spark.read.format("dpf_shards").load(out)
+    assert {r.name: r.k for r in back.collect()} == {
+        f"img_{i:02d}.jpg": i + 100 for i in range(12)
+    }
+    assert not [f for f in os.listdir(backing) if f.endswith(".tmp")]
