@@ -1377,6 +1377,61 @@ SQL_W_SHARDEDFILES_NATIVE = (
 )
 
 
+def q_w_shards_parquet_meta_roundtrip(spark, sf_dir):
+    """Parquet metadata shards (r14): the reference's configurable
+    ``datafiles_ext`` (`dataset_reader.py:174-190`) through the DSv2
+    lifecycle — shard tables as ``N.parquet``, exact types (no csv
+    inference), NESTED metadata carried natively (``words`` array).
+    ``sum_words`` decodes the nested column back out, pinning the
+    parquet meta path end to end; ``n_shards`` pins the rolling."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_pqmeta_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            "n_chars",
+            F.split("text", " ").alias("words"),
+        )
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .option("meta_format", "parquet")
+            .mode("append")
+            .save(out)
+        )
+        back = (
+            spark.read.format("dpf_shards")
+            .option("meta_format", "parquet")
+            .load(out)
+        )
+        res = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size("words")).alias("sum_words"),
+            F.count_distinct("split_name").alias("n_shards"),
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_SHARDS_PARQUET_META = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_words, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards FROM documents"
+)
+
+
 def q_w_update_metadata_native(spark, sf_dir):
     """W4 write-back through the commit protocol (r14): documents ->
     shards, then ``update_shard_metadata_native`` doubles ``n_chars``
@@ -11374,6 +11429,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_w_update_metadata_native,
         SQL_W_UPDATE_METADATA,
     ),
+    "w_shards_parquet_meta_roundtrip": (
+        q_w_shards_parquet_meta_roundtrip,
+        SQL_W_SHARDS_PARQUET_META,
+    ),
     "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
     "w_shards_compact": (q_w_shards_compact, SQL_W_SHARDS_COMPACT),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
@@ -11653,7 +11712,10 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 # RFC4180 dialect with multiLine + doublequote escape),
 # stream_semantic_ingest and emb_rebalance_policy (the ingest loop
 # re-plumbed for the auto_rung rung state; w_update_metadata_native —
-# NEW late-r14: the commit-protocol W4 write-back, FULL oracle).
+# NEW late-r14: the commit-protocol W4 write-back, FULL oracle;
+# w_shards_parquet_meta_roundtrip — NEW late-r14: parquet metadata
+# shards (the reference's configurable datafiles_ext) through the
+# DSv2 lifecycle incl. nested metadata, FULL oracle).
 # Positions 11-50 are the
 # ENTIRE remaining 40-query r8-stale cohort in registry order
 # (stream_interval_join .. emb_kcenter) — after r14 nothing in the
@@ -11661,8 +11723,12 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _R14_WINDOW = [
     "w_shards_objectstore_roundtrip", "w_shardedfiles_native_roundtrip",
     "emb_gate_rung_policy", "w_update_metadata_native",
+    "w_shards_parquet_meta_roundtrip",
     "w_shards_native_roundtrip", "stream_shards_sink", "w_shards_compact",
-    "w1_roundtrip_shards", "s2_provenance", "stream_semantic_ingest",
+    # (w1_roundtrip_shards, r13-checked, yields its slot to the new
+    # parquet-meta query; its changed inference path is covered under
+    # the driver by s2_provenance)
+    "s2_provenance", "stream_semantic_ingest",
     # (emb_rebalance_policy, r13-checked, yields its slot to the new
     # w_update_metadata_native; its changed lines — rung-state
     # plumbing in the rebalance rebuild — are exercised under the

@@ -106,6 +106,19 @@ def _validated_layout(options: dict) -> str:
     return layout
 
 
+def _validated_meta_format(options: dict) -> str:
+    """Shard-table format — the reference's configurable
+    ``datafiles_ext`` (`dataset_reader.py:174-190`,
+    `configs.py metadata_format`): csv (default) or parquet."""
+    fmt = options.get("meta_format", "csv")
+    if fmt not in ("csv", "parquet"):
+        raise ValueError(
+            f"dpf_shards meta_format must be 'csv' or 'parquet',"
+            f" got {fmt!r}"
+        )
+    return fmt
+
+
 def _archive_path(path: str, stem: str, archive_ext: str, layout: str) -> str:
     return (
         fs_join(path, stem)
@@ -137,13 +150,20 @@ def _write_compaction_manifest(path: str, manifest: dict) -> None:
 
 
 def _list_shards(
-    path: str, archive_ext: str, layout: str = "tar"
+    path: str,
+    archive_ext: str,
+    layout: str = "tar",
+    meta_ext: str = "csv",
 ) -> tuple[list[str], set[str]]:
     fs = get_fs(path)
     if not fs.isdir(path):
         raise FileNotFoundError(path)
     names = sorted(fs.listdir(path))
-    csvs = [n[:-4] for n in names if n.endswith(".csv")]
+    csvs = [
+        n[: -(len(meta_ext) + 1)]
+        for n in names
+        if n.endswith(f".{meta_ext}")
+    ]
     if layout == "dir":
         # sharded-files: the archive mate of N.csv is the loose-file
         # directory N/ (`dataset_reader.py:205-254`'s pairing assert)
@@ -185,6 +205,7 @@ class ShardsReader(DataSourceReader):
         self._content_col = options.get("content_col", "content")
         self._archive_ext = options.get("archive_ext", "tar")
         self._layout = _validated_layout(options)
+        self._meta_fmt = _validated_meta_format(options)
         # an explicit content='false' wins over the schema heuristic: a
         # metadata-only csv is allowed to carry a column literally
         # named 'content' without flipping the reader into tar mode
@@ -192,7 +213,10 @@ class ShardsReader(DataSourceReader):
             self._content_col in schema.fieldNames()
             and options.get("content", "auto") != "false"
         )
-        csvs, tars = _list_shards(path, self._archive_ext, self._layout)
+        csvs, tars = _list_shards(
+            path, self._archive_ext, self._layout,
+            meta_ext=self._meta_fmt,
+        )
         if self._with_content:
             # csv<->tar pairing contract (`dataset_reader.py:183-192`;
             # dir layout: csv<->folder, `dataset_reader.py:237-243`)
@@ -204,7 +228,7 @@ class ShardsReader(DataSourceReader):
         self._parts: list[ShardPartition] = [
             ShardPartition(
                 split_name=stem,
-                csv_path=fs_join(path, f"{stem}.csv"),
+                csv_path=fs_join(path, f"{stem}.{self._meta_fmt}"),
                 tar_path=(
                     _archive_path(path, stem, self._archive_ext, self._layout)
                     if stem in tars and self._with_content
@@ -266,34 +290,45 @@ class ShardsReader(DataSourceReader):
         )
         fs = get_fs(partition.csv_path)
         # local fast path: hand pyarrow the path (mmap-able); remote:
-        # one GET per csv (a shard table is metadata-sized)
+        # one GET per table (a shard table is metadata-sized)
         csv_src = fs.local_path(partition.csv_path)
-        try:
-            tbl = pacsv.read_csv(
+        if self._meta_fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
                 csv_src
                 if csv_src is not None
                 else fs.open_read(partition.csv_path),
-                parse_options=parse,
-                convert_options=convert,
+                columns=[f.name for f in meta_fields],
             )
-        except pa.ArrowInvalid:
-            # a type pyarrow's csv converter cannot parse directly
-            # (rare — e.g. exotic decimals): read raw, cast after
-            tbl = pacsv.read_csv(
-                csv_src
-                if csv_src is not None
-                else fs.open_read(partition.csv_path),
-                parse_options=parse,
-                convert_options=pacsv.ConvertOptions(
-                    strings_can_be_null=True,
-                    quoted_strings_can_be_null=False,
-                ),
-            )
-            tbl = tbl.cast(
-                pa.schema(
-                    [arrow_meta.field(c) for c in tbl.column_names]
+            tbl = tbl.cast(arrow_meta)
+        else:
+            try:
+                tbl = pacsv.read_csv(
+                    csv_src
+                    if csv_src is not None
+                    else fs.open_read(partition.csv_path),
+                    parse_options=parse,
+                    convert_options=convert,
                 )
-            )
+            except pa.ArrowInvalid:
+                # a type pyarrow's csv converter cannot parse directly
+                # (rare — e.g. exotic decimals): read raw, cast after
+                tbl = pacsv.read_csv(
+                    csv_src
+                    if csv_src is not None
+                    else fs.open_read(partition.csv_path),
+                    parse_options=parse,
+                    convert_options=pacsv.ConvertOptions(
+                        strings_can_be_null=True,
+                        quoted_strings_can_be_null=False,
+                    ),
+                )
+                tbl = tbl.cast(
+                    pa.schema(
+                        [arrow_meta.field(c) for c in tbl.column_names]
+                    )
+                )
         n = tbl.num_rows
         cols: dict[str, pa.ChunkedArray | pa.Array] = {
             f.name: tbl.column(f.name) for f in meta_fields
@@ -396,25 +431,41 @@ class ShardsDataSource(DataSource):
             raise ValueError("dpf_shards requires a path")
         path = strip_file_scheme(path)
         archive_ext = self.options.get("archive_ext", "tar")
+        meta_fmt = _validated_meta_format(dict(self.options))
         csvs, tars = _list_shards(
-            path, archive_ext, _validated_layout(dict(self.options))
+            path, archive_ext, _validated_layout(dict(self.options)),
+            meta_ext=meta_fmt,
         )
         if not csvs:
-            raise ValueError(f"no .csv shard tables under {path}")
+            raise ValueError(
+                f"no .{meta_fmt} shard tables under {path}"
+            )
         content_opt = self.options.get("content", "auto")
         with_content = content_opt == "true" or (
             content_opt == "auto" and bool(tars)
         )
         # FIRST-shard inference only (the sampling trade every csv
-        # reader makes — pass .schema() to pin types exactly)
+        # reader makes — pass .schema() to pin types exactly; parquet
+        # tables carry their schema, so 'inference' there is exact)
         fs = get_fs(path)
-        first_csv = fs_join(path, f"{csvs[0]}.csv")
+        first_csv = fs_join(path, f"{csvs[0]}.{meta_fmt}")
         first_src = fs.local_path(first_csv)
-        first = pacsv.read_csv(
-            first_src if first_src is not None else fs.open_read(first_csv),
-            parse_options=pacsv.ParseOptions(newlines_in_values=True),
-        )
-        inferred = from_arrow_schema(first.schema)
+        if meta_fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            first_schema = pq.read_schema(
+                first_src
+                if first_src is not None
+                else fs.open_read(first_csv)
+            )
+        else:
+            first_schema = pacsv.read_csv(
+                first_src
+                if first_src is not None
+                else fs.open_read(first_csv),
+                parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            ).schema
+        inferred = from_arrow_schema(first_schema)
         fields = list(inferred.fields)
         fields.append(StructField(SPLIT_COLUMN, StringType()))
         if with_content:
@@ -510,6 +561,7 @@ class ShardsWriter(DataSourceArrowWriter):
         self._content_col = options.get("content_col", "content")
         self._archive_ext = options.get("archive_ext", "tar")
         self._layout = _validated_layout(options)
+        self._meta_fmt = _validated_meta_format(options)
         max_rows = int(options.get("max_files_in_shard", "0"))
         self._max_rows = max_rows if max_rows > 0 else None
         # explicit first shard number for this append — used by
@@ -554,20 +606,25 @@ class ShardsWriter(DataSourceArrowWriter):
         # csv is a FLAT format and pyarrow's writer (deliberately)
         # refuses nested values — fail at PLAN time with the column
         # name, not deep inside every task with ArrowInvalid
+        # (parquet metadata shards carry nested columns natively)
         from pyspark.sql.types import ArrayType, MapType
 
-        nested = [
-            f.name
-            for f in schema.fields
-            if f.name in self._meta_cols
-            and isinstance(f.dataType, (ArrayType, MapType, StructType))
-        ]
-        if nested:
-            raise ValueError(
-                f"shard csv metadata cannot hold nested columns"
-                f" {nested} — cast them to string (e.g. to_json)"
-                " before writing"
-            )
+        if self._meta_fmt == "csv":
+            nested = [
+                f.name
+                for f in schema.fields
+                if f.name in self._meta_cols
+                and isinstance(
+                    f.dataType, (ArrayType, MapType, StructType)
+                )
+            ]
+            if nested:
+                raise ValueError(
+                    f"shard csv metadata cannot hold nested columns"
+                    f" {nested} — cast them to string (e.g. to_json)"
+                    " before writing, or write"
+                    " option('meta_format', 'parquet')"
+                )
         # driver-side job token: one namespace for every temp file this
         # job writes, so commit/abort can sweep stragglers by prefix
         self._token = uuid.uuid4().hex[:12]
@@ -600,21 +657,28 @@ class ShardsWriter(DataSourceArrowWriter):
             if tar is not None:
                 tar.close()
                 tar_fh.close()  # tarfile leaves caller-owned fileobjs open
-            tmp_csv = f"{prefix}-s{seq}.csv.tmp"
-            # arrow-native csv emit (C++) — RFC4180 doublequote, the
+            tmp_csv = f"{prefix}-s{seq}.{self._meta_fmt}.tmp"
+            # arrow-native emit (C++) — csv: RFC4180 doublequote, the
             # exact dialect the reader's pyarrow parser and the legacy
             # pandas round-trip already speak; nulls write as empty
             # (reader: strings_can_be_null=True). Local fast path
             # hands arrow the PATH (C++ owns the fd — no per-write
             # Python crossing); remote buffers into one PUT
+            tbl = pa.Table.from_batches(batches)
             csv_local = fs.local_path(tmp_csv)
-            if csv_local is not None:
-                pacsv.write_csv(pa.Table.from_batches(batches), csv_local)
+            if self._meta_fmt == "parquet":
+                import pyarrow.parquet as pq
+
+                if csv_local is not None:
+                    pq.write_table(tbl, csv_local)
+                else:
+                    with fs.open_write(tmp_csv) as csv_fh:
+                        pq.write_table(tbl, csv_fh)
+            elif csv_local is not None:
+                pacsv.write_csv(tbl, csv_local)
             else:
                 with fs.open_write(tmp_csv) as csv_fh:
-                    pacsv.write_csv(
-                        pa.Table.from_batches(batches), csv_fh
-                    )
+                    pacsv.write_csv(tbl, csv_fh)
             shards.append((pid, seq, tmp_csv, tmp_tar, rows))
             batches, rows, seq = [], 0, seq + 1
             tar, tar_fh, tmp_tar = None, None, None
@@ -707,6 +771,7 @@ class ShardsWriter(DataSourceArrowWriter):
                 f.split(".")[0]
                 for f in fs.listdir(self._path)
                 if f.endswith(".csv")
+                or f.endswith(".parquet")
                 or f.endswith(f".{self._archive_ext}")
                 or ("." not in f and not f.startswith((".", "_")))
             }
@@ -729,7 +794,9 @@ class ShardsWriter(DataSourceArrowWriter):
                         self._layout,
                     ),
                 )
-            fs.replace(tmp_csv, fs_join(self._path, f"{idx}.csv"))
+            fs.replace(
+                tmp_csv, fs_join(self._path, f"{idx}.{self._meta_fmt}")
+            )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
 
@@ -852,7 +919,9 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
                 mapping[tmp_tar] = _archive_path(
                     self._path, str(idx), self._archive_ext, self._layout
                 )
-            mapping[tmp_csv] = fs_join(self._path, f"{idx}.csv")
+            mapping[tmp_csv] = fs_join(
+                self._path, f"{idx}.{self._meta_fmt}"
+            )
         self._write_marker(
             marker, {"state": "renaming", "map": mapping}
         )
@@ -868,7 +937,7 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
 def _delete_stems(path: str, stems, archive_ext: str) -> None:
     fs = get_fs(path)
     for stem in stems:
-        for ext in ("csv", archive_ext):
+        for ext in ("csv", "parquet", archive_ext):
             try:
                 fs.remove(fs_join(path, f"{stem}.{ext}"))
             except FileNotFoundError:
@@ -1057,6 +1126,7 @@ def compact_shards(
     min_rows: int | None = None,
     archive_ext: str = "tar",
     layout: str = "tar",
+    meta_format: str = "csv",
 ) -> dict:
     """Merge undersized shard pairs into right-sized ones — the
     janitor for the streaming sink's long tail (every micro-batch
@@ -1098,13 +1168,16 @@ def compact_shards(
     heal_compaction(path, archive_ext)
     if min_rows is None:
         min_rows = max_files_in_shard // 2
-    csvs, tars = _list_shards(path, archive_ext, layout)
+    csvs, tars = _list_shards(
+        path, archive_ext, layout, meta_ext=meta_format
+    )
     meta = (
         spark.read.format("dpf_shards")
         .option("path", path)
         .option("content", "false")
         .option("archive_ext", archive_ext)
         .option("layout", layout)
+        .option("meta_format", meta_format)
         .load()
     )
     census = {
@@ -1131,6 +1204,7 @@ def compact_shards(
         .option("content", "true" if with_content else "false")
         .option("archive_ext", archive_ext)
         .option("layout", layout)
+        .option("meta_format", meta_format)
         .load()
         .where(F.col(SPLIT_COLUMN).isin(smalls))
     )
@@ -1144,6 +1218,7 @@ def compact_shards(
         .write.format("dpf_shards")
         .option("archive_ext", archive_ext)
         .option("layout", layout)
+        .option("meta_format", meta_format)
         .option("start_index", str(start))
         .mode("append")
         .save(path)

@@ -1142,3 +1142,132 @@ def test_update_shard_metadata_native_on_object_store(spark, tmp_path):
         f"img_{i:02d}.jpg": i + 100 for i in range(12)
     }
     assert not [f for f in os.listdir(backing) if f.endswith(".tmp")]
+
+
+# --------------------------------------------------------------------------
+# parquet metadata shards (the reference's configurable datafiles_ext)
+# --------------------------------------------------------------------------
+
+
+def test_parquet_meta_roundtrip_with_media_and_pruning(spark, tmp_path):
+    """meta_format='parquet' (r14): shard tables as N.parquet + N.tar
+    through the same commit protocol/reader — exact types round-trip
+    without csv inference, adversarial text included, pruning works,
+    temps gone."""
+    register_shards_source(spark)
+    out = str(tmp_path / "pqshards")
+    df = _mk_media_df(spark).repartition(1)
+    (
+        df.write.format("dpf_shards")
+        .option("max_files_in_shard", "6")
+        .option("meta_format", "parquet")
+        .mode("append")
+        .save(out)
+    )
+    files = sorted(os.listdir(out))
+    assert files == sorted(
+        [f"{i}.parquet" for i in range(4)] + [f"{i}.tar" for i in range(4)]
+    )
+    back = (
+        spark.read.format("dpf_shards")
+        .option("meta_format", "parquet")
+        .load(out)
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert dict(back.dtypes)["k"] == "int"  # parquet: exact, no infer
+    got = {
+        r.name: (r.caption, r.k, bytes(r.content), r.is_correct)
+        for r in back.collect()
+    }
+    want = {
+        r.name: (r.caption, r.k, bytes(r.content), True)
+        for r in df.collect()
+    }
+    assert got == want
+    assert back.where("split_name = '2'").count() == 6
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_parquet_meta_nested_columns_and_compaction(spark, tmp_path):
+    """Parquet metadata carries NESTED columns natively (the csv
+    writer's plan-time rejection points here); compaction works on
+    parquet-meta datasets end to end."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        compact_shards,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "pqnested")
+    df = spark.createDataFrame(
+        [(i, [f"t{i}", f"u{i}"]) for i in range(24)],
+        schema="id int, tags array<string>",
+    )
+    for lo in range(0, 24, 4):
+        df.filter(f"id >= {lo} and id < {lo + 4}").repartition(
+            1
+        ).write.format("dpf_shards").option(
+            "meta_format", "parquet"
+        ).mode("append").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 6
+    res = compact_shards(
+        spark, out, max_files_in_shard=12, meta_format="parquet"
+    )
+    assert res["retired"] == [str(i) for i in range(6)]
+    assert res["new"] == ["6", "7"] and res["rows"] == 24
+    back = (
+        spark.read.format("dpf_shards")
+        .option("meta_format", "parquet")
+        .load(out)
+    )
+    got = {r.id: list(r.tags) for r in back.collect()}
+    assert got == {i: [f"t{i}", f"u{i}"] for i in range(24)}
+
+    # csv still rejects nested, and now names the parquet escape hatch
+    with pytest.raises(Exception, match="meta_format.*parquet"):
+        df.write.format("dpf_shards").mode("append").save(
+            str(tmp_path / "csvnested")
+        )
+
+
+def test_parquet_meta_stream_sink_and_objectstore(spark, tmp_path):
+    """Parquet-meta shards through the exactly-once streaming sink
+    AND over object-store semantics."""
+    register_shards_source(spark)
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    backing = str(tmp_path / "pqsink")
+    out = f"fakeobj://{backing}"
+    base = _mk_media_df(spark, 12)
+    base.filter("k < 6").repartition(1).write.parquet(f"{src}/a.parquet")
+    base.filter("k >= 6").repartition(1).write.parquet(f"{src}/b.parquet")
+
+    def run():
+        q = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+            .writeStream.format("dpf_shards")
+            .option("path", out)
+            .option("meta_format", "parquet")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    pqs = sorted(f for f in os.listdir(backing) if f.endswith(".parquet"))
+    assert len(pqs) >= 2
+    back = (
+        spark.read.format("dpf_shards")
+        .option("meta_format", "parquet")
+        .load(out)
+    )
+    got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
+    assert got == {r.name: (r.k, bytes(r.content)) for r in base.collect()}
+    run()  # exactly-once
+    assert (
+        sorted(f for f in os.listdir(backing) if f.endswith(".parquet"))
+        == pqs
+    )
