@@ -977,7 +977,11 @@ def heal_metadata_update(path: str) -> bool:
         fs.remove(marker)
         had_plan = True
     for f in fs.listdir(path):
-        if f.startswith(".") and "-u" in f and f.endswith(".csv.tmp"):
+        if (
+            f.startswith(".")
+            and "-u" in f
+            and (f.endswith(".csv.tmp") or f.endswith(".parquet.tmp"))
+        ):
             try:
                 fs.remove(fs_join(path, f))
             except OSError:
@@ -992,6 +996,7 @@ def update_shard_metadata_native(
     key_col: str,
     layout: str = "tar",
     archive_ext: str = "tar",
+    meta_format: str = "csv",
 ):
     """W4 write-back through the commit protocol (r14): merge
     new/changed metadata columns into the per-shard CSVs, archives
@@ -1034,6 +1039,7 @@ def update_shard_metadata_native(
         .option("content", "false")
         .option("layout", layout)
         .option("archive_ext", archive_ext)
+        .option("meta_format", meta_format)
         .load()
     )
     n_cur = current.count()
@@ -1062,13 +1068,21 @@ def update_shard_metadata_native(
         import pyarrow.csv as pacsv
 
         split = key[0]
-        tmp = fs_join(path, f".{token}-u{split}.csv.tmp")
+        tmp = fs_join(path, f".{token}-u{split}.{meta_format}.tmp")
         wfs = get_fs(path)
         local = wfs.local_path(tmp)
         tbl = pa.Table.from_pandas(
             pdf[meta_cols], preserve_index=False
         )
-        if local is not None:
+        if meta_format == "parquet":
+            import pyarrow.parquet as pq
+
+            if local is not None:
+                pq.write_table(tbl, local)
+            else:
+                with wfs.open_write(tmp) as fh:
+                    pq.write_table(tbl, fh)
+        elif local is not None:
             pacsv.write_csv(tbl, local)
         else:
             with wfs.open_write(tmp) as fh:
@@ -1081,7 +1095,9 @@ def update_shard_metadata_native(
     summary = summary.cache()
     splits = [r.split_name for r in summary.select(SPLIT_COLUMN).collect()]
     mapping = {
-        fs_join(path, f".{token}-u{s}.csv.tmp"): fs_join(path, f"{s}.csv")
+        fs_join(path, f".{token}-u{s}.{meta_format}.tmp"): fs_join(
+            path, f"{s}.{meta_format}"
+        )
         for s in splits
     }
     fs.put_atomic(

@@ -1271,3 +1271,45 @@ def test_parquet_meta_stream_sink_and_objectstore(spark, tmp_path):
         sorted(f for f in os.listdir(backing) if f.endswith(".parquet"))
         == pqs
     )
+
+
+def test_update_shard_metadata_native_parquet_meta(spark, tmp_path):
+    """The commit-protocol write-back on a parquet-meta dataset:
+    nested columns survive the rewrite, updates land, tars
+    untouched."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "pqupd")
+    df = spark.createDataFrame(
+        [
+            (f"m{i}.bin", i, [f"t{i}"], bytes([i]))
+            for i in range(8)
+        ],
+        schema="name string, k int, tags array<string>, content binary",
+    )
+    df.repartition(1).write.format("dpf_shards").option(
+        "meta_format", "parquet"
+    ).option("max_files_in_shard", "4").mode("append").save(out)
+    upd = spark.createDataFrame(
+        [(f"m{i}.bin", i * 7) for i in range(8)],
+        schema="name string, k int",
+    )
+    update_shard_metadata_native(
+        spark, out, upd, "name", meta_format="parquet"
+    )
+    back = (
+        spark.read.format("dpf_shards")
+        .option("meta_format", "parquet")
+        .load(out)
+    )
+    got = {
+        r.name: (r.k, list(r.tags), bytes(r.content))
+        for r in back.collect()
+    }
+    assert got == {
+        f"m{i}.bin": (i * 7, [f"t{i}"], bytes([i])) for i in range(8)
+    }
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
