@@ -3777,11 +3777,9 @@ def semantic_dedup_gate(
                 "recommend_stats needs the FLOAT corpus (the picker's"
                 " signals are corpus-side arithmetic)"
             )
-        d_p = prefix_dims
-        if d_p is None:
-            first = corpus.select(vec_col).first()
-            d_p = max(1, len(first[0]) // 4) if first else 1
-        signals = gate_rung_signals(corpus, d_p, vec_col=vec_col)
+        # prefix_dims=None → gate_rung_signals defaults to dim/4 per
+        # row inside its own aggregation (no extra driver action)
+        signals = gate_rung_signals(corpus, prefix_dims, vec_col=vec_col)
         decision = recommend_gate_rung(
             threshold=threshold,
             rest_mass_p95=signals["rest_mass_p95"],
@@ -3895,7 +3893,7 @@ def semantic_dedup_gate(
 
 def gate_rung_signals(
     corpus: DataFrame,
-    prefix_dims: int,
+    prefix_dims: int | None = None,
     vec_col: str = "embedding",
     levels: int = SQ8_LEVELS,
 ) -> dict:
@@ -3924,13 +3922,21 @@ def gate_rung_signals(
     never shuffled), one posexplode → groupBy(pos) whose result is
     dim-sized; the returned dict is the only driver-resident data."""
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # prefix_dims=None defaults to dim/4 PER ROW (cast truncates) — a
+    # plan-time expression, so no extra driver action samples the
+    # corpus and an all-null/empty first row cannot crash the default
+    start = (
+        str(int(prefix_dims) + 1)
+        if prefix_dims is not None
+        else "cast(size(v) / 4 as int) + 1"
+    )
     norms = base.select(
         F.sqrt(
             F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
         ).alias("vnorm"),
         F.sqrt(
             F.aggregate(
-                F.expr(f"slice(v, {int(prefix_dims) + 1}, size(v))"),
+                F.expr(f"slice(v, {start}, size(v))"),
                 F.lit(0.0),
                 lambda a, x: a + x * x,
             )

@@ -120,27 +120,51 @@ class LocalShardFS:
         os.replace(src, dst)
 
     def put_atomic(self, path: str, data: bytes) -> None:
-        tmp = path + ".wip"
+        # temp is dot-prefixed (invisible to shard listings) and
+        # .tmp-suffixed (crash residue is swept by the writers'
+        # janitors, which match *.tmp)
+        d, b = os.path.split(path)
+        tmp = os.path.join(d, f".{b}.wip.tmp")
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
 
 
 class _PutOnClose(io.BytesIO):
-    """Buffer that publishes itself as one atomic PUT on close — the
-    write handle object stores hand out (a PUT either lands whole or
-    not at all; there is no partially-written object)."""
+    """Buffer that publishes itself as one atomic PUT on a SUCCESSFUL
+    close — the write handle object stores hand out (a PUT either
+    lands whole or not at all; there is no partially-written object).
+
+    Publication only happens on an explicit, non-exception close: a
+    ``with`` block exiting on an exception DISCARDS the buffer, and so
+    does garbage collection (``__del__``) — otherwise a task dying
+    mid-serialize would publish a torn object the moment the buffer
+    is finalized, violating the whole-PUT contract."""
 
     def __init__(self, publish) -> None:
         super().__init__()
         self._publish = publish
         self._done = False
 
+    def discard(self) -> None:
+        self._done = True
+        super().close()
+
     def close(self) -> None:
         if not self._done:
             self._done = True
             self._publish(self.getvalue())
         super().close()
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            self.discard()
+            return False
+        self.close()
+        return False
+
+    def __del__(self):  # GC never publishes
+        self.discard()
 
 
 class FakeObjectStoreFS:
@@ -224,9 +248,10 @@ class FakeObjectStoreFS:
     def _putwip(backing: str) -> str:
         # dot-prefixed: an in-flight PUT is INVISIBLE on a real object
         # store, so its emulation residue must be invisible to
-        # listdir-based callers too
+        # listdir-based callers too — and .tmp-suffixed so the
+        # writers' janitors sweep crash residue
         d, b = os.path.split(backing)
-        return os.path.join(d, f".{b}.putwip")
+        return os.path.join(d, f".{b}.putwip.tmp")
 
     def put_atomic(self, path: str, data: bytes) -> None:
         b = self._backing(path)
@@ -338,3 +363,39 @@ def strip_file_scheme(path: str) -> str:
     if path_scheme(path) == "file":
         return "/" + path.split("://", 1)[1].lstrip("/")
     return path
+
+
+def open_source(path: str):
+    """What a pyarrow reader should be handed for ``path``: the bare
+    path on local backends (mmap-able — C++ owns the fd) or a
+    seekable buffer of one GET on remote ones. Re-call for a fresh
+    source (a consumed buffer does not rewind across callers)."""
+    fs = get_fs(path)
+    local = fs.local_path(path)
+    return local if local is not None else fs.open_read(path)
+
+
+def write_table(path: str, tbl, fmt: str) -> None:
+    """Format-aware arrow table emit through the seam — ONE place for
+    the csv/parquet x local/remote ladder (writer roll, metadata
+    rewrite). Local: arrow writes the path directly; remote: buffer
+    published as one atomic PUT (discarded, never published, if the
+    serializer raises)."""
+    fs = get_fs(path)
+    local = fs.local_path(path)
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        if local is not None:
+            pq.write_table(tbl, local)
+        else:
+            with fs.open_write(path) as fh:
+                pq.write_table(tbl, fh)
+        return
+    import pyarrow.csv as pacsv
+
+    if local is not None:
+        pacsv.write_csv(tbl, local)
+    else:
+        with fs.open_write(path) as fh:
+            pacsv.write_csv(tbl, fh)

@@ -59,7 +59,13 @@ import tarfile
 from dataclasses import dataclass
 
 from . import shard_fs
-from .shard_fs import get_fs, join as fs_join, strip_file_scheme
+from .shard_fs import (
+    get_fs,
+    join as fs_join,
+    open_source,
+    strip_file_scheme,
+    write_table,
+)
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -93,6 +99,7 @@ class ShardPartition(InputPartition):
 
 
 _COMPACTION_MANIFEST = "_compaction.json"
+_UPDATE_MARKER = "_metadata_update.json"
 
 
 def _validated_layout(options: dict) -> str:
@@ -159,6 +166,21 @@ def _list_shards(
     if not fs.isdir(path):
         raise FileNotFoundError(path)
     names = sorted(fs.listdir(path))
+    if _UPDATE_MARKER in names:
+        # a live update marker means renames are (or were) in flight:
+        # some shard tables carry the new metadata, some the old. A
+        # crashed update would otherwise be silently readable as a
+        # mixed dataset FOREVER (unlike compaction, whose manifest
+        # readers interpret) — fail loudly instead; the fix is one
+        # heal_metadata_update(path) call, which rolls the rename
+        # plan forward. The cost: a reader racing a LIVE update errors
+        # for the few ms of the rename pass — the honest outcome,
+        # since such a read returns mixed rows anyway.
+        raise RuntimeError(
+            f"unfinished metadata update at {path}: run"
+            " dataprocessingframework_spark.sources.shards_source."
+            "heal_metadata_update(path) to complete it"
+        )
     csvs = [
         n[: -(len(meta_ext) + 1)]
         for n in names
@@ -289,25 +311,20 @@ class ShardsReader(DataSourceReader):
             quoted_strings_can_be_null=False,
         )
         fs = get_fs(partition.csv_path)
-        # local fast path: hand pyarrow the path (mmap-able); remote:
-        # one GET per table (a shard table is metadata-sized)
-        csv_src = fs.local_path(partition.csv_path)
+        # open_source: local fast path hands pyarrow the path
+        # (mmap-able); remote is one GET per table (metadata-sized)
         if self._meta_fmt == "parquet":
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(
-                csv_src
-                if csv_src is not None
-                else fs.open_read(partition.csv_path),
+                open_source(partition.csv_path),
                 columns=[f.name for f in meta_fields],
             )
             tbl = tbl.cast(arrow_meta)
         else:
             try:
                 tbl = pacsv.read_csv(
-                    csv_src
-                    if csv_src is not None
-                    else fs.open_read(partition.csv_path),
+                    open_source(partition.csv_path),
                     parse_options=parse,
                     convert_options=convert,
                 )
@@ -315,9 +332,7 @@ class ShardsReader(DataSourceReader):
                 # a type pyarrow's csv converter cannot parse directly
                 # (rare — e.g. exotic decimals): read raw, cast after
                 tbl = pacsv.read_csv(
-                    csv_src
-                    if csv_src is not None
-                    else fs.open_read(partition.csv_path),
+                    open_source(partition.csv_path),
                     parse_options=parse,
                     convert_options=pacsv.ConvertOptions(
                         strings_can_be_null=True,
@@ -447,22 +462,14 @@ class ShardsDataSource(DataSource):
         # FIRST-shard inference only (the sampling trade every csv
         # reader makes — pass .schema() to pin types exactly; parquet
         # tables carry their schema, so 'inference' there is exact)
-        fs = get_fs(path)
         first_csv = fs_join(path, f"{csvs[0]}.{meta_fmt}")
-        first_src = fs.local_path(first_csv)
         if meta_fmt == "parquet":
             import pyarrow.parquet as pq
 
-            first_schema = pq.read_schema(
-                first_src
-                if first_src is not None
-                else fs.open_read(first_csv)
-            )
+            first_schema = pq.read_schema(open_source(first_csv))
         else:
             first_schema = pacsv.read_csv(
-                first_src
-                if first_src is not None
-                else fs.open_read(first_csv),
+                open_source(first_csv),
                 parse_options=pacsv.ParseOptions(newlines_in_values=True),
             ).schema
         inferred = from_arrow_schema(first_schema)
@@ -633,7 +640,6 @@ class ShardsWriter(DataSourceArrowWriter):
     # ---- executor side -------------------------------------------------
     def write(self, iterator) -> ShardsCommitMessage:
         import pyarrow as pa
-        import pyarrow.csv as pacsv
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -658,27 +664,14 @@ class ShardsWriter(DataSourceArrowWriter):
                 tar.close()
                 tar_fh.close()  # tarfile leaves caller-owned fileobjs open
             tmp_csv = f"{prefix}-s{seq}.{self._meta_fmt}.tmp"
-            # arrow-native emit (C++) — csv: RFC4180 doublequote, the
-            # exact dialect the reader's pyarrow parser and the legacy
-            # pandas round-trip already speak; nulls write as empty
-            # (reader: strings_can_be_null=True). Local fast path
-            # hands arrow the PATH (C++ owns the fd — no per-write
-            # Python crossing); remote buffers into one PUT
-            tbl = pa.Table.from_batches(batches)
-            csv_local = fs.local_path(tmp_csv)
-            if self._meta_fmt == "parquet":
-                import pyarrow.parquet as pq
-
-                if csv_local is not None:
-                    pq.write_table(tbl, csv_local)
-                else:
-                    with fs.open_write(tmp_csv) as csv_fh:
-                        pq.write_table(tbl, csv_fh)
-            elif csv_local is not None:
-                pacsv.write_csv(tbl, csv_local)
-            else:
-                with fs.open_write(tmp_csv) as csv_fh:
-                    pacsv.write_csv(tbl, csv_fh)
+            # arrow-native emit (C++) via shard_fs.write_table — csv:
+            # RFC4180 doublequote, the exact dialect the reader's
+            # pyarrow parser and the legacy pandas round-trip already
+            # speak; nulls write as empty (reader:
+            # strings_can_be_null=True)
+            write_table(
+                tmp_csv, pa.Table.from_batches(batches), self._meta_fmt
+            )
             shards.append((pid, seq, tmp_csv, tmp_tar, rows))
             batches, rows, seq = [], 0, seq + 1
             tar, tar_fh, tmp_tar = None, None, None
@@ -948,9 +941,6 @@ def _delete_stems(path: str, stems, archive_ext: str) -> None:
             fs.rmtree(loose)
 
 
-_UPDATE_MARKER = "_metadata_update.json"
-
-
 def heal_metadata_update(path: str) -> bool:
     """Complete an interrupted :func:`update_shard_metadata_native`.
 
@@ -1053,52 +1043,67 @@ def update_shard_metadata_native(
     if unmatched:
         raise ValueError(f"{unmatched} update keys not present in dataset")
 
-    overlap = [
-        c for c in new_df.columns if c != key_col and c in current.columns
-    ]
-    merged = (current.drop(*overlap) if overlap else current).join(
-        F.broadcast(new_df), on=key_col, how="left"
+    # PARTIAL-update semantics: rows not in new_df keep their current
+    # values (overlap columns coalesce update-over-current — dropping
+    # them outright would persist NULLs into every untouched row);
+    # genuinely NEW columns are NULL for non-updated rows by
+    # construction. Consequence: an update cannot set an overlap cell
+    # to NULL — write a sentinel and post-process, or rewrite via
+    # write_shards_native.
+    upd_cols = [c for c in new_df.columns if c != key_col]
+    aliased = new_df.select(
+        key_col,
+        *[F.col(c).alias(f"__upd_{c}") for c in upd_cols],
     )
+    merged = current.join(F.broadcast(aliased), on=key_col, how="left")
+    for c in upd_cols:
+        merged = merged.withColumn(
+            c,
+            F.coalesce(F.col(f"__upd_{c}"), F.col(c))
+            if c in current.columns
+            else F.col(f"__upd_{c}"),
+        )
+    merged = merged.drop(*[f"__upd_{c}" for c in upd_cols])
     meta_cols = [c for c in merged.columns if c != SPLIT_COLUMN]
     token = uuid.uuid4().hex[:12]
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_meta = to_arrow_schema(
+        StructType([f for f in merged.schema.fields if f.name in meta_cols])
+    )
 
     def rewrite(key, pdf):
         import pandas as pd
         import pyarrow as pa
-        import pyarrow.csv as pacsv
+        from pyspark import TaskContext
 
         split = key[0]
-        tmp = fs_join(path, f".{token}-u{split}.{meta_format}.tmp")
-        wfs = get_fs(path)
-        local = wfs.local_path(tmp)
-        tbl = pa.Table.from_pandas(
-            pdf[meta_cols], preserve_index=False
+        # attempt-unique temp (taskAttemptId): speculative/retried
+        # attempts of the same split never share a temp file — the
+        # winning attempt's name travels back in the summary row
+        attempt = TaskContext.get().taskAttemptId()
+        tmp = fs_join(
+            path, f".{token}-u{split}-a{attempt}.{meta_format}.tmp"
         )
-        if meta_format == "parquet":
-            import pyarrow.parquet as pq
-
-            if local is not None:
-                pq.write_table(tbl, local)
-            else:
-                with wfs.open_write(tmp) as fh:
-                    pq.write_table(tbl, fh)
-        elif local is not None:
-            pacsv.write_csv(tbl, local)
-        else:
-            with wfs.open_write(tmp) as fh:
-                pacsv.write_csv(tbl, fh)
-        return pd.DataFrame({"split_name": [split], "rows": [len(pdf)]})
+        # pin the arrow schema from the merged plan: pandas widens
+        # int-with-null to float64, and an unpinned from_pandas would
+        # persist the column as doubles across every shard
+        tbl = pa.Table.from_pandas(
+            pdf[meta_cols], schema=arrow_meta, preserve_index=False
+        )
+        write_table(tmp, tbl, meta_format)
+        return pd.DataFrame(
+            {"split_name": [split], "tmp": [tmp], "rows": [len(pdf)]}
+        )
 
     summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
-        rewrite, "split_name string, rows long"
+        rewrite, "split_name string, tmp string, rows long"
     )
     summary = summary.cache()
-    splits = [r.split_name for r in summary.select(SPLIT_COLUMN).collect()]
     mapping = {
-        fs_join(path, f".{token}-u{s}.{meta_format}.tmp"): fs_join(
-            path, f"{s}.{meta_format}"
-        )
-        for s in splits
+        r.tmp: fs_join(path, f"{r.split_name}.{meta_format}")
+        for r in summary.select(SPLIT_COLUMN, "tmp").collect()
     }
     fs.put_atomic(
         fs_join(path, _UPDATE_MARKER),
@@ -1107,7 +1112,14 @@ def update_shard_metadata_native(
     for tmp, final in mapping.items():
         fs.replace(tmp, final)
     fs.remove(fs_join(path, _UPDATE_MARKER))
-    return summary
+    # speculative losers' attempt-unique temps never reach the summary
+    for f in fs.listdir(path):
+        if f.startswith(f".{token}-u") and f.endswith(".tmp"):
+            try:
+                fs.remove(fs_join(path, f))
+            except OSError:
+                pass
+    return summary.select(SPLIT_COLUMN, "rows")
 
 
 def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
@@ -1181,6 +1193,7 @@ def compact_shards(
 
     register_shards_source(spark)
     path = strip_file_scheme(path)
+    heal_metadata_update(path)
     heal_compaction(path, archive_ext)
     if min_rows is None:
         min_rows = max_files_in_shard // 2

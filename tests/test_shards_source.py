@@ -1313,3 +1313,90 @@ def test_update_shard_metadata_native_parquet_meta(spark, tmp_path):
         f"m{i}.bin": (i * 7, [f"t{i}"], bytes([i])) for i in range(8)
     }
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_update_shard_metadata_native_partial_update(spark, tmp_path):
+    """Review r14: a PARTIAL update (subset of keys) must leave
+    untouched rows' overlap values intact (coalesce, not drop+null),
+    keep int columns int (arrow schema pinned against pandas'
+    float64-with-NaN widening), and leave new columns NULL only for
+    non-updated rows."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "partial")
+    spark.createDataFrame(
+        [(i, i, f"t{i}") for i in range(12)],
+        schema="id int, k int, text string",
+    ).repartition(1).write.format("dpf_shards").option(
+        "max_files_in_shard", "6"
+    ).mode("append").save(out)
+    upd = spark.createDataFrame(
+        [(i, i * 100, i + 7) for i in range(3)],
+        schema="id int, k int, extra int",
+    )
+    update_shard_metadata_native(spark, out, upd, "id")
+    back = (
+        spark.read.format("dpf_shards")
+        .schema(
+            "id int, k int, text string, extra int, split_name string"
+        )
+        .load(out)
+    )
+    rows = {r.id: (r.k, r.text, r.extra) for r in back.collect()}
+    for i in range(3):
+        assert rows[i] == (i * 100, f"t{i}", i + 7)
+    for i in range(3, 12):
+        # untouched rows keep k AND text; the new column is null
+        assert rows[i] == (i, f"t{i}", None)
+
+
+def test_reader_refuses_unfinished_metadata_update(spark, tmp_path):
+    """Review r14: a crashed update's marker makes reads fail LOUDLY
+    (pointing at heal_metadata_update) instead of returning a silently
+    mixed dataset forever."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        heal_metadata_update,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(1, "a")], schema="id int, text string"
+    ).repartition(1).write.format("dpf_shards").mode("append").save(out)
+    with open(os.path.join(out, "_metadata_update.json"), "w") as f:
+        json.dump({"state": "renaming", "map": {}}, f)
+    with pytest.raises(Exception, match="heal_metadata_update"):
+        spark.read.format("dpf_shards").load(out).collect()
+    heal_metadata_update(out)
+    assert spark.read.format("dpf_shards").load(out).count() == 1
+
+
+def test_put_on_close_never_publishes_on_error_or_gc(tmp_path):
+    """Review r14: a remote write handle must DISCARD, not publish,
+    when its with-block exits on an exception or when it is garbage
+    collected mid-write — a torn object must never land."""
+    from dataprocessingframework_spark.sources.shard_fs import (
+        FakeObjectStoreFS,
+        join,
+    )
+
+    fs = FakeObjectStoreFS()
+    root = f"fakeobj://{tmp_path}/store"
+    fs.makedirs(root)
+    with pytest.raises(RuntimeError):
+        with fs.open_write(join(root, "torn")) as h:
+            h.write(b"partial")
+            raise RuntimeError("serializer died")
+    assert not fs.exists(join(root, "torn"))
+    h2 = fs.open_write(join(root, "gcd"))
+    h2.write(b"partial")
+    del h2  # finalizer must not publish
+    assert not fs.exists(join(root, "gcd"))
+    with fs.open_write(join(root, "ok")) as h3:
+        h3.write(b"whole")
+    assert fs.read_bytes(join(root, "ok")) == b"whole"
