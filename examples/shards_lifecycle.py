@@ -25,6 +25,10 @@ the same on-disk layout into a managed dataset:
 6. **Sharded-files layout** (r14) — ``layout='dir'`` writes the
    reference's other format (N.csv + loose-file folder N/) through
    the same commit protocol and reader.
+7. **In-place metadata updates** (r14) —
+   ``update_shard_metadata_native`` merges new metadata columns into
+   the shard tables through attempt-unique temps + a write-ahead
+   rename plan (crash heals forward), archives byte-untouched.
 
 Run directly (writes under a temp dir by default):
 
@@ -47,6 +51,7 @@ def run_pipeline(spark, workdir: str) -> dict:
     from dataprocessingframework_spark.sources.shards_source import (
         compact_shards,
         register_shards_source,
+        update_shard_metadata_native,
     )
 
     register_shards_source(spark)
@@ -150,6 +155,19 @@ def run_pipeline(spark, workdir: str) -> dict:
     )
     loose_members = len(os.listdir(os.path.join(dir_dataset, "0")))
 
+    # 7. in-place metadata update on the compacted dataset: double k
+    # for the first 10 docs; untouched rows keep their values, tars
+    # are never rewritten
+    upd = spark.range(0, 10).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("name"),
+        (F.col("id") * 2).cast("int").alias("k"),
+    )
+    update_shard_metadata_native(spark, dataset, upd, "name")
+    after = spark.read.format("dpf_shards").load(dataset)
+    updated_k_sum = after.filter(
+        F.col("name").isin([f"doc_{i}" for i in range(10)])
+    ).agg(F.sum("k")).collect()[0][0]
+
     return {
         "shards_after_batch": shards_after_batch,
         "rows_after_stream": rows_after_stream,
@@ -162,6 +180,7 @@ def run_pipeline(spark, workdir: str) -> dict:
         "objectstore_rows": obj_rows,
         "dir_layout_rows": dir_rows,
         "dir_layout_loose_members": loose_members,
+        "updated_k_sum": int(updated_k_sum),
     }
 
 

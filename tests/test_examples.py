@@ -140,6 +140,7 @@ def test_shards_lifecycle_end_to_end(spark, tmp_path):
     assert result["objectstore_rows"] == 40  # r14: fakeobj:// leg
     assert result["dir_layout_rows"] == 40  # r14: sharded-files leg
     assert result["dir_layout_loose_members"] == 20
+    assert result["updated_k_sum"] == 90  # r14: 2*sum(0..9)
 
 
 def test_semantic_gate_ladder_end_to_end(spark, tmp_path):
