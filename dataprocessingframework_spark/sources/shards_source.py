@@ -635,7 +635,27 @@ class ShardsWriter(DataSourceArrowWriter):
         # driver-side job token: one namespace for every temp file this
         # job writes, so commit/abort can sweep stragglers by prefix
         self._token = uuid.uuid4().hex[:12]
-        get_fs(self._path).makedirs(self._path)
+        fs = get_fs(self._path)
+        fs.makedirs(self._path)
+        if not overwrite:
+            # appending with the OTHER metadata format would silently
+            # fork the dataset: each reader lists only its own
+            # extension and drops the other half without any error —
+            # fail at plan time instead
+            other = "parquet" if self._meta_fmt == "csv" else "csv"
+            forked = [
+                f
+                for f in fs.listdir(self._path)
+                if f.endswith(f".{other}") and f.split(".")[0].isdigit()
+            ]
+            if forked:
+                raise ValueError(
+                    f"dataset at {self._path} already has"
+                    f" {other}-format shard tables ({forked[:3]}...);"
+                    f" appending meta_format={self._meta_fmt!r} would"
+                    " fork it — match the existing format or"
+                    " mode('overwrite')"
+                )
 
     # ---- executor side -------------------------------------------------
     def write(self, iterator) -> ShardsCommitMessage:
@@ -760,6 +780,21 @@ class ShardsWriter(DataSourceArrowWriter):
             # must go too, and the manifest with them (otherwise fresh
             # shards that reuse a retired number stay invisible)
             heal_compaction(self._path, self._archive_ext)
+            # a stale metadata-update marker must die WITH the dataset
+            # it describes: healing it after the overwrite would rename
+            # pre-overwrite temps onto the fresh shards (stem numbers
+            # restart at 0), silently pairing old metadata with new
+            # archives
+            try:
+                fs.remove(fs_join(self._path, _UPDATE_MARKER))
+            except (FileNotFoundError, OSError):
+                pass
+            for f in fs.listdir(self._path):
+                if f.startswith(".") and "-u" in f and f.endswith(".tmp"):
+                    try:
+                        fs.remove(fs_join(self._path, f))
+                    except OSError:
+                        pass
             stems = {
                 f.split(".")[0]
                 for f in fs.listdir(self._path)
@@ -863,6 +898,13 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
     def _sweep_all_temps(self) -> None:
         fs = get_fs(self._path)
         for f in fs.listdir(self._path):
+            if "-u" in f:
+                # a crashed metadata update's temps are the INPUTS of
+                # its heal-forward plan — sweeping them here would make
+                # heal_metadata_update 'succeed' onto a permanently
+                # half-updated dataset (batch-writer temps never
+                # contain '-u': their segments are -p/-a/-s)
+                continue
             if f.startswith(".") and f.endswith(".tmp"):
                 try:
                     if f.endswith(".dir.tmp"):
@@ -1042,6 +1084,16 @@ def update_shard_metadata_native(
     unmatched = new_df.join(current, on=key_col, how="left_anti").count()
     if unmatched:
         raise ValueError(f"{unmatched} update keys not present in dataset")
+    if SPLIT_COLUMN in new_df.columns:
+        # a new_df derived from reading the dataset naturally carries
+        # split_name; treating it as an update column would relocate
+        # rows across shard tables (orphan tables without archive
+        # mates, stale duplicates left behind) — rows never move in a
+        # METADATA update
+        raise ValueError(
+            f"new_df must not carry {SPLIT_COLUMN!r} (rows cannot"
+            " change shards in a metadata update — drop the column)"
+        )
 
     # PARTIAL-update semantics: rows not in new_df keep their current
     # values (overlap columns coalesce update-over-current — dropping
@@ -1064,6 +1116,20 @@ def update_shard_metadata_native(
             else F.col(f"__upd_{c}"),
         )
     merged = merged.drop(*[f"__upd_{c}" for c in upd_cols])
+    if all(c in current.columns for c in upd_cols):
+        # no NEW columns -> untouched shards' rewrites would be
+        # byte-identity no-ops: restrict the rewrite to the shards
+        # that actually contain updated keys (O(touched), not
+        # O(dataset)). A new column forces the full rewrite so every
+        # shard table keeps a uniform schema.
+        touched = (
+            current.join(
+                F.broadcast(new_df.select(key_col)), on=key_col
+            )
+            .select(SPLIT_COLUMN)
+            .distinct()
+        )
+        merged = merged.join(F.broadcast(touched), on=SPLIT_COLUMN)
     meta_cols = [c for c in merged.columns if c != SPLIT_COLUMN]
     token = uuid.uuid4().hex[:12]
 

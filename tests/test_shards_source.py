@@ -1400,3 +1400,136 @@ def test_put_on_close_never_publishes_on_error_or_gc(tmp_path):
     with fs.open_write(join(root, "ok")) as h3:
         h3.write(b"whole")
     assert fs.read_bytes(join(root, "ok")) == b"whole"
+
+
+def test_meta_format_fork_and_update_guards(spark, tmp_path):
+    """Review r14 pass 2: (a) appending the OTHER metadata format to
+    an existing dataset fails at plan time instead of silently
+    forking it; (b) new_df carrying split_name is rejected (rows
+    never move in a metadata update); (c) a partial update rewrites
+    ONLY the touched shards when no new columns are added; (d) an
+    overwrite clears a stale update marker instead of letting its
+    heal rename pre-overwrite temps onto the fresh dataset."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "guards")
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(12)], schema="id int, text string"
+    )
+    df.repartition(1).write.format("dpf_shards").option(
+        "max_files_in_shard", "6"
+    ).mode("append").save(out)
+
+    # (a) mixed-format append refused
+    with pytest.raises(Exception, match="would\\s+fork"):
+        df.limit(2).repartition(1).write.format("dpf_shards").option(
+            "meta_format", "parquet"
+        ).mode("append").save(out)
+
+    # (b) split_name rejected as an update column
+    carried = (
+        spark.read.format("dpf_shards")
+        .schema("id int, text string, split_name string")
+        .load(out)
+        .limit(2)
+    )
+    with pytest.raises(ValueError, match="split_name"):
+        update_shard_metadata_native(spark, out, carried, "id")
+
+    # (c) touched-shards-only rewrite: update one key in shard 0 and
+    # check shard 1's csv bytes are untouched
+    shard1_before = open(os.path.join(out, "1.csv"), "rb").read()
+    upd = spark.createDataFrame(
+        [(0, "UPDATED")], schema="id int, text string"
+    )
+    summary = update_shard_metadata_native(spark, out, upd, "id")
+    assert [r.split_name for r in summary.collect()] == ["0"]
+    assert open(os.path.join(out, "1.csv"), "rb").read() == shard1_before
+    back = {
+        r.id: r.text
+        for r in spark.read.format("dpf_shards")
+        .schema("id int, text string, split_name string")
+        .load(out)
+        .collect()
+    }
+    assert back[0] == "UPDATED" and back[7] == "t7"
+
+    # (d) overwrite clears a stale update marker + its temps
+    tmp = os.path.join(out, ".feedface-u0-a1.csv.tmp")
+    with open(tmp, "w") as f:
+        f.write('"id","text"\n0,"STALE"\n')
+    with open(os.path.join(out, "_metadata_update.json"), "w") as f:
+        json.dump(
+            {"state": "renaming",
+             "map": {tmp: os.path.join(out, "0.csv")}},
+            f,
+        )
+    df.limit(3).repartition(1).write.format("dpf_shards").mode(
+        "overwrite"
+    ).save(out)
+    names = os.listdir(out)
+    assert "_metadata_update.json" not in names
+    assert not [f for f in names if f.endswith(".tmp")]
+    assert (
+        spark.read.format("dpf_shards")
+        .schema("id int, text string, split_name string")
+        .load(out)
+        .count()
+        == 3
+    )
+
+
+def test_stream_sink_sweep_spares_update_heal_temps(spark, tmp_path):
+    """Review r14 pass 2: a stream commit's janitor must not delete a
+    crashed metadata update's heal-forward temps — the heal must
+    still be able to complete the recorded plan afterwards."""
+    import json
+
+    import pandas as pd
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        ShardsCommitMessage,
+        ShardsStreamWriter,
+        heal_metadata_update,
+    )
+    from pyspark.sql.types import StructType
+
+    register_shards_source(spark)
+    out = str(tmp_path / "sinkupd")
+    spark.createDataFrame(
+        [(1, "old")], schema="id int, text string"
+    ).repartition(1).write.format("dpf_shards").mode("append").save(out)
+
+    # crashed update: heal-forward temp + marker
+    utmp = os.path.join(out, ".abc123-u0-a9.csv.tmp")
+    with open(utmp, "w") as f:
+        f.write('"id","text"\n1,"new"\n')
+    with open(os.path.join(out, "_metadata_update.json"), "w") as f:
+        json.dump(
+            {"state": "renaming",
+             "map": {utmp: os.path.join(out, "0.csv")}},
+            f,
+        )
+
+    schema = StructType.fromDDL("id int, text string")
+    w = ShardsStreamWriter(schema, {"path": out}, overwrite=False)
+    btmp = os.path.join(out, f".{w._token}-p000000-a1-s0.csv.tmp")
+    pd.DataFrame({"id": [2], "text": ["batch"]}).to_csv(btmp, index=False)
+    w.commit(
+        [ShardsCommitMessage(shards=[(0, 0, btmp, None, 1)])], batchId=0
+    )
+    assert os.path.exists(utmp)  # the janitor spared the heal input
+    assert heal_metadata_update(out) is True
+    texts = {
+        r.id: r.text
+        for r in spark.read.format("dpf_shards")
+        .schema("id int, text string, split_name string")
+        .load(out)
+        .collect()
+    }
+    assert texts == {1: "new", 2: "batch"}
