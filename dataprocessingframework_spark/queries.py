@@ -1432,6 +1432,58 @@ SQL_W_SHARDS_PARQUET_META = (
 )
 
 
+def q_w_shard_stats(spark, sf_dir):
+    """Per-shard census (r14): documents -> rolled shard pairs ->
+    ``shard_stats``. The per-shard ``rows`` column IS the rolling
+    arithmetic (a single task fills shards sequentially at 200 rows),
+    so the oracle derives every row from COUNT(*) alone;
+    ``has_table``/``has_bytes`` pin that the driver-side stat pass
+    found every file it claims to have measured."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+        shard_stats,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_census_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .mode("append")
+            .save(out)
+        )
+        res = shard_stats(spark, out).select(
+            "split_name",
+            "rows",
+            (F.col("table_bytes") > 0).alias("has_table"),
+            (F.col("archive_bytes") == 0).alias("metadata_only"),
+        ).orderBy("split_name")
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_SHARD_STATS = """
+WITH c AS (SELECT COUNT(*) AS cnt FROM documents),
+shards AS (
+  SELECT CAST(u.i AS VARCHAR) AS split_name,
+         LEAST(200, c.cnt - u.i * 200) AS rows
+  FROM c, UNNEST(range(CAST(CEIL(c.cnt / 200.0) AS BIGINT))) AS u(i)
+)
+SELECT split_name, CAST(rows AS BIGINT) AS rows,
+       TRUE AS has_table, TRUE AS metadata_only
+FROM shards ORDER BY split_name
+"""
+
+
 def q_w_update_metadata_native(spark, sf_dir):
     """W4 write-back through the commit protocol (r14): documents ->
     shards, then ``update_shard_metadata_native`` doubles ``n_chars``
@@ -11433,6 +11485,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_w_shards_parquet_meta_roundtrip,
         SQL_W_SHARDS_PARQUET_META,
     ),
+    "w_shard_stats": (q_w_shard_stats, SQL_W_SHARD_STATS),
     "stream_shards_sink": (q_stream_shards_sink, SQL_STREAM_SHARDS_SINK),
     "w_shards_compact": (q_w_shards_compact, SQL_W_SHARDS_COMPACT),
     "w4_update_columns": (q_w4_update_columns, SQL_W4),
@@ -11716,6 +11769,9 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 # w_shards_parquet_meta_roundtrip — NEW late-r14: parquet metadata
 # shards (the reference's configurable datafiles_ext) through the
 # DSv2 lifecycle incl. nested metadata, FULL oracle).
+# w_shard_stats (NEW latest-r14: the per-shard census, FULL oracle)
+# stays BELOW the fold — the window is full; it was verified locally
+# at sf0.01 AND sf0.1 this round and leads the r15 new cohort.
 # Positions 11-50 are the
 # ENTIRE remaining 40-query r8-stale cohort in registry order
 # (stream_interval_join .. emb_kcenter) — after r14 nothing in the

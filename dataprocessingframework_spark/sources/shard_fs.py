@@ -101,6 +101,9 @@ class LocalShardFS:
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -212,6 +215,9 @@ class FakeObjectStoreFS:
     def rmtree(self, path: str) -> None:
         # prefix delete: one DELETE per object under the prefix
         shutil.rmtree(self._backing(path), ignore_errors=True)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._backing(path))
 
     def read_bytes(self, path: str) -> bytes:
         with open(self._backing(path), "rb") as f:
@@ -333,6 +339,9 @@ class FsspecShardFS:
             self._fs.rm(self._strip(path), recursive=True)
         except FileNotFoundError:
             pass
+
+    def size(self, path: str) -> int:
+        return int(self._fs.size(self._strip(path)))
 
     def replace(self, src: str, dst: str) -> None:
         s, d = self._strip(src), self._strip(dst)

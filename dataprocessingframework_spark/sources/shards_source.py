@@ -1324,6 +1324,67 @@ def compact_shards(
     return {"retired": smalls, "new": pending, "rows": total}
 
 
+def shard_stats(
+    spark,
+    path: str,
+    layout: str = "tar",
+    archive_ext: str = "tar",
+    meta_format: str = "csv",
+):
+    """Per-shard census — the ops instrument behind compaction sizing
+    and capacity planning: one row per shard with ``rows`` (one
+    column-pruned DSv2 scan, distributed), ``table_bytes`` and
+    ``archive_bytes`` (driver-side listing, O(#shards) stat calls —
+    metadata-scale, like the planner itself; dir-layout archives sum
+    their loose members).
+
+    Read it before choosing ``compact_shards(min_rows=...)`` or a
+    stream's ``max_files_in_shard``; ``compact_shards`` keeps its own
+    internal row census (rows alone decide retirement)."""
+    from pyspark.sql import functions as F
+
+    register_shards_source(spark)
+    path = strip_file_scheme(path)
+    fs = get_fs(path)
+    stems, archives = _list_shards(
+        path, archive_ext, layout, meta_ext=meta_format
+    )
+    byte_rows = []
+    for stem in stems:
+        table_bytes = fs.size(fs_join(path, f"{stem}.{meta_format}"))
+        archive_bytes = 0
+        if stem in archives:
+            apath = _archive_path(path, stem, archive_ext, layout)
+            if layout == "dir":
+                archive_bytes = sum(
+                    fs.size(fs_join(apath, m)) for m in fs.listdir(apath)
+                )
+            else:
+                archive_bytes = fs.size(apath)
+        byte_rows.append((stem, int(table_bytes), int(archive_bytes)))
+    bytes_df = spark.createDataFrame(
+        byte_rows,
+        schema="split_name string, table_bytes long, archive_bytes long",
+    )
+    rows = (
+        spark.read.format("dpf_shards")
+        .option("path", path)
+        .option("content", "false")
+        .option("layout", layout)
+        .option("archive_ext", archive_ext)
+        .option("meta_format", meta_format)
+        .load()
+        .groupBy(SPLIT_COLUMN)
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    return rows.join(bytes_df, on=SPLIT_COLUMN, how="right").select(
+        SPLIT_COLUMN,
+        F.coalesce("rows", F.lit(0)).alias("rows"),
+        "table_bytes",
+        "archive_bytes",
+    )
+
+
 def _next_shard_index_for(out_dir: str) -> int:
     """max(existing numeric shard stem) + 1 — append numbering (same
     contract as writers._next_shard_index, local to avoid an import

@@ -1533,3 +1533,32 @@ def test_stream_sink_sweep_spares_update_heal_temps(spark, tmp_path):
         .collect()
     }
     assert texts == {1: "new", 2: "batch"}
+
+
+def test_shard_stats_census(spark, tmp_path):
+    """r14: the public per-shard census — rows from one pruned scan,
+    bytes from an O(#shards) driver listing; dir-layout archives sum
+    their loose members."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        shard_stats,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "census")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    got = {
+        r.split_name: (r.rows, r.table_bytes > 0, r.archive_bytes > 0)
+        for r in shard_stats(spark, out).collect()
+    }
+    assert got == {"0": (6, True, True), "1": (6, True, True)}
+
+    ddir = str(tmp_path / "censusdir")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).option("layout", "dir").mode("append").save(ddir)
+    (row,) = shard_stats(spark, ddir, layout="dir").collect()
+    assert row.rows == 6
+    # dir archive bytes = sum of loose member sizes (3 bytes each)
+    assert row.archive_bytes == 18
