@@ -637,11 +637,13 @@ class ShardsWriter(DataSourceArrowWriter):
         self._token = uuid.uuid4().hex[:12]
         fs = get_fs(self._path)
         fs.makedirs(self._path)
-        if not overwrite:
+        if not overwrite and fs.isdir(self._path):
             # appending with the OTHER metadata format would silently
             # fork the dataset: each reader lists only its own
             # extension and drops the other half without any error —
-            # fail at plan time instead
+            # fail at plan time instead. isdir guard: a FRESH dataset
+            # on an object store has no prefix to list yet (makedirs
+            # is a no-op there) and trivially has nothing to fork
             other = "parquet" if self._meta_fmt == "csv" else "csv"
             forked = [
                 f
@@ -784,11 +786,10 @@ class ShardsWriter(DataSourceArrowWriter):
             # it describes: healing it after the overwrite would rename
             # pre-overwrite temps onto the fresh shards (stem numbers
             # restart at 0), silently pairing old metadata with new
-            # archives
-            try:
-                fs.remove(fs_join(self._path, _UPDATE_MARKER))
-            except (FileNotFoundError, OSError):
-                pass
+            # archives. Order matters: temps and stems go FIRST, the
+            # marker LAST — a crash mid-overwrite then leaves the
+            # loud-read guard standing over whatever mixed shards
+            # survived, instead of making them silently readable
             for f in fs.listdir(self._path):
                 if f.startswith(".") and "-u" in f and f.endswith(".tmp"):
                     try:
@@ -804,6 +805,10 @@ class ShardsWriter(DataSourceArrowWriter):
                 or ("." not in f and not f.startswith((".", "_")))
             }
             _delete_stems(self._path, stems, self._archive_ext)
+            try:
+                fs.remove(fs_join(self._path, _UPDATE_MARKER))
+            except OSError:
+                pass
             start = 0
         elif self._start_index is not None:
             start = self._start_index
@@ -1065,6 +1070,17 @@ def update_shard_metadata_native(
     path = strip_file_scheme(shard_dir)
     heal_metadata_update(path)
     fs = get_fs(path)
+    if SPLIT_COLUMN in new_df.columns:
+        # a new_df derived from reading the dataset naturally carries
+        # split_name; treating it as an update column would relocate
+        # rows across shard tables (orphan tables without archive
+        # mates, stale duplicates left behind) — rows never move in a
+        # METADATA update. Checked FIRST: it needs only the plan's
+        # columns, no jobs
+        raise ValueError(
+            f"new_df must not carry {SPLIT_COLUMN!r} (rows cannot"
+            " change shards in a metadata update — drop the column)"
+        )
     current = (
         spark.read.format("dpf_shards")
         .option("path", path)
@@ -1074,6 +1090,9 @@ def update_shard_metadata_native(
         .option("meta_format", meta_format)
         .load()
     )
+    # the prechecks, the touched-shards derivation, and the merge all
+    # re-consume current — cache the one shard-table parse
+    current = current.cache()
     n_cur = current.count()
     if n_cur != current.select(key_col).distinct().count():
         raise ValueError(
@@ -1084,16 +1103,6 @@ def update_shard_metadata_native(
     unmatched = new_df.join(current, on=key_col, how="left_anti").count()
     if unmatched:
         raise ValueError(f"{unmatched} update keys not present in dataset")
-    if SPLIT_COLUMN in new_df.columns:
-        # a new_df derived from reading the dataset naturally carries
-        # split_name; treating it as an update column would relocate
-        # rows across shard tables (orphan tables without archive
-        # mates, stale duplicates left behind) — rows never move in a
-        # METADATA update
-        raise ValueError(
-            f"new_df must not carry {SPLIT_COLUMN!r} (rows cannot"
-            " change shards in a metadata update — drop the column)"
-        )
 
     # PARTIAL-update semantics: rows not in new_df keep their current
     # values (overlap columns coalesce update-over-current — dropping
@@ -1171,6 +1180,9 @@ def update_shard_metadata_native(
         r.tmp: fs_join(path, f"{r.split_name}.{meta_format}")
         for r in summary.select(SPLIT_COLUMN, "tmp").collect()
     }
+    # the rewrite job (materialized by the collect above) was the last
+    # consumer of the cached shard-table parse
+    current.unpersist()
     fs.put_atomic(
         fs_join(path, _UPDATE_MARKER),
         json.dumps({"state": "renaming", "map": mapping}).encode(),
@@ -1349,6 +1361,18 @@ def shard_stats(
     stems, archives = _list_shards(
         path, archive_ext, layout, meta_ext=meta_format
     )
+    if not stems:
+        # a valid-but-empty dataset (e.g. a sink dir before its first
+        # batch) gets a zero-row census, not the reader's no-tables
+        # error — the docstring sends operators here precisely when a
+        # dataset may be empty
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "split_name string, rows long, table_bytes long,"
+                " archive_bytes long"
+            ),
+        )
     byte_rows = []
     for stem in stems:
         table_bytes = fs.size(fs_join(path, f"{stem}.{meta_format}"))
