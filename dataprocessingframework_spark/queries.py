@@ -11805,9 +11805,42 @@ _R14_WINDOW = [
     "stream_dedup", "tx_repetition", "tx_decontaminate", "emb_kcenter",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+
+# r15 driver window (rotation per VERDICT r14 item 1): position 1 is
+# w_shard_stats — the per-shard census over the DSv2 metadata
+# (FULL oracle), added after the r14 window froze and therefore the
+# only registry query never driver-checked (verified locally at
+# sf0.01 AND sf0.1 in r14). Positions 2-50 are the ENTIRE 49-query
+# r10-stale cohort in r10-window order (keys(CORRECTNESS_r10) minus
+# every later CORRECTNESS file; emb_ivf_topk, also r10-checked, was
+# re-verified in r13 and is excluded). After r15 nothing in the
+# registry is staler than r11 and nothing is never-checked.
+# Rotation history in COVERAGE.md.
+_R15_WINDOW = [
+    "w_shard_stats",
+    # the ENTIRE r10-stale cohort (49, r10-window order)
+    "emb_gate_recall", "emb_gate_blas_parity", "emb_ivf_sq8_topk",
+    "emb_ivf_pq_topk", "a_mode_per_group", "a_top_docs_per_source",
+    "d_split_assign", "emb_kmeans", "ev_anomaly_days",
+    "ev_attribution", "ev_quartiles_by_type", "ev_retention",
+    "ev_sessionize", "ev_top_paths", "f_ngram_profile",
+    "j_full_outer", "stream_enriched_agg", "tx_dup_passages",
+    "tx_filter_funnel", "tx_keyword_search", "tx_lang_mix",
+    "tx_nll_buckets", "tx_pack_sequences", "w_bucketed_join",
+    "w_merge_upsert", "w_rolling_revenue", "tx_bloom_decontaminate",
+    "tx_chunk_windows", "d_weighted_sample", "w_snapshot_diff",
+    "dd_cluster_representatives", "j_nearest",
+    "tx_remove_dup_passages", "a_winsorize", "a_group_zscore",
+    "w_schema_evolution", "w_compact_small_files", "a_ks_drift",
+    "a_psi_drift", "tx_bigram_nll", "emb_quantize",
+    "stream_psi_monitor", "a_benford", "a_gini", "w_scd2",
+    "ev_ab_metrics", "tx_remove_dup_spans", "dd_containment",
+    "f_lag_features",
+]
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R14_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R14_WINDOW},
+    **{k: REGISTRY[k] for k in _R15_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R15_WINDOW},
 }
 
 

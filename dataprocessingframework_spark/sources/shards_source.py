@@ -126,6 +126,24 @@ def _validated_meta_format(options: dict) -> str:
     return fmt
 
 
+def _member_name_error(name: str) -> str | None:
+    """Dir layout joins member names verbatim under the shard folder,
+    so a data-supplied name carrying a path separator or '..' would
+    escape the dataset directory — writing outside it, or surfacing
+    arbitrary local/bucket files as row content from an untrusted
+    dataset. Members must be pure basenames (the reference keys
+    sharded-files members by basename — `dataset_reader.py:237-243`);
+    the tar layout is immune (members resolve inside the archive)."""
+    if not name or name in (".", ".."):
+        return f"member name {name!r} is not a valid file name"
+    if "/" in name or "\\" in name:
+        return (
+            f"member name {name!r} contains a path separator — dir"
+            " layout members must be pure basenames"
+        )
+    return None
+
+
 def _archive_path(path: str, stem: str, archive_ext: str, layout: str) -> str:
     return (
         fs_join(path, stem)
@@ -241,9 +259,14 @@ class ShardsReader(DataSourceReader):
         )
         if self._with_content:
             # csv<->tar pairing contract (`dataset_reader.py:183-192`;
-            # dir layout: csv<->folder, `dataset_reader.py:237-243`)
+            # dir layout: csv<->folder, `dataset_reader.py:237-243`).
+            # Dir layout EXEMPT: a shard whose members were all null
+            # writes no folder (object stores don't persist empty
+            # prefixes), so a missing folder mate is legal there — its
+            # rows read back content=null / is_correct=false, the same
+            # tolerant contract as a missing tar member
             missing = sorted(set(csvs) - tars)
-            if missing:
+            if missing and self._layout != "dir":
                 raise ValueError(
                     f"shard tables without archive mates: {missing[:10]}"
                 )
@@ -390,12 +413,23 @@ class ShardsReader(DataSourceReader):
                 data = members.get(str(name))
                 member_err = tar_err
                 if data is None and loose_dir is not None:
-                    try:
-                        data = fs.read_bytes(fs_join(loose_dir, str(name)))
-                    except Exception as e:  # noqa: BLE001 — tolerant,
-                        # and per-member: one unreadable loose file
-                        # must not poison its shard siblings
-                        member_err = f"{type(e).__name__}: {e}"
+                    bad = _member_name_error(str(name))
+                    if bad is not None:
+                        # an untrusted dataset's csv must not be able
+                        # to surface files OUTSIDE the shard folder as
+                        # row content — unsafe names become error rows
+                        # (tolerant contract), never filesystem reads
+                        member_err = f"ValueError: {bad}"
+                    else:
+                        try:
+                            data = fs.read_bytes(
+                                fs_join(loose_dir, str(name))
+                            )
+                        except Exception as e:  # noqa: BLE001 —
+                            # tolerant, and per-member: one unreadable
+                            # loose file must not poison its shard
+                            # siblings
+                            member_err = f"{type(e).__name__}: {e}"
                 if data is None:
                     contents.append(None)
                     ok.append(False)
@@ -711,17 +745,29 @@ class ShardsWriter(DataSourceArrowWriter):
                     # (dot-prefixed — invisible to _list_shards); each
                     # member is its own atomic put, the csv publishes
                     # the shard
-                    if tmp_tar is None:
-                        tmp_tar = f"{prefix}-s{seq}.dir.tmp"
-                        fs.makedirs(tmp_tar)
                     for name, data in zip(
                         chunk.column(self._name_col).to_pylist(),
                         chunk.column(self._content_col).to_pylist(),
                     ):
                         if data is None:
                             continue
+                        mname = str(name)
+                        bad = _member_name_error(mname)
+                        if bad is not None:
+                            raise ValueError(
+                                f"dir-layout write rejected: {bad}"
+                            )
+                        # created LAZILY on the first non-null member:
+                        # real object stores don't persist empty
+                        # prefixes (makedirs is a no-op there), so an
+                        # eagerly-created empty member dir would make
+                        # commit's rename raise mid-loop — after
+                        # earlier manifest entries already published
+                        if tmp_tar is None:
+                            tmp_tar = f"{prefix}-s{seq}.dir.tmp"
+                            fs.makedirs(tmp_tar)
                         with fs.open_write(
-                            fs_join(tmp_tar, str(name))
+                            fs_join(tmp_tar, mname)
                         ) as mfh:
                             mfh.write(bytes(data))
                 elif self._with_content:
@@ -1034,6 +1080,8 @@ def update_shard_metadata_native(
     layout: str = "tar",
     archive_ext: str = "tar",
     meta_format: str = "csv",
+    content_col: str = "content",
+    broadcast_threshold_rows: int = 1_000_000,
 ):
     """W4 write-back through the commit protocol (r14): merge
     new/changed metadata columns into the per-shard CSVs, archives
@@ -1081,6 +1129,25 @@ def update_shard_metadata_native(
             f"new_df must not carry {SPLIT_COLUMN!r} (rows cannot"
             " change shards in a metadata update — drop the column)"
         )
+    upd_cols = [c for c in new_df.columns if c != key_col]
+    _, _archives = _list_shards(
+        path, archive_ext, layout, meta_ext=meta_format
+    )
+    if _archives:
+        # mirror the writer's plan-time validation: on an archive-
+        # backed dataset, an update column named after the reader's
+        # DERIVED columns would write a csv column that collides with
+        # them — subsequent content-mode reads emit duplicate/ambiguous
+        # fields. Metadata-only datasets are exempt (there a 'content'
+        # csv column legitimately round-trips under content='false')
+        colliding = sorted(set(upd_cols) & {content_col, *_META_COLS})
+        if colliding:
+            raise ValueError(
+                f"update columns {colliding} collide with the reader's"
+                " derived columns on this archive-backed dataset"
+                f" ({content_col!r} and {list(_META_COLS)}) — rename"
+                " them, or rewrite via write_shards_native"
+            )
     current = (
         spark.read.format("dpf_shards")
         .option("path", path)
@@ -1098,7 +1165,8 @@ def update_shard_metadata_native(
         raise ValueError(
             f"existing metadata has duplicate keys on {key_col}"
         )
-    if new_df.count() != new_df.select(key_col).distinct().count():
+    n_upd = new_df.count()
+    if n_upd != new_df.select(key_col).distinct().count():
         raise ValueError(f"update frame has duplicate keys on {key_col}")
     unmatched = new_df.join(current, on=key_col, how="left_anti").count()
     if unmatched:
@@ -1111,12 +1179,21 @@ def update_shard_metadata_native(
     # construction. Consequence: an update cannot set an overlap cell
     # to NULL — write a sentinel and post-process, or rewrite via
     # write_shards_native.
-    upd_cols = [c for c in new_df.columns if c != key_col]
+    # broadcast the update side only while it is plausibly executor-
+    # memory-sized: new_df can be dataset-sized (update every row),
+    # and an unconditional hint there hits Spark's 8 GB broadcast hard
+    # limit / driver OOM at scale. Above the threshold, leave the join
+    # unhinted — AQE picks the strategy from runtime sizes
+    _bcast = (
+        F.broadcast
+        if n_upd <= broadcast_threshold_rows
+        else (lambda df: df)
+    )
     aliased = new_df.select(
         key_col,
         *[F.col(c).alias(f"__upd_{c}") for c in upd_cols],
     )
-    merged = current.join(F.broadcast(aliased), on=key_col, how="left")
+    merged = current.join(_bcast(aliased), on=key_col, how="left")
     for c in upd_cols:
         merged = merged.withColumn(
             c,
@@ -1132,12 +1209,11 @@ def update_shard_metadata_native(
         # O(dataset)). A new column forces the full rewrite so every
         # shard table keeps a uniform schema.
         touched = (
-            current.join(
-                F.broadcast(new_df.select(key_col)), on=key_col
-            )
+            current.join(_bcast(new_df.select(key_col)), on=key_col)
             .select(SPLIT_COLUMN)
             .distinct()
         )
+        # touched itself is #shards-bounded — always broadcastable
         merged = merged.join(F.broadcast(touched), on=SPLIT_COLUMN)
     meta_cols = [c for c in merged.columns if c != SPLIT_COLUMN]
     token = uuid.uuid4().hex[:12]

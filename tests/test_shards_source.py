@@ -823,7 +823,10 @@ def test_dir_layout_writer_roundtrip_with_rolling(spark, tmp_path):
 def test_dir_layout_tolerant_and_pairing(spark, tmp_path):
     """A deleted loose member re-reads as is_correct=false WITHOUT
     poisoning its shard siblings (per-member tolerance); a csv whose
-    folder mate is missing fails pairing like the reference's assert."""
+    folder mate is missing reads back as error rows, NOT a pairing
+    failure — dir layout legally has folderless shards (all-null
+    members write no folder, and object stores don't persist empty
+    prefixes), unlike the tar layout's pairing assert."""
     register_shards_source(spark)
     out = str(tmp_path / "tolerant")
     df = _mk_media_df(spark, 12).repartition(1)
@@ -844,10 +847,96 @@ def test_dir_layout_tolerant_and_pairing(spark, tmp_path):
     import shutil
 
     shutil.rmtree(os.path.join(out, "0"))
-    with pytest.raises(Exception, match="without archive mates"):
-        spark.read.format("dpf_shards").option("layout", "dir").load(
-            out
-        ).collect()
+    rows = {
+        r.name: r
+        for r in spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(out)
+        .collect()
+    }
+    assert len(rows) == 12  # every csv row still surfaces
+    assert not rows["img_01.jpg"].is_correct  # shard 0: folder gone
+    assert rows["img_01.jpg"].content is None
+    assert rows["img_07.jpg"].is_correct  # shard 1 untouched
+
+
+def test_dir_layout_all_null_members_skip_folder(spark, tmp_path):
+    """ADVICE r14: a dir-layout shard whose members are ALL null
+    creates no temp folder (object stores don't persist empty
+    prefixes, so commit's rename of an eagerly-made empty dir would
+    raise mid-loop) — the shard commits csv-only and reads back with
+    content=null rows, same as a null tar member."""
+    register_shards_source(spark)
+    out = str(tmp_path / "allnull")
+    df = spark.createDataFrame(
+        [(f"m_{i}.bin", i, None) for i in range(6)]
+        + [(f"n_{i}.bin", i, bytes([i])) for i in range(6)],
+        schema="name string, k int, content binary",
+    ).repartition(1).sortWithinPartitions("name")
+    df.write.format("dpf_shards").option("layout", "dir").option(
+        "max_files_in_shard", "6"
+    ).mode("append").save(out)
+    entries = sorted(os.listdir(out))
+    # shard 0 = the all-null m_* rows -> csv only, NO folder 0/
+    assert "0.csv" in entries and "1.csv" in entries
+    assert "0" not in entries and "1" in entries
+    rows = {
+        r.name: r
+        for r in spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(out)
+        .collect()
+    }
+    assert len(rows) == 12
+    assert rows["m_0.bin"].content is None
+    assert not rows["m_0.bin"].is_correct
+    assert bytes(rows["n_3.bin"].content) == bytes([3])
+    assert rows["n_3.bin"].is_correct
+
+
+def test_dir_layout_member_name_traversal_rejected(spark, tmp_path):
+    """ADVICE r14 (medium): dir layout joins member names into
+    filesystem paths — a name carrying '/' or '..' must be rejected
+    on WRITE (loud ValueError, nothing published) and neutralized on
+    READ (error row, never a filesystem read outside the shard
+    folder)."""
+    register_shards_source(spark)
+    out = str(tmp_path / "traversal")
+    evil = spark.createDataFrame(
+        [("../escape.bin", 1, b"x"), ("ok.bin", 2, b"y")],
+        schema="name string, k int, content binary",
+    ).repartition(1)
+    with pytest.raises(Exception, match="path separator|not a valid"):
+        evil.write.format("dpf_shards").option("layout", "dir").mode(
+            "append"
+        ).save(out)
+    if os.path.isdir(out):  # failed job published nothing
+        assert not [
+            f for f in os.listdir(out) if not f.startswith((".", "_"))
+        ]
+    assert not (tmp_path / "escape.bin").exists()
+
+    # READ side: hand-craft a dataset whose csv names a traversal
+    # member; the secret outside the dataset must never surface
+    victim = tmp_path / "secret.bin"
+    victim.write_bytes(b"SECRET")
+    ds = tmp_path / "untrusted"
+    (ds / "0").mkdir(parents=True)
+    (ds / "0" / "good.bin").write_bytes(b"fine")
+    (ds / "0.csv").write_text(
+        'name,k\n"../../secret.bin",1\n"good.bin",2\n'
+    )
+    rows = {
+        r.name: r
+        for r in spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(str(ds))
+        .collect()
+    }
+    assert rows["../../secret.bin"].content is None
+    assert not rows["../../secret.bin"].is_correct
+    assert "path separator" in rows["../../secret.bin"].error
+    assert bytes(rows["good.bin"].content) == b"fine"
 
 
 def test_dir_layout_overwrite_compaction_and_legacy_read(spark, tmp_path):
@@ -1068,6 +1157,64 @@ def test_update_shard_metadata_native_roundtrip_and_integrity(
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         update_shard_metadata_native(spark, out, dup, "name")
+
+    # ADVICE r15: on an archive-backed dataset, update columns named
+    # after the reader's DERIVED columns are rejected at plan time
+    # (they would collide on the next content-mode read); metadata-only
+    # datasets stay exempt
+    for bad_col in ("content", "is_correct", "error"):
+        clash = spark.createDataFrame(
+            [("img_00.jpg", "x")],
+            schema=f"name string, {bad_col} string",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            update_shard_metadata_native(spark, out, clash, "name")
+    meta_only = str(tmp_path / "metaonly")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], schema="name string, k int"
+    ).write.format("dpf_shards").mode("append").save(meta_only)
+    ok = spark.createDataFrame(
+        [("a", "kept")], schema="name string, content string"
+    )
+    update_shard_metadata_native(spark, meta_only, ok, "name")
+    back = (
+        spark.read.format("dpf_shards")
+        .option("content", "false")
+        .load(meta_only)
+    )
+    got = {r.name: r.content for r in back.collect()}
+    assert got == {"a": "kept", "b": None}
+
+
+def test_update_shard_metadata_native_above_broadcast_threshold(
+    spark, tmp_path
+):
+    """ADVICE r15: a dataset-sized update frame must not be force-
+    broadcast (8 GB hard limit / driver OOM at scale) — above the
+    rows threshold the join runs unhinted and the results are
+    identical."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "bigupd")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    upd = spark.createDataFrame(
+        [(f"img_{i:02d}.jpg", i * 7) for i in range(12)],
+        schema="name string, k int",
+    )
+    summary = update_shard_metadata_native(
+        spark, out, upd, "name", broadcast_threshold_rows=0
+    )
+    assert sorted(
+        (r.split_name, r.rows) for r in summary.collect()
+    ) == [("0", 6), ("1", 6)]
+    back = spark.read.format("dpf_shards").load(out)
+    got = {r.name: r.k for r in back.collect()}
+    assert got == {f"img_{i:02d}.jpg": i * 7 for i in range(12)}
 
 
 def test_update_shard_metadata_native_heals_forward(spark, tmp_path):
