@@ -84,6 +84,13 @@ TIERS: dict[str, list[str]] = {
 # only (+~50s total bench wall time).
 TIER_SETTLE_SEC: dict[str, int] = {"dedup": 8, "spans": 8}
 
+# Per-query untimed warm-up passes before the timed trials. The dedup
+# tier gets TWO (r15): its recorded first trials have run ~2x the
+# eventual min for several rounds (r14 minhash_signatures
+# [2.08, 2.00, 1.42]) — one warm-up + settle doesn't fully drain the
+# minhash/LSH codegen churn the way it does for the other tiers.
+TIER_WARMUP_RUNS: dict[str, int] = {"dedup": 2}
+
 
 def _noop(df) -> None:
     """Materialize without driver collection."""
@@ -622,7 +629,12 @@ def resolve_contamination(
     return runs + rerun, True
 
 
-def run_tier(names: list[str], settle_sec: int = 0) -> dict:
+def run_tier(
+    names: list[str],
+    settle_sec: int = 0,
+    warmup_runs: int = 1,
+    tier_name: str = "",
+) -> dict:
     """Run the named queries in THIS process (one fresh JVM) and
     return {"queries": minima, "trials": per-trial, "extra": setup}."""
     from dataprocessingframework_spark import queries as q
@@ -658,6 +670,36 @@ def run_tier(names: list[str], settle_sec: int = 0) -> dict:
     ).write.format("noop").mode("overwrite").save()
 
     extra: dict = {}
+
+    # ambient canary (r15, VERDICT r14 item 6): a fixed seeded
+    # in-memory aggregation that touches NO repo code and no files —
+    # the only thing that can move it across rounds is the machine.
+    # Recorded per tier as extra["canary_<tier>"] in BENCH_r{N}, so a
+    # creeping entry can be adjudicated by dividing its cross-round
+    # ratio by its tier's canary ratio (machine drift cancels) instead
+    # of needing a hand-run worktree A/B (normalization recipe in
+    # PLANS.md "r15 ambient canary").
+    def _canary() -> None:
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr(
+                "id % 9973 AS k", "(id * 2654435761) % 1000003 AS v"
+            )
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _canary()  # untimed: absorb its own codegen
+    c_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        _canary()
+        c_runs.append(round(time.time() - t0, 3))
+    extra[f"canary_{tier_name or 'tier'}"] = min(c_runs)
+
     thunks = bench_queries(spark, extra, set(names))
     missing = [n for n in names if n not in thunks]
     assert not missing, f"unknown bench queries: {missing}"
@@ -682,8 +724,11 @@ def run_tier(names: list[str], settle_sec: int = 0) -> dict:
         # timing left the JVM in a deopt/compile-queue storm that
         # inflated ann_topk_cosine's timed minima 7x) — each query
         # warms only itself, in tier order, like a shared-JVM run
-        # would, but with cross-tier isolation intact.
-        thunk()
+        # would, but with cross-tier isolation intact. warmup_runs>1
+        # for tiers whose first trials persistently overshoot (see
+        # TIER_WARMUP_RUNS).
+        for _ in range(warmup_runs):
+            thunk()
         # codegen-rich tiers: let the C2 compile queue the warm-up
         # just filled drain BEFORE timing (see TIER_SETTLE_SEC)
         if settle_sec:
@@ -745,7 +790,12 @@ def run_tier(names: list[str], settle_sec: int = 0) -> dict:
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--tier":
         tier = sys.argv[2]
-        result = run_tier(TIERS[tier], TIER_SETTLE_SEC.get(tier, 0))
+        result = run_tier(
+            TIERS[tier],
+            TIER_SETTLE_SEC.get(tier, 0),
+            TIER_WARMUP_RUNS.get(tier, 1),
+            tier,
+        )
         print(json.dumps(result))
         return
 
