@@ -70,10 +70,14 @@ class DatasetReader:
         return Dataset(df, config)
 
     # ----------------------------------------------------------------- shards
-    def read_shards(self, config: ShardsDatasetConfig) -> Dataset:
-        """S2 (`dataset_reader.py:148-203`)."""
+    def read_shards(
+        self, config: ShardsDatasetConfig, schema=None
+    ) -> Dataset:
+        """S2 (`dataset_reader.py:148-203`). ``schema`` (metadata
+        columns only) skips both the published-schema lookup and the
+        inference fallback."""
         self._check_pairing(config.path, f".{config.archive_ext}")
-        df = self._read_shard_tables(config)
+        df = self._read_shard_tables(config, schema=schema)
         for c in config.name_columns:
             df = df.withColumn(
                 f"{c}_tar_path",
@@ -85,10 +89,12 @@ class DatasetReader:
         return Dataset(df, config)
 
     # --------------------------------------------------------- sharded files
-    def read_sharded_files(self, config: ShardedFilesDatasetConfig) -> Dataset:
+    def read_sharded_files(
+        self, config: ShardedFilesDatasetConfig, schema=None
+    ) -> Dataset:
         """S3 (`dataset_reader.py:205-254`): basename -> dir/N/name path."""
         self._check_pairing(config.path, "")
-        df = self._read_shard_tables(config)
+        df = self._read_shard_tables(config, schema=schema)
         for c in config.name_columns:
             df = df.withColumn(
                 f"{c}_path",
@@ -105,7 +111,9 @@ class DatasetReader:
         return self.spark.read.options(header=True, inferSchema=True).csv(path)
 
     def _read_shard_tables(
-        self, config: ShardsDatasetConfig | ShardedFilesDatasetConfig
+        self,
+        config: ShardsDatasetConfig | ShardedFilesDatasetConfig,
+        schema=None,
     ) -> DataFrame:
         if config.metadata_format == "parquet":
             glob = os.path.join(config.path, "*.parquet")
@@ -121,12 +129,14 @@ class DatasetReader:
         else:
             # csv shards go through the DSv2 source (r13 — one shard
             # pair per InputPartition, split_name partition pruning;
-            # see sources/shards_source.py). Schema comes from the
-            # legacy Spark csv inference pass so types match the
-            # pre-DSv2 rounds exactly; split_name is emitted by the
-            # source itself (one literal per partition — no
-            # input_file_name regex needed)
-            df = self._shards_v2(config.path, with_content=False)
+            # see sources/shards_source.py). Schema resolution order:
+            # caller > published _schema.json > csv inference (see
+            # _shards_v2); split_name is emitted by the source itself
+            # (one literal per partition — no input_file_name regex
+            # needed)
+            df = self._shards_v2(
+                config.path, with_content=False, schema=schema
+            )
         df = self._apply_renames(df, config.rename)
         self._check_required(df, config.required_columns)
         return df
@@ -139,9 +149,16 @@ class DatasetReader:
         content_col: str = "content",
         archive_ext: str = "tar",
         layout: str = "tar",
+        schema: "StructType | None" = None,
     ) -> DataFrame:
         """Read csv(+tar) shards through the ``dpf_shards`` Python
-        DataSource with Spark-csv-inferred metadata types."""
+        DataSource. Metadata types come from, in order: the caller's
+        ``schema`` (metadata columns only, no split/content fields),
+        the dataset's published ``_schema.json`` (written by every
+        repo write path — cold reads plan with ZERO inference jobs),
+        and only as a last resort the legacy Spark csv inference pass
+        (a second full metadata scan, one task per file under
+        multiLine — the r14 scale gap, VERDICT r14 item 4)."""
         from pyspark.sql.types import (
             BinaryType,
             BooleanType,
@@ -151,18 +168,22 @@ class DatasetReader:
         )
 
         from dataprocessingframework_spark.sources.shards_source import (
+            read_published_schema,
             register_shards_source,
         )
 
         register_shards_source(self.spark)
-        glob = os.path.join(path, "*.csv")
-        # inference-only pass; multiLine + doublequote escape so the
-        # RFC4180 dialect both writers emit (quoted embedded newlines)
-        # infers the same types the arrow reader will parse
-        base = self.spark.read.options(
-            header=True, inferSchema=True, multiLine=True, escape='"'
-        ).csv(glob)
-        fields = list(base.schema.fields)
+        if schema is None:
+            schema = read_published_schema(path)
+        if schema is None:
+            glob = os.path.join(path, "*.csv")
+            # inference-only pass; multiLine + doublequote escape so
+            # the RFC4180 dialect both writers emit (quoted embedded
+            # newlines) infers the same types the arrow reader parses
+            schema = self.spark.read.options(
+                header=True, inferSchema=True, multiLine=True, escape='"'
+            ).csv(glob).schema
+        fields = list(schema.fields)
         fields.append(StructField(SPLIT_COLUMN, StringType()))
         if with_content:
             fields.append(StructField(content_col, BinaryType()))
@@ -180,7 +201,10 @@ class DatasetReader:
         )
 
     def read_shards_with_bytes(
-        self, config: ShardsDatasetConfig, name_col: str = "name"
+        self,
+        config: ShardsDatasetConfig,
+        name_col: str = "name",
+        schema=None,
     ) -> Dataset:
         """S6 through the DSv2 source: metadata + tar-member bytes in
         ONE scan with one-tar-per-partition planning — each task opens
@@ -195,13 +219,17 @@ class DatasetReader:
             with_content=True,
             name_col=name_col,
             archive_ext=config.archive_ext,
+            schema=schema,
         )
         df = self._apply_renames(df, config.rename)
         self._check_required(df, config.required_columns)
         return Dataset(df, config)
 
     def read_sharded_files_with_bytes(
-        self, config: ShardedFilesDatasetConfig, name_col: str = "name"
+        self,
+        config: ShardedFilesDatasetConfig,
+        name_col: str = "name",
+        schema=None,
     ) -> Dataset:
         """S5-over-S3 through the DSv2 source (r14): metadata + loose
         file bytes in ONE scan — one csv+folder pair per
@@ -214,6 +242,7 @@ class DatasetReader:
             with_content=True,
             name_col=name_col,
             layout="dir",
+            schema=schema,
         )
         df = self._apply_renames(df, config.rename)
         self._check_required(df, config.required_columns)

@@ -126,6 +126,107 @@ def _validated_meta_format(options: dict) -> str:
     return fmt
 
 
+_SCHEMA_FILE = "_schema.json"
+
+
+def _csv_safe_schema(schema: StructType) -> bool:
+    """True when every field's type round-trips through csv text
+    unambiguously (the types csv inference itself can produce). Exotic
+    types (timestamp/date/decimal/nested) stay on the inference path —
+    publishing them could diverge from what the arrow csv parser was
+    exercised with."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    safe = (
+        StringType,
+        IntegerType,
+        LongType,
+        ShortType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        BooleanType,
+    )
+    return all(isinstance(f.dataType, safe) for f in schema.fields)
+
+
+def read_published_schema(path: str) -> StructType | None:
+    """The dataset's published metadata schema (``_schema.json``), or
+    None when absent/corrupt. Cold reads use it to skip the csv
+    inference pass entirely (VERDICT r14 item 4) — at millions of
+    shards, inference is a second full metadata scan with one task
+    per file (multiLine). Every repo-owned write path keeps the file
+    current (native + legacy writers, the metadata updater, the
+    stream sink, compaction via the writer); a mixed-schema append
+    REMOVES it, so a present file always speaks for every shard —
+    the same trust-the-manifest model as the compaction manifest."""
+    import json
+
+    try:
+        raw = get_fs(path).read_bytes(fs_join(path, _SCHEMA_FILE))
+    except (FileNotFoundError, OSError):
+        return None
+    try:
+        schema = StructType.fromJson(json.loads(raw))
+    except Exception:  # noqa: BLE001 — corrupt file = inference fallback
+        return None
+    return schema
+
+
+def _sync_published_schema(
+    path: str, meta_schema: StructType, force: bool = False
+) -> None:
+    """Keep ``_schema.json`` truthful after a write. ``force`` (an
+    overwrite, or a full-rewrite metadata update) publishes
+    unconditionally; an append publishes when the file is absent,
+    no-ops when it matches, and DELETES it when the appended schema
+    differs (the dataset is now mixed-schema — inference is the only
+    honest source). Single-object atomic PUT on all backends."""
+    import json
+
+    fs = get_fs(path)
+    target = fs_join(path, _SCHEMA_FILE)
+    payload = json.dumps(meta_schema.jsonValue()).encode()
+    if force:
+        fs.put_atomic(target, payload)
+        return
+    existing = read_published_schema(path)
+    if existing is None:
+        fs.put_atomic(target, payload)
+    elif existing != meta_schema:
+        try:
+            fs.remove(target)
+        except OSError:
+            pass
+
+
+def _sync_or_drop_schema(
+    path: str,
+    meta_schema: StructType,
+    meta_fmt: str = "csv",
+    force: bool = False,
+) -> None:
+    """One write-path entry point: publish/refresh ``_schema.json``
+    for csv-safe (or parquet-backed) schemas, DROP it for exotic csv
+    types so a stale file never speaks for shards it can't parse."""
+    if _csv_safe_schema(meta_schema) or meta_fmt != "csv":
+        _sync_published_schema(path, meta_schema, force=force)
+    else:
+        try:
+            get_fs(path).remove(fs_join(path, _SCHEMA_FILE))
+        except OSError:
+            pass
+
+
 def _member_name_error(name: str) -> str | None:
     """Dir layout joins member names verbatim under the shard folder,
     so a data-supplied name carrying a path separator or '..' would
@@ -493,20 +594,27 @@ class ShardsDataSource(DataSource):
         with_content = content_opt == "true" or (
             content_opt == "auto" and bool(tars)
         )
-        # FIRST-shard inference only (the sampling trade every csv
-        # reader makes — pass .schema() to pin types exactly; parquet
-        # tables carry their schema, so 'inference' there is exact)
-        first_csv = fs_join(path, f"{csvs[0]}.{meta_fmt}")
-        if meta_fmt == "parquet":
-            import pyarrow.parquet as pq
+        # the dataset's published _schema.json wins (exact types, zero
+        # reads — and consistent with what _shards_v2 plans); fall
+        # back to FIRST-shard inference only (the sampling trade every
+        # csv reader makes — pass .schema() to pin types exactly;
+        # parquet tables carry their schema, so 'inference' there is
+        # exact)
+        inferred = read_published_schema(path)
+        if inferred is None:
+            first_csv = fs_join(path, f"{csvs[0]}.{meta_fmt}")
+            if meta_fmt == "parquet":
+                import pyarrow.parquet as pq
 
-            first_schema = pq.read_schema(open_source(first_csv))
-        else:
-            first_schema = pacsv.read_csv(
-                open_source(first_csv),
-                parse_options=pacsv.ParseOptions(newlines_in_values=True),
-            ).schema
-        inferred = from_arrow_schema(first_schema)
+                first_schema = pq.read_schema(open_source(first_csv))
+            else:
+                first_schema = pacsv.read_csv(
+                    open_source(first_csv),
+                    parse_options=pacsv.ParseOptions(
+                        newlines_in_values=True
+                    ),
+                ).schema
+            inferred = from_arrow_schema(first_schema)
         fields = list(inferred.fields)
         fields.append(StructField(SPLIT_COLUMN, StringType()))
         if with_content:
@@ -644,6 +752,11 @@ class ShardsWriter(DataSourceArrowWriter):
         self._meta_cols = [
             f.name for f in schema.fields if f.name not in derived
         ]
+        # published to _schema.json at commit so cold reads skip the
+        # csv inference pass (see read_published_schema)
+        self._meta_schema = StructType(
+            [f for f in schema.fields if f.name in self._meta_cols]
+        )
         # csv is a FLAT format and pyarrow's writer (deliberately)
         # refuses nested values — fail at PLAN time with the column
         # name, not deep inside every task with ArrowInvalid
@@ -876,6 +989,15 @@ class ShardsWriter(DataSourceArrowWriter):
             fs.replace(
                 tmp_csv, fs_join(self._path, f"{idx}.{self._meta_fmt}")
             )
+        # publish/refresh the metadata schema LAST: a crash before this
+        # point just leaves (or keeps) the dataset on the inference
+        # fallback
+        _sync_or_drop_schema(
+            self._path,
+            self._meta_schema,
+            self._meta_fmt,
+            force=self._overwrite,
+        )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
 
@@ -1014,6 +1136,10 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         for tmp, final in mapping.items():
             fs.replace(tmp, final)
         self._write_marker(marker, {"state": "done"})
+        # same schema publication as the batch writer (append
+        # semantics: publish when absent, no-op when equal, drop on a
+        # mixed-schema sink dir)
+        _sync_or_drop_schema(self._path, self._meta_schema, self._meta_fmt)
         self._sweep_all_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -1202,7 +1328,17 @@ def update_shard_metadata_native(
             else F.col(f"__upd_{c}"),
         )
     merged = merged.drop(*[f"__upd_{c}" for c in upd_cols])
-    if all(c in current.columns for c in upd_cols):
+    # a full rewrite is forced by a NEW column, and also by an update
+    # that CHANGES an overlap column's type (coalesce widens, e.g.
+    # int-over-long): touched-only would leave touched shards on the
+    # new type and untouched shards on the old — a mixed-schema
+    # dataset no single schema (published or inferred) describes
+    full_rewrite = not all(
+        c in current.columns
+        and merged.schema[c].dataType == current.schema[c].dataType
+        for c in upd_cols
+    )
+    if not full_rewrite:
         # no NEW columns -> untouched shards' rewrites would be
         # byte-identity no-ops: restrict the rewrite to the shards
         # that actually contain updated keys (O(touched), not
@@ -1266,6 +1402,12 @@ def update_shard_metadata_native(
     for tmp, final in mapping.items():
         fs.replace(tmp, final)
     fs.remove(fs_join(path, _UPDATE_MARKER))
+    # keep the published schema truthful: a full rewrite left every
+    # shard on the merged schema (publish unconditionally); a
+    # touched-only update left the schema unchanged (publish-if-absent
+    # — updating a legacy dataset bootstraps its schema file)
+    merged_meta = StructType([merged.schema[c] for c in meta_cols])
+    _sync_or_drop_schema(path, merged_meta, meta_format, force=full_rewrite)
     # speculative losers' attempt-unique temps never reach the summary
     for f in fs.listdir(path):
         if f.startswith(f".{token}-u") and f.endswith(".tmp"):

@@ -123,7 +123,25 @@ def write_shards(
     # cache so the caller's inspection of the summary doesn't re-write
     summary = summary.cache()
     summary.count()
+    _publish_meta_schema(df, out_dir, meta_cols, force=not append)
     return summary
+
+
+def _publish_meta_schema(
+    df: DataFrame, out_dir: str, meta_cols: list[str], force: bool
+) -> None:
+    """Legacy writers keep the native lifecycle's ``_schema.json``
+    current too (see ``shards_source.read_published_schema``), so a
+    dataset written by EITHER path cold-reads without the csv
+    inference pass."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        _sync_or_drop_schema,
+    )
+
+    meta_schema = StructType(
+        [f for f in df.schema.fields if f.name in meta_cols]
+    )
+    _sync_or_drop_schema(out_dir, meta_schema, force=force)
 
 
 def update_shard_metadata(
@@ -183,6 +201,8 @@ def update_shard_metadata(
     )
     summary = summary.cache()
     summary.count()
+    # every shard csv was rewritten onto the merged schema
+    _publish_meta_schema(merged, shard_dir, meta_cols, force=True)
     return summary
 
 
@@ -230,6 +250,7 @@ def write_sharded_files(
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     summary = summary.cache()
     summary.count()
+    _publish_meta_schema(df, out_dir, meta_cols, force=not append)
     return summary
 
 

@@ -96,7 +96,9 @@ def test_objectstore_writer_roundtrip_with_rolling(spark, tmp_path, obj_path):
         .save(obj_path)
     )
     backing = str(tmp_path / "shards")
-    files = sorted(os.listdir(backing))
+    files = sorted(
+        f for f in os.listdir(backing) if not f.startswith("_")
+    )
     assert files == sorted(
         [f"{i}.csv" for i in range(4)] + [f"{i}.tar" for i in range(4)]
     )

@@ -18,6 +18,15 @@ from dataprocessingframework_spark.sources.shards_source import (
 from dataprocessingframework_spark.sources.writers import write_shards
 
 
+
+
+def _ls(path):
+    """Dataset listing minus bookkeeping entries (_schema.json,
+    _shards_commits, ...) — shard-shape assertions care about the
+    csv/tar/folder entries."""
+    return sorted(f for f in os.listdir(path) if not f.startswith("_"))
+
+
 @pytest.fixture()
 def shard_dir(spark, tmp_path):
     out = str(tmp_path / "shards")
@@ -201,7 +210,7 @@ def test_dsv2_writer_roundtrip_with_rolling(spark, tmp_path):
         .mode("append")
         .save(out)
     )
-    files = sorted(os.listdir(out))
+    files = _ls(out)
     assert files == sorted(
         [f"{i}.csv" for i in range(4)] + [f"{i}.tar" for i in range(4)]
     )
@@ -240,7 +249,7 @@ def test_dsv2_writer_append_and_overwrite(spark, tmp_path):
     assert spark.read.format("dpf_shards").load(out).count() == 18
     small = _mk_media_df(spark, 5).repartition(1)
     small.write.format("dpf_shards").mode("overwrite").save(out)
-    assert sorted(os.listdir(out)) == ["0.csv", "0.tar"]
+    assert _ls(out) == ["0.csv", "0.tar"]
     assert spark.read.format("dpf_shards").load(out).count() == 5
 
 
@@ -255,7 +264,7 @@ def test_dsv2_writer_csv_only_and_null_content(spark, tmp_path):
         [(i, f"t{i}") for i in range(8)], schema="id int, text string"
     ).repartition(2)
     meta.write.format("dpf_shards").mode("append").save(meta_out)
-    assert all(f.endswith(".csv") for f in os.listdir(meta_out))
+    assert all(f.endswith(".csv") for f in _ls(meta_out))
     assert (
         spark.read.format("dpf_shards").load(meta_out).count() == 8
     )
@@ -284,7 +293,7 @@ def test_dsv2_writer_failed_job_leaves_dataset_untouched(spark, tmp_path):
     _mk_media_df(spark, 6).repartition(1).write.format(
         "dpf_shards"
     ).mode("append").save(out)
-    before = sorted(os.listdir(out))
+    before = _ls(out)
 
     from pyspark.sql.types import StringType
 
@@ -295,7 +304,7 @@ def test_dsv2_writer_failed_job_leaves_dataset_untouched(spark, tmp_path):
     bad = _mk_media_df(spark, 12).withColumn("name", boom("name"))
     with pytest.raises(Exception, match="planted failure"):
         bad.write.format("dpf_shards").mode("append").save(out)
-    assert sorted(os.listdir(out)) == before  # no temps, no new shards
+    assert _ls(out) == before  # no temps, no new shards
 
 
 def test_dsv2_stream_sink_end_to_end(spark, tmp_path):
@@ -368,13 +377,13 @@ def test_dsv2_stream_sink_replayed_batch_is_noop(spark, tmp_path):
         return ShardsCommitMessage(shards=[(0, 0, tmp, None, 1)])
 
     w.commit([fake_task_output("first")], batchId=0)
-    assert sorted(os.listdir(out)) == ["0.csv", "_shards_commits"]
+    assert _ls(out) == ["0.csv"]
     w.commit([fake_task_output("replay")], batchId=0)  # replayed batch
-    assert sorted(os.listdir(out)) == ["0.csv", "_shards_commits"]
+    assert _ls(out) == ["0.csv"]
     with open(os.path.join(out, "0.csv")) as f:
         assert "first" in f.read()  # the original commit won
     w.commit([fake_task_output("next")], batchId=1)
-    assert sorted(os.listdir(out)) == ["0.csv", "1.csv", "_shards_commits"]
+    assert _ls(out) == ["0.csv", "1.csv"]
 
     # crash MID-COMMIT: the write-ahead marker recorded the rename
     # plan but the renames never ran; the replay must COMPLETE the
@@ -389,9 +398,7 @@ def test_dsv2_stream_sink_replayed_batch_is_noop(spark, tmp_path):
         {"state": "renaming", "map": {tmp_csv: os.path.join(out, "2.csv")}},
     )
     w.commit([fake_task_output("replay-of-2")], batchId=2)
-    assert sorted(os.listdir(out)) == [
-        "0.csv", "1.csv", "2.csv", "_shards_commits",
-    ]
+    assert _ls(out) == ["0.csv", "1.csv", "2.csv"]
     with open(os.path.join(out, "2.csv")) as f:
         assert "crashed-attempt" in f.read()  # the planned temps won
     with open(w._marker(2)) as f:
@@ -443,7 +450,7 @@ def test_compact_shards_merges_small_tail(spark, tmp_path):
     res = compact_shards(spark, out, max_files_in_shard=12)
     assert res["retired"] == [str(i) for i in range(6)]
     assert res["new"] == ["6", "7"] and res["rows"] == 24
-    assert sorted(os.listdir(out)) == ["6.csv", "6.tar", "7.csv", "7.tar"]
+    assert _ls(out) == ["6.csv", "6.tar", "7.csv", "7.tar"]
     back = spark.read.format("dpf_shards").load(out)
     got = {r.name: (r.k, bytes(r.content)) for r in back.collect()}
     assert got == {r.name: (r.k, bytes(r.content)) for r in df.collect()}
@@ -765,7 +772,7 @@ def test_writer_content_false_and_nonbinary_content_plan_error(
     df.write.format("dpf_shards").option("content", "false").mode(
         "append"
     ).save(out)
-    assert all(f.endswith(".csv") for f in os.listdir(out))
+    assert all(f.endswith(".csv") for f in _ls(out))
     back = {
         r.id: r.content
         for r in spark.read.format("dpf_shards")
@@ -798,7 +805,7 @@ def test_dir_layout_writer_roundtrip_with_rolling(spark, tmp_path):
         .mode("append")
         .save(out)
     )
-    entries = sorted(os.listdir(out))
+    entries = _ls(out)
     assert entries == sorted([f"{i}.csv" for i in range(4)] + [str(i) for i in range(4)])
     assert sorted(os.listdir(os.path.join(out, "0"))) == [
         f"img_{i:02d}.jpg" for i in range(6)
@@ -962,7 +969,7 @@ def test_dir_layout_overwrite_compaction_and_legacy_read(spark, tmp_path):
     res = compact_shards(spark, out, max_files_in_shard=12, layout="dir")
     assert res["retired"] == [str(i) for i in range(6)]
     assert res["new"] == ["6", "7"] and res["rows"] == 24
-    assert sorted(os.listdir(out)) == ["6", "6.csv", "7", "7.csv"]
+    assert _ls(out) == ["6", "6.csv", "7", "7.csv"]
 
     # the new bytes route reads it; the legacy metadata route agrees
     ds = DatasetReader(spark).read_sharded_files_with_bytes(
@@ -980,7 +987,7 @@ def test_dir_layout_overwrite_compaction_and_legacy_read(spark, tmp_path):
     small.write.format("dpf_shards").option("layout", "dir").mode(
         "overwrite"
     ).save(out)
-    assert sorted(os.listdir(out)) == ["0", "0.csv"]
+    assert _ls(out) == ["0", "0.csv"]
     assert (
         spark.read.format("dpf_shards")
         .option("layout", "dir")
@@ -1005,7 +1012,7 @@ def test_dir_layout_on_object_store(spark, tmp_path):
         .mode("append")
         .save(out)
     )
-    assert sorted(os.listdir(backing)) == ["0", "0.csv", "1", "1.csv"]
+    assert _ls(backing) == ["0", "0.csv", "1", "1.csv"]
     back = (
         spark.read.format("dpf_shards").option("layout", "dir").load(out)
     )
@@ -1144,13 +1151,13 @@ def test_update_shard_metadata_native_roundtrip_and_integrity(
     assert "_metadata_update.json" not in os.listdir(out)
 
     # integrity prepass: unknown keys rejected before any write
-    before = sorted(os.listdir(out))
+    before = _ls(out)
     bad = spark.createDataFrame(
         [("nope.jpg", 1)], schema="name string, k int"
     )
     with pytest.raises(ValueError, match="not present"):
         update_shard_metadata_native(spark, out, bad, "name")
-    assert sorted(os.listdir(out)) == before
+    assert _ls(out) == before
     dup = spark.createDataFrame(
         [("img_00.jpg", 1), ("img_00.jpg", 2)],
         schema="name string, k int",
@@ -1215,6 +1222,161 @@ def test_update_shard_metadata_native_above_broadcast_threshold(
     back = spark.read.format("dpf_shards").load(out)
     got = {r.name: r.k for r in back.collect()}
     assert got == {f"img_{i:02d}.jpg": i * 7 for i in range(12)}
+
+
+def test_published_schema_skips_inference_jobs(spark, tmp_path):
+    """VERDICT r14 item 4: the commit protocol publishes _schema.json,
+    and a cold read of a native dataset plans with ZERO Spark jobs
+    (previously: a full inferSchema csv pass — a second metadata scan
+    with one task per file at millions of shards). Deleting the file
+    falls back to inference, which runs jobs and yields the SAME
+    schema and rows."""
+    from dataprocessingframework_spark.configs import ShardsDatasetConfig
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+
+    register_shards_source(spark)
+    out = str(tmp_path / "schemapub")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    assert "_schema.json" in os.listdir(out)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    ds = DatasetReader(spark).read_shards(ShardsDatasetConfig(path=out))
+    assert set(tracker.getJobIdsForGroup(None)) == before, (
+        "plan-time jobs ran despite a published schema"
+    )
+    # fallback: no schema file -> inference jobs run, same result
+    os.remove(os.path.join(out, "_schema.json"))
+    before = set(tracker.getJobIdsForGroup(None))
+    ds_inf = DatasetReader(spark).read_shards(
+        ShardsDatasetConfig(path=out)
+    )
+    assert set(tracker.getJobIdsForGroup(None)) - before, (
+        "expected the inference fallback to run jobs"
+    )
+    assert ds.df.schema == ds_inf.df.schema
+    assert sorted(ds.df.collect()) == sorted(ds_inf.df.collect())
+
+    # caller-supplied schema wins over both (and needs no file)
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    user = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("caption", StringType()),
+            StructField("k", IntegerType()),
+        ]
+    )
+    ds_user = DatasetReader(spark).read_shards(
+        ShardsDatasetConfig(path=out), schema=user
+    )
+    assert [f.name for f in ds_user.df.schema.fields][:3] == [
+        "name", "caption", "k",
+    ]
+    assert ds_user.df.count() == 12
+
+
+def test_schema_file_lifecycle_append_overwrite_and_legacy(
+    spark, tmp_path
+):
+    """_schema.json stays truthful across the write paths: same-schema
+    append keeps it, a MIXED-schema append deletes it (inference is
+    then the only honest source), overwrite republishes, and the
+    legacy mapInPandas writer maintains it too."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+    )
+    from dataprocessingframework_spark.sources.writers import write_shards
+
+    register_shards_source(spark)
+    out = str(tmp_path / "lifecycle")
+    df = _mk_media_df(spark, 6).repartition(1)
+    df.write.format("dpf_shards").mode("append").save(out)
+    pub = read_published_schema(out)
+    assert pub is not None
+    assert [f.name for f in pub.fields] == ["name", "caption", "k"]
+
+    # same-schema append: file intact
+    df.write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) == pub
+
+    # mixed-schema append (extra column): file removed
+    mixed = spark.createDataFrame(
+        [("x.jpg", "cap", 1, 9, b"z")],
+        schema="name string, caption string, k int, extra int,"
+        " content binary",
+    ).repartition(1)
+    mixed.write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) is None
+    assert "_schema.json" not in os.listdir(out)
+
+    # overwrite: republished for the fresh dataset
+    mixed.write.format("dpf_shards").mode("overwrite").save(out)
+    pub2 = read_published_schema(out)
+    assert [f.name for f in pub2.fields] == [
+        "name", "caption", "k", "extra",
+    ]
+
+    # corrupt file -> reader falls back to inference, not a crash
+    with open(os.path.join(out, "_schema.json"), "w") as fh:
+        fh.write("{not json")
+    assert read_published_schema(out) is None
+
+    # legacy writer publishes too
+    legacy = str(tmp_path / "legacy")
+    write_shards(
+        _mk_media_df(spark, 6),
+        legacy,
+        media_col="content",
+        name_col="name",
+    )
+    pub3 = read_published_schema(legacy)
+    assert pub3 is not None
+    assert json.loads(
+        open(os.path.join(legacy, "_schema.json")).read()
+    )["type"] == "struct"
+
+
+def test_update_metadata_type_change_forces_full_rewrite(
+    spark, tmp_path
+):
+    """An update whose coalesce WIDENS an overlap column's type (long
+    over int) can't stay touched-only: touched shards would carry the
+    new type while untouched shards keep the old — no single schema
+    describes the dataset. The updater now forces the full rewrite
+    and republishes the merged schema."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "typechange")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    # update only shard 0's keys, but with a LONG k (current is int)
+    upd = spark.createDataFrame(
+        [(f"img_{i:02d}.jpg", int(i) * 10_000_000_000) for i in range(6)],
+        schema="name string, k long",
+    )
+    update_shard_metadata_native(spark, out, upd, "name")
+    pub = read_published_schema(out)
+    assert pub is not None and pub["k"].dataType.typeName() == "long"
+    back = spark.read.format("dpf_shards").load(out)
+    assert back.schema["k"].dataType.typeName() == "long"
+    got = {r.name: r.k for r in back.collect()}
+    assert got["img_03.jpg"] == 30_000_000_000
+    assert got["img_07.jpg"] == 7  # untouched row, rewritten shard
 
 
 def test_update_shard_metadata_native_heals_forward(spark, tmp_path):
@@ -1311,7 +1473,7 @@ def test_parquet_meta_roundtrip_with_media_and_pruning(spark, tmp_path):
         .mode("append")
         .save(out)
     )
-    files = sorted(os.listdir(out))
+    files = _ls(out)
     assert files == sorted(
         [f"{i}.parquet" for i in range(4)] + [f"{i}.tar" for i in range(4)]
     )
