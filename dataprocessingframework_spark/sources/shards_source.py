@@ -209,6 +209,103 @@ def _sync_published_schema(
             pass
 
 
+_WRITER_LOCK = "_writer.lock"
+
+
+def _read_lease(path: str) -> dict | None:
+    import json
+
+    try:
+        raw = get_fs(path).read_bytes(fs_join(path, _WRITER_LOCK))
+    except (FileNotFoundError, OSError):
+        return None
+    try:
+        lease = json.loads(raw)
+    except Exception:  # noqa: BLE001 — corrupt lock = treat as stale
+        return {"owner": "<corrupt lease>", "token": "", "ts": 0.0}
+    return lease
+
+
+def acquire_writer_lease(
+    path: str,
+    owner: str,
+    takeover: bool = False,
+    stale_after_sec: float = 3600.0,
+    self_id: str | None = None,
+) -> str:
+    """Enforce the one-active-writer-per-dataset-dir assumption
+    (VERDICT r14 item 5) instead of documenting it: every mutating
+    critical section (batch writer plan→commit, each stream-sink
+    commit, compaction, metadata write-back) holds ``_writer.lock``
+    — a second concurrent writer fails LOUDLY at plan/commit time
+    with the lease holder named, instead of having its temps swept
+    mid-flight and dying on a confusing rename error.
+
+    Semantics (honest about the backends): the lock is a single
+    atomic PUT on all three backends, which detects the overlap —
+    it is NOT compare-and-set, so two writers racing the same
+    millisecond can both pass; this is a loud-failure guard for the
+    sequential-sharing contract, not a distributed mutex. A lease
+    older than ``stale_after_sec`` (crashed holder) is taken over
+    silently; a LIVE lease needs ``takeover=True`` (writer option
+    ``lease_takeover``). Returns the token to pass to
+    :func:`release_writer_lease`."""
+    import json
+    import os as _os
+    import socket
+    import time
+    import uuid
+
+    fs = get_fs(path)
+    fs.makedirs(path)
+    existing = _read_lease(path)
+    if existing is not None:
+        age = time.time() - float(existing.get("ts", 0.0))
+        same_self = (
+            self_id is not None and existing.get("self_id") == self_id
+        )
+        # same self_id = the same LOGICAL writer re-acquiring (a
+        # restarted stream query's checkpoint namespace — Spark
+        # already enforces one active query per checkpoint, so its
+        # crashed prior commit's lease is ours to replace)
+        if age < stale_after_sec and not takeover and not same_self:
+            raise RuntimeError(
+                f"dataset {path} has an active writer lease held by"
+                f" {existing.get('owner', '<unknown>')} ({age:.0f}s"
+                " old). One active writer per dataset dir — wait for"
+                " it, or pass lease takeover (writer option"
+                " 'lease_takeover', or takeover=True) if it crashed."
+            )
+    token = uuid.uuid4().hex
+    fs.put_atomic(
+        fs_join(path, _WRITER_LOCK),
+        json.dumps(
+            {
+                "token": token,
+                "owner": f"{owner}@{socket.gethostname()}"
+                f":pid={_os.getpid()}",
+                "ts": time.time(),
+                "self_id": self_id,
+            }
+        ).encode(),
+    )
+    return token
+
+
+def release_writer_lease(path: str, token: str) -> None:
+    """Remove the lease IF still ours (a takeover may have replaced
+    it — never delete the new holder's lock). Best-effort by design:
+    it runs in finally/abort paths where the backend may be mid-
+    failure, and a leaked lease is recoverable (stale timeout or
+    explicit takeover) while a raise here would mask the real error."""
+    try:
+        existing = _read_lease(path)
+        if existing is not None and existing.get("token") == token:
+            get_fs(path).remove(fs_join(path, _WRITER_LOCK))
+    except Exception:  # noqa: BLE001 — janitorial, see docstring
+        pass
+
+
 def _sync_or_drop_schema(
     path: str,
     meta_schema: StructType,
@@ -805,6 +902,30 @@ class ShardsWriter(DataSourceArrowWriter):
                     " fork it — match the existing format or"
                     " mode('overwrite')"
                 )
+        self._lease_enabled = options.get("lease", "true") != "false"
+        self._lease_takeover = (
+            options.get("lease_takeover", "false") == "true"
+        )
+        self._lease_token: str | None = None
+        # batch jobs hold the writer lease plan→commit/abort (a
+        # concurrent second writer fails HERE, loudly, before writing
+        # a byte); the stream sink instead leases per-commit (see
+        # ShardsStreamWriter.commit — a query must not hold the dir
+        # hostage between micro-batches). Acquired LAST: every
+        # plan-time validation error above must not leak a lease.
+        if self._lease_enabled and self._lease_at_init:
+            self._lease_token = acquire_writer_lease(
+                self._path,
+                "batch-writer",
+                takeover=self._lease_takeover,
+            )
+
+    _lease_at_init = True  # ShardsStreamWriter overrides
+
+    def _release_lease(self) -> None:
+        if self._lease_token is not None:
+            release_writer_lease(self._path, self._lease_token)
+            self._lease_token = None
 
     # ---- executor side -------------------------------------------------
     def write(self, iterator) -> ShardsCommitMessage:
@@ -1000,9 +1121,11 @@ class ShardsWriter(DataSourceArrowWriter):
         )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
+        self._release_lease()
 
     def abort(self, messages) -> None:
         self._sweep_temps()
+        self._release_lease()
 
 
 _COMMITS_DIR = "_shards_commits"
@@ -1022,9 +1145,13 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
       swallowing the other's batches. Sharing is sequential-only: every
       commit sweeps ALL ``.tmp`` files in the dir (the janitor for
       crashed prior attempts, whose job tokens differ), so a
-      CONCURRENT query's in-flight temps would be swept and its commit
-      would fail — one active writer per dataset dir, the same
-      assumption as ``compact_shards``;
+      CONCURRENT query's in-flight temps would be swept. Since r15
+      this is ENFORCED, not assumed: each commit holds the
+      ``_writer.lock`` lease for its critical section (see
+      :func:`acquire_writer_lease`), so an overlapping batch writer /
+      compaction / second query fails loudly with the holder named
+      instead of dying on a confusing rename error. A restarted query
+      re-acquires its own lease via its checkpoint namespace;
     - ``commit()`` first persists the FULL tmp→final rename plan in
       the marker (``state=renaming``, one atomic file replace), then
       executes the renames, then flips the marker to ``done``. A
@@ -1096,7 +1223,34 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
             marker_path, json.dumps(payload).encode()
         )
 
+    _lease_at_init = False  # leases per-COMMIT instead (class doc)
+
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        # per-micro-batch lease: held only for the commit critical
+        # section (janitor sweep + renames), so sequential queries can
+        # share the dir between batches — but a batch writer or
+        # compaction overlapping THIS commit fails loudly by name on
+        # one side instead of having temps swept under it
+        lease = (
+            acquire_writer_lease(
+                self._path,
+                f"stream-sink:batch={batchId}",
+                takeover=self._lease_takeover,
+                # checkpoint namespace = the query's logical identity:
+                # a restarted query (or this one's next attempt after
+                # a crashed commit) re-acquires its own lease silently
+                self_id=self._commits,
+            )
+            if self._lease_enabled
+            else None
+        )
+        try:
+            self._commit_locked(messages, batchId)
+        finally:
+            if lease is not None:
+                release_writer_lease(self._path, lease)
+
+    def _commit_locked(self, messages, batchId: int) -> None:  # noqa: N803
         import json
 
         fs = get_fs(self._path)
@@ -1185,6 +1339,12 @@ def heal_metadata_update(path: str) -> bool:
                 fs.replace(tmp, final)
         fs.remove(marker)
         had_plan = True
+        # a marker needing healing means its updater crashed — clear
+        # the crashed holder's writer lease so the retry isn't blocked
+        try:
+            fs.remove(fs_join(path, _WRITER_LOCK))
+        except OSError:
+            pass
     for f in fs.listdir(path):
         if (
             f.startswith(".")
@@ -1208,6 +1368,7 @@ def update_shard_metadata_native(
     meta_format: str = "csv",
     content_col: str = "content",
     broadcast_threshold_rows: int = 1_000_000,
+    lease_takeover: bool = False,
 ):
     """W4 write-back through the commit protocol (r14): merge
     new/changed metadata columns into the per-shard CSVs, archives
@@ -1384,37 +1545,50 @@ def update_shard_metadata_native(
             {"split_name": [split], "tmp": [tmp], "rows": [len(pdf)]}
         )
 
-    summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
-        rewrite, "split_name string, tmp string, rows long"
+    # mutations start here (temp writes, marker, renames): hold the
+    # writer lease through them; the integrity prepass above is
+    # read-only and stays lease-free
+    lease = acquire_writer_lease(
+        path, "update_shard_metadata_native", takeover=lease_takeover
     )
-    summary = summary.cache()
-    mapping = {
-        r.tmp: fs_join(path, f"{r.split_name}.{meta_format}")
-        for r in summary.select(SPLIT_COLUMN, "tmp").collect()
-    }
-    # the rewrite job (materialized by the collect above) was the last
-    # consumer of the cached shard-table parse
-    current.unpersist()
-    fs.put_atomic(
-        fs_join(path, _UPDATE_MARKER),
-        json.dumps({"state": "renaming", "map": mapping}).encode(),
-    )
-    for tmp, final in mapping.items():
-        fs.replace(tmp, final)
-    fs.remove(fs_join(path, _UPDATE_MARKER))
-    # keep the published schema truthful: a full rewrite left every
-    # shard on the merged schema (publish unconditionally); a
-    # touched-only update left the schema unchanged (publish-if-absent
-    # — updating a legacy dataset bootstraps its schema file)
-    merged_meta = StructType([merged.schema[c] for c in meta_cols])
-    _sync_or_drop_schema(path, merged_meta, meta_format, force=full_rewrite)
-    # speculative losers' attempt-unique temps never reach the summary
-    for f in fs.listdir(path):
-        if f.startswith(f".{token}-u") and f.endswith(".tmp"):
-            try:
-                fs.remove(fs_join(path, f))
-            except OSError:
-                pass
+    try:
+        summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
+            rewrite, "split_name string, tmp string, rows long"
+        )
+        summary = summary.cache()
+        mapping = {
+            r.tmp: fs_join(path, f"{r.split_name}.{meta_format}")
+            for r in summary.select(SPLIT_COLUMN, "tmp").collect()
+        }
+        # the rewrite job (materialized by the collect above) was the
+        # last consumer of the cached shard-table parse
+        current.unpersist()
+        fs.put_atomic(
+            fs_join(path, _UPDATE_MARKER),
+            json.dumps({"state": "renaming", "map": mapping}).encode(),
+        )
+        for tmp, final in mapping.items():
+            fs.replace(tmp, final)
+        fs.remove(fs_join(path, _UPDATE_MARKER))
+        # keep the published schema truthful: a full rewrite left
+        # every shard on the merged schema (publish unconditionally);
+        # a touched-only update left the schema unchanged
+        # (publish-if-absent — updating a legacy dataset bootstraps
+        # its schema file)
+        merged_meta = StructType([merged.schema[c] for c in meta_cols])
+        _sync_or_drop_schema(
+            path, merged_meta, meta_format, force=full_rewrite
+        )
+        # speculative losers' attempt-unique temps never reach the
+        # summary
+        for f in fs.listdir(path):
+            if f.startswith(f".{token}-u") and f.endswith(".tmp"):
+                try:
+                    fs.remove(fs_join(path, f))
+                except OSError:
+                    pass
+    finally:
+        release_writer_lease(path, lease)
     return summary.select(SPLIT_COLUMN, "rows")
 
 
@@ -1440,6 +1614,12 @@ def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
         # restoring the exact pre-compaction dataset
         _delete_stems(path, manifest.get("pending", []), archive_ext)
     get_fs(path).remove(fs_join(path, _COMPACTION_MANIFEST))
+    # a manifest needing healing means its compaction holder crashed —
+    # its writer lease is moot; clear it so the retry isn't blocked
+    try:
+        get_fs(path).remove(fs_join(path, _WRITER_LOCK))
+    except OSError:
+        pass
     return state
 
 
@@ -1451,6 +1631,7 @@ def compact_shards(
     archive_ext: str = "tar",
     layout: str = "tar",
     meta_format: str = "csv",
+    lease_takeover: bool = False,
 ) -> dict:
     """Merge undersized shard pairs into right-sized ones — the
     janitor for the streaming sink's long tail (every micro-batch
@@ -1491,6 +1672,31 @@ def compact_shards(
     path = strip_file_scheme(path)
     heal_metadata_update(path)
     heal_compaction(path, archive_ext)
+    lease = acquire_writer_lease(
+        path, "compact_shards", takeover=lease_takeover
+    )
+    try:
+        return _compact_shards_locked(
+            spark, path, max_files_in_shard, min_rows,
+            archive_ext, layout, meta_format,
+        )
+    finally:
+        release_writer_lease(path, lease)
+
+
+def _compact_shards_locked(
+    spark,
+    path: str,
+    max_files_in_shard: int,
+    min_rows: int | None,
+    archive_ext: str,
+    layout: str,
+    meta_format: str,
+) -> dict:
+    import math
+
+    from pyspark.sql import functions as F
+
     if min_rows is None:
         min_rows = max_files_in_shard // 2
     csvs, tars = _list_shards(
@@ -1545,6 +1751,9 @@ def compact_shards(
         .option("layout", layout)
         .option("meta_format", meta_format)
         .option("start_index", str(start))
+        # the compaction itself holds the writer lease — its internal
+        # rewrite must not contend for it
+        .option("lease", "false")
         .mode("append")
         .save(path)
     )

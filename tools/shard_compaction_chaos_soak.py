@@ -180,7 +180,10 @@ def main() -> None:
                 F.col("id").cast("int").alias("k"),
             ).repartition(1).write.format("dpf_shards").option(
                 "content", "false"
-            ).mode("append").save(path)
+                # the appender KNOWS the compaction holder crashed
+                # (we just watched it die) — take over its lease if
+                # the crash window left it standing (r15)
+            ).option("lease_takeover", "true").mode("append").save(path)
             expected |= {f"r{rnd}-late{i}": 1 for i in (500, 501, 502)}
 
         heal_compaction(path)
