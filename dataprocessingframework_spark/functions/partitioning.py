@@ -23,14 +23,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def partition_budget_bytes(spark) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int — Spark reports
+    it in its byte-string form ('128m', '134217728b', plain digits)."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    for suffix in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if raw.endswith(suffix):
+            return int(raw[: -len(suffix)]) * _BYTE_SUFFIX[suffix]
+    return int(raw)
+
+
+def fan_out(
+    df: DataFrame,
+    min_fraction: float = 0.5,
+    skip_below_bytes: int | None = None,
+) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
     parallelism iff its current partition count is below
     ``min_fraction`` of it; otherwise return ``df`` unchanged.
     Row-content neutral: safe above any partition-agnostic operator.
+
+    ``skip_below_bytes``: also skip when the optimizer's size estimate
+    for ``df`` is below this many bytes — an input smaller than one
+    partition budget arrives as one partition because it is SMALL, not
+    because it is under-split, and paying a full shuffle to
+    parallelize a sub-partition amount of narrow work loses (measured:
+    the r15 minhash A/B, PLANS.md). Callers with genuinely heavy
+    per-row work should leave it None.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
         return df
+    if skip_below_bytes is not None:
+        try:
+            size = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — stats unavailable: fan out
+            size = None
+        if size is not None and 0 <= size < skip_below_bytes:
+            return df
     return df.repartition(target)

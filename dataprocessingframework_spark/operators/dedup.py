@@ -166,10 +166,22 @@ def minhash_signatures(
     """
     # skinny scans otherwise run the word explode + k universal-hash
     # mins serially; one tiny round-robin shuffle unlocks full width
-    # (no-op when the input arrives with real splits)
+    # (no-op when the input arrives with real splits). Projected to
+    # the two consumed columns first so the unlock shuffle never
+    # carries the rest of the row, and SKIPPED for sub-partition-
+    # budget inputs — there the serial explode is cheaper than the
+    # shuffle (r15 A/B vs the r4 code: the unconditional fan-out cost
+    # ~1.2-1.4x on the sf0.1 bench entry; PLANS.md "r15 minhash A/B")
     from dataprocessingframework_spark.functions.partitioning import fan_out
 
-    df = fan_out(df)
+    from dataprocessingframework_spark.functions.partitioning import (
+        partition_budget_bytes,
+    )
+
+    df = fan_out(
+        df.select(id_col, text_col),
+        skip_below_bytes=partition_budget_bytes(df.sparkSession),
+    )
     # no distinct: MIN is idempotent over duplicate words, so skipping
     # the dedup avoids one full shuffle — groupBy's map-side partial
     # min collapses duplicates for free

@@ -1159,6 +1159,40 @@ def test_fan_out_widens_skinny_inputs_only(spark):
     assert fan_out(wide) is wide
 
 
+def test_fan_out_skip_below_bytes_and_budget_parser(spark):
+    """r15 (minhash A/B): with skip_below_bytes set, a sub-budget
+    single-partition input stays serial (the unlock shuffle costs
+    more than the narrow work it parallelizes at that size), while a
+    tiny threshold still fans out; partition_budget_bytes parses
+    Spark's byte-string conf forms."""
+    from dataprocessingframework_spark.functions.partitioning import (
+        fan_out,
+        partition_budget_bytes,
+    )
+
+    skinny = spark.range(1000).coalesce(1)
+    small_skip = fan_out(skinny, skip_below_bytes=1 << 30)
+    assert small_skip is skinny  # tiny input, big threshold: skipped
+    forced = fan_out(skinny, skip_below_bytes=1)
+    assert (
+        forced.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert partition_budget_bytes(spark) > 0
+    from unittest.mock import MagicMock
+
+    for raw, want in [
+        ("128m", 128 << 20),
+        ("134217728b", 134217728),
+        ("134217728", 134217728),
+        ("2g", 2 << 30),
+        ("512K", 512 << 10),
+    ]:
+        fake = MagicMock()
+        fake.conf.get.return_value = raw
+        assert partition_budget_bytes(fake) == want, raw
+
+
 def test_hashed_linear_score_bounds_and_determinism(spark):
     """Classifier scores are sigmoid-bounded, empty docs score exactly
     0.5 (sigmoid(0)), and the same text always scores identically —
