@@ -273,6 +273,17 @@ class FsspecShardFS:
     Import-gated: constructing it without fsspec installed raises with
     the dependency story instead of an AttributeError mid-job. The
     ``s3a://`` scheme (Hadoop spelling) is mapped to fsspec's ``s3``.
+
+    Verification status (honest): this adapter is MOCK-verified
+    against the declared fsspec surface it calls
+    (``tests/test_shard_fs_fsspec.py`` pins every method/argument
+    shape against a faithful in-test fsspec double), and the
+    object-store SEMANTICS (no atomic rename, no empty prefixes,
+    whole-object PUTs) are exercised for real by the ``fakeobj://``
+    backend — but it has never run against a live fsspec/s3fs/gcsfs
+    in this environment (no network). Interface drift vs a real
+    driver is the residual risk; run one round-trip against your
+    store before trusting it in production.
     """
 
     atomic_rename = False

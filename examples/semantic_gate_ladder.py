@@ -15,6 +15,12 @@ stage is the real distributed path; only the input size changes.
       5. gate a batch         semantic_dedup_gate(gate_kind='auto')
                               — same kept set on every rung (stage 1
                               only shortlists; stage 2 is exact)
+      6. pick the rung        gate_rung_signals → recommend_gate_rung
+                              (r14): training-free corpus signals
+                              decide float/prefix/SQ8 — no human
+                              reading reports; a matryoshka corpus
+                              picks prefix, a uniform one falls back
+                              where its signals point
 
 Run:  python examples/semantic_gate_ladder.py [sf_dir]
       (default /root/testdata/sf0.001)
@@ -115,6 +121,64 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
         kept["float"] == kept["float_index"] == kept["sq8"]
         == kept["pq"] == kept["prefix"]
     )
+
+    # 6. rung auto-pick (r14): two metadata-sized aggregations per
+    #    corpus shape decide the rung — the same call
+    #    incremental_semantic_ingest(auto_rung=...) makes at
+    #    bootstrap. This corpus is SQ8-friendly, so the most-
+    #    compressed viable rung is SQ8 on every shape; to show the
+    #    decision DOING something we demo an SQ8-hostile store (tiny
+    #    vectors + grid-stretching outliers — the derived margin
+    #    2Δ/min‖v‖ eats the threshold): there a matryoshka energy
+    #    profile picks 'prefix' and a uniform one falls back to
+    #    'float'. PQ is never auto-picked (needs trained codebooks).
+    from dataprocessingframework_spark.operators.similarity import (
+        gate_rung_signals,
+        recommend_gate_rung,
+    )
+
+    dim = len(corpus.first().embedding)
+    outliers = corpus.sparkSession.createDataFrame(
+        [(-1, [10.0] * dim), (-2, [-10.0] * dim)],
+        schema="vec_id long, embedding array<double>",
+    )
+    hostile = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x * F.lit(0.01))
+        .cast("array<double>")
+        .alias("embedding"),
+    ).unionByName(outliers)
+    hostile_mat = hostile.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * F.pow(F.lit(0.125), F.floor(i / F.lit(16))),
+        ).alias("embedding"),
+    )
+    picks = {}
+    for variant, c in (
+        ("sq8_friendly", corpus),
+        ("hostile_uniform", hostile),
+        ("hostile_matryoshka", hostile_mat),
+    ):
+        sig = gate_rung_signals(c, prefix_dims=16)
+        verdict = recommend_gate_rung(
+            threshold=0.95,
+            rest_mass_p95=sig["rest_mass_p95"],
+            sq8_margin=sig["sq8_margin"],
+        )
+        print(
+            f"auto_rung[{variant}]: rung={verdict['rung']}"
+            f" rest_mass_p95={sig['rest_mass_p95']:.4f}"
+            f" sq8_margin={sig['sq8_margin']:.4f}"
+            f" viable_prefix={verdict['viable_prefix']}"
+            f" viable_sq8={verdict['viable_sq8']}"
+        )
+        picks[variant] = verdict["rung"]
+    assert picks["sq8_friendly"] == "sq8"
+    assert picks["hostile_matryoshka"] == "prefix"
+    assert picks["hostile_uniform"] == "float"
+
     return {
         "n_corpus": n,
         "max_cell_before": before.max_cell,
@@ -124,6 +188,9 @@ def run_pipeline(spark, sf_dir: str, scratch: str) -> dict:
         "batch_rows": batch_rows,
         "kept_rows": len(kept["float"]),
         "rungs_agree": True,
+        "auto_rung_sq8_friendly": picks["sq8_friendly"],
+        "auto_rung_hostile_uniform": picks["hostile_uniform"],
+        "auto_rung_hostile_matryoshka": picks["hostile_matryoshka"],
     }
 
 
