@@ -29,19 +29,30 @@ _BYTE_SUFFIX = {
     "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30,
     "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
+
+_DEFAULT_PARTITION_BYTES = 134217728  # Spark's maxPartitionBytes default
 
 
 def partition_budget_bytes(spark) -> int:
     """``spark.sql.files.maxPartitionBytes`` as an int — Spark reports
-    it in its byte-string form ('128m', '134217728b', plain digits)."""
+    it in its byte-string form ('128m', '134217728b', plain digits).
+    An unparseable form falls back to the Spark default rather than
+    raising: this feeds a skip-HEURISTIC, never correctness."""
     raw = str(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        spark.conf.get(
+            "spark.sql.files.maxPartitionBytes",
+            str(_DEFAULT_PARTITION_BYTES),
+        )
     ).strip().lower()
-    for suffix in sorted(_BYTE_SUFFIX, key=len, reverse=True):
-        if raw.endswith(suffix):
-            return int(raw[: -len(suffix)]) * _BYTE_SUFFIX[suffix]
-    return int(raw)
+    try:
+        for suffix in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+            if raw.endswith(suffix):
+                return int(raw[: -len(suffix)]) * _BYTE_SUFFIX[suffix]
+        return int(raw)
+    except ValueError:
+        return _DEFAULT_PARTITION_BYTES
 
 
 def fan_out(

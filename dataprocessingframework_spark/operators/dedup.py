@@ -172,9 +172,8 @@ def minhash_signatures(
     # budget inputs — there the serial explode is cheaper than the
     # shuffle (r15 A/B vs the r4 code: the unconditional fan-out cost
     # ~1.2-1.4x on the sf0.1 bench entry; PLANS.md "r15 minhash A/B")
-    from dataprocessingframework_spark.functions.partitioning import fan_out
-
     from dataprocessingframework_spark.functions.partitioning import (
+        fan_out,
         partition_budget_bytes,
     )
 

@@ -117,7 +117,13 @@ class DatasetReader:
     ) -> DataFrame:
         if config.metadata_format == "parquet":
             glob = os.path.join(config.path, "*.parquet")
-            df = self.spark.read.parquet(glob)
+            reader = self.spark.read
+            if schema is not None:
+                # honor the caller's pinned types on the parquet route
+                # too (parquet footers make inference exact, but a
+                # caller pinning e.g. a wider decimal still wins)
+                reader = reader.schema(schema)
+            df = reader.parquet(glob)
             # provenance column: shard id from source file name
             # (`dataset_reader.py:125-130`)
             df = df.withColumn(
@@ -275,7 +281,11 @@ class DatasetReader:
                 if n.endswith(archive_suffix)
             }
         else:
-            mates = {n for n in names if os.path.isdir(os.path.join(path, n))}
+            # dir layout: a folderless shard is LEGAL since r15 (all-
+            # null members write no folder; object stores don't
+            # persist empty prefixes) — mirror ShardsReader's
+            # exemption and let members surface as error rows
+            return
         missing = sorted(tables - mates)
         if missing:
             raise ValueError(

@@ -182,31 +182,77 @@ def read_published_schema(path: str) -> StructType | None:
     return schema
 
 
+def _schema_key(schema: StructType) -> dict:
+    """Equality basis for published-vs-written schema comparisons:
+    column name → type, ORDER- and NULLABILITY-insensitive. The DSv2
+    reader maps csv columns by NAME (header-driven), so column order
+    differing between the file and a write is benign — and strict
+    StructType equality would silently delete the file on such drift
+    (e.g. a join reordering the key column first), reintroducing the
+    inference scan the file exists to kill."""
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+def _normalized_schema(schema: StructType) -> StructType:
+    """Publish all-nullable: csv can always hold nulls, and a
+    non-nullable field pinned into the read plan would reject data a
+    later writer legitimately appended."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
 def _sync_published_schema(
     path: str, meta_schema: StructType, force: bool = False
 ) -> None:
     """Keep ``_schema.json`` truthful after a write. ``force`` (an
     overwrite, or a full-rewrite metadata update) publishes
     unconditionally; an append publishes when the file is absent,
-    no-ops when it matches, and DELETES it when the appended schema
-    differs (the dataset is now mixed-schema — inference is the only
-    honest source). Single-object atomic PUT on all backends."""
+    no-ops when it matches (by :func:`_schema_key`), and DELETES it
+    when the appended schema differs (the dataset is now mixed-schema
+    — inference is the only honest source). Single-object atomic PUT
+    on all backends."""
     import json
 
     fs = get_fs(path)
     target = fs_join(path, _SCHEMA_FILE)
-    payload = json.dumps(meta_schema.jsonValue()).encode()
+    payload = json.dumps(_normalized_schema(meta_schema).jsonValue()).encode()
     if force:
         fs.put_atomic(target, payload)
         return
     existing = read_published_schema(path)
     if existing is None:
         fs.put_atomic(target, payload)
-    elif existing != meta_schema:
+    elif _schema_key(existing) != _schema_key(meta_schema):
         try:
             fs.remove(target)
         except OSError:
             pass
+
+
+def _predrop_schema_if_changed(path: str, meta_schema: StructType) -> bool:
+    """Called BEFORE a rename pass that will change the dataset's
+    schema: drop the published file first, so a crash mid-renames
+    leaves readers on the inference fallback instead of a stale
+    schema that misdescribes half the shards. Returns True when a
+    DIFFERING published schema was dropped — the dataset is now
+    mixed-schema, so APPEND-path callers must skip the post-rename
+    sync (its publish-if-absent would claim the appended schema
+    describes the pre-existing shards too); force/full-rewrite
+    callers republish unconditionally regardless, which is correct
+    because they replaced every shard."""
+    existing = read_published_schema(path)
+    if existing is not None and _schema_key(existing) != _schema_key(
+        meta_schema
+    ):
+        try:
+            get_fs(path).remove(fs_join(path, _SCHEMA_FILE))
+        except OSError:
+            pass
+        return True
+    return False
 
 
 _WRITER_LOCK = "_writer.lock"
@@ -619,15 +665,33 @@ class ShardsReader(DataSourceReader):
                         # (tolerant contract), never filesystem reads
                         member_err = f"ValueError: {bad}"
                     else:
-                        try:
-                            data = fs.read_bytes(
-                                fs_join(loose_dir, str(name))
+                        member_path = fs_join(loose_dir, str(name))
+                        # basename-clean names can still escape via a
+                        # SYMLINK planted inside an untrusted dataset's
+                        # folder: on local backends, require the
+                        # resolved path to stay under the shard folder
+                        local = fs.local_path(member_path)
+                        base_local = fs.local_path(loose_dir)
+                        escaped = False
+                        if local is not None and base_local is not None:
+                            base = os.path.realpath(base_local)
+                            escaped = not os.path.realpath(
+                                local
+                            ).startswith(base + os.sep)
+                        if escaped:
+                            member_err = (
+                                "ValueError: member resolves outside"
+                                " the shard folder (symlink escape"
+                                " rejected)"
                             )
-                        except Exception as e:  # noqa: BLE001 —
-                            # tolerant, and per-member: one unreadable
-                            # loose file must not poison its shard
-                            # siblings
-                            member_err = f"{type(e).__name__}: {e}"
+                        else:
+                            try:
+                                data = fs.read_bytes(member_path)
+                            except Exception as e:  # noqa: BLE001 —
+                                # tolerant, and per-member: one
+                                # unreadable loose file must not poison
+                                # its shard siblings
+                                member_err = f"{type(e).__name__}: {e}"
                 if data is None:
                     contents.append(None)
                     ok.append(False)
@@ -1049,6 +1113,22 @@ class ShardsWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         fs = get_fs(self._path)
+        # the lease has no heartbeat (no driver hook between plan and
+        # commit), so a job running past stale_after_sec can be taken
+        # over; VERIFY we still hold it before mutating — a lost lease
+        # means another writer may have swept our temps or be mid-
+        # commit itself, and failing LOUDLY here beats interleaving
+        if self._lease_token is not None:
+            held = _read_lease(self._path)
+            if held is None or held.get("token") != self._lease_token:
+                raise RuntimeError(
+                    f"writer lease for {self._path} was lost before"
+                    " commit (taken over by"
+                    f" {held.get('owner') if held else '<released>'})"
+                    " — the job outlived the lease's stale window or a"
+                    " takeover was forced; nothing was published,"
+                    " re-run the write"
+                )
         manifest = sorted(
             entry
             for m in messages
@@ -1089,11 +1169,29 @@ class ShardsWriter(DataSourceArrowWriter):
                 fs.remove(fs_join(self._path, _UPDATE_MARKER))
             except OSError:
                 pass
+            # the old generation's schema file goes WITH its shards —
+            # a crash mid-overwrite must not leave it describing the
+            # surviving mix (force-republished below on success)
+            try:
+                fs.remove(fs_join(self._path, _SCHEMA_FILE))
+            except OSError:
+                pass
             start = 0
         elif self._start_index is not None:
             start = self._start_index
         else:
             start = _next_shard_index_for(self._path)
+        # a schema-changing append drops the published file BEFORE the
+        # renames: a crash mid-loop then leaves readers on the honest
+        # inference fallback, never a schema that misdescribes the
+        # new shards. The dataset is then MIXED-schema, so the file
+        # also stays dropped on success (inference is the only honest
+        # source) — `mixed` skips the publish-if-absent sync below.
+        mixed = False
+        if not self._overwrite:
+            mixed = _predrop_schema_if_changed(
+                self._path, self._meta_schema
+            )
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
             idx = start + i
             # archive FIRST: _list_shards pairs csv->archive, so a
@@ -1112,13 +1210,14 @@ class ShardsWriter(DataSourceArrowWriter):
             )
         # publish/refresh the metadata schema LAST: a crash before this
         # point just leaves (or keeps) the dataset on the inference
-        # fallback
-        _sync_or_drop_schema(
-            self._path,
-            self._meta_schema,
-            self._meta_fmt,
-            force=self._overwrite,
-        )
+        # fallback; a mixed-schema append keeps the file dropped
+        if not mixed:
+            _sync_or_drop_schema(
+                self._path,
+                self._meta_schema,
+                self._meta_fmt,
+                force=self._overwrite,
+            )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
         self._release_lease()
@@ -1287,13 +1386,22 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         self._write_marker(
             marker, {"state": "renaming", "map": mapping}
         )
+        # schema-changing micro-batch: drop the published file before
+        # the renames (crash mid-loop -> inference fallback, not a
+        # stale schema), and keep it dropped on success — the sink
+        # dir is now mixed-schema, so the publish-if-absent sync
+        # below must not re-claim the batch's schema for old shards
+        mixed = _predrop_schema_if_changed(self._path, self._meta_schema)
         for tmp, final in mapping.items():
             fs.replace(tmp, final)
         self._write_marker(marker, {"state": "done"})
         # same schema publication as the batch writer (append
-        # semantics: publish when absent, no-op when equal, drop on a
-        # mixed-schema sink dir)
-        _sync_or_drop_schema(self._path, self._meta_schema, self._meta_fmt)
+        # semantics: publish when absent, no-op when equal, stay
+        # dropped on a mixed-schema sink dir)
+        if not mixed:
+            _sync_or_drop_schema(
+                self._path, self._meta_schema, self._meta_fmt
+            )
         self._sweep_all_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -1325,7 +1433,14 @@ def heal_metadata_update(path: str) -> bool:
     True when there was a plan to complete. Temps from an attempt
     that crashed before its marker are invisible garbage (dot-
     prefixed) and are swept here too — single active updater per
-    dataset dir, the usual janitor assumption."""
+    dataset dir, the usual janitor assumption.
+
+    Healing is DESTRUCTIVE against a live updater (it sweeps its
+    temps and replays its rename plan): call directly only when no
+    writer is live — the caller asserts the holder is dead, the same
+    contract as ``lease_takeover``. The mutating entry points
+    (``update_shard_metadata_native``, ``compact_shards``, the batch
+    writer's commit) call it under their OWN lease."""
     path = strip_file_scheme(path)
     import json
 
@@ -1339,12 +1454,10 @@ def heal_metadata_update(path: str) -> bool:
                 fs.replace(tmp, final)
         fs.remove(marker)
         had_plan = True
-        # a marker needing healing means its updater crashed — clear
-        # the crashed holder's writer lease so the retry isn't blocked
-        try:
-            fs.remove(fs_join(path, _WRITER_LOCK))
-        except OSError:
-            pass
+        # the crashed holder's _writer.lock is deliberately NOT
+        # cleared (callers heal while holding their OWN lease —
+        # lease-first ordering); a blocked retry passes
+        # lease_takeover=True
     for f in fs.listdir(path):
         if (
             f.startswith(".")
@@ -1396,13 +1509,46 @@ def update_shard_metadata_native(
 
     Returns a ``(split_name, rows)`` summary DataFrame.
     """
+    register_shards_source(spark)
+    path = strip_file_scheme(shard_dir)
+    # lease FIRST, heal under it (same ordering rationale as
+    # compact_shards: the healer sweeps '-u' temps and replays rename
+    # plans — run against a LIVE updater it destroys in-flight state)
+    lease = acquire_writer_lease(
+        path, "update_shard_metadata_native", takeover=lease_takeover
+    )
+    try:
+        return _update_shard_metadata_native_locked(
+            spark,
+            path,
+            new_df,
+            key_col,
+            layout,
+            archive_ext,
+            meta_format,
+            content_col,
+            broadcast_threshold_rows,
+        )
+    finally:
+        release_writer_lease(path, lease)
+
+
+def _update_shard_metadata_native_locked(
+    spark,
+    path: str,
+    new_df,
+    key_col: str,
+    layout: str,
+    archive_ext: str,
+    meta_format: str,
+    content_col: str,
+    broadcast_threshold_rows: int,
+):
     import json
     import uuid
 
     from pyspark.sql import functions as F  # noqa: F811 — local import
 
-    register_shards_source(spark)
-    path = strip_file_scheme(shard_dir)
     heal_metadata_update(path)
     fs = get_fs(path)
     if SPLIT_COLUMN in new_df.columns:
@@ -1545,50 +1691,50 @@ def update_shard_metadata_native(
             {"split_name": [split], "tmp": [tmp], "rows": [len(pdf)]}
         )
 
-    # mutations start here (temp writes, marker, renames): hold the
-    # writer lease through them; the integrity prepass above is
-    # read-only and stays lease-free
-    lease = acquire_writer_lease(
-        path, "update_shard_metadata_native", takeover=lease_takeover
+    summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
+        rewrite, "split_name string, tmp string, rows long"
     )
-    try:
-        summary = merged.groupBy(SPLIT_COLUMN).applyInPandas(
-            rewrite, "split_name string, tmp string, rows long"
-        )
-        summary = summary.cache()
-        mapping = {
-            r.tmp: fs_join(path, f"{r.split_name}.{meta_format}")
-            for r in summary.select(SPLIT_COLUMN, "tmp").collect()
-        }
-        # the rewrite job (materialized by the collect above) was the
-        # last consumer of the cached shard-table parse
-        current.unpersist()
-        fs.put_atomic(
-            fs_join(path, _UPDATE_MARKER),
-            json.dumps({"state": "renaming", "map": mapping}).encode(),
-        )
-        for tmp, final in mapping.items():
-            fs.replace(tmp, final)
-        fs.remove(fs_join(path, _UPDATE_MARKER))
-        # keep the published schema truthful: a full rewrite left
-        # every shard on the merged schema (publish unconditionally);
-        # a touched-only update left the schema unchanged
-        # (publish-if-absent — updating a legacy dataset bootstraps
-        # its schema file)
-        merged_meta = StructType([merged.schema[c] for c in meta_cols])
-        _sync_or_drop_schema(
-            path, merged_meta, meta_format, force=full_rewrite
-        )
-        # speculative losers' attempt-unique temps never reach the
-        # summary
-        for f in fs.listdir(path):
-            if f.startswith(f".{token}-u") and f.endswith(".tmp"):
-                try:
-                    fs.remove(fs_join(path, f))
-                except OSError:
-                    pass
-    finally:
-        release_writer_lease(path, lease)
+    summary = summary.cache()
+    mapping = {
+        r.tmp: fs_join(path, f"{r.split_name}.{meta_format}")
+        for r in summary.select(SPLIT_COLUMN, "tmp").collect()
+    }
+    # the rewrite job (materialized by the collect above) was the
+    # last consumer of the cached shard-table parse
+    current.unpersist()
+    fs.put_atomic(
+        fs_join(path, _UPDATE_MARKER),
+        json.dumps({"state": "renaming", "map": mapping}).encode(),
+    )
+    # a schema-changing rewrite drops the published file BEFORE the
+    # renames: a crash mid-way then leaves the dataset on the honest
+    # inference fallback instead of a stale schema (see commit())
+    merged_meta = StructType([merged.schema[c] for c in meta_cols])
+    if full_rewrite:
+        _predrop_schema_if_changed(path, merged_meta)
+    for tmp, final in mapping.items():
+        fs.replace(tmp, final)
+    fs.remove(fs_join(path, _UPDATE_MARKER))
+    # keep the published schema truthful: a full rewrite left every
+    # shard on the merged schema (publish unconditionally). A
+    # touched-only update left the dataset's schema MIX unchanged —
+    # but an absent file cannot distinguish never-published-legacy
+    # from dropped-because-mixed, and on a mixed dataset the merged
+    # (inference-unified SUPERSET) schema misdescribes the untouched
+    # shards, so it must NOT bootstrap-publish; with a file present,
+    # the sync's no-op-if-equal / drop-if-differing is self-healing.
+    if full_rewrite:
+        _sync_or_drop_schema(path, merged_meta, meta_format, force=True)
+    elif read_published_schema(path) is not None:
+        _sync_or_drop_schema(path, merged_meta, meta_format)
+    # speculative losers' attempt-unique temps never reach the
+    # summary
+    for f in fs.listdir(path):
+        if f.startswith(f".{token}-u") and f.endswith(".tmp"):
+            try:
+                fs.remove(fs_join(path, f))
+            except OSError:
+                pass
     return summary.select(SPLIT_COLUMN, "rows")
 
 
@@ -1597,9 +1743,13 @@ def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
 
     Returns the healed state ('done' → completed the garbage
     collection, 'compacting' → rolled back the orphaned new shards)
-    or None when there was nothing to heal. Safe to call any time —
-    compact_shards calls it first, and readers never needed it (the
-    manifest's state field already gives them a consistent view)."""
+    or None when there was nothing to heal. Readers never needed it
+    (the manifest's state field already gives them a consistent
+    view). Healing is DESTRUCTIVE against a live compaction (it
+    deletes the pending shards a state=compacting manifest names):
+    call directly only when no writer is live — the caller asserts
+    the holder is dead, the same contract as ``lease_takeover``.
+    ``compact_shards`` calls it under its own lease."""
     manifest = _read_compaction_manifest(path)
     if manifest is None:
         return None
@@ -1614,12 +1764,11 @@ def heal_compaction(path: str, archive_ext: str = "tar") -> str | None:
         # restoring the exact pre-compaction dataset
         _delete_stems(path, manifest.get("pending", []), archive_ext)
     get_fs(path).remove(fs_join(path, _COMPACTION_MANIFEST))
-    # a manifest needing healing means its compaction holder crashed —
-    # its writer lease is moot; clear it so the retry isn't blocked
-    try:
-        get_fs(path).remove(fs_join(path, _WRITER_LOCK))
-    except OSError:
-        pass
+    # NOTE: the crashed holder's _writer.lock is deliberately NOT
+    # cleared here — compact_shards calls this healer while holding
+    # its OWN lease (lease-first ordering), so deleting the lock would
+    # unlock the dir mid-compaction. A retry blocked by a crashed
+    # predecessor's lease passes lease_takeover=True.
     return state
 
 
@@ -1664,18 +1813,20 @@ def compact_shards(
 
     Returns ``{"retired": [...], "new": [...], "rows": n}``.
     """
-    import math
-
-    from pyspark.sql import functions as F
-
     register_shards_source(spark)
     path = strip_file_scheme(path)
-    heal_metadata_update(path)
-    heal_compaction(path, archive_ext)
+    # lease FIRST, heal under it: healing is destructive (it deletes a
+    # compacting manifest's pending shards and sweeps update temps),
+    # so running it before the lease check would let a second
+    # compaction dismantle a LIVE one's state — the exact overlap the
+    # lease exists to refuse. A crashed predecessor's lease blocks
+    # here; pass lease_takeover=True to heal past it.
     lease = acquire_writer_lease(
         path, "compact_shards", takeover=lease_takeover
     )
     try:
+        heal_metadata_update(path)
+        heal_compaction(path, archive_ext)
         return _compact_shards_locked(
             spark, path, max_files_in_shard, min_rows,
             archive_ext, layout, meta_format,

@@ -1187,6 +1187,11 @@ def test_fan_out_skip_below_bytes_and_budget_parser(spark):
         ("134217728", 134217728),
         ("2g", 2 << 30),
         ("512K", 512 << 10),
+        ("1p", 1 << 50),  # Spark's byteStringAs accepts p/pb too
+        # unparseable forms fall back to Spark's default instead of
+        # raising — this feeds a skip-heuristic, never correctness
+        ("1.5g", 134217728),
+        ("weird", 134217728),
     ]:
         fake = MagicMock()
         fake.conf.get.return_value = raw

@@ -1948,3 +1948,248 @@ def test_shard_stats_census(spark, tmp_path):
     assert row.rows == 6
     # dir archive bytes = sum of loose member sizes (3 bytes each)
     assert row.archive_bytes == 18
+
+
+def test_lease_first_heal_ordering_protects_live_writers(
+    spark, tmp_path
+):
+    """r15 review finding 1: healers are DESTRUCTIVE (they delete a
+    compacting manifest's pending shards and sweep update temps), so
+    compact_shards / update_shard_metadata_native must be refused by
+    a LIVE foreign lease BEFORE any healing runs — a second compaction
+    must not dismantle a live one's in-flight state."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        acquire_writer_lease,
+        compact_shards,
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "liveheal")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "4").mode("append").save(out)
+
+    # simulate a LIVE compaction: lease held + state=compacting
+    # manifest whose pending shard already has files on disk
+    acquire_writer_lease(out, "live-compactor")
+    with open(os.path.join(out, "_compaction.json"), "w") as fh:
+        json.dump({"state": "compacting", "pending": ["7"],
+                   "retired": ["0", "1"]}, fh)
+    with open(os.path.join(out, "7.csv"), "w") as fh:
+        fh.write("name,caption,k\n")
+    with open(os.path.join(out, "7.tar"), "wb") as fh:
+        fh.write(b"pending-tar-bytes")
+
+    with pytest.raises(RuntimeError, match="live-compactor"):
+        compact_shards(spark, out, max_files_in_shard=24)
+    # the live run's state survived the refusal UNTOUCHED
+    assert os.path.exists(os.path.join(out, "_compaction.json"))
+    assert os.path.exists(os.path.join(out, "7.csv"))
+    assert os.path.exists(os.path.join(out, "7.tar"))
+
+    # same for the metadata updater: a live updater's write-ahead
+    # marker and in-flight temp must survive a refused second run
+    with open(os.path.join(out, "_metadata_update.json"), "w") as fh:
+        json.dump({"state": "renaming", "map": {}}, fh)
+    tmp = os.path.join(out, ".abc-u0-a1.csv.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("in-flight")
+    upd = spark.createDataFrame(
+        [("img_00.jpg", 99)], schema="name string, k int"
+    )
+    with pytest.raises(RuntimeError, match="live-compactor"):
+        update_shard_metadata_native(spark, out, upd, "name")
+    assert os.path.exists(os.path.join(out, "_metadata_update.json"))
+    assert os.path.exists(tmp)
+
+
+def test_batch_commit_refuses_lost_lease(spark, tmp_path):
+    """r15 review finding 3: the lease has no heartbeat, so a job
+    outliving the stale window can be taken over — commit() must
+    re-verify it still holds the lease and fail LOUDLY instead of
+    interleaving with the usurper's renames."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        ShardsWriter,
+        acquire_writer_lease,
+    )
+
+    out = str(tmp_path / "lostlease")
+    os.makedirs(out)
+    schema = StructType([StructField("name", StringType())])
+    w = ShardsWriter(schema, {"path": out, "content": "false"},
+                     overwrite=False)
+    assert w._lease_token is not None
+    # a second writer takes over (as it may after stale_after_sec)
+    acquire_writer_lease(out, "usurper", takeover=True)
+    with pytest.raises(RuntimeError, match="lost before commit"):
+        w.commit([])
+    # nothing was published by the refused commit
+    assert [f for f in os.listdir(out) if f.endswith(".csv")] == []
+
+
+def test_legacy_reader_tolerates_folderless_dir_shards(
+    spark, tmp_path
+):
+    """r15 review finding 2: the r15 writer legally produces dir-
+    layout shards with NO folder (all-null members; object stores
+    don't persist empty prefixes) — the documented S3 API
+    (DatasetReader.read_sharded_files) must read them like the raw
+    DSv2 path does, not die on pairing."""
+    from dataprocessingframework_spark.configs import (
+        ShardedFilesDatasetConfig,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "folderless")
+    df = spark.createDataFrame(
+        [(f"m_{i}.bin", i, None) for i in range(6)],
+        schema="name string, k int, content binary",
+    ).repartition(1)
+    df.write.format("dpf_shards").option("layout", "dir").mode(
+        "append"
+    ).save(out)
+    assert sorted(os.listdir(out))[0] == "0.csv"  # no folder 0/
+    cfg = ShardedFilesDatasetConfig(path=out, name_columns=["name"])
+    got = DatasetReader(spark).read_sharded_files(cfg).df
+    assert got.count() == 6
+    assert "name_path" in got.columns
+
+
+def test_schema_key_ignores_order_and_nullability(spark, tmp_path):
+    """r15 review finding 5: the publish/drop decision compares by
+    name->type, not exact StructType — a column-order or nullability
+    drift (join reordering the key first; reader schemas all-nullable)
+    must NOT silently delete _schema.json and reintroduce the
+    inference scan."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "orderdrift")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(out)
+    assert read_published_schema(out) is not None
+
+    # same columns, different order: the file survives the append
+    # (fresh names — the updater below requires unique keys)
+    reordered = spark.createDataFrame(
+        [(i, f"new_{i}.jpg", "c", bytes([i])) for i in range(3)],
+        schema="k int, name string, caption string, content binary",
+    ).repartition(1)
+    reordered.write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) is not None
+
+    # a touched-only metadata update (join puts the key first in the
+    # merged frame) keeps the file too
+    upd = spark.createDataFrame(
+        [("img_00.jpg", 99)], schema="name string, k int"
+    )
+    update_shard_metadata_native(spark, out, upd, "name")
+    assert read_published_schema(out) is not None
+    back = spark.read.format("dpf_shards").load(out)
+    assert back.count() == 9
+    assert back.where("name = 'img_00.jpg'").first().k == 99
+
+
+def test_touched_update_never_bootstraps_schema_on_mixed(
+    spark, tmp_path
+):
+    """r15 review follow-on to finding 4: on a MIXED-schema dataset
+    (schema file absent), a touched-only update must not publish the
+    inference-unified SUPERSET schema — it would misdescribe every
+    untouched narrow shard and break their reads."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+        update_shard_metadata_native,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "mixedupd")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(out)
+    wide = spark.createDataFrame(
+        [("x.jpg", "cap", 1, 7, b"z")],
+        schema="name string, caption string, k int, extra int,"
+        " content binary",
+    ).repartition(1)
+    wide.write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) is None  # mixed -> dropped
+
+    upd = spark.createDataFrame(
+        [("img_00.jpg", 42)], schema="name string, k int"
+    )
+    update_shard_metadata_native(spark, out, upd, "name")
+    assert read_published_schema(out) is None  # still honest
+    back = spark.read.format("dpf_shards").load(out)
+    assert back.count() == 7
+    assert back.where("name = 'img_00.jpg'").first().k == 42
+
+
+def test_dir_layout_symlink_member_rejected(spark, tmp_path):
+    """r15 review finding 7: a basename-clean member that is a
+    SYMLINK escaping the shard folder must surface as an error row,
+    never as the target file's bytes (untrusted-dataset containment
+    on the local backend)."""
+    register_shards_source(spark)
+    out = str(tmp_path / "symlinked")
+    df = spark.createDataFrame(
+        [("good.bin", 1, b"ok"), ("evil.bin", 2, b"tmp")],
+        schema="name string, k int, content binary",
+    ).repartition(1).sortWithinPartitions("name")
+    df.write.format("dpf_shards").option("layout", "dir").mode(
+        "append"
+    ).save(out)
+    secret = tmp_path / "secret.txt"
+    secret.write_text("outside-the-dataset")
+    evil = os.path.join(out, "0", "evil.bin")
+    os.remove(evil)
+    os.symlink(str(secret), evil)
+    rows = {
+        r.name: r
+        for r in spark.read.format("dpf_shards")
+        .option("layout", "dir")
+        .load(out)
+        .collect()
+    }
+    assert bytes(rows["good.bin"].content) == b"ok"
+    assert not rows["evil.bin"].is_correct
+    assert rows["evil.bin"].content is None
+    assert "symlink escape" in rows["evil.bin"].error
+
+
+def test_parquet_metadata_read_honors_pinned_schema(spark, tmp_path):
+    """r15 review finding 9: read_shards(schema=...) must reach the
+    parquet route too — a caller pinning a wider type gets it, not
+    whatever the footers carry."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "pqpinned")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).option("meta_format", "parquet").mode("append").save(out)
+    cfg = ShardsDatasetConfig(path=out, metadata_format="parquet")
+    pinned = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("caption", StringType()),
+            StructField("k", LongType()),  # file carries int32
+        ]
+    )
+    got = DatasetReader(spark).read_shards(cfg, schema=pinned).df
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 6

@@ -193,8 +193,13 @@ def main() -> None:
             {k: v for k, v in got.items() if expected.get(k) != v},
         )
 
-        # follow-up compaction completes and merges the tail
-        compact_shards(spark, path, max_files_in_shard=24)
+        # follow-up compaction completes and merges the tail; the
+        # crashed run may have left its lease standing (the tool KNOWS
+        # the holder is dead — it watched it crash), so take over
+        compact_shards(
+            spark, path, max_files_in_shard=24,
+            lease_takeover=crashed,
+        )
         assert visible_rows(spark, path) == expected, (rnd, "post")
         fs = real_get_fs(path)
         names = fs.listdir(path)
