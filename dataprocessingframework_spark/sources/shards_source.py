@@ -294,7 +294,10 @@ def acquire_writer_lease(
     sequential-sharing contract, not a distributed mutex. A lease
     older than ``stale_after_sec`` (crashed holder) is taken over
     silently; a LIVE lease needs ``takeover=True`` (writer option
-    ``lease_takeover``). Returns the token to pass to
+    ``lease_takeover``). Long-running holders (batch writer,
+    compaction, metadata updater) keep their lease young via
+    :class:`_LeaseHeartbeat`, so a legitimately slow job is never
+    mistaken for a crashed one. Returns the token to pass to
     :func:`release_writer_lease`."""
     import json
     import os as _os
@@ -336,6 +339,99 @@ def acquire_writer_lease(
         ).encode(),
     )
     return token
+
+
+class _LeaseHeartbeat:
+    """Keeps a held writer lease young for the duration of a long
+    job. Staleness is measured from the lease's timestamp, so without
+    refreshes a legitimate writer outliving ``stale_after_sec`` (a
+    multi-hour batch write at 100 TB scale) would be silently taken
+    over and its temps swept mid-flight; the heartbeat re-PUTs the
+    lease with a fresh timestamp every ``interval`` seconds while the
+    holder works. Daemon thread: a driver crash kills it, the lease
+    ages out, and stale takeover does its job. Refresh is
+    read-check-put (not compare-and-set — the same honest caveat as
+    ``acquire_writer_lease``): it refreshes only while the stored
+    token is still ours and exits the moment it is not, so a forced
+    takeover is never resurrected past one racing PUT."""
+
+    def __init__(self, path: str, token: str, interval: float) -> None:
+        import threading
+
+        self._path = path
+        self._token = token
+        self._interval = max(float(interval), 0.01)
+        self._stop_evt = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run,
+            daemon=True,
+            name=f"shards-lease-heartbeat-{token[:8]}",
+        )
+        self._thread.start()
+
+    def _run(self) -> None:
+        import json
+        import time
+
+        while not self._stop_evt.wait(self._interval):
+            try:
+                lease = _read_lease(self._path)
+                if lease is None or lease.get("token") != self._token:
+                    return  # lost or released: never resurrect
+                lease["ts"] = time.time()
+                get_fs(self._path).put_atomic(
+                    fs_join(self._path, _WRITER_LOCK),
+                    json.dumps(lease).encode(),
+                )
+            except Exception:  # noqa: BLE001 — transient backend
+                pass  # error: the next tick retries; worst case the
+                # lease ages out and the commit-time re-check fails loud
+
+    def stop(self) -> None:
+        """Set the stop flag AND join: a tick already past its token
+        check could otherwise re-PUT the lock after the caller's
+        release removed it, resurrecting a released lease."""
+        self._stop_evt.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+
+    # cloudpickle ships the DataSource writer BY VALUE to executors
+    # and captures this module's globals along the way — including
+    # the _HEARTBEATS registry. Threads/events don't pickle; ship a
+    # dormant shell instead (executors never tick a heartbeat — the
+    # driver-side original keeps running untouched).
+    def __getstate__(self) -> dict:
+        return {
+            "_path": self._path,
+            "_token": self._token,
+            "_interval": self._interval,
+        }
+
+    def __setstate__(self, state: dict) -> None:
+        import threading
+
+        self.__dict__.update(state)
+        self._stop_evt = threading.Event()
+        self._stop_evt.set()  # dormant: no thread on this copy
+        self._thread = None
+
+
+# driver-side registry: DataSource writer instances are PICKLED to
+# executors for write(), so a thread can't live on the instance —
+# commit/abort look the heartbeat up by token instead
+_HEARTBEATS: dict[str, _LeaseHeartbeat] = {}
+
+
+def _start_lease_heartbeat(
+    path: str, token: str, interval: float
+) -> None:
+    _HEARTBEATS[token] = _LeaseHeartbeat(path, token, interval)
+
+
+def _stop_lease_heartbeat(token: str | None) -> None:
+    hb = _HEARTBEATS.pop(token, None) if token is not None else None
+    if hb is not None:
+        hb.stop()
 
 
 def release_writer_lease(path: str, token: str) -> None:
@@ -983,11 +1079,23 @@ class ShardsWriter(DataSourceArrowWriter):
                 "batch-writer",
                 takeover=self._lease_takeover,
             )
+            # keep the lease young for the job's whole plan->commit
+            # span — a batch write legitimately outliving the stale
+            # window must not be silently taken over (heartbeat lives
+            # in a driver-side registry; this instance is pickled to
+            # executors). The stream sink leases per-commit (seconds
+            # of renames), no heartbeat needed there.
+            _start_lease_heartbeat(
+                self._path,
+                self._lease_token,
+                float(options.get("lease_heartbeat_sec", "60")),
+            )
 
     _lease_at_init = True  # ShardsStreamWriter overrides
 
     def _release_lease(self) -> None:
         if self._lease_token is not None:
+            _stop_lease_heartbeat(self._lease_token)
             release_writer_lease(self._path, self._lease_token)
             self._lease_token = None
 
@@ -1113,14 +1221,15 @@ class ShardsWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         fs = get_fs(self._path)
-        # the lease has no heartbeat (no driver hook between plan and
-        # commit), so a job running past stale_after_sec can be taken
-        # over; VERIFY we still hold it before mutating — a lost lease
-        # means another writer may have swept our temps or be mid-
-        # commit itself, and failing LOUDLY here beats interleaving
+        # the heartbeat keeps the lease young, but refresh is not CAS
+        # and a forced takeover is always possible; VERIFY we still
+        # hold it before mutating — a lost lease means another writer
+        # may have swept our temps or be mid-commit itself, and
+        # failing LOUDLY here beats interleaving
         if self._lease_token is not None:
             held = _read_lease(self._path)
             if held is None or held.get("token") != self._lease_token:
+                _stop_lease_heartbeat(self._lease_token)
                 raise RuntimeError(
                     f"writer lease for {self._path} was lost before"
                     " commit (taken over by"
@@ -1517,6 +1626,8 @@ def update_shard_metadata_native(
     lease = acquire_writer_lease(
         path, "update_shard_metadata_native", takeover=lease_takeover
     )
+    # full-dataset rewrites run long; keep the lease young throughout
+    _start_lease_heartbeat(path, lease, 60.0)
     try:
         return _update_shard_metadata_native_locked(
             spark,
@@ -1530,6 +1641,7 @@ def update_shard_metadata_native(
             broadcast_threshold_rows,
         )
     finally:
+        _stop_lease_heartbeat(lease)
         release_writer_lease(path, lease)
 
 
@@ -1824,6 +1936,8 @@ def compact_shards(
     lease = acquire_writer_lease(
         path, "compact_shards", takeover=lease_takeover
     )
+    # compactions of big datasets run long; keep the lease young
+    _start_lease_heartbeat(path, lease, 60.0)
     try:
         heal_metadata_update(path)
         heal_compaction(path, archive_ext)
@@ -1832,6 +1946,7 @@ def compact_shards(
             archive_ext, layout, meta_format,
         )
     finally:
+        _stop_lease_heartbeat(lease)
         release_writer_lease(path, lease)
 
 

@@ -2193,3 +2193,62 @@ def test_parquet_metadata_read_honors_pinned_schema(spark, tmp_path):
     got = DatasetReader(spark).read_shards(cfg, schema=pinned).df
     assert dict(got.dtypes)["k"] == "bigint"
     assert got.count() == 6
+
+
+def test_lease_heartbeat_keeps_long_jobs_alive(spark, tmp_path):
+    """r15 (finding 3 root cause): a legitimate writer outliving
+    stale_after_sec must NOT be silently taken over — the heartbeat
+    keeps the lease young for the job's whole span, stops refreshing
+    on release, and never resurrects a forcibly taken-over lease."""
+    import time
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        _LeaseHeartbeat,
+        _read_lease,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    out = str(tmp_path / "hb")
+    os.makedirs(out)
+    token = acquire_writer_lease(out, "long-job")
+    hb = _LeaseHeartbeat(out, token, interval=0.05)
+    try:
+        time.sleep(0.5)
+        # lease far older than this stale window in wall-time, but the
+        # heartbeat kept its timestamp young: second writer still blocked
+        with pytest.raises(RuntimeError, match="long-job"):
+            acquire_writer_lease(out, "impatient", stale_after_sec=0.3)
+        # a FORCED takeover replaces the lease; the heartbeat must see
+        # the foreign token and stop, never resurrecting ours
+        usurper = acquire_writer_lease(out, "usurper", takeover=True)
+        time.sleep(0.3)
+        assert _read_lease(out)["token"] == usurper
+    finally:
+        hb.stop()
+    release_writer_lease(out, usurper)
+
+    # stopped heartbeat: the lease ages out normally
+    token2 = acquire_writer_lease(out, "short-job")
+    hb2 = _LeaseHeartbeat(out, token2, interval=0.05)
+    hb2.stop()
+    time.sleep(0.4)
+    acquire_writer_lease(out, "next-writer", stale_after_sec=0.2)
+
+
+def test_batch_writer_starts_and_stops_heartbeat(spark, tmp_path):
+    """The DSv2 batch write registers a driver-side heartbeat at plan
+    time and clears it on commit — no thread or registry entry leaks
+    (the writer instance itself is pickled to executors, so the
+    heartbeat must live off-instance)."""
+    from dataprocessingframework_spark.sources import shards_source as ss
+
+    register_shards_source(spark)
+    out = str(tmp_path / "hbwriter")
+    before = set(ss._HEARTBEATS)
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).option("lease_heartbeat_sec", "0.05").mode("append").save(out)
+    assert set(ss._HEARTBEATS) == before  # stopped and deregistered
+    assert "_writer.lock" not in os.listdir(out)
+    assert spark.read.format("dpf_shards").load(out).count() == 6
