@@ -272,20 +272,20 @@ class DatasetReader:
         """
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
-        names = os.listdir(path)
-        tables = {n[:-4] for n in names if n.endswith(".csv")}
-        if archive_suffix:
-            mates = {
-                n[: -len(archive_suffix)]
-                for n in names
-                if n.endswith(archive_suffix)
-            }
-        else:
+        if not archive_suffix:
             # dir layout: a folderless shard is LEGAL since r15 (all-
             # null members write no folder; object stores don't
             # persist empty prefixes) — mirror ShardsReader's
-            # exemption and let members surface as error rows
+            # exemption and let members surface as error rows. Early
+            # return BEFORE the O(#shards) listdir it would discard.
             return
+        names = os.listdir(path)
+        tables = {n[:-4] for n in names if n.endswith(".csv")}
+        mates = {
+            n[: -len(archive_suffix)]
+            for n in names
+            if n.endswith(archive_suffix)
+        }
         missing = sorted(tables - mates)
         if missing:
             raise ValueError(

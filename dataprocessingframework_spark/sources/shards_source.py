@@ -352,8 +352,13 @@ class _LeaseHeartbeat:
     ages out, and stale takeover does its job. Refresh is
     read-check-put (not compare-and-set — the same honest caveat as
     ``acquire_writer_lease``): it refreshes only while the stored
-    token is still ours and exits the moment it is not, so a forced
-    takeover is never resurrected past one racing PUT."""
+    token is still ours and exits the moment it reads a foreign one.
+    Honest caveat: a takeover PUT landing between a tick's read and
+    its re-PUT gets overwritten back — the takeover LOSES that race
+    and the old holder keeps the lease. The mutating entry points all
+    re-verify the stored token before their first mutation
+    (:func:`_verify_lease_held`), so whichever side lost the race
+    fails loudly instead of interleaving renames."""
 
     def __init__(self, path: str, token: str, interval: float) -> None:
         import threading
@@ -390,7 +395,12 @@ class _LeaseHeartbeat:
     def stop(self) -> None:
         """Set the stop flag AND join: a tick already past its token
         check could otherwise re-PUT the lock after the caller's
-        release removed it, resurrecting a released lease."""
+        release removed it, resurrecting a released lease. The join
+        is bounded — a PUT hung longer than the timeout on a degraded
+        backend can still land after release and leave a benign stale
+        lock, recoverable via the stale window or an explicit
+        takeover (no stronger guarantee exists without backend
+        compare-and-set)."""
         self._stop_evt.set()
         if self._thread is not None:
             self._thread.join(timeout=10.0)
@@ -432,6 +442,23 @@ def _stop_lease_heartbeat(token: str | None) -> None:
     hb = _HEARTBEATS.pop(token, None) if token is not None else None
     if hb is not None:
         hb.stop()
+
+
+def _verify_lease_held(path: str, token: str, what: str) -> None:
+    """Re-check the stored lease right before a holder's first
+    mutation. The lock is PUT-not-CAS, so a takeover can race a
+    heartbeat tick and either side can lose — this check makes the
+    loser fail LOUDLY before it renames anything, instead of two
+    writers interleaving into the same dataset dir."""
+    held = _read_lease(path)
+    if held is None or held.get("token") != token:
+        _stop_lease_heartbeat(token)
+        raise RuntimeError(
+            f"{what} lost its writer lease for {path} (now held by"
+            f" {held.get('owner') if held else '<released>'}) — the"
+            " job outlived the lease's stale window or a takeover was"
+            " forced; nothing was published, re-run it"
+        )
 
 
 def release_writer_lease(path: str, token: str) -> None:
@@ -749,6 +776,15 @@ class ShardsReader(DataSourceReader):
             contents: list[bytes | None] = []
             ok: list[bool] = []
             err: list[str | None] = []
+            # per-partition invariants, hoisted out of the member
+            # loop: the shard folder's resolved base never changes
+            # row to row (per-row realpath walks on a multi-million-
+            # row dataset are millions of redundant syscalls)
+            base_real: str | None = None
+            if loose_dir is not None:
+                base_local = fs.local_path(loose_dir)
+                if base_local is not None:
+                    base_real = os.path.realpath(base_local)
             for name in tbl.column(self._name_col).to_pylist():
                 data = members.get(str(name))
                 member_err = tar_err
@@ -766,14 +802,12 @@ class ShardsReader(DataSourceReader):
                         # SYMLINK planted inside an untrusted dataset's
                         # folder: on local backends, require the
                         # resolved path to stay under the shard folder
-                        local = fs.local_path(member_path)
-                        base_local = fs.local_path(loose_dir)
                         escaped = False
-                        if local is not None and base_local is not None:
-                            base = os.path.realpath(base_local)
+                        if base_real is not None:
+                            local = fs.local_path(member_path)
                             escaped = not os.path.realpath(
                                 local
-                            ).startswith(base + os.sep)
+                            ).startswith(base_real + os.sep)
                         if escaped:
                             member_err = (
                                 "ValueError: member resolves outside"
@@ -1067,6 +1101,11 @@ class ShardsWriter(DataSourceArrowWriter):
             options.get("lease_takeover", "false") == "true"
         )
         self._lease_token: str | None = None
+        # parsed BEFORE the acquire: an unparseable option must fail
+        # here, not after the lease PUT (a raise between acquire and
+        # heartbeat start would leak a fresh lease that blocks the
+        # dataset for the whole stale window)
+        hb_interval = float(options.get("lease_heartbeat_sec", "60"))
         # batch jobs hold the writer lease plan→commit/abort (a
         # concurrent second writer fails HERE, loudly, before writing
         # a byte); the stream sink instead leases per-commit (see
@@ -1086,9 +1125,7 @@ class ShardsWriter(DataSourceArrowWriter):
             # executors). The stream sink leases per-commit (seconds
             # of renames), no heartbeat needed there.
             _start_lease_heartbeat(
-                self._path,
-                self._lease_token,
-                float(options.get("lease_heartbeat_sec", "60")),
+                self._path, self._lease_token, hb_interval
             )
 
     _lease_at_init = True  # ShardsStreamWriter overrides
@@ -1227,17 +1264,9 @@ class ShardsWriter(DataSourceArrowWriter):
         # may have swept our temps or be mid-commit itself, and
         # failing LOUDLY here beats interleaving
         if self._lease_token is not None:
-            held = _read_lease(self._path)
-            if held is None or held.get("token") != self._lease_token:
-                _stop_lease_heartbeat(self._lease_token)
-                raise RuntimeError(
-                    f"writer lease for {self._path} was lost before"
-                    " commit (taken over by"
-                    f" {held.get('owner') if held else '<released>'})"
-                    " — the job outlived the lease's stale window or a"
-                    " takeover was forced; nothing was published,"
-                    " re-run the write"
-                )
+            _verify_lease_held(
+                self._path, self._lease_token, "batch write commit"
+            )
         manifest = sorted(
             entry
             for m in messages
@@ -1296,8 +1325,12 @@ class ShardsWriter(DataSourceArrowWriter):
         # new shards. The dataset is then MIXED-schema, so the file
         # also stays dropped on success (inference is the only honest
         # source) — `mixed` skips the publish-if-absent sync below.
+        # A ZERO-shard append changes nothing on disk: no predrop (it
+        # would delete a still-truthful file) and no sync (its
+        # publish-if-absent would claim the writer's schema describes
+        # shards this job never looked at).
         mixed = False
-        if not self._overwrite:
+        if not self._overwrite and manifest:
             mixed = _predrop_schema_if_changed(
                 self._path, self._meta_schema
             )
@@ -1319,14 +1352,24 @@ class ShardsWriter(DataSourceArrowWriter):
             )
         # publish/refresh the metadata schema LAST: a crash before this
         # point just leaves (or keeps) the dataset on the inference
-        # fallback; a mixed-schema append keeps the file dropped
-        if not mixed:
-            _sync_or_drop_schema(
-                self._path,
-                self._meta_schema,
-                self._meta_fmt,
-                force=self._overwrite,
-            )
+        # fallback; a mixed-schema append keeps the file dropped, and
+        # an empty append didn't earn a publish. Publish-if-absent is
+        # only sound when this job can SPEAK for every shard: an
+        # overwrite (it replaced them all) or an append into a
+        # shardless dir (start == 0). Any other absence is ambiguous —
+        # dropped-because-mixed (possibly by a crashed predecessor of
+        # THIS retried job) or never-published legacy — and publishing
+        # the append's schema would misdescribe the older shards.
+        if not mixed and (manifest or self._overwrite):
+            if self._overwrite or start == 0 or read_published_schema(
+                self._path
+            ) is not None:
+                _sync_or_drop_schema(
+                    self._path,
+                    self._meta_schema,
+                    self._meta_fmt,
+                    force=self._overwrite,
+                )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
         self._release_lease()
@@ -1492,25 +1535,40 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
             mapping[tmp_csv] = fs_join(
                 self._path, f"{idx}.{self._meta_fmt}"
             )
+        # schema-changing micro-batch: drop the published file BEFORE
+        # the marker PUT — the replay path above completes renames
+        # without re-running this predrop, so a crash between marker
+        # and predrop would heal into shards a stale _schema.json
+        # misdescribes. Predrop-first means every crash point leaves
+        # either the old truthful file (nothing renamed yet, marker
+        # absent -> batch retries from scratch) or no file (honest
+        # inference fallback). Kept dropped on success — the sink dir
+        # is now mixed-schema. An EMPTY batch touches nothing.
+        mixed = False
+        if mapping:
+            mixed = _predrop_schema_if_changed(
+                self._path, self._meta_schema
+            )
         self._write_marker(
             marker, {"state": "renaming", "map": mapping}
         )
-        # schema-changing micro-batch: drop the published file before
-        # the renames (crash mid-loop -> inference fallback, not a
-        # stale schema), and keep it dropped on success — the sink
-        # dir is now mixed-schema, so the publish-if-absent sync
-        # below must not re-claim the batch's schema for old shards
-        mixed = _predrop_schema_if_changed(self._path, self._meta_schema)
         for tmp, final in mapping.items():
             fs.replace(tmp, final)
         self._write_marker(marker, {"state": "done"})
-        # same schema publication as the batch writer (append
-        # semantics: publish when absent, no-op when equal, stay
-        # dropped on a mixed-schema sink dir)
-        if not mixed:
-            _sync_or_drop_schema(
-                self._path, self._meta_schema, self._meta_fmt
-            )
+        # same schema publication as the batch writer: no-op when a
+        # file is present and equal, publish-from-absent ONLY into a
+        # previously shardless dir (start == 0 — any other absence may
+        # mean dropped-because-mixed, where the batch's schema would
+        # misdescribe the older shards), stay dropped on a mixed sink
+        # dir, untouched by an empty batch. A replayed batch (marker
+        # branch above) skips the sync: its predrop already ran
+        # pre-crash, so the file is either absent (honest) or still
+        # truthful.
+        if mapping and not mixed:
+            if start == 0 or read_published_schema(self._path) is not None:
+                _sync_or_drop_schema(
+                    self._path, self._meta_schema, self._meta_fmt
+                )
         self._sweep_all_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -1639,6 +1697,7 @@ def update_shard_metadata_native(
             meta_format,
             content_col,
             broadcast_threshold_rows,
+            lease,
         )
     finally:
         _stop_lease_heartbeat(lease)
@@ -1655,6 +1714,7 @@ def _update_shard_metadata_native_locked(
     meta_format: str,
     content_col: str,
     broadcast_threshold_rows: int,
+    lease: str | None = None,
 ):
     import json
     import uuid
@@ -1814,16 +1874,25 @@ def _update_shard_metadata_native_locked(
     # the rewrite job (materialized by the collect above) was the
     # last consumer of the cached shard-table parse
     current.unpersist()
+    # last check before the first visible mutation: the rewrite job
+    # above can run long, and a raced takeover must fail loudly HERE,
+    # not interleave rename plans (see _verify_lease_held)
+    if lease is not None:
+        _verify_lease_held(path, lease, "update_shard_metadata_native")
+    # a schema-changing rewrite drops the published file BEFORE the
+    # write-ahead marker PUT: heal_metadata_update replays the rename
+    # plan without re-running this predrop, so a crash between marker
+    # and predrop would heal rewritten shards under a stale
+    # _schema.json. Predrop-first leaves every crash point on either
+    # the old truthful file (no marker yet — nothing renamed, heal
+    # finds nothing) or the honest inference fallback.
+    merged_meta = StructType([merged.schema[c] for c in meta_cols])
+    if full_rewrite:
+        _predrop_schema_if_changed(path, merged_meta)
     fs.put_atomic(
         fs_join(path, _UPDATE_MARKER),
         json.dumps({"state": "renaming", "map": mapping}).encode(),
     )
-    # a schema-changing rewrite drops the published file BEFORE the
-    # renames: a crash mid-way then leaves the dataset on the honest
-    # inference fallback instead of a stale schema (see commit())
-    merged_meta = StructType([merged.schema[c] for c in meta_cols])
-    if full_rewrite:
-        _predrop_schema_if_changed(path, merged_meta)
     for tmp, final in mapping.items():
         fs.replace(tmp, final)
     fs.remove(fs_join(path, _UPDATE_MARKER))
@@ -1943,7 +2012,7 @@ def compact_shards(
         heal_compaction(path, archive_ext)
         return _compact_shards_locked(
             spark, path, max_files_in_shard, min_rows,
-            archive_ext, layout, meta_format,
+            archive_ext, layout, meta_format, lease,
         )
     finally:
         _stop_lease_heartbeat(lease)
@@ -1958,6 +2027,7 @@ def _compact_shards_locked(
     archive_ext: str,
     layout: str,
     meta_format: str,
+    lease: str | None = None,
 ) -> dict:
     import math
 
@@ -1990,6 +2060,11 @@ def _compact_shards_locked(
     n_new = max(1, math.ceil(total / max_files_in_shard))
     start = _next_shard_index_for(path)
     pending = [str(start + i) for i in range(n_new)]
+    # last check before the first mutation: the census above can run
+    # long on a big dataset, and a raced takeover must fail loudly
+    # HERE, not interleave manifests (see _verify_lease_held)
+    if lease is not None:
+        _verify_lease_held(path, lease, "compact_shards")
     _write_compaction_manifest(
         path,
         {"state": "compacting", "retired": smalls, "pending": pending},

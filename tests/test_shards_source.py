@@ -2026,7 +2026,7 @@ def test_batch_commit_refuses_lost_lease(spark, tmp_path):
     assert w._lease_token is not None
     # a second writer takes over (as it may after stale_after_sec)
     acquire_writer_lease(out, "usurper", takeover=True)
-    with pytest.raises(RuntimeError, match="lost before commit"):
+    with pytest.raises(RuntimeError, match="lost its writer lease"):
         w.commit([])
     # nothing was published by the refused commit
     assert [f for f in os.listdir(out) if f.endswith(".csv")] == []
@@ -2252,3 +2252,68 @@ def test_batch_writer_starts_and_stops_heartbeat(spark, tmp_path):
     assert set(ss._HEARTBEATS) == before  # stopped and deregistered
     assert "_writer.lock" not in os.listdir(out)
     assert spark.read.format("dpf_shards").load(out).count() == 6
+
+
+def test_bad_heartbeat_option_fails_without_leaking_lease(
+    spark, tmp_path
+):
+    """r15 review: an unparseable lease_heartbeat_sec must fail at
+    plan time BEFORE the lease PUT — a raise after it would leave an
+    orphan lock blocking the dataset for the whole stale window."""
+    register_shards_source(spark)
+    out = str(tmp_path / "badopt")
+    df = _mk_media_df(spark, 3).repartition(1)
+    with pytest.raises(Exception, match="1m|could not convert"):
+        df.write.format("dpf_shards").option(
+            "lease_heartbeat_sec", "1m"
+        ).mode("append").save(out)
+    assert not os.path.exists(os.path.join(out, "_writer.lock"))
+    # the dataset is not locked: a normal write proceeds immediately
+    df.write.format("dpf_shards").mode("append").save(out)
+    assert spark.read.format("dpf_shards").load(out).count() == 3
+
+
+def test_schema_publish_gating_empty_append_and_ambiguous_absence(
+    spark, tmp_path
+):
+    """r15 review: (a) a ZERO-shard append must not predrop a
+    truthful _schema.json nor publish its own; (b) publish-if-absent
+    runs only into a shardless dir — absence on a populated dataset
+    is ambiguous (dropped-because-mixed by a crashed predecessor) and
+    republishing would misdescribe the older shards."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "gating")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(out)
+    pub = read_published_schema(out)
+    assert pub is not None
+
+    # (a) empty append with a DIFFERENT schema: nothing on disk
+    # changed, so the truthful published file must survive
+    empty_other = spark.createDataFrame(
+        [], schema="name string, other int, content binary"
+    ).repartition(1)
+    empty_other.write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) is not None
+
+    # (b) simulate a crashed predecessor's predrop: file absent on a
+    # populated dataset -> a same-schema append must NOT bootstrap it
+    os.remove(os.path.join(out, "_schema.json"))
+    _mk_media_df(spark, 3).select(
+        F.col("name"), F.lit("z").alias("caption"),
+        F.lit(1).alias("k"), F.col("content"),
+    ).withColumn("name", F.concat(F.lit("b_"), F.col("name"))
+    ).repartition(1).write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) is None  # stays honest
+
+    # ...but a fresh shardless dir still gets its bootstrap publish
+    fresh = str(tmp_path / "fresh")
+    _mk_media_df(spark, 3).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(fresh)
+    assert read_published_schema(fresh) is not None

@@ -58,14 +58,26 @@ class CrashFS:
     """Raises after ``budget`` mutating ops (reads never crash).
     Executor-side instances unpickle with their current counter —
     every task gets its own countdown, like a real machine-level
-    kill taking out whatever was in flight there."""
+    kill taking out whatever was in flight there.
 
-    def __init__(self, inner, budget: int) -> None:
+    ``arm_path``: the kill switch is an ON-DISK sentinel, not just
+    the driver's module global. The by-value module pickle plants
+    CrashFS copies in Spark's long-lived Python planner/worker
+    processes, where the driver's `get_fs` restore never reaches —
+    and a spent budget kills FOREVER, so a leaked copy would fail the
+    soak's own post-crash appends (seen in r15 when writer init
+    gained a lease PUT). Deleting the sentinel disarms every copy in
+    every process at once."""
+
+    def __init__(self, inner, budget: int, arm_path: str) -> None:
         self._inner = inner
         self._budget = budget
+        self._arm = arm_path
         self.ops = 0
 
     def _spend(self) -> None:
+        if not os.path.exists(self._arm):
+            return  # disarmed: behave as the real fs everywhere
         if self.ops >= self._budget:
             raise ChaosCrash(f"killed at op {self.ops}")
         self.ops += 1
@@ -155,8 +167,12 @@ def main() -> None:
         assert visible_rows(spark, path) == expected
 
         budget = rng.randrange(0, 30)
+        os.makedirs(args.root, exist_ok=True)
+        arm = os.path.join(args.root, "_chaos_armed")
+        with open(arm, "w") as fh:
+            fh.write(str(rnd))
         shards_source.get_fs = (
-            lambda p, _b=budget: CrashFS(real_get_fs(p), _b)
+            lambda p, _b=budget, _a=arm: CrashFS(real_get_fs(p), _b, _a)
         )
         crashed = False
         try:
@@ -167,6 +183,9 @@ def main() -> None:
             stats["crashes"] += 1
         finally:
             shards_source.get_fs = real_get_fs
+            # disarm the copies the module-by-value pickle left in
+            # Spark's aux Python processes (see CrashFS docstring)
+            os.remove(arm)
 
         if crashed and rng.random() < 0.5:
             # an append lands between the crash and the heal: the
