@@ -15,6 +15,7 @@ from dataprocessingframework_spark.sources.layout import (
 from dataprocessingframework_spark.sources.shards_source import (
     compact_shards,
     heal_compaction,
+    publish_shard_schema,
     register_shards_source,
 )
 from dataprocessingframework_spark.sources.writers import (
@@ -29,6 +30,7 @@ __all__ = [
     "register_shards_source",
     "compact_shards",
     "heal_compaction",
+    "publish_shard_schema",
     "write_bucketed",
     "read_bucketed",
     "read_jsonl",

@@ -63,6 +63,7 @@ from .shard_fs import (
     get_fs,
     join as fs_join,
     open_source,
+    path_scheme,
     strip_file_scheme,
     write_table,
 )
@@ -238,21 +239,166 @@ def _predrop_schema_if_changed(path: str, meta_schema: StructType) -> bool:
     leaves readers on the inference fallback instead of a stale
     schema that misdescribes half the shards. Returns True when a
     DIFFERING published schema was dropped — the dataset is now
-    mixed-schema, so APPEND-path callers must skip the post-rename
-    sync (its publish-if-absent would claim the appended schema
-    describes the pre-existing shards too); force/full-rewrite
-    callers republish unconditionally regardless, which is correct
-    because they replaced every shard."""
-    existing = read_published_schema(path)
-    if existing is not None and _schema_key(existing) != _schema_key(
-        meta_schema
-    ):
+    mixed-schema. A CORRUPT file is removed here too (it was dead
+    weight every cold read re-fetched and re-parse-failed) and
+    treated as absence-with-unknown-history (False): repairable by
+    an overwrite, a full rewrite, or :func:`publish_shard_schema`."""
+    import json
+
+    fs = get_fs(path)
+    target = fs_join(path, _SCHEMA_FILE)
+    try:
+        raw = fs.read_bytes(target)
+    except (FileNotFoundError, OSError):
+        return False
+    try:
+        existing = StructType.fromJson(json.loads(raw))
+    except Exception:  # noqa: BLE001 — corrupt: remove the dead file
         try:
-            get_fs(path).remove(fs_join(path, _SCHEMA_FILE))
+            fs.remove(target)
+        except OSError:
+            pass
+        return False
+    if _schema_key(existing) != _schema_key(meta_schema):
+        try:
+            fs.remove(target)
         except OSError:
             pass
         return True
     return False
+
+
+def _publish_after_write(
+    path: str,
+    meta_schema: StructType,
+    meta_fmt: str,
+    *,
+    authoritative: bool,
+) -> None:
+    """THE one statement of the publish-authority rule, shared by the
+    batch commit, the stream commit, and the metadata updater (three
+    inlined variants invite drift). A job may publish _schema.json
+    only when it can speak for EVERY shard — ``authoritative``: it
+    replaced or created them all (overwrite, full-rewrite update,
+    write into a previously shardless dir), so it publishes
+    unconditionally even where its predrop removed a differing file.
+    Everything else has NOTHING to do post-rename: a valid equal file
+    was left in place by the predrop, a differing one was dropped
+    (mixed dataset — inference is the only honest source), and
+    absence on a populated dataset is ambiguous (possibly a crashed
+    predecessor's predrop) — publishing there would claim the job's
+    schema describes shards it never saw. Explicit repair for the
+    ambiguous-absence case: :func:`publish_shard_schema`."""
+    if authoritative:
+        _sync_or_drop_schema(path, meta_schema, meta_fmt, force=True)
+
+
+def publish_shard_schema(
+    spark,
+    shard_dir: str,
+    meta_format: str = "csv",
+    archive_ext: str = "tar",
+    layout: str = "tar",
+    lease_takeover: bool = False,
+) -> StructType:
+    """Explicit, VERIFYING bootstrap/repair of ``_schema.json`` for a
+    dataset whose file is absent for an ambiguous reason — never-
+    published legacy data, a crashed predecessor's predrop, or a
+    removed corrupt file. The write paths deliberately refuse to
+    publish in those states (:func:`_publish_after_write`: publishing
+    without looking would claim a schema for shards the job never
+    saw); this helper LOOKS: it reads every shard table's column
+    names (csv first record / parquet footer) driver-side over the
+    shard_fs seam — O(#shards) small reads, the same cost class as
+    ``_list_shards`` — and REFUSES a genuinely mixed dataset. On a
+    uniform one it pins types with the same inference read the
+    cold-read fallback uses (the one-time cost this file then saves
+    on every future cold read), publishes atomically under the
+    writer lease, and returns the published schema."""
+    import csv as _csv
+    import io
+
+    register_shards_source(spark)
+    path = strip_file_scheme(shard_dir)
+    lease = acquire_writer_lease(
+        path, "publish_shard_schema", takeover=lease_takeover
+    )
+    try:
+        fs = get_fs(path)
+        stems, _archives = _list_shards(
+            path, archive_ext, layout, meta_ext=meta_format
+        )
+        if not stems:
+            raise ValueError(f"no shard tables at {path}")
+        headers: dict[frozenset, str] = {}
+        for stem in stems:
+            tbl = fs_join(path, f"{stem}.{meta_format}")
+            if meta_format == "parquet":
+                import pyarrow.parquet as pq
+
+                names = pq.read_schema(open_source(tbl)).names
+            else:
+                with fs.open_read(tbl) as fh:
+                    reader = _csv.reader(
+                        io.TextIOWrapper(fh, encoding="utf-8")
+                    )
+                    names = next(reader, [])
+            headers.setdefault(frozenset(names), stem)
+        if len(headers) > 1:
+            samples = sorted(
+                (stem, sorted(cols)) for cols, stem in headers.items()
+            )[:3]
+            raise ValueError(
+                f"dataset at {path} is mixed-schema — shard tables"
+                f" disagree on columns, e.g. {samples}; no single"
+                " published schema can describe it (inference is the"
+                " only honest source). Unify it first (overwrite or a"
+                " full-rewrite metadata update)."
+            )
+        if meta_format == "parquet":
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            meta_schema = from_arrow_schema(
+                pq.read_schema(
+                    open_source(fs_join(path, f"{stems[0]}.{meta_format}"))
+                )
+            )
+        elif path_scheme(path) in (None, "file"):
+            glob = fs_join(path, f"*.{meta_format}")
+            meta_schema = (
+                spark.read.options(
+                    header=True,
+                    inferSchema=True,
+                    multiLine=True,
+                    escape='"',
+                )
+                .csv(glob)
+                .schema
+            )
+        else:
+            # remote backends: Spark can't glob this scheme — pin
+            # types from the first shard's arrow parse, the exact
+            # trade the cold-read fallback already makes (names were
+            # verified uniform above; types were never stronger than
+            # this on such a dataset)
+            from pyarrow import csv as pacsv
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            meta_schema = from_arrow_schema(
+                pacsv.read_csv(
+                    open_source(fs_join(path, f"{stems[0]}.{meta_format}")),
+                    parse_options=pacsv.ParseOptions(
+                        newlines_in_values=True
+                    ),
+                ).schema
+            )
+        _sync_or_drop_schema(path, meta_schema, meta_format, force=True)
+        return read_published_schema(path)
+    finally:
+        release_writer_lease(path, lease)
 
 
 _WRITER_LOCK = "_writer.lock"
@@ -1101,11 +1247,6 @@ class ShardsWriter(DataSourceArrowWriter):
             options.get("lease_takeover", "false") == "true"
         )
         self._lease_token: str | None = None
-        # parsed BEFORE the acquire: an unparseable option must fail
-        # here, not after the lease PUT (a raise between acquire and
-        # heartbeat start would leak a fresh lease that blocks the
-        # dataset for the whole stale window)
-        hb_interval = float(options.get("lease_heartbeat_sec", "60"))
         # batch jobs hold the writer lease plan→commit/abort (a
         # concurrent second writer fails HERE, loudly, before writing
         # a byte); the stream sink instead leases per-commit (see
@@ -1113,6 +1254,14 @@ class ShardsWriter(DataSourceArrowWriter):
         # hostage between micro-batches). Acquired LAST: every
         # plan-time validation error above must not leak a lease.
         if self._lease_enabled and self._lease_at_init:
+            # parsed BEFORE the acquire (a raise between the lease PUT
+            # and the heartbeat start would leak an hour-long lock),
+            # but only on this branch — writers that never start a
+            # heartbeat (lease=false, stream sink) keep ignoring a
+            # dead option as they always did
+            hb_interval = float(
+                options.get("lease_heartbeat_sec", "60")
+            )
             self._lease_token = acquire_writer_lease(
                 self._path,
                 "batch-writer",
@@ -1322,18 +1471,12 @@ class ShardsWriter(DataSourceArrowWriter):
         # a schema-changing append drops the published file BEFORE the
         # renames: a crash mid-loop then leaves readers on the honest
         # inference fallback, never a schema that misdescribes the
-        # new shards. The dataset is then MIXED-schema, so the file
-        # also stays dropped on success (inference is the only honest
-        # source) — `mixed` skips the publish-if-absent sync below.
-        # A ZERO-shard append changes nothing on disk: no predrop (it
-        # would delete a still-truthful file) and no sync (its
-        # publish-if-absent would claim the writer's schema describes
-        # shards this job never looked at).
-        mixed = False
+        # new shards (the dataset is then mixed-schema and the file
+        # stays dropped on success — see _publish_after_write). A
+        # ZERO-shard append changes nothing on disk: no predrop (it
+        # would delete a still-truthful file).
         if not self._overwrite and manifest:
-            mixed = _predrop_schema_if_changed(
-                self._path, self._meta_schema
-            )
+            _predrop_schema_if_changed(self._path, self._meta_schema)
         for i, (_pid, _seq, tmp_csv, tmp_tar, _rows) in enumerate(manifest):
             idx = start + i
             # archive FIRST: _list_shards pairs csv->archive, so a
@@ -1350,26 +1493,18 @@ class ShardsWriter(DataSourceArrowWriter):
             fs.replace(
                 tmp_csv, fs_join(self._path, f"{idx}.{self._meta_fmt}")
             )
-        # publish/refresh the metadata schema LAST: a crash before this
-        # point just leaves (or keeps) the dataset on the inference
-        # fallback; a mixed-schema append keeps the file dropped, and
-        # an empty append didn't earn a publish. Publish-if-absent is
-        # only sound when this job can SPEAK for every shard: an
-        # overwrite (it replaced them all) or an append into a
-        # shardless dir (start == 0). Any other absence is ambiguous —
-        # dropped-because-mixed (possibly by a crashed predecessor of
-        # THIS retried job) or never-published legacy — and publishing
-        # the append's schema would misdescribe the older shards.
-        if not mixed and (manifest or self._overwrite):
-            if self._overwrite or start == 0 or read_published_schema(
-                self._path
-            ) is not None:
-                _sync_or_drop_schema(
-                    self._path,
-                    self._meta_schema,
-                    self._meta_fmt,
-                    force=self._overwrite,
-                )
+        # publish/refresh the metadata schema LAST: a crash before
+        # this point just leaves (or keeps) the dataset on the honest
+        # inference fallback. Authority rule in _publish_after_write:
+        # an overwrite replaced every shard; an append into a
+        # shardless dir (start == 0) created them all.
+        _publish_after_write(
+            self._path,
+            self._meta_schema,
+            self._meta_fmt,
+            authoritative=self._overwrite
+            or (bool(manifest) and start == 0),
+        )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
         self._release_lease()
@@ -1515,6 +1650,20 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
                 for tmp, final in state["map"].items():
                     if fs.exists(tmp):
                         fs.replace(tmp, final)
+                # an AUTHORITATIVE crashed batch (recorded at marker
+                # write: it created every shard of a fresh dir) can
+                # safely republish the schema it recorded — without
+                # this, a batch-0 crash would disable the published-
+                # schema optimization for the sink's whole life (its
+                # predrop ran pre-crash, and no later batch is ever
+                # authoritative again)
+                if state.get("authoritative") and "schema" in state:
+                    _publish_after_write(
+                        self._path,
+                        StructType.fromJson(state["schema"]),
+                        self._meta_fmt,
+                        authoritative=True,
+                    )
                 self._write_marker(marker, {"state": "done"})
             self._sweep_all_temps()  # this replay's temps are duplicates
             return
@@ -1542,33 +1691,35 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         # misdescribes. Predrop-first means every crash point leaves
         # either the old truthful file (nothing renamed yet, marker
         # absent -> batch retries from scratch) or no file (honest
-        # inference fallback). Kept dropped on success — the sink dir
-        # is now mixed-schema. An EMPTY batch touches nothing.
-        mixed = False
+        # inference fallback). An EMPTY batch touches nothing.
         if mapping:
-            mixed = _predrop_schema_if_changed(
-                self._path, self._meta_schema
-            )
-        self._write_marker(
-            marker, {"state": "renaming", "map": mapping}
-        )
+            _predrop_schema_if_changed(self._path, self._meta_schema)
+        # authority recorded IN the write-ahead marker so a crash-
+        # replay can finish the publish too: this batch created every
+        # shard of a previously shardless dir. The schema rides along
+        # because the replaying query attempt may have evolved its
+        # own schema since the crashed one planned these files.
+        authoritative = bool(mapping) and start == 0
+        plan: dict = {"state": "renaming", "map": mapping}
+        if authoritative:
+            plan["authoritative"] = True
+            plan["schema"] = _normalized_schema(
+                self._meta_schema
+            ).jsonValue()
+        self._write_marker(marker, plan)
         for tmp, final in mapping.items():
             fs.replace(tmp, final)
         self._write_marker(marker, {"state": "done"})
-        # same schema publication as the batch writer: no-op when a
-        # file is present and equal, publish-from-absent ONLY into a
-        # previously shardless dir (start == 0 — any other absence may
-        # mean dropped-because-mixed, where the batch's schema would
-        # misdescribe the older shards), stay dropped on a mixed sink
-        # dir, untouched by an empty batch. A replayed batch (marker
-        # branch above) skips the sync: its predrop already ran
-        # pre-crash, so the file is either absent (honest) or still
-        # truthful.
-        if mapping and not mixed:
-            if start == 0 or read_published_schema(self._path) is not None:
-                _sync_or_drop_schema(
-                    self._path, self._meta_schema, self._meta_fmt
-                )
+        # publish-authority rule centralized in _publish_after_write:
+        # non-authoritative batches have nothing to do (equal file
+        # kept by predrop, differing file dropped, ambiguous absence
+        # left alone)
+        _publish_after_write(
+            self._path,
+            self._meta_schema,
+            self._meta_fmt,
+            authoritative=authoritative,
+        )
         self._sweep_all_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -1896,18 +2047,15 @@ def _update_shard_metadata_native_locked(
     for tmp, final in mapping.items():
         fs.replace(tmp, final)
     fs.remove(fs_join(path, _UPDATE_MARKER))
-    # keep the published schema truthful: a full rewrite left every
-    # shard on the merged schema (publish unconditionally). A
-    # touched-only update left the dataset's schema MIX unchanged —
-    # but an absent file cannot distinguish never-published-legacy
-    # from dropped-because-mixed, and on a mixed dataset the merged
-    # (inference-unified SUPERSET) schema misdescribes the untouched
-    # shards, so it must NOT bootstrap-publish; with a file present,
-    # the sync's no-op-if-equal / drop-if-differing is self-healing.
-    if full_rewrite:
-        _sync_or_drop_schema(path, merged_meta, meta_format, force=True)
-    elif read_published_schema(path) is not None:
-        _sync_or_drop_schema(path, merged_meta, meta_format)
+    # keep the published schema truthful — authority rule centralized
+    # in _publish_after_write: a full rewrite left every shard on the
+    # merged schema (publish unconditionally); a touched-only update
+    # cannot change the schema mix by construction (its `current`
+    # read pinned the published file when one existed, so merged is
+    # key-equal to it), leaving nothing to do.
+    _publish_after_write(
+        path, merged_meta, meta_format, authoritative=full_rewrite
+    )
     # speculative losers' attempt-unique temps never reach the
     # summary
     for f in fs.listdir(path):

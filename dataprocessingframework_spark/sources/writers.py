@@ -123,25 +123,42 @@ def write_shards(
     # cache so the caller's inspection of the summary doesn't re-write
     summary = summary.cache()
     summary.count()
-    _publish_meta_schema(df, out_dir, meta_cols, force=not append)
+    # publish-authority rule (shared with the native lifecycle, see
+    # shards_source._publish_after_write): this write speaks for
+    # every shard when it created them all — a fresh write, or an
+    # append that started numbering at 0 (the dir was shardless)
+    _publish_meta_schema(
+        df, out_dir, meta_cols, authoritative=not append or start == 0
+    )
     return summary
 
 
 def _publish_meta_schema(
-    df: DataFrame, out_dir: str, meta_cols: list[str], force: bool
+    df: DataFrame, out_dir: str, meta_cols: list[str], authoritative: bool
 ) -> None:
     """Legacy writers keep the native lifecycle's ``_schema.json``
     current too (see ``shards_source.read_published_schema``), so a
     dataset written by EITHER path cold-reads without the csv
-    inference pass."""
+    inference pass. Same authority rule as the native commit: an
+    authoritative write publishes unconditionally; a plain append
+    only keeps the file truthful — dropping it when its own schema
+    differs (the dataset went mixed), never publishing from absence
+    (ambiguous: possibly a crashed predecessor's predrop — repair via
+    ``publish_shard_schema``)."""
     from dataprocessingframework_spark.sources.shards_source import (
+        _predrop_schema_if_changed,
         _sync_or_drop_schema,
     )
 
     meta_schema = StructType(
         [f for f in df.schema.fields if f.name in meta_cols]
     )
-    _sync_or_drop_schema(out_dir, meta_schema, force=force)
+    if authoritative:
+        _sync_or_drop_schema(out_dir, meta_schema, force=True)
+    else:
+        # reuses the predrop's compare-and-drop (key-equal keeps,
+        # differing or corrupt removes) — publish never happens here
+        _predrop_schema_if_changed(out_dir, meta_schema)
 
 
 def update_shard_metadata(
@@ -202,7 +219,7 @@ def update_shard_metadata(
     summary = summary.cache()
     summary.count()
     # every shard csv was rewritten onto the merged schema
-    _publish_meta_schema(merged, shard_dir, meta_cols, force=True)
+    _publish_meta_schema(merged, shard_dir, meta_cols, authoritative=True)
     return summary
 
 
@@ -250,7 +267,9 @@ def write_sharded_files(
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     summary = summary.cache()
     summary.count()
-    _publish_meta_schema(df, out_dir, meta_cols, force=not append)
+    _publish_meta_schema(
+        df, out_dir, meta_cols, authoritative=not append or start == 0
+    )
     return summary
 
 

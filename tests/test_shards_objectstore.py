@@ -218,3 +218,30 @@ def test_objectstore_compaction_and_heal(spark, tmp_path, obj_path):
     ).save(obj_path)
     assert heal_compaction(obj_path) == "compacting"
     assert spark.read.format("dpf_shards").load(obj_path).count() == 28
+
+
+def test_publish_shard_schema_on_object_store(spark, tmp_path):
+    """The explicit schema repair works on object-store semantics
+    too: driver-side header GETs over the seam, types from the first
+    shard's arrow parse (the same trade the cold-read fallback makes
+    on a scheme Spark can't glob), single-PUT publish."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        publish_shard_schema,
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    path = f"fakeobj://{tmp_path}/repair"
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").option(
+        "path", path
+    ).mode("append").save()
+    get_fs(path).remove(join(path, "_schema.json"))
+    pub = publish_shard_schema(spark, path)
+    assert {f.name for f in pub.fields} == {"name", "caption", "k"}
+    assert read_published_schema(path) is not None
+    back = (
+        spark.read.format("dpf_shards").option("path", path).load()
+    )
+    assert back.count() == 12

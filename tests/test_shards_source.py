@@ -2317,3 +2317,126 @@ def test_schema_publish_gating_empty_append_and_ambiguous_absence(
         "dpf_shards"
     ).mode("append").save(fresh)
     assert read_published_schema(fresh) is not None
+
+
+def test_publish_shard_schema_repairs_ambiguous_absence(
+    spark, tmp_path
+):
+    """r15 review: writes refuse to publish into ambiguous absence
+    (the file may have been dropped because the dataset is mixed);
+    publish_shard_schema is the explicit repair that LOOKS — it
+    verifies per-shard column uniformity driver-side, publishes on a
+    uniform dataset, and refuses a mixed one."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        publish_shard_schema,
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "repairme")
+    _mk_media_df(spark, 12).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "6").mode("append").save(out)
+    os.remove(os.path.join(out, "_schema.json"))  # ambiguous absence
+
+    pub = publish_shard_schema(spark, out)
+    assert {f.name for f in pub.fields} == {"name", "caption", "k"}
+    assert read_published_schema(out) is not None
+    # the repaired file drives reads (values intact)
+    assert spark.read.format("dpf_shards").load(out).count() == 12
+
+    # a genuinely mixed dataset is refused
+    wide = spark.createDataFrame(
+        [("x.jpg", "cap", 1, 7, b"z")],
+        schema="name string, caption string, k int, extra int,"
+        " content binary",
+    ).repartition(1)
+    wide.write.format("dpf_shards").mode("append").save(out)
+    assert read_published_schema(out) is None
+    with pytest.raises(ValueError, match="mixed-schema"):
+        publish_shard_schema(spark, out)
+    assert read_published_schema(out) is None
+
+
+def test_corrupt_schema_file_removed_by_next_append(spark, tmp_path):
+    """r15 review: a corrupt _schema.json was dead weight every cold
+    read re-fetched and re-parse-failed; the next write's predrop now
+    removes it (and honestly does NOT republish — absence is
+    ambiguous; publish_shard_schema is the explicit repair)."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "corrupt")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(out)
+    with open(os.path.join(out, "_schema.json"), "w") as fh:
+        fh.write("{not json")
+    assert read_published_schema(out) is None  # corrupt -> fallback
+    _mk_media_df(spark, 3).select(
+        F.concat(F.lit("c_"), F.col("name")).alias("name"),
+        "caption", "k", "content",
+    ).repartition(1).write.format("dpf_shards").mode("append").save(out)
+    assert "_schema.json" not in os.listdir(out)  # dead file removed
+    assert spark.read.format("dpf_shards").load(out).count() == 9
+
+
+def test_stream_batch0_crash_replay_republishes_schema(
+    spark, tmp_path
+):
+    """r15 review: a fresh sink dir whose batch 0 crashed mid-commit
+    must not lose the published-schema optimization forever — the
+    write-ahead marker records the batch's authority + schema, and
+    the replay finishes the publish."""
+    import json
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        ShardsStreamWriter,
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    sink = str(tmp_path / "b0sink")
+    os.makedirs(sink)
+    schema = StructType(
+        [StructField("name", StringType()), StructField("k", IntegerType())]
+    )
+    w = ShardsStreamWriter(
+        schema,
+        {"path": sink, "checkpointlocation": f"{sink}-ckpt",
+         "content": "false"},
+        overwrite=False,
+    )
+    # simulate the crashed batch 0: temp written, marker recorded
+    # with authority + schema (as commit now does), renames pending
+    tmp = os.path.join(sink, ".crashed-p0-a0-s0.csv.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("name,k\na,1\n")
+    marker_dir = os.path.join(sink, "_shards_commits")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = w._marker(0)
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "state": "renaming",
+                "map": {tmp: os.path.join(sink, "0.csv")},
+                "authoritative": True,
+                "schema": schema.jsonValue(),
+            },
+            fh,
+        )
+    assert read_published_schema(sink) is None
+    w.commit([], batchId=0)  # replay completes renames AND publish
+    assert os.path.exists(os.path.join(sink, "0.csv"))
+    pub = read_published_schema(sink)
+    assert pub is not None
+    assert {f.name for f in pub.fields} == {"name", "k"}
