@@ -268,6 +268,46 @@ def _predrop_schema_if_changed(path: str, meta_schema: StructType) -> bool:
     return False
 
 
+def _plan_targets_match(
+    fs, mapping: dict, schema_names: list, meta_fmt: str
+) -> bool:
+    """Guard for a crash-replay's recorded-schema publish: True only
+    when every meta-file target of the replayed rename plan exists
+    and carries exactly the recorded column names. Without it, a
+    replay whose temps another writer swept (sequential sharing: the
+    crashed query's successor committed its own shards onto the same
+    numbers) would force-publish a schema describing ZERO of the
+    files on disk. Plan-sized driver reads, only on the replay path
+    of an authoritative (fresh-dir) batch."""
+    import csv as _csv
+    import io
+
+    want = list(schema_names)
+    for final in mapping.values():
+        if not final.endswith(f".{meta_fmt}"):
+            continue
+        if not fs.exists(final):
+            return False
+        try:
+            if meta_fmt == "parquet":
+                import pyarrow.parquet as pq
+
+                names = list(pq.read_schema(open_source(final)).names)
+            else:
+                with fs.open_read(final) as fh:
+                    names = next(
+                        _csv.reader(
+                            io.TextIOWrapper(fh, encoding="utf-8")
+                        ),
+                        [],
+                    )
+        except Exception:  # noqa: BLE001 — unreadable target: no claim
+            return False
+        if names != want:
+            return False
+    return True
+
+
 def _publish_after_write(
     path: str,
     meta_schema: StructType,
@@ -311,10 +351,15 @@ def publish_shard_schema(
     names (csv first record / parquet footer) driver-side over the
     shard_fs seam — O(#shards) small reads, the same cost class as
     ``_list_shards`` — and REFUSES a genuinely mixed dataset. On a
-    uniform one it pins types with the same inference read the
-    cold-read fallback uses (the one-time cost this file then saves
-    on every future cold read), publishes atomically under the
-    writer lease, and returns the published schema."""
+    uniform one it pins types from the dataset (whole-dataset Spark
+    inference when every header is order-identical on a posix path;
+    first-shard arrow parse otherwise — the same trade the cold-read
+    fallback makes), publishes atomically under the writer lease
+    (heartbeat-kept and re-verified before the PUT, like every other
+    long holder), and returns the published schema. Raises when the
+    dataset is mixed, when headers carry duplicate names, or when the
+    inferred types are not csv-publishable — it never reports success
+    without a published file."""
     import csv as _csv
     import io
 
@@ -323,6 +368,9 @@ def publish_shard_schema(
     lease = acquire_writer_lease(
         path, "publish_shard_schema", takeover=lease_takeover
     )
+    # the header sweep + inference can run long on a big dataset —
+    # same heartbeat + pre-PUT re-verify as the other long holders
+    _start_lease_heartbeat(path, lease, 60.0)
     try:
         fs = get_fs(path)
         stems, _archives = _list_shards(
@@ -330,23 +378,35 @@ def publish_shard_schema(
         )
         if not stems:
             raise ValueError(f"no shard tables at {path}")
-        headers: dict[frozenset, str] = {}
+        first_parquet_schema = None
+        header_sets: dict[frozenset, str] = {}
+        header_orders: set[tuple] = set()
         for stem in stems:
             tbl = fs_join(path, f"{stem}.{meta_format}")
             if meta_format == "parquet":
                 import pyarrow.parquet as pq
 
-                names = pq.read_schema(open_source(tbl)).names
+                pq_schema = pq.read_schema(open_source(tbl))
+                if first_parquet_schema is None:
+                    first_parquet_schema = pq_schema
+                names = list(pq_schema.names)
             else:
                 with fs.open_read(tbl) as fh:
                     reader = _csv.reader(
                         io.TextIOWrapper(fh, encoding="utf-8")
                     )
                     names = next(reader, [])
-            headers.setdefault(frozenset(names), stem)
-        if len(headers) > 1:
+            if len(names) != len(set(names)):
+                raise ValueError(
+                    f"shard table {stem}.{meta_format} at {path} has"
+                    f" duplicate column names {names} — not"
+                    " publishable"
+                )
+            header_sets.setdefault(frozenset(names), stem)
+            header_orders.add(tuple(names))
+        if len(header_sets) > 1:
             samples = sorted(
-                (stem, sorted(cols)) for cols, stem in headers.items()
+                (stem, sorted(cols)) for cols, stem in header_sets.items()
             )[:3]
             raise ValueError(
                 f"dataset at {path} is mixed-schema — shard tables"
@@ -356,17 +416,21 @@ def publish_shard_schema(
                 " full-rewrite metadata update)."
             )
         if meta_format == "parquet":
-            import pyarrow.parquet as pq
-
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            meta_schema = from_arrow_schema(
-                pq.read_schema(
-                    open_source(fs_join(path, f"{stems[0]}.{meta_format}"))
-                )
-            )
-        elif path_scheme(path) in (None, "file"):
-            glob = fs_join(path, f"*.{meta_format}")
+            # footers are exact; the first one (already fetched in the
+            # sweep above) speaks for all name-uniform shards
+            meta_schema = from_arrow_schema(first_parquet_schema)
+        elif (
+            path_scheme(path) in (None, "file")
+            and len(header_orders) == 1
+        ):
+            # whole-dataset inference over the LIVE stems only (a glob
+            # would also feed retired, pre-GC compaction shards into
+            # the parse). Safe only when every header is ORDER-
+            # identical: Spark's csv reader names columns from the
+            # first file and parses the rest positionally.
+            files = [fs_join(path, f"{s}.{meta_format}") for s in stems]
             meta_schema = (
                 spark.read.options(
                     header=True,
@@ -374,15 +438,16 @@ def publish_shard_schema(
                     multiLine=True,
                     escape='"',
                 )
-                .csv(glob)
+                .csv(files)
                 .schema
             )
         else:
-            # remote backends: Spark can't glob this scheme — pin
-            # types from the first shard's arrow parse, the exact
-            # trade the cold-read fallback already makes (names were
-            # verified uniform above; types were never stronger than
-            # this on such a dataset)
+            # remote backends (Spark can't open this scheme) or order-
+            # drifted headers (positional inference would mis-assign
+            # columns): pin types from the first shard's arrow parse —
+            # the same trade the cold-read fallback makes. The DSv2
+            # reader maps columns by NAME per shard, so first-shard
+            # types apply by name everywhere.
             from pyarrow import csv as pacsv
 
             from pyspark.sql.pandas.types import from_arrow_schema
@@ -395,9 +460,20 @@ def publish_shard_schema(
                     ),
                 ).schema
             )
+        # the sweep/inference above may have outlived the stale
+        # window: fail loudly rather than publish over a takeover
+        _verify_lease_held(path, lease, "publish_shard_schema")
         _sync_or_drop_schema(path, meta_schema, meta_format, force=True)
-        return read_published_schema(path)
+        published = read_published_schema(path)
+        if published is None:
+            raise ValueError(
+                f"inferred schema for {path} is not csv-publishable"
+                f" ({meta_schema.simpleString()}) — exotic types stay"
+                " on the inference fallback by design"
+            )
+        return published
     finally:
+        _stop_lease_heartbeat(lease)
         release_writer_lease(path, lease)
 
 
@@ -1497,13 +1573,20 @@ class ShardsWriter(DataSourceArrowWriter):
         # this point just leaves (or keeps) the dataset on the honest
         # inference fallback. Authority rule in _publish_after_write:
         # an overwrite replaced every shard; an append into a
-        # shardless dir (start == 0) created them all.
+        # shardless dir created them all — but ONLY when start == 0
+        # was COMPUTED from the dir (an explicit start_index=0 option
+        # can land on a populated dataset and speaks for nothing
+        # beyond its own shards).
         _publish_after_write(
             self._path,
             self._meta_schema,
             self._meta_fmt,
             authoritative=self._overwrite
-            or (bool(manifest) and start == 0),
+            or (
+                bool(manifest)
+                and start == 0
+                and self._start_index is None
+            ),
         )
         # speculative losers' temps never reach a manifest — sweep them
         self._sweep_temps()
@@ -1652,18 +1735,28 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
                         fs.replace(tmp, final)
                 # an AUTHORITATIVE crashed batch (recorded at marker
                 # write: it created every shard of a fresh dir) can
-                # safely republish the schema it recorded — without
-                # this, a batch-0 crash would disable the published-
-                # schema optimization for the sink's whole life (its
-                # predrop ran pre-crash, and no later batch is ever
-                # authoritative again)
+                # republish the schema it recorded — without this, a
+                # batch-0 crash would disable the published-schema
+                # optimization for the sink's whole life (its predrop
+                # ran pre-crash, and no later batch is ever
+                # authoritative again). Guarded: publish only when the
+                # plan's targets verifiably carry the recorded columns
+                # — a successor query may have swept this attempt's
+                # temps and placed its OWN files on these numbers.
                 if state.get("authoritative") and "schema" in state:
-                    _publish_after_write(
-                        self._path,
-                        StructType.fromJson(state["schema"]),
+                    rec = StructType.fromJson(state["schema"])
+                    if _plan_targets_match(
+                        fs,
+                        state["map"],
+                        [f.name for f in rec.fields],
                         self._meta_fmt,
-                        authoritative=True,
-                    )
+                    ):
+                        _publish_after_write(
+                            self._path,
+                            rec,
+                            self._meta_fmt,
+                            authoritative=True,
+                        )
                 self._write_marker(marker, {"state": "done"})
             self._sweep_all_temps()  # this replay's temps are duplicates
             return
@@ -1709,8 +1802,12 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         self._write_marker(marker, plan)
         for tmp, final in mapping.items():
             fs.replace(tmp, final)
-        self._write_marker(marker, {"state": "done"})
-        # publish-authority rule centralized in _publish_after_write:
+        # publish BEFORE flipping the marker to done: the done-flip
+        # discards the plan's authority/schema fields, so a crash
+        # between flip and publish would lose the batch-0 publish
+        # with nothing left to replay it (the replay branch above
+        # publishes in this same renames->publish->done order).
+        # Publish-authority rule centralized in _publish_after_write:
         # non-authoritative batches have nothing to do (equal file
         # kept by predrop, differing file dropped, ambiguous absence
         # left alone)
@@ -1720,6 +1817,7 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
             self._meta_fmt,
             authoritative=authoritative,
         )
+        self._write_marker(marker, {"state": "done"})
         self._sweep_all_temps()
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -1770,6 +1868,18 @@ def heal_metadata_update(path: str) -> bool:
         for tmp, final in plan["map"].items():
             if fs.exists(tmp):
                 fs.replace(tmp, final)
+        # a full-rewrite plan records its authority + merged schema:
+        # finish the publish the crashed updater didn't reach (no
+        # target guard needed here — _list_shards refuses every
+        # reader/writer while this marker exists, so nothing can have
+        # replaced the plan's files in between)
+        if plan.get("authoritative") and "schema" in plan:
+            _publish_after_write(
+                path,
+                StructType.fromJson(plan["schema"]),
+                plan.get("meta_format", "csv"),
+                authoritative=True,
+            )
         fs.remove(marker)
         had_plan = True
         # the crashed holder's _writer.lock is deliberately NOT
@@ -2038,24 +2148,34 @@ def _update_shard_metadata_native_locked(
     # the old truthful file (no marker yet — nothing renamed, heal
     # finds nothing) or the honest inference fallback.
     merged_meta = StructType([merged.schema[c] for c in meta_cols])
+    plan: dict = {"state": "renaming", "map": mapping}
     if full_rewrite:
         _predrop_schema_if_changed(path, merged_meta)
+        # a full rewrite is authoritative (every shard gets the merged
+        # schema); record that IN the write-ahead marker so a crash
+        # anywhere after the renames still publishes — heal replays
+        # the plan and finishes this too
+        plan["authoritative"] = True
+        plan["schema"] = _normalized_schema(merged_meta).jsonValue()
+        plan["meta_format"] = meta_format
     fs.put_atomic(
-        fs_join(path, _UPDATE_MARKER),
-        json.dumps({"state": "renaming", "map": mapping}).encode(),
+        fs_join(path, _UPDATE_MARKER), json.dumps(plan).encode()
     )
     for tmp, final in mapping.items():
         fs.replace(tmp, final)
-    fs.remove(fs_join(path, _UPDATE_MARKER))
     # keep the published schema truthful — authority rule centralized
     # in _publish_after_write: a full rewrite left every shard on the
     # merged schema (publish unconditionally); a touched-only update
     # cannot change the schema mix by construction (its `current`
     # read pinned the published file when one existed, so merged is
-    # key-equal to it), leaving nothing to do.
+    # key-equal to it), leaving nothing to do. Published BEFORE the
+    # marker removal: a crash in between re-publishes via heal
+    # (idempotent PUT), while the reverse order would lose the
+    # publish with nothing left to replay it.
     _publish_after_write(
         path, merged_meta, meta_format, authoritative=full_rewrite
     )
+    fs.remove(fs_join(path, _UPDATE_MARKER))
     # speculative losers' attempt-unique temps never reach the
     # summary
     for f in fs.listdir(path):

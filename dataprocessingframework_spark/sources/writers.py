@@ -119,6 +119,14 @@ def write_shards(
         meta.to_csv(os.path.join(out_dir, f"{pid}.csv"), index=False)
         yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
 
+    # a schema-changing append drops the published file BEFORE the
+    # write action (mirrors the native predrop-before-renames): the
+    # legacy tasks write FINAL names directly, so a crash mid-write
+    # would otherwise leave new-schema shards under the old published
+    # file forever
+    authoritative = not append or start == 0
+    if not authoritative:
+        _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     # cache so the caller's inspection of the summary doesn't re-write
     summary = summary.cache()
@@ -127,10 +135,26 @@ def write_shards(
     # shards_source._publish_after_write): this write speaks for
     # every shard when it created them all — a fresh write, or an
     # append that started numbering at 0 (the dir was shardless)
-    _publish_meta_schema(
-        df, out_dir, meta_cols, authoritative=not append or start == 0
-    )
+    _publish_meta_schema(df, out_dir, meta_cols, authoritative=authoritative)
     return summary
+
+
+def _predrop_published_schema(
+    df: DataFrame, out_dir: str, meta_cols: list[str]
+) -> None:
+    """Pre-write compare-and-drop for legacy appends (key-equal file
+    kept, differing or corrupt removed) — run BEFORE the tasks start
+    writing final names, so no crash point leaves new-schema shards
+    under a stale published file."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        _predrop_schema_if_changed,
+    )
+
+    if os.path.isdir(out_dir):
+        meta_schema = StructType(
+            [f for f in df.schema.fields if f.name in meta_cols]
+        )
+        _predrop_schema_if_changed(out_dir, meta_schema)
 
 
 def _publish_meta_schema(
@@ -141,24 +165,19 @@ def _publish_meta_schema(
     dataset written by EITHER path cold-reads without the csv
     inference pass. Same authority rule as the native commit: an
     authoritative write publishes unconditionally; a plain append
-    only keeps the file truthful — dropping it when its own schema
-    differs (the dataset went mixed), never publishing from absence
-    (ambiguous: possibly a crashed predecessor's predrop — repair via
+    never publishes (its pre-write predrop already kept the file
+    truthful; publishing from absence is ambiguous — possibly a
+    crashed predecessor's predrop — repair via
     ``publish_shard_schema``)."""
     from dataprocessingframework_spark.sources.shards_source import (
-        _predrop_schema_if_changed,
         _sync_or_drop_schema,
     )
 
-    meta_schema = StructType(
-        [f for f in df.schema.fields if f.name in meta_cols]
-    )
     if authoritative:
+        meta_schema = StructType(
+            [f for f in df.schema.fields if f.name in meta_cols]
+        )
         _sync_or_drop_schema(out_dir, meta_schema, force=True)
-    else:
-        # reuses the predrop's compare-and-drop (key-equal keeps,
-        # differing or corrupt removes) — publish never happens here
-        _predrop_schema_if_changed(out_dir, meta_schema)
 
 
 def update_shard_metadata(
@@ -217,6 +236,11 @@ def update_shard_metadata(
         rewrite, _SUMMARY_SCHEMA
     )
     summary = summary.cache()
+    # pre-drop a differing published file BEFORE the in-place rewrite
+    # action: this legacy path writes final names directly, so a
+    # crash mid-rewrite must leave readers on the inference fallback,
+    # not a file describing neither the old nor the new schema
+    _predrop_published_schema(merged, shard_dir, meta_cols)
     summary.count()
     # every shard csv was rewritten onto the merged schema
     _publish_meta_schema(merged, shard_dir, meta_cols, authoritative=True)
@@ -264,12 +288,13 @@ def write_sharded_files(
         meta.to_csv(os.path.join(out_dir, f"{pid}.csv"), index=False)
         yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
 
+    authoritative = not append or start == 0
+    if not authoritative:
+        _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     summary = summary.cache()
     summary.count()
-    _publish_meta_schema(
-        df, out_dir, meta_cols, authoritative=not append or start == 0
-    )
+    _publish_meta_schema(df, out_dir, meta_cols, authoritative=authoritative)
     return summary
 
 

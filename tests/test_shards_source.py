@@ -2440,3 +2440,124 @@ def test_stream_batch0_crash_replay_republishes_schema(
     pub = read_published_schema(sink)
     assert pub is not None
     assert {f.name for f in pub.fields} == {"name", "k"}
+
+
+def test_explicit_start_index_append_never_authoritative(
+    spark, tmp_path
+):
+    """r15 review: start == 0 confers publish authority only when
+    COMPUTED from a shardless dir — an explicit start_index=0 option
+    can land on a populated dataset and speaks for nothing beyond its
+    own shards."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "startidx")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).option("max_files_in_shard", "3").mode("append").save(out)
+    # differing schema, explicit start_index=0: replaces shard 0's
+    # files but shard 1 keeps the old schema -> must NOT publish
+    spark.createDataFrame(
+        [("x.jpg", 1, b"z")], schema="name string, other int, content binary"
+    ).repartition(1).write.format("dpf_shards").option(
+        "start_index", "0"
+    ).mode("append").save(out)
+    assert read_published_schema(out) is None
+
+
+def test_heal_metadata_update_finishes_authoritative_publish(
+    spark, tmp_path
+):
+    """r15 review: a full-rewrite update records its authority +
+    merged schema in the write-ahead marker, so a crash anywhere
+    after the renames still ends with a truthful _schema.json — heal
+    replays the renames AND the publish."""
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        heal_metadata_update,
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "healpub")
+    _mk_media_df(spark, 6).repartition(1).write.format(
+        "dpf_shards"
+    ).mode("append").save(out)
+    os.remove(os.path.join(out, "_schema.json"))  # predrop happened
+    new_schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "caption", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    with open(os.path.join(out, "_metadata_update.json"), "w") as fh:
+        json.dump(
+            {"state": "renaming", "map": {}, "authoritative": True,
+             "schema": new_schema, "meta_format": "csv"},
+            fh,
+        )
+    assert heal_metadata_update(out)
+    pub = read_published_schema(out)
+    assert pub is not None
+    assert dict((f.name, f.dataType.simpleString()) for f in pub.fields)[
+        "k"
+    ] == "bigint"
+
+
+def test_stream_replay_guard_refuses_foreign_targets(spark, tmp_path):
+    """r15 review: a crash-replay must NOT force-publish its recorded
+    schema when the plan's target files were placed by a successor
+    query (its temps were swept; the files on disk carry different
+    columns)."""
+    import json
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        ShardsStreamWriter,
+        read_published_schema,
+    )
+
+    register_shards_source(spark)
+    sink = str(tmp_path / "foreign")
+    os.makedirs(sink)
+    schema = StructType(
+        [StructField("name", StringType()), StructField("k", IntegerType())]
+    )
+    w = ShardsStreamWriter(
+        schema,
+        {"path": sink, "checkpointlocation": f"{sink}-ckpt",
+         "content": "false"},
+        overwrite=False,
+    )
+    # the successor's file occupies the plan's target with OTHER cols
+    with open(os.path.join(sink, "0.csv"), "w") as fh:
+        fh.write("other,cols\n1,2\n")
+    os.makedirs(os.path.join(sink, "_shards_commits"), exist_ok=True)
+    with open(w._marker(0), "w") as fh:
+        json.dump(
+            {
+                "state": "renaming",
+                "map": {os.path.join(sink, ".gone.csv.tmp"):
+                        os.path.join(sink, "0.csv")},
+                "authoritative": True,
+                "schema": schema.jsonValue(),
+            },
+            fh,
+        )
+    w.commit([], batchId=0)
+    assert read_published_schema(sink) is None  # guard refused
