@@ -268,6 +268,43 @@ def _predrop_schema_if_changed(path: str, meta_schema: StructType) -> bool:
     return False
 
 
+def _table_column_names(fs, tbl: str, meta_fmt: str) -> list | None:
+    """Column names of one shard table (csv first record / parquet
+    footer), or None when unreadable — the one implementation behind
+    both the replay-guard and the repair op's uniformity sweep."""
+    import csv as _csv
+    import io
+
+    try:
+        if meta_fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            return list(pq.read_schema(open_source(tbl)).names)
+        with fs.open_read(tbl) as fh:
+            return next(
+                _csv.reader(io.TextIOWrapper(fh, encoding="utf-8")), []
+            )
+    except Exception:  # noqa: BLE001 — unreadable table: no claim
+        return None
+
+
+def _refuse_unhealed_update(fs, path: str, what: str) -> None:
+    """Writers must not mutate a dataset whose crashed metadata
+    update is still outstanding: the marker's rename plan will be
+    replayed by the next heal, and new shards landing in between
+    would be misdescribed by the heal's recorded-schema publish (and
+    could interleave with the replayed renames). Readers already
+    refuse via _list_shards; appends compute their start index
+    without it, so they check here."""
+    if fs.exists(fs_join(path, _UPDATE_MARKER)):
+        raise RuntimeError(
+            f"{what} refused: unfinished metadata update at {path} —"
+            " run heal_metadata_update(path) first (a crashed"
+            " updater's rename plan is outstanding; writing now would"
+            " race its heal)"
+        )
+
+
 def _plan_targets_match(
     fs, mapping: dict, schema_names: list, meta_fmt: str
 ) -> bool:
@@ -279,31 +316,13 @@ def _plan_targets_match(
     numbers) would force-publish a schema describing ZERO of the
     files on disk. Plan-sized driver reads, only on the replay path
     of an authoritative (fresh-dir) batch."""
-    import csv as _csv
-    import io
-
     want = list(schema_names)
     for final in mapping.values():
         if not final.endswith(f".{meta_fmt}"):
             continue
         if not fs.exists(final):
             return False
-        try:
-            if meta_fmt == "parquet":
-                import pyarrow.parquet as pq
-
-                names = list(pq.read_schema(open_source(final)).names)
-            else:
-                with fs.open_read(final) as fh:
-                    names = next(
-                        _csv.reader(
-                            io.TextIOWrapper(fh, encoding="utf-8")
-                        ),
-                        [],
-                    )
-        except Exception:  # noqa: BLE001 — unreadable target: no claim
-            return False
-        if names != want:
+        if _table_column_names(fs, final, meta_fmt) != want:
             return False
     return True
 
@@ -360,9 +379,6 @@ def publish_shard_schema(
     dataset is mixed, when headers carry duplicate names, or when the
     inferred types are not csv-publishable — it never reports success
     without a published file."""
-    import csv as _csv
-    import io
-
     register_shards_source(spark)
     path = strip_file_scheme(shard_dir)
     lease = acquire_writer_lease(
@@ -383,19 +399,19 @@ def publish_shard_schema(
         header_orders: set[tuple] = set()
         for stem in stems:
             tbl = fs_join(path, f"{stem}.{meta_format}")
-            if meta_format == "parquet":
+            if meta_format == "parquet" and first_parquet_schema is None:
                 import pyarrow.parquet as pq
 
-                pq_schema = pq.read_schema(open_source(tbl))
-                if first_parquet_schema is None:
-                    first_parquet_schema = pq_schema
-                names = list(pq_schema.names)
+                first_parquet_schema = pq.read_schema(open_source(tbl))
+                names = list(first_parquet_schema.names)
             else:
-                with fs.open_read(tbl) as fh:
-                    reader = _csv.reader(
-                        io.TextIOWrapper(fh, encoding="utf-8")
-                    )
-                    names = next(reader, [])
+                names = _table_column_names(fs, tbl, meta_format)
+            if names is None:
+                raise ValueError(
+                    f"unreadable shard table {stem}.{meta_format} at"
+                    f" {path} — repair it (or compact) before"
+                    " publishing a schema"
+                )
             if len(names) != len(set(names)):
                 raise ValueError(
                     f"shard table {stem}.{meta_format} at {path} has"
@@ -1492,6 +1508,11 @@ class ShardsWriter(DataSourceArrowWriter):
             _verify_lease_held(
                 self._path, self._lease_token, "batch write commit"
             )
+        if not self._overwrite:
+            # appends compute their start index without _list_shards,
+            # so they must refuse an unhealed update here (overwrite
+            # clears the stale marker below instead)
+            _refuse_unhealed_update(fs, self._path, "batch append")
         manifest = sorted(
             entry
             for m in messages
@@ -1743,7 +1764,16 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
                 # plan's targets verifiably carry the recorded columns
                 # — a successor query may have swept this attempt's
                 # temps and placed its OWN files on these numbers.
-                if state.get("authoritative") and "schema" in state:
+                # ...and no-clobber: a successor query may have
+                # written same-NAMED columns with different TYPES and
+                # published its own truthful file — the name-level
+                # target guard can't see types, so an existing file
+                # always wins over a replayed one.
+                if (
+                    state.get("authoritative")
+                    and "schema" in state
+                    and read_published_schema(self._path) is None
+                ):
                     rec = StructType.fromJson(state["schema"])
                     if _plan_targets_match(
                         fs,
@@ -1760,6 +1790,7 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
                 self._write_marker(marker, {"state": "done"})
             self._sweep_all_temps()  # this replay's temps are duplicates
             return
+        _refuse_unhealed_update(fs, self._path, "stream sink commit")
         manifest = sorted(
             entry
             for m in messages
@@ -1869,17 +1900,27 @@ def heal_metadata_update(path: str) -> bool:
             if fs.exists(tmp):
                 fs.replace(tmp, final)
         # a full-rewrite plan records its authority + merged schema:
-        # finish the publish the crashed updater didn't reach (no
-        # target guard needed here — _list_shards refuses every
-        # reader/writer while this marker exists, so nothing can have
-        # replaced the plan's files in between)
+        # finish the publish the crashed updater didn't reach.
+        # Guarded twice, and NEVER a poison pill (the publish is an
+        # optimization — any failure degrades to skip-and-remove-the-
+        # marker, the inference-fallback philosophy):
+        # - no-clobber: writers refuse an unhealed dataset
+        #   (_refuse_unhealed_update), but that landed with this code
+        #   — an append from a pre-upgrade writer (or a takeover
+        #   before the heal) may have gone mixed, and its own predrop
+        #   then left the file absent; publish only into absence;
+        # - a malformed recorded schema is skipped, not raised.
         if plan.get("authoritative") and "schema" in plan:
-            _publish_after_write(
-                path,
-                StructType.fromJson(plan["schema"]),
-                plan.get("meta_format", "csv"),
-                authoritative=True,
-            )
+            try:
+                if read_published_schema(path) is None:
+                    _publish_after_write(
+                        path,
+                        StructType.fromJson(plan["schema"]),
+                        plan.get("meta_format", "csv"),
+                        authoritative=True,
+                    )
+            except Exception:  # noqa: BLE001 — see docstring above
+                pass
         fs.remove(marker)
         had_plan = True
         # the crashed holder's _writer.lock is deliberately NOT

@@ -119,14 +119,14 @@ def write_shards(
         meta.to_csv(os.path.join(out_dir, f"{pid}.csv"), index=False)
         yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
 
-    # a schema-changing append drops the published file BEFORE the
-    # write action (mirrors the native predrop-before-renames): the
-    # legacy tasks write FINAL names directly, so a crash mid-write
-    # would otherwise leave new-schema shards under the old published
-    # file forever
+    # a schema-changing write drops the published file BEFORE the
+    # write action (mirrors the native predrop-before-renames), for
+    # AUTHORITATIVE writes too: the legacy tasks write FINAL names
+    # directly, so a crash mid-write would otherwise leave new-schema
+    # shards under the old published file forever (the force-publish
+    # below only runs on success)
     authoritative = not append or start == 0
-    if not authoritative:
-        _predrop_published_schema(df, out_dir, meta_cols)
+    _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     # cache so the caller's inspection of the summary doesn't re-write
     summary = summary.cache()
@@ -289,8 +289,7 @@ def write_sharded_files(
         yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
 
     authoritative = not append or start == 0
-    if not authoritative:
-        _predrop_published_schema(df, out_dir, meta_cols)
+    _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     summary = summary.cache()
     summary.count()

@@ -1870,10 +1870,13 @@ def test_meta_format_fork_and_update_guards(spark, tmp_path):
     )
 
 
-def test_stream_sink_sweep_spares_update_heal_temps(spark, tmp_path):
-    """Review r14 pass 2: a stream commit's janitor must not delete a
-    crashed metadata update's heal-forward temps — the heal must
-    still be able to complete the recorded plan afterwards."""
+def test_writers_refuse_unhealed_update_then_proceed(spark, tmp_path):
+    """Review r14 pass 2 pinned 'the sink janitor spares heal temps';
+    r15 supersedes it with the stronger contract: writers REFUSE to
+    land anything while a crashed update's rename plan is outstanding
+    (new shards would be misdescribed by the heal's recorded-schema
+    publish) — the crashed state survives the refusal untouched, and
+    after the heal the same commit succeeds."""
     import json
 
     import pandas as pd
@@ -1902,15 +1905,31 @@ def test_stream_sink_sweep_spares_update_heal_temps(spark, tmp_path):
             f,
         )
 
+    # a batch append refuses at commit (plan time already wrote
+    # nothing visible), naming the remedy
+    with pytest.raises(Exception, match="heal_metadata_update"):
+        spark.createDataFrame(
+            [(9, "nope")], schema="id int, text string"
+        ).repartition(1).write.format("dpf_shards").mode(
+            "append"
+        ).save(out)
+
     schema = StructType.fromDDL("id int, text string")
     w = ShardsStreamWriter(schema, {"path": out}, overwrite=False)
     btmp = os.path.join(out, f".{w._token}-p000000-a1-s0.csv.tmp")
     pd.DataFrame({"id": [2], "text": ["batch"]}).to_csv(btmp, index=False)
-    w.commit(
-        [ShardsCommitMessage(shards=[(0, 0, btmp, None, 1)])], batchId=0
-    )
-    assert os.path.exists(utmp)  # the janitor spared the heal input
+    msgs = [ShardsCommitMessage(shards=[(0, 0, btmp, None, 1)])]
+    with pytest.raises(RuntimeError, match="heal_metadata_update"):
+        w.commit(msgs, batchId=0)
+    # the crashed update's state survived both refusals untouched
+    assert os.path.exists(utmp)
+    assert os.path.exists(os.path.join(out, "_metadata_update.json"))
+
     assert heal_metadata_update(out) is True
+    # the stream batch's temp survived the refusal too (the janitor
+    # never ran) — the healed dataset accepts the retried commit
+    pd.DataFrame({"id": [2], "text": ["batch"]}).to_csv(btmp, index=False)
+    w.commit(msgs, batchId=0)
     texts = {
         r.id: r.text
         for r in spark.read.format("dpf_shards")
