@@ -402,8 +402,15 @@ def publish_shard_schema(
             if meta_format == "parquet" and first_parquet_schema is None:
                 import pyarrow.parquet as pq
 
-                first_parquet_schema = pq.read_schema(open_source(tbl))
-                names = list(first_parquet_schema.names)
+                try:
+                    first_parquet_schema = pq.read_schema(
+                        open_source(tbl)
+                    )
+                    names = list(first_parquet_schema.names)
+                except Exception:  # noqa: BLE001 — same error
+                    # contract as every later stem (via the shared
+                    # helper): unreadable -> remedial ValueError below
+                    names = None
             else:
                 names = _table_column_names(fs, tbl, meta_format)
             if names is None:
@@ -1744,6 +1751,11 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
         import json
 
         fs = get_fs(self._path)
+        # BEFORE the replay branch too: a replayed crashed batch must
+        # not land renames (or run the janitor) around an outstanding
+        # update plan any more than a fresh batch may — the operator
+        # heals first, then the restarted query's replay completes
+        _refuse_unhealed_update(fs, self._path, "stream sink commit")
         marker = self._marker(batchId)
         if fs.exists(marker):
             state = json.loads(fs.read_bytes(marker))
@@ -1790,7 +1802,6 @@ class ShardsStreamWriter(ShardsWriter, DataSourceStreamArrowWriter):
                 self._write_marker(marker, {"state": "done"})
             self._sweep_all_temps()  # this replay's temps are duplicates
             return
-        _refuse_unhealed_update(fs, self._path, "stream sink commit")
         manifest = sorted(
             entry
             for m in messages
@@ -1885,9 +1896,13 @@ def heal_metadata_update(path: str) -> bool:
     Healing is DESTRUCTIVE against a live updater (it sweeps its
     temps and replays its rename plan): call directly only when no
     writer is live — the caller asserts the holder is dead, the same
-    contract as ``lease_takeover``. The mutating entry points
-    (``update_shard_metadata_native``, ``compact_shards``, the batch
-    writer's commit) call it under their OWN lease."""
+    contract as ``lease_takeover``. ``update_shard_metadata_native``
+    and ``compact_shards`` call it under their OWN lease; the batch
+    and stream writers instead REFUSE to append while the marker is
+    outstanding (``_refuse_unhealed_update`` — the refusal error
+    names this function as the remedy), and a batch OVERWRITE
+    discards the stale marker wholesale with the dataset it
+    replaces."""
     path = strip_file_scheme(path)
     import json
 
@@ -1901,23 +1916,46 @@ def heal_metadata_update(path: str) -> bool:
                 fs.replace(tmp, final)
         # a full-rewrite plan records its authority + merged schema:
         # finish the publish the crashed updater didn't reach.
-        # Guarded twice, and NEVER a poison pill (the publish is an
-        # optimization — any failure degrades to skip-and-remove-the-
-        # marker, the inference-fallback philosophy):
-        # - no-clobber: writers refuse an unhealed dataset
-        #   (_refuse_unhealed_update), but that landed with this code
-        #   — an append from a pre-upgrade writer (or a takeover
-        #   before the heal) may have gone mixed, and its own predrop
-        #   then left the file absent; publish only into absence;
+        # Guarded three ways, and NEVER a poison pill (the publish is
+        # an optimization — any failure degrades to skip-and-remove-
+        # the-marker, the inference-fallback philosophy):
+        # - no-clobber: a later writer's published file always wins
+        #   (publish only into absence);
+        # - completeness + target sweep: the publish is skipped when
+        #   any shard table exists OUTSIDE the plan (an append landed
+        #   in the crash window — repo writers now refuse, but a
+        #   pre-upgrade writer may not have) or when any plan target
+        #   doesn't verifiably carry the recorded columns (same guard
+        #   as the stream replay); O(#shards) driver reads, on an
+        #   explicit rare heal;
         # - a malformed recorded schema is skipped, not raised.
         if plan.get("authoritative") and "schema" in plan:
             try:
-                if read_published_schema(path) is None:
+                rec = StructType.fromJson(plan["schema"])
+                fmt = plan.get("meta_format", "csv")
+                plan_stems = {
+                    f.rsplit("/", 1)[-1][: -(len(fmt) + 1)]
+                    for f in plan["map"].values()
+                    if f.endswith(f".{fmt}")
+                }
+                disk_stems = {
+                    n[: -(len(fmt) + 1)]
+                    for n in fs.listdir(path)
+                    if n.endswith(f".{fmt}")
+                    and n[: -(len(fmt) + 1)].isdigit()
+                }
+                if (
+                    read_published_schema(path) is None
+                    and disk_stems <= plan_stems
+                    and _plan_targets_match(
+                        fs,
+                        plan["map"],
+                        [f.name for f in rec.fields],
+                        fmt,
+                    )
+                ):
                     _publish_after_write(
-                        path,
-                        StructType.fromJson(plan["schema"]),
-                        plan.get("meta_format", "csv"),
-                        authoritative=True,
+                        path, rec, fmt, authoritative=True
                     )
             except Exception:  # noqa: BLE001 — see docstring above
                 pass

@@ -126,6 +126,7 @@ def write_shards(
     # shards under the old published file forever (the force-publish
     # below only runs on success)
     authoritative = not append or start == 0
+    _refuse_unhealed_update_legacy(out_dir, "write_shards")
     _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     # cache so the caller's inspection of the summary doesn't re-write
@@ -137,6 +138,21 @@ def write_shards(
     # append that started numbering at 0 (the dir was shardless)
     _publish_meta_schema(df, out_dir, meta_cols, authoritative=authoritative)
     return summary
+
+
+def _refuse_unhealed_update_legacy(out_dir: str, what: str) -> None:
+    """The 'writers refuse unhealed updates' contract covers the
+    legacy paths too: their tasks write FINAL names directly, so
+    shards landing around an outstanding update plan would be raced
+    by its heal-forward renames and misdescribed by the heal's
+    recorded-schema publish."""
+    from dataprocessingframework_spark.sources.shards_source import (
+        _refuse_unhealed_update,
+        get_fs,
+    )
+
+    if os.path.isdir(out_dir):
+        _refuse_unhealed_update(get_fs(out_dir), out_dir, what)
 
 
 def _predrop_published_schema(
@@ -236,6 +252,7 @@ def update_shard_metadata(
         rewrite, _SUMMARY_SCHEMA
     )
     summary = summary.cache()
+    _refuse_unhealed_update_legacy(shard_dir, "update_shard_metadata")
     # pre-drop a differing published file BEFORE the in-place rewrite
     # action: this legacy path writes final names directly, so a
     # crash mid-rewrite must leave readers on the inference fallback,
@@ -289,6 +306,7 @@ def write_sharded_files(
         yield pd.DataFrame({"split_name": [str(pid)], "rows": [len(meta)]})
 
     authoritative = not append or start == 0
+    _refuse_unhealed_update_legacy(out_dir, "write_sharded_files")
     _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     summary = summary.cache()

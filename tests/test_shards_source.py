@@ -2518,9 +2518,14 @@ def test_heal_metadata_update_finishes_authoritative_publish(
              "metadata": {}},
         ],
     }
+    # realistic full-rewrite plan: covers the dataset's only shard,
+    # temps already renamed pre-crash (tmp gone, final in place)
     with open(os.path.join(out, "_metadata_update.json"), "w") as fh:
         json.dump(
-            {"state": "renaming", "map": {}, "authoritative": True,
+            {"state": "renaming",
+             "map": {os.path.join(out, ".x-u0-a1.csv.tmp"):
+                     os.path.join(out, "0.csv")},
+             "authoritative": True,
              "schema": new_schema, "meta_format": "csv"},
             fh,
         )
@@ -2580,3 +2585,48 @@ def test_stream_replay_guard_refuses_foreign_targets(spark, tmp_path):
         )
     w.commit([], batchId=0)
     assert read_published_schema(sink) is None  # guard refused
+
+
+def test_replay_janitor_spares_orphan_update_temps(spark, tmp_path):
+    """The stream janitor's '-u' sparing (review r14 pass 2) stays
+    directly covered on its reachable path: a crash-replay commit
+    (no update marker outstanding — writers refuse that case) runs
+    _sweep_all_temps and must leave a crashed updater's heal-forward
+    temps alone."""
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        ShardsStreamWriter,
+    )
+
+    register_shards_source(spark)
+    out = str(tmp_path / "sparereplay")
+    spark.createDataFrame(
+        [(1, "old")], schema="id int, text string"
+    ).repartition(1).write.format("dpf_shards").mode("append").save(out)
+
+    # an updater crashed BEFORE its marker PUT: orphan '-u' temp only
+    utmp = os.path.join(out, ".zzz9-u0-a3.csv.tmp")
+    with open(utmp, "w") as f:
+        f.write('"id","text"\n1,"new"\n')
+
+    schema = StructType.fromDDL("id int, text string")
+    w = ShardsStreamWriter(schema, {"path": out}, overwrite=False)
+    # crashed batch 1: its temp + renaming marker; replay completes it
+    btmp = os.path.join(out, f".{w._token}-p000000-a1-s0.csv.tmp")
+    pd.DataFrame({"id": [2], "text": ["batch"]}).to_csv(btmp, index=False)
+    os.makedirs(os.path.join(out, "_shards_commits"), exist_ok=True)
+    with open(w._marker(1), "w") as fh:
+        json.dump(
+            {"state": "renaming",
+             "map": {btmp: os.path.join(out, "1.csv")}},
+            fh,
+        )
+    w.commit([], batchId=1)
+    assert os.path.exists(os.path.join(out, "1.csv"))  # replay landed
+    assert not os.path.exists(btmp)  # its own temp renamed
+    assert os.path.exists(utmp)  # the '-u' heal input was spared
