@@ -9,6 +9,13 @@ instead of hand-porting ~240 ordered patterns. Everything else in
 this package is an independent implementation; keep this file
 rule-data-only so provenance stays trivial to adjudicate.
 
+License: the upstream project, ai-forever/DataProcessingFramework,
+is licensed under the Apache License, Version 2.0
+(http://www.apache.org/licenses/LICENSE-2.0); the rule lists below
+are redistributed here under that license with this attribution
+retained. See also the repo-level LICENSE and NOTICE files.
+Copyright the DataProcessingFramework authors.
+
 Use with the K5 filter (`filters/text_filters.py`):
 
     from dataprocessingframework_spark.filters.regex_corpus import (

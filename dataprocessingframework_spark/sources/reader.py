@@ -52,11 +52,82 @@ class DatasetReader:
     # (`dataset_reader.py:297-325`)
     read_from_config = read
 
-    def read_metadata_shards(self, path: str) -> Dataset:
+    def read_metadata_shards(self, path: str, engine: str = "auto") -> Dataset:
         """Csv-only shard directory (metadata without media archives):
-        the distributed concat + split_name injection of S2 alone."""
+        the distributed concat + split_name injection of S2 alone.
+
+        ``engine`` picks the scan route:
+
+        - ``"dsv2"`` — the Python DataSource: one shard per
+          InputPartition, ``split_name`` predicates prune whole shard
+          files at plan time. The right route for split-pruned reads.
+        - ``"jvm"`` — metadata-only fast path (VERDICT r15 item 6):
+          the native JVM csv reader with the published
+          ``_schema.json`` types pinned — zero inference jobs AND
+          zero Python-worker Arrow hop. ``split_name`` comes from
+          ``input_file_name()``, which the planner cannot turn into
+          shard-file pruning — full scans only. Raises when the path
+          is not local or has no published schema.
+        - ``"auto"`` (default) — ``"jvm"`` when it is a pure win
+          (local path + published schema), else ``"dsv2"``.
+        """
         cfg = ShardsDatasetConfig(path=path)
+        if engine not in ("auto", "dsv2", "jvm"):
+            raise ValueError(
+                f"engine must be auto|dsv2|jvm, got {engine!r}"
+            )
+        if engine != "dsv2":
+            df = self._read_meta_jvm(path)
+            if df is not None:
+                return Dataset(df, cfg)
+            if engine == "jvm":
+                raise ValueError(
+                    "the jvm metadata route needs a local path with a"
+                    f" published _schema.json at {path}; run"
+                    " publish_shard_schema(...) first or use"
+                    " engine='dsv2'"
+                )
         return Dataset(self._read_shard_tables(cfg), cfg)
+
+    def _read_meta_jvm(self, path: str) -> DataFrame | None:
+        """The JVM csv scan behind ``read_metadata_shards(engine=
+        'jvm'|'auto')``. Whole-stage-codegen parses the RFC4180
+        dialect both writers emit (multiLine + doublequote escape),
+        with the published schema pinned so the cold read plans with
+        zero inference jobs. Returns None when ineligible (remote
+        path — the JVM reader has no fakeobj:///fsspec driver — or no
+        published schema)."""
+        from dataprocessingframework_spark.sources.shard_fs import (
+            get_fs,
+            strip_file_scheme,
+        )
+        from dataprocessingframework_spark.sources.shards_source import (
+            read_published_schema,
+        )
+
+        p = strip_file_scheme(path)
+        if get_fs(p).local_path(p) is None:
+            return None
+        schema = read_published_schema(p)
+        if schema is None:
+            return None
+        return (
+            self.spark.read.options(
+                header=True, multiLine=True, escape='"'
+            )
+            .schema(schema)
+            .csv(os.path.join(p, "*.csv"))
+            .withColumn(
+                SPLIT_COLUMN,
+                # nullif: an unmatchable file name surfaces as null,
+                # and the column is nullable like the DSv2 source's —
+                # the two routes expose identical schemas
+                F.expr(
+                    "nullif(regexp_extract(input_file_name(),"
+                    r" '([^/]+)\\.csv$', 1), '')"
+                ),
+            )
+        )
 
     # ------------------------------------------------------------------ files
     def read_files(self, config: FilesDatasetConfig) -> Dataset:

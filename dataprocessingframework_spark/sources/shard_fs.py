@@ -49,6 +49,7 @@ the heal paths only ever act on stems recorded in a manifest.
 
 from __future__ import annotations
 
+import contextlib
 import io
 import os
 import re
@@ -73,10 +74,80 @@ def join(base: str, *parts: str) -> str:
     return out
 
 
+def _content_tag(data: bytes) -> str:
+    """CAS tag for backends without a native ETag/generation: a
+    content hash, so compare-and-set compares what was actually
+    read, never an mtime that can collide under fast successive
+    writes."""
+    import hashlib
+
+    return hashlib.sha256(data).hexdigest()
+
+
+@contextlib.contextmanager
+def _cas_guard(backing: str):
+    """Serialize compare-and-set on a local backing file with an
+    exclusive ``flock`` on a bookkeeping sidecar (``_``-prefixed like
+    the other dataset bookkeeping entries, so shard listings skip it;
+    created once, never removed — removing it would race a concurrent
+    locker onto a fresh inode and break mutual exclusion). All CAS
+    mutations of the same object funnel through this guard, which is
+    what makes
+    ``put_cas``/``remove_cas`` ENFORCED compare-and-set on the posix
+    and fakeobj backends (fakeobj's backing dir is local disk, so
+    flock spans the driver and every executor Python process on the
+    same host; multi-host fakeobj is not a supported topology)."""
+    import fcntl
+
+    d, b = os.path.split(backing)
+    os.makedirs(d, exist_ok=True)
+    fd = os.open(
+        os.path.join(d, f"_{b}.caslock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _local_get_cas(backing: str) -> tuple[bytes, str] | None:
+    try:
+        with open(backing, "rb") as f:
+            data = f.read()
+    except FileNotFoundError:
+        return None
+    return data, _content_tag(data)
+
+
+def _local_put_cas(
+    backing: str, data: bytes, tag: str | None, put
+) -> bool:
+    with _cas_guard(backing):
+        cur = _local_get_cas(backing)
+        cur_tag = None if cur is None else cur[1]
+        if cur_tag != tag:
+            return False
+        put(data)
+        return True
+
+
+def _local_remove_cas(backing: str, tag: str, remove) -> bool:
+    with _cas_guard(backing):
+        cur = _local_get_cas(backing)
+        if cur is None or cur[1] != tag:
+            return False
+        remove()
+        return True
+
+
 class LocalShardFS:
     """Posix backend — real files, atomic ``os.replace``."""
 
     atomic_rename = True
+    supports_cas = True
+    supports_cas_delete = True
 
     def local_path(self, path: str) -> str | None:
         """The path as something ``open``/``tarfile``/``pyarrow`` can
@@ -132,6 +203,27 @@ class LocalShardFS:
             f.write(data)
         os.replace(tmp, path)
 
+    # --- compare-and-set (writer-lease mutex; see shards_source) ---
+    def get_cas(self, path: str) -> tuple[bytes, str] | None:
+        """Read ``path`` with a CAS tag for :meth:`put_cas` /
+        :meth:`remove_cas`. None when absent."""
+        return _local_get_cas(path)
+
+    def put_cas(self, path: str, data: bytes, tag: str | None) -> bool:
+        """Atomic compare-and-set PUT: land ``data`` only if the
+        current content still carries ``tag`` (None = only if the
+        object is absent). Returns False when the precondition
+        failed — the caller lost a race and must re-read."""
+        return _local_put_cas(
+            path, data, tag, lambda d: self.put_atomic(path, d)
+        )
+
+    def remove_cas(self, path: str, tag: str) -> bool:
+        """Atomic compare-and-delete (posix/fakeobj only — S3-class
+        stores have no conditional DELETE; callers fall back to a
+        released-marker PUT there)."""
+        return _local_remove_cas(path, tag, lambda: os.remove(path))
+
 
 class _PutOnClose(io.BytesIO):
     """Buffer that publishes itself as one atomic PUT on a SUCCESSFUL
@@ -185,9 +277,16 @@ class FakeObjectStoreFS:
       across them (``atomic_rename = False``), which is exactly the
       window the commit protocol's manifests/markers must tolerate;
     - reads return an in-memory buffer (a GET), never a live handle.
+    - ``put_cas``/``remove_cas`` ENFORCE compare-and-set (flock over
+      the backing file), modeling S3's conditional writes
+      (``If-None-Match``/``If-Match``, GA since 2024) / GCS
+      ``if-generation-match`` — the contention tests run the lease
+      protocol against this enforcement.
     """
 
     atomic_rename = False
+    supports_cas = True
+    supports_cas_delete = True
 
     @staticmethod
     def _backing(path: str) -> str:
@@ -266,6 +365,24 @@ class FakeObjectStoreFS:
             f.write(data)
         os.replace(tmp, b)  # emulates single-PUT atomicity
 
+    # --- compare-and-set (see LocalShardFS docstrings) ---
+    def get_cas(self, path: str) -> tuple[bytes, str] | None:
+        return _local_get_cas(self._backing(path))
+
+    def put_cas(self, path: str, data: bytes, tag: str | None) -> bool:
+        return _local_put_cas(
+            self._backing(path),
+            data,
+            tag,
+            lambda d: self.put_atomic(path, d),
+        )
+
+    def remove_cas(self, path: str, tag: str) -> bool:
+        backing = self._backing(path)
+        return _local_remove_cas(
+            backing, tag, lambda: os.remove(backing)
+        )
+
 
 class FsspecShardFS:
     """Adapter over ``fsspec`` for real object stores (s3/gs/abfs...).
@@ -287,8 +404,13 @@ class FsspecShardFS:
     """
 
     atomic_rename = False
+    supports_cas_delete = False  # S3-class: no conditional DELETE
 
     _SCHEME_ALIASES = {"s3a": "s3", "abfss": "abfs"}
+    # schemes whose backing store supports conditional PUTs through
+    # the s3-style header spelling below (S3 conditional writes are
+    # GA since Nov 2024; s3fs forwards extra kwargs to put_object)
+    _CAS_SCHEMES = {"s3", "s3a"}
 
     def __init__(self, scheme: str) -> None:
         try:
@@ -365,6 +487,56 @@ class FsspecShardFS:
 
     def put_atomic(self, path: str, data: bytes) -> None:
         self._fs.pipe_file(self._strip(path), data)
+
+    # --- compare-and-set (S3 conditional-write spelling) ---
+    @property
+    def supports_cas(self) -> bool:
+        return self._scheme in self._CAS_SCHEMES
+
+    def get_cas(self, path: str) -> tuple[bytes, str] | None:
+        """Content + ETag tag. ``info`` and ``cat_file`` are two
+        calls — an overwrite landing between them yields a STALE tag,
+        which the subsequent conditional PUT then correctly rejects
+        (the caller re-reads); the race costs a retry, never
+        correctness."""
+        p = self._strip(path)
+        try:
+            info = self._fs.info(p)
+        except FileNotFoundError:
+            return None
+        tag = str(info.get("ETag", "")).strip('"')
+        try:
+            data = self._fs.cat_file(p)
+        except FileNotFoundError:
+            return None
+        return data, tag
+
+    def put_cas(self, path: str, data: bytes, tag: str | None) -> bool:
+        """Conditional PUT via S3 conditional writes: ``If-None-Match:
+        *`` when ``tag`` is None (create-exclusive), ``If-Match:
+        <etag>`` otherwise. A 412 PreconditionFailed / 409 conflict
+        maps to False. Mock-verified call shape (see FsspecShardFS
+        class docstring for the honest live-driver caveat)."""
+        kwargs = (
+            {"IfNoneMatch": "*"}
+            if tag is None
+            else {"IfMatch": f'"{tag}"'}
+        )
+        try:
+            self._fs.pipe_file(self._strip(path), data, **kwargs)
+        except FileExistsError:
+            return False
+        except Exception as e:  # botocore spellings vary — normalize
+            msg = str(e)
+            if (
+                "PreconditionFailed" in msg
+                or "412" in msg
+                or "ConditionalRequestConflict" in msg
+                or "409" in msg
+            ):
+                return False
+            raise
+        return True
 
 
 def get_fs(path: str):

@@ -501,20 +501,27 @@ def publish_shard_schema(
 
 
 _WRITER_LOCK = "_writer.lock"
+# separate release tombstone for non-CAS backends only (a tick that
+# re-PUTs the lock can never clobber it) — CAS backends don't need it
+_WRITER_LOCK_TOMBSTONE = "_writer.lock.released"
 
 
-def _read_lease(path: str) -> dict | None:
+def _parse_lease(raw: bytes) -> dict:
     import json
 
-    try:
-        raw = get_fs(path).read_bytes(fs_join(path, _WRITER_LOCK))
-    except (FileNotFoundError, OSError):
-        return None
     try:
         lease = json.loads(raw)
     except Exception:  # noqa: BLE001 — corrupt lock = treat as stale
         return {"owner": "<corrupt lease>", "token": "", "ts": 0.0}
     return lease
+
+
+def _read_lease(path: str) -> dict | None:
+    try:
+        raw = get_fs(path).read_bytes(fs_join(path, _WRITER_LOCK))
+    except (FileNotFoundError, OSError):
+        return None
+    return _parse_lease(raw)
 
 
 def acquire_writer_lease(
@@ -532,18 +539,23 @@ def acquire_writer_lease(
     with the lease holder named, instead of having its temps swept
     mid-flight and dying on a confusing rename error.
 
-    Semantics (honest about the backends): the lock is a single
-    atomic PUT on all three backends, which detects the overlap —
-    it is NOT compare-and-set, so two writers racing the same
-    millisecond can both pass; this is a loud-failure guard for the
-    sequential-sharing contract, not a distributed mutex. A lease
-    older than ``stale_after_sec`` (crashed holder) is taken over
-    silently; a LIVE lease needs ``takeover=True`` (writer option
-    ``lease_takeover``). Long-running holders (batch writer,
-    compaction, metadata updater) keep their lease young via
-    :class:`_LeaseHeartbeat`, so a legitimately slow job is never
-    mistaken for a crashed one. Returns the token to pass to
-    :func:`release_writer_lease`."""
+    Semantics: on CAS-capable backends (posix and fakeobj — flock-
+    enforced; S3-class via conditional PUTs, ``If-None-Match`` /
+    ``If-Match``, GA since 2024) the lock is a REAL compare-and-set
+    mutex: acquisition lands only against the exact lease state that
+    was read, so two racing writers can never both pass, and a
+    takeover can never be overwritten back by the old holder's
+    heartbeat. On backends without CAS (non-s3 fsspec drivers) it
+    degrades to the single-atomic-PUT loud-failure guard of earlier
+    rounds — overlap is detected, the loser of a same-millisecond
+    race is caught by :func:`_verify_lease_held` before its first
+    mutation. A lease older than ``stale_after_sec`` (crashed
+    holder) is taken over silently; a LIVE lease needs
+    ``takeover=True`` (writer option ``lease_takeover``).
+    Long-running holders (batch writer, compaction, metadata
+    updater) keep their lease young via :class:`_LeaseHeartbeat`, so
+    a legitimately slow job is never mistaken for a crashed one.
+    Returns the token to pass to :func:`release_writer_lease`."""
     import json
     import os as _os
     import socket
@@ -552,8 +564,20 @@ def acquire_writer_lease(
 
     fs = get_fs(path)
     fs.makedirs(path)
-    existing = _read_lease(path)
-    if existing is not None:
+    token = uuid.uuid4().hex
+
+    def payload() -> bytes:
+        return json.dumps(
+            {
+                "token": token,
+                "owner": f"{owner}@{socket.gethostname()}"
+                f":pid={_os.getpid()}",
+                "ts": time.time(),
+                "self_id": self_id,
+            }
+        ).encode()
+
+    def check_live(existing: dict) -> None:
         age = time.time() - float(existing.get("ts", 0.0))
         same_self = (
             self_id is not None and existing.get("self_id") == self_id
@@ -570,19 +594,30 @@ def acquire_writer_lease(
                 " it, or pass lease takeover (writer option"
                 " 'lease_takeover', or takeover=True) if it crashed."
             )
-    token = uuid.uuid4().hex
-    fs.put_atomic(
-        fs_join(path, _WRITER_LOCK),
-        json.dumps(
-            {
-                "token": token,
-                "owner": f"{owner}@{socket.gethostname()}"
-                f":pid={_os.getpid()}",
-                "ts": time.time(),
-                "self_id": self_id,
-            }
-        ).encode(),
-    )
+
+    if getattr(fs, "supports_cas", False):
+        lock = fs_join(path, _WRITER_LOCK)
+        # retry a handful of CAS losses (a 60 s-interval heartbeat
+        # refresh landing between our read and our conditional PUT);
+        # persistent loss means real contention — raise loudly
+        for _ in range(5):
+            cur = fs.get_cas(lock)
+            if cur is not None:
+                check_live(_parse_lease(cur[0]))
+            if fs.put_cas(lock, payload(), None if cur is None else cur[1]):
+                return token
+            time.sleep(0.05)
+        raise RuntimeError(
+            f"could not acquire the writer lease for {path}: the lock"
+            " is being actively contended (another writer acquired or"
+            " refreshed it on every attempt) — one active writer per"
+            " dataset dir"
+        )
+
+    existing = _read_lease(path)
+    if existing is not None:
+        check_live(existing)
+    fs.put_atomic(fs_join(path, _WRITER_LOCK), payload())
     return token
 
 
@@ -594,16 +629,23 @@ class _LeaseHeartbeat:
     over and its temps swept mid-flight; the heartbeat re-PUTs the
     lease with a fresh timestamp every ``interval`` seconds while the
     holder works. Daemon thread: a driver crash kills it, the lease
-    ages out, and stale takeover does its job. Refresh is
-    read-check-put (not compare-and-set — the same honest caveat as
-    ``acquire_writer_lease``): it refreshes only while the stored
-    token is still ours and exits the moment it reads a foreign one.
-    Honest caveat: a takeover PUT landing between a tick's read and
-    its re-PUT gets overwritten back — the takeover LOSES that race
-    and the old holder keeps the lease. The mutating entry points all
-    re-verify the stored token before their first mutation
-    (:func:`_verify_lease_held`), so whichever side lost the race
-    fails loudly instead of interleaving renames."""
+    ages out, and stale takeover does its job.
+
+    On CAS backends the refresh is a true compare-and-set: it lands
+    only against the exact lease bytes the tick read, so a takeover
+    or a release (possibly from ANOTHER process — commit()/abort()
+    may run in a different Python worker than the one holding this
+    thread) can never be overwritten back; a failed CAS ends the
+    thread for good. On non-CAS backends the refresh is
+    read-check-put, hardened against the cross-process release race
+    (ADVICE r15) with a tombstone double-check: release PUTs a
+    separate ``_writer.lock.released`` object BEFORE removing the
+    lock, and a tick re-checks it after its re-PUT — a resurrected
+    lease is aged out (ts=0) and the thread exits. Residual non-CAS
+    caveat: a takeover PUT racing a tick's re-PUT can still lose;
+    the mutating entry points all re-verify the stored token before
+    their first mutation (:func:`_verify_lease_held`), so whichever
+    side lost fails loudly instead of interleaving renames."""
 
     def __init__(self, path: str, token: str, interval: float) -> None:
         import threading
@@ -619,20 +661,70 @@ class _LeaseHeartbeat:
         )
         self._thread.start()
 
+    def _released_elsewhere(self, fs) -> bool:
+        """Non-CAS cross-process release check: has some process
+        released OUR token via the tombstone object?"""
+        import json
+
+        try:
+            raw = fs.read_bytes(
+                fs_join(self._path, _WRITER_LOCK_TOMBSTONE)
+            )
+        except (FileNotFoundError, OSError):
+            return False
+        try:
+            return json.loads(raw).get("token") == self._token
+        except Exception:  # noqa: BLE001 — corrupt tombstone
+            return False
+
     def _run(self) -> None:
         import json
         import time
 
         while not self._stop_evt.wait(self._interval):
             try:
+                fs = get_fs(self._path)
+                lock = fs_join(self._path, _WRITER_LOCK)
+                if getattr(fs, "supports_cas", False):
+                    cur = fs.get_cas(lock)
+                    if cur is None:
+                        return  # released: never resurrect
+                    lease = _parse_lease(cur[0])
+                    if lease.get("token") != self._token:
+                        return  # lost to a takeover: never resurrect
+                    lease["ts"] = time.time()
+                    if not fs.put_cas(
+                        lock, json.dumps(lease).encode(), cur[1]
+                    ):
+                        return  # lost the CAS race (takeover or a
+                        # cross-process release): never resurrect
+                    continue
+                # non-CAS backend: read-check-put + tombstone
                 lease = _read_lease(self._path)
                 if lease is None or lease.get("token") != self._token:
                     return  # lost or released: never resurrect
+                if self._released_elsewhere(fs):
+                    return  # released cross-process: don't re-PUT
                 lease["ts"] = time.time()
-                get_fs(self._path).put_atomic(
-                    fs_join(self._path, _WRITER_LOCK),
-                    json.dumps(lease).encode(),
-                )
+                fs.put_atomic(lock, json.dumps(lease).encode())
+                if self._released_elsewhere(fs):
+                    # a release landed between our read and our
+                    # re-PUT (its tombstone is PUT before its lock
+                    # removal, so it is visible by now): our re-PUT
+                    # resurrected a released lease — age it out so
+                    # the next acquirer's stale path reclaims it,
+                    # and exit for good
+                    cur2 = _read_lease(self._path)
+                    if (
+                        cur2 is not None
+                        and cur2.get("token") == self._token
+                    ):
+                        cur2["ts"] = 0.0
+                        cur2["released"] = True
+                        fs.put_atomic(
+                            lock, json.dumps(cur2).encode()
+                        )
+                    return
             except Exception:  # noqa: BLE001 — transient backend
                 pass  # error: the next tick retries; worst case the
                 # lease ages out and the commit-time re-check fails loud
@@ -707,15 +799,67 @@ def _verify_lease_held(path: str, token: str, what: str) -> None:
 
 
 def release_writer_lease(path: str, token: str) -> None:
-    """Remove the lease IF still ours (a takeover may have replaced
-    it — never delete the new holder's lock). Best-effort by design:
-    it runs in finally/abort paths where the backend may be mid-
-    failure, and a leaked lease is recoverable (stale timeout or
-    explicit takeover) while a raise here would mask the real error."""
+    """Release the lease IF still ours (a takeover may have replaced
+    it — never delete the new holder's lock). Release must be robust
+    to an ORPHANED heartbeat ticking in another process (ADVICE r15:
+    PySpark may run commit()/abort() in a different Python worker
+    than the planner that started the thread, where
+    _stop_lease_heartbeat is a no-op):
+
+    - CAS + conditional-delete backends (posix, fakeobj): compare-
+      and-delete against the exact lease read; an orphan tick's CAS
+      refresh then fails and the thread exits — the lock can never
+      be resurrected.
+    - CAS without conditional delete (S3-class): the lock is
+      REPLACED (CAS) with an instantly-stale released marker instead
+      of removed; the orphan tick's next CAS refresh fails on the
+      changed content. The marker object lingers until the next
+      acquire reclaims it via the stale path — documented cost of no
+      conditional DELETE.
+    - non-CAS: PUT the ``_writer.lock.released`` tombstone FIRST,
+      then remove the lock; a tick whose re-PUT resurrected the
+      lease sees the tombstone post-PUT, ages the lease out, and
+      exits (see :class:`_LeaseHeartbeat`).
+
+    Best-effort by design: it runs in finally/abort paths where the
+    backend may be mid-failure, and a leaked lease is recoverable
+    (stale timeout or explicit takeover) while a raise here would
+    mask the real error."""
+    import json
+
     try:
+        fs = get_fs(path)
+        lock = fs_join(path, _WRITER_LOCK)
+        if getattr(fs, "supports_cas", False):
+            cur = fs.get_cas(lock)
+            if cur is None or _parse_lease(cur[0]).get("token") != token:
+                return  # not ours (takeover/already released): noop
+            if getattr(fs, "supports_cas_delete", False):
+                fs.remove_cas(lock, cur[1])  # False = takeover raced
+                # us between read and delete — leave theirs intact
+            else:
+                fs.put_cas(
+                    lock,
+                    json.dumps(
+                        {
+                            "token": f"released:{token}",
+                            "owner": _parse_lease(cur[0]).get("owner"),
+                            "ts": 0.0,
+                            "released": True,
+                        }
+                    ).encode(),
+                    cur[1],
+                )
+            return
+        # non-CAS: tombstone BEFORE removal (ordering is load-bearing,
+        # see _LeaseHeartbeat._run)
+        fs.put_atomic(
+            fs_join(path, _WRITER_LOCK_TOMBSTONE),
+            json.dumps({"token": token}).encode(),
+        )
         existing = _read_lease(path)
         if existing is not None and existing.get("token") == token:
-            get_fs(path).remove(fs_join(path, _WRITER_LOCK))
+            fs.remove(lock)
     except Exception:  # noqa: BLE001 — janitorial, see docstring
         pass
 

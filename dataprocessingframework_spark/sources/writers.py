@@ -57,6 +57,32 @@ def _next_shard_index(out_dir: str) -> int:
     return mx + 1
 
 
+def _purge_existing_shards(out_dir: str) -> None:
+    """A non-append legacy write is an OVERWRITE: mirror the native
+    path's delete-the-old-generation-first rule so stale
+    higher-numbered shards from a previous larger run can't survive
+    under the new authoritative ``_schema.json`` (the new write
+    numbers from 0 and would otherwise leave e.g. ``7.csv`` from an
+    8-shard predecessor to be parsed with the new write's pinned
+    types instead of the inference fallback). Numeric-stem files
+    (``N.csv``/``N.tar``) and member dirs (``N/``) only — the
+    published schema file and any foreign files are left to the
+    predrop/publish machinery."""
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return
+    for f in os.listdir(out_dir):
+        stem = f.split(".")[0]
+        if not stem.isdigit():
+            continue
+        p = os.path.join(out_dir, f)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+
+
 def _shard_count(df: DataFrame, max_files_in_shard: int) -> int:
     n = df.count()
     return max(1, math.ceil(n / max_files_in_shard))
@@ -127,6 +153,8 @@ def write_shards(
     # below only runs on success)
     authoritative = not append or start == 0
     _refuse_unhealed_update_legacy(out_dir, "write_shards")
+    if not append:
+        _purge_existing_shards(out_dir)
     _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     # cache so the caller's inspection of the summary doesn't re-write
@@ -307,6 +335,8 @@ def write_sharded_files(
 
     authoritative = not append or start == 0
     _refuse_unhealed_update_legacy(out_dir, "write_sharded_files")
+    if not append:
+        _purge_existing_shards(out_dir)
     _predrop_published_schema(df, out_dir, meta_cols)
     summary = df.repartition(num).mapInPandas(write_partition, _SUMMARY_SCHEMA)
     summary = summary.cache()

@@ -2,9 +2,12 @@
 mock (the real package is absent in this container — the adapter would
 otherwise ship as dead code). The mock implements the exact fsspec
 surface the adapter calls (filesystem(), ls, isdir, makedirs, exists,
-rm_file, rm, cat_file, pipe_file, copy), backed by a dict, so scheme
-aliasing, basename listing, recursive dir replace, and error
-normalization are all exercised."""
+rm_file, rm, cat_file, pipe_file, copy, info), backed by a dict, so
+scheme aliasing, basename listing, recursive dir replace, error
+normalization, and the S3 conditional-write (CAS) call shape are all
+exercised — the mock models S3's documented conditional-PUT semantics
+(ETag per object; ``IfNoneMatch='*'`` rejects overwrites,
+``IfMatch=<etag>`` rejects mismatches with a 412-style error)."""
 
 import sys
 import types
@@ -60,7 +63,37 @@ class _MockFS:
             raise FileNotFoundError(path)
         return self.objs[path]
 
-    def pipe_file(self, path, data):
+    @staticmethod
+    def _etag(data: bytes) -> str:
+        import hashlib
+
+        return hashlib.md5(data).hexdigest()
+
+    def info(self, path):
+        if path not in self.objs:
+            raise FileNotFoundError(path)
+        return {
+            "name": path,
+            "size": len(self.objs[path]),
+            "ETag": f'"{self._etag(self.objs[path])}"',
+        }
+
+    def pipe_file(self, path, data, **kwargs):
+        # model S3 conditional writes: these raise BEFORE mutating
+        if "IfNoneMatch" in kwargs and path in self.objs:
+            raise OSError(
+                "An error occurred (PreconditionFailed) when calling "
+                "the PutObject operation: At least one of the "
+                "pre-conditions you specified did not hold"
+            )
+        if "IfMatch" in kwargs:
+            want = str(kwargs["IfMatch"]).strip('"')
+            cur = self.objs.get(path)
+            if cur is None or self._etag(cur) != want:
+                raise OSError(
+                    "An error occurred (PreconditionFailed) when "
+                    "calling the PutObject operation: 412"
+                )
         self.objs[path] = bytes(data)
 
     def copy(self, src, dst, recursive=False):
@@ -141,6 +174,40 @@ def test_fsspec_adapter_surface(mock_fsspec):
     fs.rmtree(join(root, "3"))
     assert not fs.exists(join(root, "3/0.tar"))
     fs.rmtree(join(root, "3"))  # idempotent
+
+
+def test_fsspec_cas_call_shape(mock_fsspec):
+    """The S3 conditional-write spelling: put_cas(None) maps to
+    IfNoneMatch='*', put_cas(tag) to IfMatch='<etag>'; a 412-style
+    precondition failure maps to False, not an exception; non-s3
+    schemes report supports_cas False (no conditional-write story)."""
+    from dataprocessingframework_spark.sources.shard_fs import (
+        get_fs,
+        join,
+    )
+
+    store, _ = mock_fsspec
+    root = "s3://bucket/data"
+    fs = get_fs(root)
+    assert fs.supports_cas is True
+    assert fs.supports_cas_delete is False
+    lock = join(root, "_writer.lock")
+
+    assert fs.get_cas(lock) is None
+    assert fs.put_cas(lock, b"lease-A", None) is True
+    # create-exclusive on an existing object: precondition fails
+    assert fs.put_cas(lock, b"lease-B", None) is False
+    assert fs.read_bytes(lock) == b"lease-A"
+
+    data, tag = fs.get_cas(lock)
+    assert data == b"lease-A"
+    assert fs.put_cas(lock, b"lease-A2", tag) is True
+    # the old tag no longer matches: refresh/takeover race loses
+    assert fs.put_cas(lock, b"lease-A3", tag) is False
+    assert fs.read_bytes(lock) == b"lease-A2"
+
+    # gs has no conditional-write spelling wired: loud capability no
+    assert get_fs("gs://b/x").supports_cas is False
 
 
 def test_fsspec_adapter_error_normalization(mock_fsspec):

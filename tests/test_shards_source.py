@@ -135,6 +135,48 @@ def test_dsv2_matches_mapinpandas_path(spark, shard_dir):
     assert v2_meta_types == leg_types
 
 
+def test_meta_jvm_route_matches_dsv2(spark, tmp_path):
+    """VERDICT r15 item 6: read_metadata_shards(engine='jvm') — the
+    native JVM csv scan with the published schema pinned — returns
+    byte-identical rows AND types to the DSv2 route, including
+    adversarial captions (embedded quote/comma/newline). 'auto'
+    prefers it exactly when local + published; remote or unpublished
+    datasets fall back to DSv2, and engine='jvm' is loud there."""
+    out = str(tmp_path / "native")
+    df = _mk_media_df(spark).repartition(1)
+    register_shards_source(spark)
+    (
+        df.write.format("dpf_shards")
+        .option("max_files_in_shard", "6")
+        .mode("append")
+        .save(out)
+    )
+    rd = DatasetReader(spark)
+    jvm = rd.read_metadata_shards(out, engine="jvm").df
+    v2 = rd.read_metadata_shards(out, engine="dsv2").df
+    assert jvm.schema == v2.schema
+    cols = jvm.columns
+    assert set(map(tuple, jvm.collect())) == set(map(tuple, v2.collect()))
+    assert "split_name" in cols and jvm.count() == 24
+    # zero Python DataSource in the jvm plan; BatchScan in the dsv2 one
+    assert "dpf_shards" not in jvm._jdf.queryExecution().executedPlan().toString()
+    # auto picks jvm here (published + local): same plan shape
+    auto = rd.read_metadata_shards(out).df
+    assert (
+        "dpf_shards"
+        not in auto._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # unpublished dataset: auto falls back to DSv2, jvm is loud
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    with open(f"{bare}/0.csv", "w") as f:
+        f.write("name,k\na.bin,1\n")
+    assert rd.read_metadata_shards(bare).df.count() == 1
+    with pytest.raises(ValueError, match="publish_shard_schema"):
+        rd.read_metadata_shards(bare, engine="jvm")
+
+
 def test_error_tolerant_member_contract(spark, tmp_path):
     """A csv row whose member is absent from the tar yields
     content=None / is_correct=False / error set — the reference's
@@ -1454,6 +1496,138 @@ def test_writer_lease_blocks_concurrent_writers(spark, tmp_path):
         "append"
     ).save(plain)
     assert spark.read.format("dpf_shards").load(plain).count() == 12
+
+
+@pytest.mark.parametrize("scheme", ["posix", "fakeobj"])
+def test_lease_cas_takeover_never_overwritten_back(tmp_path, scheme):
+    """VERDICT r15 item 2: on CAS backends the lease is a real mutex.
+    A raced takeover can NEVER be overwritten back by the old
+    holder's heartbeat — the orphan tick's compare-and-set fails on
+    the takeover's content and the thread exits for good."""
+    import json
+    import time
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        _LeaseHeartbeat,
+        _read_lease,
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    out = (
+        str(tmp_path / "ds")
+        if scheme == "posix"
+        else f"fakeobj://{tmp_path}/ds"
+    )
+    token_a = acquire_writer_lease(out, "holder-a")
+    # aggressive orphan heartbeat: ~100 ticks over the assert window
+    hb = _LeaseHeartbeat(out, token_a, interval=0.005)
+    try:
+        time.sleep(0.05)  # let it refresh a few times
+        token_b = acquire_writer_lease(out, "holder-b", takeover=True)
+        deadline = time.time() + 1.0
+        while time.time() < deadline:
+            held = _read_lease(out)
+            assert held is not None and held.get("token") == token_b, (
+                "takeover was overwritten back by the old heartbeat: "
+                f"{held}"
+            )
+            time.sleep(0.01)
+        # and the orphan thread has exited (CAS failure ends it)
+        assert not hb._thread.is_alive()
+    finally:
+        hb.stop()
+    release_writer_lease(out, token_b)
+    assert _read_lease(out) is None  # cas-delete removed it
+
+    # acquire-vs-acquire: two same-instant creates can't both win
+    t1 = acquire_writer_lease(out, "w1")
+    with pytest.raises(RuntimeError, match="w1"):
+        acquire_writer_lease(out, "w2")
+    release_writer_lease(out, t1)
+
+    # corrupt lock = stale: CAS acquire reclaims it
+    from dataprocessingframework_spark.sources.shard_fs import get_fs
+    from dataprocessingframework_spark.sources.shard_fs import (
+        join as fs_join,
+    )
+
+    get_fs(out).put_atomic(fs_join(out, "_writer.lock"), b"{garbage")
+    t2 = acquire_writer_lease(out, "w3")
+    assert json.loads(
+        get_fs(out).read_bytes(fs_join(out, "_writer.lock"))
+    )["token"] == t2
+    release_writer_lease(out, t2)
+
+
+def test_lease_release_robust_to_orphan_heartbeat_noncas(tmp_path):
+    """ADVICE r15: commit()/abort() may run in a Python worker where
+    _HEARTBEATS is empty, so release can't stop the planner-process
+    heartbeat thread — on a NON-CAS backend the tombstone ordering
+    (PUT _writer.lock.released BEFORE removing the lock) plus the
+    tick's post-re-PUT double-check guarantee a released lease is
+    never kept young: within a tick or two the lock is either gone
+    or aged out (ts=0), and the thread has exited."""
+    import time
+
+    from dataprocessingframework_spark.sources import shards_source as ss
+
+    out = str(tmp_path / "ds")
+
+    class _NoCasFS:
+        """LocalShardFS minus the CAS capability — the degraded
+        fsspec-driver path."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        supports_cas = False
+        supports_cas_delete = False
+
+        def __getattr__(self, name):
+            if name in ("get_cas", "put_cas", "remove_cas"):
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+    from dataprocessingframework_spark.sources.shard_fs import (
+        LocalShardFS,
+    )
+
+    real_get_fs = ss.get_fs
+    ss_get_fs_patch = lambda p: _NoCasFS(LocalShardFS())  # noqa: E731
+    ss.get_fs = ss_get_fs_patch
+    try:
+        token = ss.acquire_writer_lease(out, "planner")
+        hb = ss._LeaseHeartbeat(out, token, interval=0.005)
+        try:
+            time.sleep(0.03)
+            # release from "another process": the thread keeps running
+            ss.release_writer_lease(out, token)
+            # within a few ticks the lease must be dead for good:
+            # absent, or resurrected-then-aged-out (ts == 0)
+            deadline = time.time() + 2.0
+            settled = False
+            while time.time() < deadline:
+                held = ss._read_lease(out)
+                if held is None or (
+                    held.get("token") == token
+                    and float(held.get("ts", 1)) == 0.0
+                ):
+                    # stay dead: no later tick may re-young it
+                    time.sleep(0.05)
+                    held2 = ss._read_lease(out)
+                    if held2 is None or float(held2.get("ts", 1)) == 0.0:
+                        settled = True
+                        break
+                time.sleep(0.01)
+            assert settled, f"released lease kept young: {ss._read_lease(out)}"
+            # ...and a new writer can acquire immediately (stale path)
+            t2 = ss.acquire_writer_lease(out, "next-writer")
+            ss.release_writer_lease(out, t2)
+        finally:
+            hb.stop()
+    finally:
+        ss.get_fs = real_get_fs
 
 
 def test_update_shard_metadata_native_heals_forward(spark, tmp_path):

@@ -223,6 +223,68 @@ def test_write_shards_append_resumes_numbering(spark, tmp_path):
     assert total == 16
 
 
+def test_write_shards_overwrite_purges_stale_higher_shards(
+    spark, tmp_path
+):
+    """Non-append legacy writes are OVERWRITES (ADVICE r15): a smaller
+    re-write into a populated dir must not leave higher-numbered
+    shards from the previous larger run alive under the new
+    force-published authoritative ``_schema.json`` — readers would
+    parse them with pinned wrong types instead of the inference
+    fallback."""
+    import json
+    import os
+
+    from dataprocessingframework_spark.sources.writers import (
+        write_shards,
+        write_sharded_files,
+    )
+
+    out = str(tmp_path / "ovw")
+    big = spark.range(20).selectExpr("id", "concat('a', id) AS v")
+    write_shards(big, out, max_files_in_shard=5)
+    assert len([f for f in os.listdir(out) if f.endswith(".csv")]) == 4
+
+    # smaller second run, DIFFERENT schema, append=False
+    small = spark.range(5).selectExpr(
+        "id", "cast(id as double) AS score"
+    )
+    write_shards(small, out, max_files_in_shard=5)
+    csvs = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert csvs == ["0.csv"], csvs  # stale 1..3.csv purged
+    with open(os.path.join(out, "_schema.json")) as f:
+        published = json.load(f)
+    names = [c["name"] for c in published["fields"]]
+    assert "score" in names and "v" not in names
+    # every surviving shard is described by the published schema
+    back = spark.read.csv(f"{out}/*.csv", header=True)
+    assert back.columns == ["id", "score"] and back.count() == 5
+
+    # sharded-files twin: member dirs purged too
+    out2 = str(tmp_path / "ovw2")
+    media = spark.range(12).selectExpr(
+        "id",
+        "cast(concat('payload', id) as binary) AS data",
+        "concat(id, '.bin') AS name",
+    )
+    write_sharded_files(
+        media, out2, max_files_in_shard=4, media_col="data", name_col="name"
+    )
+    assert os.path.isdir(os.path.join(out2, "2"))
+    small2 = spark.range(3).selectExpr(
+        "id",
+        "cast('x' as binary) AS data",
+        "concat(id, '.bin') AS name",
+    )
+    write_sharded_files(
+        small2, out2, max_files_in_shard=4, media_col="data", name_col="name"
+    )
+    left = sorted(
+        f for f in os.listdir(out2) if f.split(".")[0].isdigit()
+    )
+    assert left == ["0", "0.csv"], left
+
+
 def test_jsonl_roundtrip(spark, tmp_path, sf_dir):
     """JSONL sink/source: schema-stable round trip, maxRecordsPerFile
     rolls files without a shuffle."""
