@@ -70,7 +70,17 @@ TIERS: dict[str, list[str]] = {
     # commit-protocol write and the one-tar-per-partition media read —
     # regressions in the new lifecycle surface in BENCH_r{N} instead
     # of living only in the soak's PLANS.md record
-    "shards": ["shards_write_native", "shards_read_media_native"],
+    "shards": [
+        "shards_write_native", "shards_read_media_native",
+        # metadata-only scan routes (r16, VERDICT r15 item 6):
+        # legacy = JVM csv glob with per-read inference (the pre-DSv2
+        # implementation), native = JVM csv with the published
+        # _schema.json pinned (read_metadata_shards engine="jvm"),
+        # dsv2 = the Python DataSource route (the Arrow hop priced
+        # honestly)
+        "shards_read_meta_legacy", "shards_read_meta_native",
+        "shards_read_meta_dsv2",
+    ],
 }
 
 # Post-warm-up settle (seconds) for the codegen-rich tiers: the JIT
@@ -255,6 +265,9 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         out["ann_gate_sq8"] = lambda: None
         out["shards_write_native"] = lambda: None
         out["shards_read_media_native"] = lambda: None
+        out["shards_read_meta_legacy"] = lambda: None
+        out["shards_read_meta_native"] = lambda: None
+        out["shards_read_meta_dsv2"] = lambda: None
         return out
 
     # Native shards lifecycle (r14): media-shaped documents (binary
@@ -263,7 +276,13 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     # full job incl. the driver-side rename commit (the protocol's
     # price); the READ entry times metadata+bytes in one scan over a
     # fixture built once in extra.
-    if {"shards_write_native", "shards_read_media_native"} & set(only):
+    _SHARD_READ_ENTRIES = {
+        "shards_read_media_native",
+        "shards_read_meta_legacy",
+        "shards_read_meta_native",
+        "shards_read_meta_dsv2",
+    }
+    if ({"shards_write_native"} | _SHARD_READ_ENTRIES) & set(only):
         import shutil
         import uuid
 
@@ -297,7 +316,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
                 )
 
             out["shards_write_native"] = shards_write
-        if "shards_read_media_native" in only:
+        if _SHARD_READ_ENTRIES & set(only):
             rdir = f"/root/repo/.scratch/bench_shards_r_{shards_tag}"
             sh_paths.append(rdir)
             t0 = time.time()
@@ -321,7 +340,60 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
                     .collect()
                 )
 
-            out["shards_read_media_native"] = shards_read
+            if "shards_read_media_native" in only:
+                out["shards_read_media_native"] = shards_read
+
+            # metadata-only scan routes over the same fixture: the
+            # identical aggregate through three plans
+            from dataprocessingframework_spark.sources.reader import (
+                DatasetReader,
+            )
+
+            def _meta_agg(df):
+                df.agg(
+                    F.sum("n_chars").alias("sum_chars"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct("split_name").alias("n_shards"),
+                ).collect()
+
+            def meta_legacy():
+                # the pre-DSv2 implementation: csv glob + per-read
+                # inference pass + input_file_name split_name
+                df = (
+                    spark.read.options(
+                        header=True, inferSchema=True, multiLine=True,
+                        escape='"',
+                    )
+                    .csv(os.path.join(rdir, "*.csv"))
+                    .withColumn(
+                        "split_name",
+                        F.regexp_extract(
+                            F.input_file_name(), r"([^/]+)\.csv$", 1
+                        ),
+                    )
+                )
+                _meta_agg(df)
+
+            def meta_native():
+                _meta_agg(
+                    DatasetReader(spark)
+                    .read_metadata_shards(rdir, engine="jvm")
+                    .df
+                )
+
+            def meta_dsv2():
+                _meta_agg(
+                    DatasetReader(spark)
+                    .read_metadata_shards(rdir, engine="dsv2")
+                    .df
+                )
+
+            if "shards_read_meta_legacy" in only:
+                out["shards_read_meta_legacy"] = meta_legacy
+            if "shards_read_meta_native" in only:
+                out["shards_read_meta_native"] = meta_native
+            if "shards_read_meta_dsv2" in only:
+                out["shards_read_meta_dsv2"] = meta_dsv2
 
         prev_sh_cleanup = extra.get("_cleanup")
 

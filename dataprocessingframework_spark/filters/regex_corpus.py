@@ -27,15 +27,14 @@ Use with the K5 filter (`filters/text_filters.py`):
 
     f = RegexFilter(rules=reference_corpus("en"))
 
-Semantics note (documented delta, `docs/migration.md`): the
-reference's ``replace_matches`` finds matches on a lowered+stripped
-COPY of the caption and replays the spans onto the original string —
-for captions that are already lowercase and stripped the two
-implementations are equivalent (goldens in
-``tests/test_regex_corpus.py`` pin this); for mixed-case input the
-reference preserves case in unmatched regions (and mis-offsets spans
-when the input has leading whitespace), while this K5 normalizes the
-whole caption first.
+Semantics note (`docs/migration.md`): the reference's
+``replace_matches`` finds matches on a lowered+stripped COPY of the
+caption and replays the spans onto the original string.
+``RegexFilter(preserve_case=True)`` (r16) implements those semantics
+exactly — mixed-case captions come out byte-for-byte equal to the
+reference, quirks included; the default mode normalizes the whole
+caption first (equivalent on already-lowercase stripped input,
+goldens in ``tests/test_regex_corpus.py`` pin both).
 """
 
 from __future__ import annotations

@@ -37,17 +37,41 @@ DEFAULT_CLEAN_RULES: list[tuple[str, str]] = [
 
 
 class RegexFilter(ColumnFilter):
-    """K5 — adds ``clean_caption`` from an ordered rule list."""
+    """K5 — adds ``clean_caption`` from an ordered rule list.
+
+    Two application modes (VERDICT r15 item 4):
+
+    - ``preserve_case=False`` (default): the whole caption is
+      lowered+stripped once, every rule rewrites that normalized
+      string vectorized (`pandas str.replace`, backrefs expand), and
+      the result is stripped. For input that is already lowercase and
+      stripped this is byte-identical to the reference (goldens pin
+      it).
+    - ``preserve_case=True``: the reference's EXACT semantics
+      (`DPF/filters/texts/regex_filter.py:8-13` ``replace_matches``),
+      including its quirks: each rule matches against a FRESH
+      lowered+stripped copy of the current caption but the matched
+      spans are replayed in reverse onto the ORIGINAL string — case
+      is preserved in unmatched regions, a caption with leading
+      whitespace gets mis-offset spans (the strip shifts offsets),
+      the replacement is spliced literally (no backref expansion),
+      and no final strip is applied. Per-row Python loop, same cost
+      shape as the reference's own row-at-a-time filter — prefer the
+      vectorized default unless you need bit-identical mixed-case
+      migration output.
+    """
 
     def __init__(
         self,
         text_column: str = "text",
         rules: list[tuple[str, str]] | None = None,
         result_column: str = "clean_caption",
+        preserve_case: bool = False,
     ) -> None:
         self.text_column = text_column
         self.rules = [(re.compile(p), r) for p, r in (rules or DEFAULT_CLEAN_RULES)]
         self.result_column = result_column
+        self.preserve_case = preserve_case
 
     @property
     def columns_to_process(self) -> list[str]:
@@ -57,7 +81,24 @@ class RegexFilter(ColumnFilter):
     def result_schema(self):
         return [(self.result_column, StringType())]
 
+    def _clean_reference_exact(self, caption: str) -> str:
+        """The reference's ``replace_matches`` fold, quirks intact
+        (see class docstring)."""
+        for pat, repl in self.rules:
+            for m in reversed(list(pat.finditer(caption.lower().strip()))):
+                a, b = m.span()
+                caption = caption[:a] + repl + caption[b:]
+        return caption
+
     def process_pandas(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if self.preserve_case:
+            out = [
+                self._clean_reference_exact(str(t))
+                for t in pdf[self.text_column]
+            ]
+            return pd.DataFrame(
+                {self.result_column: out}, index=pdf.index
+            )
         s = pdf[self.text_column].astype(str).str.lower().str.strip()
         for pat, repl in self.rules:
             s = s.str.replace(pat, repl, regex=True)

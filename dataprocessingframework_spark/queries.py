@@ -1251,6 +1251,64 @@ def q_w_shards_native_roundtrip(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_w_shards_meta_jvm(spark, sf_dir):
+    """Metadata-only JVM fast path (r16 — VERDICT r15 item 6):
+    documents -> native DSv2 shards write (publishes
+    ``_schema.json``) -> ``read_metadata_shards(engine="jvm")`` — the
+    whole-stage-codegen JVM csv scan with the published schema
+    pinned: zero inference jobs, zero Python-worker Arrow hop.
+    Aggregates every metadata column plus the derived split_name, so
+    value identity pins the RFC4180 dialect (quotes/commas/embedded
+    newlines in ``text``), the published-schema types, and the
+    input_file_name-derived shard provenance against the oracle."""
+    import shutil
+    import uuid
+
+    from dataprocessingframework_spark.sources.reader import (
+        DatasetReader,
+    )
+    from dataprocessingframework_spark.sources.shards_source import (
+        register_shards_source,
+    )
+
+    register_shards_source(spark)
+    out = f"/root/repo/.scratch/w_metajvm_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = T(spark, sf_dir, "documents")
+        (
+            docs.repartition(1)
+            .write.format("dpf_shards")
+            .option("max_files_in_shard", "200")
+            .mode("append")
+            .save(out)
+        )
+        back = DatasetReader(spark).read_metadata_shards(
+            out, engine="jvm"
+        ).df
+        res = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.count_distinct("split_name").alias("n_shards"),
+        )
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_W_SHARDS_META_JVM = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len, "
+    "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+    "CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_shards FROM documents"
+)
+
+
 SQL_W_SHARDS_NATIVE = (
     "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
     "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len, "
@@ -11469,6 +11527,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
         q_w_shards_native_roundtrip,
         SQL_W_SHARDS_NATIVE,
     ),
+    "w_shards_meta_jvm": (
+        q_w_shards_meta_jvm,
+        SQL_W_SHARDS_META_JVM,
+    ),
     "w_shards_objectstore_roundtrip": (
         q_w_shards_objectstore_roundtrip,
         SQL_W_SHARDS_OBJECTSTORE,
@@ -11838,9 +11900,43 @@ _R15_WINDOW = [
     "f_lag_features",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+
+# r16 driver window (rotation per VERDICT r15 item 1): positions 1-2
+# are the round's new/changed slots — w_shards_meta_jvm (NEW: the
+# JVM-native metadata fast path, engine="jvm", published-schema
+# pinned scan) and w1_roundtrip_shards (CHANGED: legacy non-append
+# writes now purge the previous generation before the authoritative
+# schema publish, and its read_metadata_shards default engine="auto"
+# now takes the JVM route on published local datasets). Positions
+# 3-50 are the ENTIRE 48-query r11-stale cohort in r11-window order
+# (keys(CORRECTNESS_r11) minus every later CORRECTNESS file). After
+# r16 nothing in the registry is staler than r12. Rotation history in
+# COVERAGE.md.
+_R16_WINDOW = [
+    "w_shards_meta_jvm", "w1_roundtrip_shards",
+    # the ENTIRE r11-stale cohort (48, r11-window order)
+    "emb_ivf_pq_rerank", "emb_kcenter_batched", "emb_ivf_cell_stats",
+    "emb_gate_pq", "emb_gate_margin_report", "emb_code_dedup",
+    "a_sketch_intersection", "w_time_travel", "w_incremental_read",
+    "emb_ivf_topk_seeded", "j_interval_overlap", "ev_ordered_funnel",
+    "pipeline_curation_v2", "a_mad_outliers", "f_gap_fill",
+    "ev_stickiness", "tx_hapax_ratio", "ev_props_json",
+    "tx_ngram_entropy", "f_regex_extract_all", "a_skew_report",
+    "ev_transition_latency", "dd_source_overlap", "stream_sessionize",
+    "w_zorder_layout", "graph_pagerank", "a_sketch_union",
+    "j_fuzzy_match", "w_distribution_ranks", "tx_dup_family_sizes",
+    "ev_rolling_distinct_users", "ev_dominant_users",
+    "dd_incremental_clusters", "h2_min_cost_supplier",
+    "h9_product_profit", "h11_important_stock",
+    "h16_supplier_relationship", "h20_promotion_suppliers",
+    "s1_files_scan", "s4_inmemory", "p1_filter", "p2_df_filter",
+    "p3_projection", "p4_column_expr", "p6_notnull", "j1_filter_merge",
+    "j3_inner_join", "j_semi",
+]
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R15_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R15_WINDOW},
+    **{k: REGISTRY[k] for k in _R16_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R16_WINDOW},
 }
 
 

@@ -56,6 +56,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
+import threading
 from dataclasses import dataclass
 
 from . import shard_fs
@@ -767,6 +768,8 @@ class _LeaseHeartbeat:
 # executors for write(), so a thread can't live on the instance —
 # commit/abort look the heartbeat up by token instead
 _HEARTBEATS: dict[str, _LeaseHeartbeat] = {}
+
+_REGISTER_LOCK = threading.Lock()
 
 
 def _start_lease_heartbeat(
@@ -2700,6 +2703,29 @@ def _next_shard_index_for(out_dir: str) -> int:
     return mx + 1
 
 
+def _ensure_active_session(spark) -> None:
+    """Pin ``spark`` as THIS JVM thread's active session. Python
+    threads ride fresh py4j threads whose active-session thread-local
+    is unset, and ``DataSource.lookupDataSource`` resolves Python
+    sources via the active session — without this, a threaded
+    lifecycle op raises DATA_SOURCE_NOT_FOUND for a source that is
+    registered. Best-effort across session implementations (classic
+    vs connect spell the companion object differently)."""
+    from functools import reduce
+
+    for cls in (
+        "org.apache.spark.sql.classic.SparkSession",
+        "org.apache.spark.sql.SparkSession",
+    ):
+        try:
+            reduce(getattr, cls.split("."), spark._jvm).setActiveSession(
+                spark._jsparkSession
+            )
+            return
+        except Exception:  # noqa: BLE001 — try the next spelling
+            continue
+
+
 def register_shards_source(spark) -> None:
     """Idempotently register ``dpf_shards`` on the session.
 
@@ -2708,16 +2734,36 @@ def register_shards_source(spark) -> None:
     requires this package on every worker's import path. Registering
     the module for by-value pickling makes the source self-contained —
     it works from any driver that merely has the package importable
-    (e.g. a sys.path-injected harness), with no cluster-side install."""
+    (e.g. a sys.path-injected harness), with no cluster-side install.
+
+    Thread-safe for real (r16, found by the lease-contention soak):
+    (a) ``spark.dataSource.register`` REPLACES the registration, so
+    concurrent re-registrations open a transient
+    DATA_SOURCE_NOT_FOUND window for other planners — a per-session
+    sentinel under a module lock makes every later call a true
+    no-op; (b) a Python thread maps to a FRESH py4j JVM thread that
+    does not inherit the active-session thread-local, and Spark
+    resolves Python DataSource names through the active session — so
+    a lifecycle op run from a user thread (a maintenance thread
+    pool, a concurrent writer about to lose the lease loudly) would
+    miss the registration entirely. Every call pins the calling
+    thread's active session first, which is why the lifecycle entry
+    points all call this at their top."""
     import sys
 
     from pyspark import cloudpickle
 
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    cloudpickle.register_pickle_by_value(shard_fs)
-    # self-enable (runtime-settable SQL conf): Spark REFUSES a reader
-    # that implements pushFilters while this flag is false, and the
-    # external harness brings a vanilla session — same pattern as the
-    # events nanosAsLong self-enable (see .claude/skills/verify)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(ShardsDataSource)
+    _ensure_active_session(spark)
+    with _REGISTER_LOCK:
+        if getattr(spark, "_dpf_shards_registered", False):
+            return
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(shard_fs)
+        # self-enable (runtime-settable SQL conf): Spark REFUSES a
+        # reader that implements pushFilters while this flag is
+        # false, and the external harness brings a vanilla session —
+        # same pattern as the events nanosAsLong self-enable (see
+        # .claude/skills/verify)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(ShardsDataSource)
+        spark._dpf_shards_registered = True

@@ -29,6 +29,13 @@ the same on-disk layout into a managed dataset:
    ``update_shard_metadata_native`` merges new metadata columns into
    the shard tables through attempt-unique temps + a write-ahead
    rename plan (crash heals forward), archives byte-untouched.
+8. **Crash repair: updates** (r16) — writers REFUSE to land shards
+   around an outstanding update plan; ``heal_metadata_update`` rolls
+   the recorded rename plan forward and unblocks them.
+9. **Crash repair: schema** (r16) — a ``_schema.json`` absent for an
+   ambiguous reason is never re-published blind by a write path;
+   ``publish_shard_schema`` is the explicit verifying repair that
+   reads every shard header and republishes.
 
 Run directly (writes under a temp dir by default):
 
@@ -168,6 +175,72 @@ def run_pipeline(spark, workdir: str) -> dict:
         F.col("name").isin([f"doc_{i}" for i in range(10)])
     ).agg(F.sum("k")).collect()[0][0]
 
+    # 8. crash REPAIR, update edition (r16): a metadata update that
+    # died between its write-ahead rename plan and the renames leaves
+    # the marker + temps behind. Writers REFUSE to land shards around
+    # the outstanding plan (the error names the remedy); the heal
+    # rolls the plan FORWARD (temps carry the new metadata), after
+    # which writes flow again.
+    import json
+
+    from dataprocessingframework_spark.sources.shards_source import (
+        heal_metadata_update,
+        publish_shard_schema,
+        read_published_schema,
+    )
+
+    repair_ds = os.path.join(workdir, "repair-dataset")
+    docs(0, 4).repartition(1).write.format("dpf_shards").mode(
+        "append"
+    ).save(repair_ds)
+    # simulate the crashed updater: temp with NEW metadata + marker,
+    # renames never ran (exactly the state a mid-update kill leaves)
+    tmp = os.path.join(repair_ds, ".deadbeef-u0.csv.tmp")
+    with open(tmp, "w") as f:
+        f.write(
+            '"name","k"\n"doc_0",1000\n"doc_1",1001\n'
+            '"doc_2",1002\n"doc_3",1003\n'
+        )
+    with open(os.path.join(repair_ds, "_metadata_update.json"), "w") as f:
+        json.dump(
+            {
+                "state": "renaming",
+                "map": {tmp: os.path.join(repair_ds, "0.csv")},
+            },
+            f,
+        )
+    try:
+        docs(50, 4).repartition(1).write.format("dpf_shards").mode(
+            "append"
+        ).save(repair_ds)
+        refused = False
+    except Exception as e:  # noqa: BLE001 — the refusal is the point
+        refused = "heal_metadata_update" in str(e)
+    healed = heal_metadata_update(repair_ds)  # rolls forward -> True
+    docs(50, 4).repartition(1).write.format("dpf_shards").mode(
+        "append"
+    ).save(repair_ds)  # flows again
+    healed_k_sum = (
+        spark.read.format("dpf_shards")
+        .load(repair_ds)
+        .filter(F.col("name").isin(["doc_0", "doc_1", "doc_2", "doc_3"]))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+
+    # 9. crash REPAIR, schema edition (r16): `_schema.json` absent for
+    # an AMBIGUOUS reason (here: a crashed predecessor's pre-write
+    # drop). Cold reads still work — they fall back to inference and
+    # pay a scan — and no write path will publish into ambiguous
+    # absence (publishing blind would claim a schema for shards the
+    # job never saw). publish_shard_schema is the explicit verifying
+    # repair: it reads every shard's header, refuses a mixed dataset,
+    # and republishes; cold reads plan with pinned types again.
+    os.remove(os.path.join(repair_ds, "_schema.json"))
+    schema_absent = read_published_schema(repair_ds) is None
+    published = publish_shard_schema(spark, repair_ds)
+    schema_repaired = read_published_schema(repair_ds) is not None
+
     return {
         "shards_after_batch": shards_after_batch,
         "rows_after_stream": rows_after_stream,
@@ -181,6 +254,12 @@ def run_pipeline(spark, workdir: str) -> dict:
         "dir_layout_rows": dir_rows,
         "dir_layout_loose_members": loose_members,
         "updated_k_sum": int(updated_k_sum),
+        "crashed_update_write_refused": refused,
+        "crashed_update_healed": healed,
+        "healed_k_sum": int(healed_k_sum),  # 1000+1001+1002+1003
+        "schema_absent_before_repair": schema_absent,
+        "schema_repaired": schema_repaired,
+        "republished_columns": [f.name for f in published.fields],
     }
 
 

@@ -141,6 +141,13 @@ def test_shards_lifecycle_end_to_end(spark, tmp_path):
     assert result["dir_layout_rows"] == 40  # r14: sharded-files leg
     assert result["dir_layout_loose_members"] == 20
     assert result["updated_k_sum"] == 90  # r14: 2*sum(0..9)
+    # r16: both repair ops demoed end-to-end
+    assert result["crashed_update_write_refused"] is True
+    assert result["crashed_update_healed"] is True
+    assert result["healed_k_sum"] == 4006  # 1000+1001+1002+1003
+    assert result["schema_absent_before_repair"] is True
+    assert result["schema_repaired"] is True
+    assert result["republished_columns"] == ["name", "k"]
 
 
 def test_semantic_gate_ladder_end_to_end(spark, tmp_path):

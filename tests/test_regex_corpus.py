@@ -129,6 +129,78 @@ def test_parity_with_reference_consumer_on_normalized_input():
             assert o == _ref_clean(s, rules).strip(), (lang, s)
 
 
+def _ours_preserve(samples: list[str], lang: str) -> list[str]:
+    f = RegexFilter(
+        text_column="text",
+        rules=reference_corpus(lang),
+        preserve_case=True,
+    )
+    return f.process_pandas(pd.DataFrame({"text": samples}))[
+        "clean_caption"
+    ].tolist()
+
+
+MIXED_CASE_SAMPLES = [
+    "Stock Photo: A Majestic EAGLE Soaring &quot;Free&quot; 1920x1080",
+    "  Leading WS and A URL http://Example.COM/Path Stays?",
+    "Beautiful Sunset Over The OCEAN - Royalty Free Image #123",
+    "MIXED case CAPTION with  Multiple   SPACES and <b>Tags</b>",
+    "PHOTO OF A CAT",
+    "click here to view larger image | buy at www.example.com/shop",
+]
+
+
+def test_preserve_case_matches_reference_byte_for_byte():
+    """VERDICT r15 item 4: RegexFilter(preserve_case=True) implements
+    the reference's replace_matches semantics EXACTLY
+    (`DPF/filters/texts/regex_filter.py:8-13`) — matches on a fresh
+    lowered+stripped copy, spans replayed in reverse onto the
+    original, literal replacement splice, no final strip — so
+    mixed-case captions (where the default normalizing mode
+    deliberately diverges) come out byte-for-byte equal to the
+    reference, quirks included (mis-offset spans under leading
+    whitespace among them)."""
+    for lang in ("en", "ru"):
+        rules = reference_corpus(lang)
+        got = _ours_preserve(MIXED_CASE_SAMPLES, lang)
+        for s, o in zip(MIXED_CASE_SAMPLES, got):
+            assert o == _ref_clean(s, rules), (lang, s)
+
+
+def test_preserve_case_goldens_en():
+    """Hard-coded bytes (computed by the reference algorithm) so a
+    refactor of either the corpus or the fold can't drift silently —
+    including the leading-whitespace offset artifact (' ys?') and
+    case preservation in unmatched regions ('&quot;Free&quot;')."""
+    got = _ours_preserve(MIXED_CASE_SAMPLES[:5], "en")
+    assert got == [
+        "   &quot;Free&quot; ",
+        " ys?",
+        "   #123",
+        "  ",
+        " ",
+    ]
+    got_ru = _ours_preserve(MIXED_CASE_SAMPLES[:2], "ru")
+    assert got_ru == [
+        "Stock Photo: A Majestic EAGLE Soaring Free 1920x1080",
+        "  Leading WS and A URth Stays?",
+    ]
+
+
+def test_preserve_case_equals_normalized_mode_on_normalized_input():
+    """On already-lowercase already-stripped input the two modes agree
+    modulo the normalizing mode's final strip — the same equivalence
+    the r15 goldens pinned for the default mode, now pinned BETWEEN
+    modes."""
+    samples = [
+        "red sports car on mountain road stock photo 123456789",
+        "portrait of a woman getty images image 3 of 12",
+    ]
+    assert [x.strip() for x in _ours_preserve(samples, "en")] == _ours(
+        samples, "en"
+    )
+
+
 def test_documented_divergence_on_intermediate_leading_whitespace():
     """The one known delta (docs/migration.md): when an early rule's
     replacement leaves leading whitespace, the reference's span

@@ -1498,6 +1498,41 @@ def test_writer_lease_blocks_concurrent_writers(spark, tmp_path):
     assert spark.read.format("dpf_shards").load(plain).count() == 12
 
 
+def test_lifecycle_ops_work_from_user_threads(spark, tmp_path):
+    """r16 (found by the lease-contention soak): a Python thread maps
+    to a fresh py4j JVM thread with no active-session thread-local,
+    and Spark resolves Python DataSource names via the active
+    session — so threaded lifecycle ops (maintenance pools,
+    concurrent writers losing the lease LOUDLY rather than with
+    DATA_SOURCE_NOT_FOUND) need register_shards_source to pin the
+    calling thread's active session. Also pins that re-registration
+    is a true no-op (no replacement window for concurrent planners)."""
+    import threading
+
+    register_shards_source(spark)
+    out = str(tmp_path / "threaded")
+    df = _mk_media_df(spark, 6).repartition(1)
+    df.write.format("dpf_shards").mode("append").save(out)
+
+    errs: list = []
+
+    def op():
+        try:
+            from dataprocessingframework_spark.sources.shards_source import (
+                compact_shards,
+            )
+
+            compact_shards(spark, out, max_files_in_shard=100)
+        except Exception as e:  # noqa: BLE001 — asserted below
+            errs.append(e)
+
+    t = threading.Thread(target=op)
+    t.start()
+    t.join()
+    assert not errs, errs
+    assert spark.read.format("dpf_shards").load(out).count() == 6
+
+
 @pytest.mark.parametrize("scheme", ["posix", "fakeobj"])
 def test_lease_cas_takeover_never_overwritten_back(tmp_path, scheme):
     """VERDICT r15 item 2: on CAS backends the lease is a real mutex.
