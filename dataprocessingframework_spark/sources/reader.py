@@ -96,12 +96,21 @@ class DatasetReader:
         with the published schema pinned so the cold read plans with
         zero inference jobs. Returns None when ineligible (remote
         path — the JVM reader has no fakeobj:///fsspec driver — or no
-        published schema)."""
+        published schema).
+
+        Shard LISTING semantics match the DSv2 route exactly (r16
+        review finding): the scanned files come from ``_list_shards``,
+        not a raw ``*.csv`` glob — so shards retired by a done
+        compaction manifest are excluded even before their files are
+        garbage-collected, and a live ``_metadata_update.json``
+        marker raises the same loud run-heal_metadata_update error
+        instead of silently returning mixed old/new metadata."""
         from dataprocessingframework_spark.sources.shard_fs import (
             get_fs,
             strip_file_scheme,
         )
         from dataprocessingframework_spark.sources.shards_source import (
+            _list_shards,
             read_published_schema,
         )
 
@@ -111,12 +120,15 @@ class DatasetReader:
         schema = read_published_schema(p)
         if schema is None:
             return None
+        stems, _archives = _list_shards(p, "tar")
+        if not stems:
+            return None  # nothing to scan: let the DSv2 route report
         return (
             self.spark.read.options(
                 header=True, multiLine=True, escape='"'
             )
             .schema(schema)
-            .csv(os.path.join(p, "*.csv"))
+            .csv([os.path.join(p, f"{s}.csv") for s in stems])
             .withColumn(
                 SPLIT_COLUMN,
                 # nullif: an unmatchable file name surfaces as null,

@@ -527,12 +527,23 @@ class FsspecShardFS:
         except FileExistsError:
             return False
         except Exception as e:  # botocore spellings vary — normalize
-            msg = str(e)
-            if (
-                "PreconditionFailed" in msg
-                or "412" in msg
-                or "ConditionalRequestConflict" in msg
-                or "409" in msg
+            # classify by the structured error code when present
+            # (botocore ClientError), else by the S3 error-code NAME
+            # as a whole word — never by a bare '412'/'409' substring,
+            # which also matches request ids and byte counts in
+            # unrelated outage messages (r16 review finding)
+            import re as _re
+
+            code = ""
+            try:
+                code = e.response["Error"]["Code"]  # type: ignore[attr-defined]
+            except Exception:  # noqa: BLE001 — not a ClientError
+                pass
+            if code in ("PreconditionFailed", "ConditionalRequestConflict"):
+                return False
+            if code == "" and _re.search(
+                r"\b(PreconditionFailed|ConditionalRequestConflict)\b",
+                str(e),
             ):
                 return False
             raise

@@ -617,7 +617,22 @@ def acquire_writer_lease(
 
     existing = _read_lease(path)
     if existing is not None:
-        check_live(existing)
+        # a lease whose token the release tombstone names is RELEASED
+        # however young its ts — an orphan heartbeat tick racing the
+        # release may have re-PUT it after the lock removal (see
+        # _LeaseHeartbeat._run, non-CAS branch); without this check a
+        # released-but-resurrected lease would block writers for the
+        # whole stale window
+        released = False
+        try:
+            raw = fs.read_bytes(fs_join(path, _WRITER_LOCK_TOMBSTONE))
+            released = (
+                json.loads(raw).get("token") == existing.get("token")
+            )
+        except Exception:  # noqa: BLE001 — no/corrupt tombstone
+            pass
+        if not released:
+            check_live(existing)
     fs.put_atomic(fs_join(path, _WRITER_LOCK), payload())
     return token
 
@@ -712,19 +727,13 @@ class _LeaseHeartbeat:
                     # a release landed between our read and our
                     # re-PUT (its tombstone is PUT before its lock
                     # removal, so it is visible by now): our re-PUT
-                    # resurrected a released lease — age it out so
-                    # the next acquirer's stale path reclaims it,
-                    # and exit for good
-                    cur2 = _read_lease(self._path)
-                    if (
-                        cur2 is not None
-                        and cur2.get("token") == self._token
-                    ):
-                        cur2["ts"] = 0.0
-                        cur2["released"] = True
-                        fs.put_atomic(
-                            lock, json.dumps(cur2).encode()
-                        )
+                    # resurrected a released lease. Exit WITHOUT a
+                    # repair PUT — an unconditional "age it out"
+                    # re-PUT here could clobber a NEW acquirer's
+                    # fresh lease (r16 review finding). The
+                    # resurrected lock is harmless instead: acquire
+                    # treats a lease whose token matches the
+                    # tombstone as released, however young its ts.
                     return
             except Exception:  # noqa: BLE001 — transient backend
                 pass  # error: the next tick retries; worst case the

@@ -64,14 +64,25 @@ def _purge_existing_shards(out_dir: str) -> None:
     under the new authoritative ``_schema.json`` (the new write
     numbers from 0 and would otherwise leave e.g. ``7.csv`` from an
     8-shard predecessor to be parsed with the new write's pinned
-    types instead of the inference fallback). Numeric-stem files
-    (``N.csv``/``N.tar``) and member dirs (``N/``) only — the
+    types instead of the inference fallback).
+
+    Like the native overwrite (``shards_source`` writer commit), a
+    leftover compaction manifest is healed-and-cleared FIRST: a
+    done-state ``_compaction.json`` surviving the purge would hide
+    the fresh shards that reuse retired numbers from every reader
+    (r16 review finding). Then numeric-stem files
+    (``N.csv``/``N.tar``) and member dirs (``N/``) go — the
     published schema file and any foreign files are left to the
     predrop/publish machinery."""
     import shutil
 
     if not os.path.isdir(out_dir):
         return
+    from dataprocessingframework_spark.sources.shards_source import (
+        heal_compaction,
+    )
+
+    heal_compaction(out_dir)
     for f in os.listdir(out_dir):
         stem = f.split(".")[0]
         if not stem.isdigit():

@@ -176,6 +176,25 @@ def test_meta_jvm_route_matches_dsv2(spark, tmp_path):
     with pytest.raises(ValueError, match="publish_shard_schema"):
         rd.read_metadata_shards(bare, engine="jvm")
 
+    # r16 review finding: the jvm route shares _list_shards semantics
+    # — a done compaction manifest's retired stems are excluded even
+    # before their files are garbage-collected...
+    import json
+
+    with open(os.path.join(out, "_compaction.json"), "w") as f:
+        json.dump({"state": "done", "retired": ["0"], "pending": []}, f)
+    n_jvm = rd.read_metadata_shards(out, engine="jvm").df.count()
+    n_v2 = rd.read_metadata_shards(out, engine="dsv2").df.count()
+    assert n_jvm == n_v2 == 18  # 24 minus retired shard 0's 6 rows
+    os.remove(os.path.join(out, "_compaction.json"))
+    # ...and a live update marker raises the same loud heal error
+    # instead of silently returning mixed old/new metadata
+    with open(os.path.join(out, "_metadata_update.json"), "w") as f:
+        json.dump({"state": "renaming", "map": {}}, f)
+    with pytest.raises(RuntimeError, match="heal_metadata_update"):
+        rd.read_metadata_shards(out, engine="jvm")
+    os.remove(os.path.join(out, "_metadata_update.json"))
+
 
 def test_error_tolerant_member_contract(spark, tmp_path):
     """A csv row whose member is absent from the tar yields
@@ -1600,9 +1619,12 @@ def test_lease_release_robust_to_orphan_heartbeat_noncas(tmp_path):
     _HEARTBEATS is empty, so release can't stop the planner-process
     heartbeat thread — on a NON-CAS backend the tombstone ordering
     (PUT _writer.lock.released BEFORE removing the lock) plus the
-    tick's post-re-PUT double-check guarantee a released lease is
-    never kept young: within a tick or two the lock is either gone
-    or aged out (ts=0), and the thread has exited."""
+    tick's post-re-PUT double-check guarantee a released lease never
+    BLOCKS: the thread exits within a tick or two (never refreshing
+    again), and even if its final re-PUT resurrected the lock,
+    acquire treats a tombstone-named token as released — a new
+    writer gets in immediately instead of waiting out the stale
+    window."""
     import time
 
     from dataprocessingframework_spark.sources import shards_source as ss
@@ -1638,26 +1660,20 @@ def test_lease_release_robust_to_orphan_heartbeat_noncas(tmp_path):
             time.sleep(0.03)
             # release from "another process": the thread keeps running
             ss.release_writer_lease(out, token)
-            # within a few ticks the lease must be dead for good:
-            # absent, or resurrected-then-aged-out (ts == 0)
+            # the thread must exit for good within a few ticks (the
+            # tombstone check ends it; it never refreshes again)
             deadline = time.time() + 2.0
-            settled = False
-            while time.time() < deadline:
-                held = ss._read_lease(out)
-                if held is None or (
-                    held.get("token") == token
-                    and float(held.get("ts", 1)) == 0.0
-                ):
-                    # stay dead: no later tick may re-young it
-                    time.sleep(0.05)
-                    held2 = ss._read_lease(out)
-                    if held2 is None or float(held2.get("ts", 1)) == 0.0:
-                        settled = True
-                        break
+            while time.time() < deadline and hb._thread.is_alive():
                 time.sleep(0.01)
-            assert settled, f"released lease kept young: {ss._read_lease(out)}"
-            # ...and a new writer can acquire immediately (stale path)
+            assert not hb._thread.is_alive(), "orphan tick kept running"
+            # a resurrected lock may survive (young ts, no repair PUT
+            # — repairing could clobber a new acquirer), but it can't
+            # BLOCK: its token is tombstone-named, so a new writer
+            # acquires immediately instead of waiting out the stale
+            # window
             t2 = ss.acquire_writer_lease(out, "next-writer")
+            held = ss._read_lease(out)
+            assert held is not None and held.get("token") == t2
             ss.release_writer_lease(out, t2)
         finally:
             hb.stop()

@@ -284,6 +284,21 @@ def test_write_shards_overwrite_purges_stale_higher_shards(
     )
     assert left == ["0", "0.csv"], left
 
+    # r16 review finding: a leftover done-state compaction manifest is
+    # healed-and-cleared BEFORE the purge, like the native overwrite —
+    # otherwise it would hide the fresh shards that reuse retired
+    # numbers from every reader
+    out3 = str(tmp_path / "ovw3")
+    write_shards(big, out3, max_files_in_shard=5)
+    with open(os.path.join(out3, "_compaction.json"), "w") as f:
+        json.dump({"state": "done", "retired": ["0", "1"], "pending": []}, f)
+    write_shards(small, out3, max_files_in_shard=5)
+    assert "_compaction.json" not in os.listdir(out3)
+    from dataprocessingframework_spark.sources.reader import DatasetReader
+
+    back3 = DatasetReader(spark).read_metadata_shards(out3).df
+    assert back3.count() == 5  # fresh shard 0 visible, old gen gone
+
 
 def test_jsonl_roundtrip(spark, tmp_path, sf_dir):
     """JSONL sink/source: schema-stable round trip, maxRecordsPerFile

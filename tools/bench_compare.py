@@ -130,14 +130,20 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
                 "ratio": round(ratio, 3),
                 "canary_ratio": round(cn / co, 3) if co and cn else None,
                 "normalized": round(norm, 3) if norm is not None else None,
+                # the NORMALIZED ratio is the code signal whenever a
+                # canary pair exists — in both directions: a raw creep
+                # whose normalized ratio is under threshold is ambient
+                # load, and a clean raw ratio whose normalized ratio
+                # is OVER threshold is a real regression masked by a
+                # lighter-loaded new run (r16 review finding)
                 "verdict": (
-                    "ok"
-                    if ratio <= threshold
-                    else (
-                        "ambient"
-                        if norm is not None and norm <= threshold
-                        else "REAL"
+                    (
+                        "REAL"
+                        if norm > threshold
+                        else ("ambient" if ratio > threshold else "ok")
                     )
+                    if norm is not None
+                    else ("REAL" if ratio > threshold else "ok")
                 ),
             }
         )
