@@ -600,14 +600,17 @@ def acquire_writer_lease(
         lock = fs_join(path, _WRITER_LOCK)
         # retry a handful of CAS losses (a 60 s-interval heartbeat
         # refresh landing between our read and our conditional PUT);
-        # persistent loss means real contention — raise loudly
-        for _ in range(5):
+        # persistent loss means real contention — raise loudly. The
+        # jittered backoff de-syncs from a fast-ticking heartbeat
+        # (takeover tests run 5 ms ticks; two fixed-cadence loops can
+        # collide every attempt)
+        for attempt in range(8):
             cur = fs.get_cas(lock)
             if cur is not None:
                 check_live(_parse_lease(cur[0]))
             if fs.put_cas(lock, payload(), None if cur is None else cur[1]):
                 return token
-            time.sleep(0.05)
+            time.sleep(0.01 * (attempt + 1) + (hash(token) % 7) / 1000.0)
         raise RuntimeError(
             f"could not acquire the writer lease for {path}: the lock"
             " is being actively contended (another writer acquired or"
@@ -1091,6 +1094,14 @@ class ShardsReader(DataSourceReader):
         ]
         arrow_meta = to_arrow_schema(StructType(meta_fields))
         parse = pacsv.ParseOptions(newlines_in_values=True)
+        # 16 MiB csv blocks (default 1 MiB): each arrow block becomes
+        # one RecordBatch shipped through the Python-worker socket, so
+        # bigger blocks mean fewer serialize/deserialize round trips
+        # per shard (a measured single-digit-% win on metadata scans;
+        # the jvm route stays the real fast path — VERDICT r15 item
+        # 6); shard tables are bounded by max_files_in_shard, so one
+        # block is at most one shard's rows
+        readopts = pacsv.ReadOptions(block_size=1 << 24)
         # quoted "" stays an empty STRING: the arrow writer encodes
         # null as a bare empty field and '' as a quoted one — the
         # default quoted_strings_can_be_null=True would collapse both
@@ -1116,6 +1127,7 @@ class ShardsReader(DataSourceReader):
             try:
                 tbl = pacsv.read_csv(
                     open_source(partition.csv_path),
+                    read_options=readopts,
                     parse_options=parse,
                     convert_options=convert,
                 )
@@ -1124,6 +1136,7 @@ class ShardsReader(DataSourceReader):
                 # (rare — e.g. exotic decimals): read raw, cast after
                 tbl = pacsv.read_csv(
                     open_source(partition.csv_path),
+                    read_options=readopts,
                     parse_options=parse,
                     convert_options=pacsv.ConvertOptions(
                         strings_can_be_null=True,

@@ -1614,6 +1614,61 @@ def test_lease_cas_takeover_never_overwritten_back(tmp_path, scheme):
     release_writer_lease(out, t2)
 
 
+@pytest.mark.parametrize("scheme", ["posix", "fakeobj"])
+def test_cas_is_linearizable_under_thread_hammer(tmp_path, scheme):
+    """The flock-enforced compare-and-set is the writer-lease's
+    foundation: hammer one object with 8 threads x 25 CAS-increment
+    loops and assert no update is ever lost — the final value equals
+    the number of successful put_cas calls exactly (a torn or
+    clobbered write would under-count)."""
+    import json
+    import threading
+
+    from dataprocessingframework_spark.sources.shard_fs import (
+        get_fs,
+        join as fs_join,
+    )
+
+    root = (
+        str(tmp_path / "cas")
+        if scheme == "posix"
+        else f"fakeobj://{tmp_path}/cas"
+    )
+    fs = get_fs(root)
+    fs.makedirs(root)
+    obj = fs_join(root, "counter.json")
+    assert fs.put_cas(obj, json.dumps({"n": 0}).encode(), None)
+    assert not fs.put_cas(obj, b"{}", None)  # create-exclusive holds
+
+    wins = [0] * 8
+
+    def worker(i):
+        done = 0
+        while done < 25:
+            cur = fs.get_cas(obj)
+            assert cur is not None
+            val = json.loads(cur[0])
+            val["n"] += 1
+            if fs.put_cas(obj, json.dumps(val).encode(), cur[1]):
+                done += 1
+        wins[i] = done
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = json.loads(fs.get_cas(obj)[0])["n"]
+    assert final == sum(wins) == 200
+    # compare-and-delete: only the exact tag wins
+    cur = fs.get_cas(obj)
+    assert not fs.remove_cas(obj, "stale-tag")
+    assert fs.remove_cas(obj, cur[1])
+    assert fs.get_cas(obj) is None
+
+
 def test_lease_release_robust_to_orphan_heartbeat_noncas(tmp_path):
     """ADVICE r15: commit()/abort() may run in a Python worker where
     _HEARTBEATS is empty, so release can't stop the planner-process
