@@ -46,3 +46,67 @@ def test_tiers_cover_bench_queries_exactly():
     all_names = [n for names in TIERS.values() for n in names]
     assert len(all_names) == len(set(all_names))
     assert set(all_names) == set(bench_queries(None, {}, None))
+
+
+def test_bench_compare_normalizes_and_triages(tmp_path):
+    """r16 (VERDICT r15 item 5): tools/bench_compare reads the
+    driver's wrapped-and-possibly-truncated artifacts and triages
+    creep with the per-tier canary in BOTH directions — raw creep
+    with a matching canary rise is 'ambient', and a clean raw ratio
+    hiding a normalized regression (old run recorded under load) is
+    'REAL'."""
+    import json
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from bench_compare import compare, load_bench
+
+    old_inner = {
+        "queries": {"q1_pricing_summary": 1.0},
+        "trials": {
+            "q1_pricing_summary": [1.2, 1.0],   # relational tier
+            "event_window_agg": [2.0],          # events tier
+            "text_quality": [1.0],              # text tier
+        },
+        "extra": {
+            "canary_relational": 0.5,
+            "canary_events": 1.0,
+            "canary_text": 2.0,   # old run was ~3x loaded on text
+        },
+    }
+    new_inner = {
+        "trials": {
+            "q1_pricing_summary": [2.1, 2.0],   # raw 2.0x, canary 2x -> ambient
+            "event_window_agg": [2.1],          # raw 1.05x flat -> ok
+            "text_quality": [1.1],              # raw 1.1x BUT canary 0.35x
+        },
+        "extra": {
+            "canary_relational": 1.0,
+            "canary_events": 1.0,
+            "canary_text": 0.7,   # new run idle: normalized 3.14x -> REAL
+        },
+    }
+    old_p, new_p = str(tmp_path / "old.json"), str(tmp_path / "new.json")
+    # the driver wrapper: inner json under 'tail', FRONT-TRUNCATED
+    tail = json.dumps(old_inner)
+    with open(old_p, "w") as f:
+        json.dump({"n": 15, "rc": 0, "tail": tail[tail.index('"trials"') - 1:],
+                   "parsed": None}, f)
+    with open(new_p, "w") as f:
+        json.dump({"n": 16, "rc": 0, "tail": json.dumps(new_inner),
+                   "parsed": None}, f)
+
+    assert load_bench(old_p)["extra"]["canary_text"] == 2.0  # truncation ok
+
+    rep = compare(old_p, new_p, threshold=1.2)
+    rows = {r["entry"]: r for r in rep["rows"]}
+    assert rows["q1_pricing_summary"]["verdict"] == "ambient"
+    assert rows["event_window_agg"]["verdict"] == "ok"
+    assert rows["text_quality"]["verdict"] == "REAL"  # masked regression
+    assert rep["over_threshold_real"] == ["text_quality"]
+    assert rep["over_threshold_ambient"] == ["q1_pricing_summary"]

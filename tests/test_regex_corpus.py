@@ -201,6 +201,45 @@ def test_preserve_case_equals_normalized_mode_on_normalized_input():
     )
 
 
+def test_preserve_case_property_random_captions():
+    """Property pin: on RANDOM captions (mixed case, whitespace,
+    unicode, the corpus's own trigger substrings) preserve_case
+    equals the inline reference replica byte-for-byte — catches any
+    future refactor of the fold (ordering, span replay, strip
+    placement) that the hand-picked goldens miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from(
+        [
+            "Stock Photo ",
+            "&quot;",
+            " http://Ex.COM/a?b=1 ",
+            "1920x1080",
+            "CLICK HERE",
+            "  ",
+            "фото ",
+            "купить за 129 руб",
+            "<b>TAG</b>",
+            "café Ångström",
+            "a-b-c ",
+            "#hash @ment ",
+        ]
+    )
+    captions = st.lists(
+        st.one_of(frag, st.text(max_size=12)), min_size=0, max_size=8
+    ).map("".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(caption=captions, lang=st.sampled_from(["en", "ru"]))
+    def check(caption, lang):
+        got = _ours_preserve([caption], lang)[0]
+        want = _ref_clean(caption, reference_corpus(lang))
+        assert got == want, (lang, repr(caption))
+
+    check()
+
+
 def test_documented_divergence_on_intermediate_leading_whitespace():
     """The one known delta (docs/migration.md): when an early rule's
     replacement leaves leading whitespace, the reference's span
