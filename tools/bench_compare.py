@@ -105,6 +105,29 @@ def tier_of() -> dict[str, str]:
     return {q: t for t, qs in TIERS.items() for q in qs}
 
 
+def _verdict(
+    ratio: float,
+    norm: float | None,
+    canary_ratio: float | None,
+    threshold: float,
+) -> str:
+    """Triage one entry. Without a canary pair, raw decides. With
+    one: raw creep that normalizes away is 'ambient'; exceedance in
+    BOTH raw and normalized is 'REAL'; a normalized-ONLY exceedance
+    (raw clean, old run presumably loaded) is 'REAL' only while the
+    ambient shift is modest — a large canary swing breaks the
+    entry-scales-like-the-canary assumption, so it downgrades to
+    'check' (surface it, A/B it, don't assert it)."""
+    if norm is None:
+        return "REAL" if ratio > threshold else "ok"
+    if norm <= threshold:
+        return "ambient" if ratio > threshold else "ok"
+    if ratio > threshold:
+        return "REAL"
+    steady = canary_ratio is not None and 0.75 <= canary_ratio <= 1.33
+    return "REAL" if steady else "check"
+
+
 def compare(old_path: str, new_path: str, threshold: float) -> dict:
     old, new = load_bench(old_path), load_bench(new_path)
     tiers = tier_of()
@@ -134,16 +157,21 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
                 # canary pair exists — in both directions: a raw creep
                 # whose normalized ratio is under threshold is ambient
                 # load, and a clean raw ratio whose normalized ratio
-                # is OVER threshold is a real regression masked by a
-                # lighter-loaded new run (r16 review finding)
-                "verdict": (
-                    (
-                        "REAL"
-                        if norm > threshold
-                        else ("ambient" if ratio > threshold else "ok")
-                    )
-                    if norm is not None
-                    else ("REAL" if ratio > threshold else "ok")
+                # is OVER threshold is a regression masked by a
+                # lighter-loaded new run (r16 review finding). BUT
+                # normalization assumes the entry scales with load
+                # like the canary does, which breaks down when the
+                # ambient shift itself is large — there a
+                # normalized-only exceedance is 'check' (inconclusive,
+                # go A/B it), never a confident 'REAL' (observed on
+                # the r15->r16 artifacts: the r15 text canary ran
+                # 3x loaded, and idle-r16 entries with raw ratios of
+                # 0.6-0.8 normalized to 2.0+ on untouched code)
+                "verdict": _verdict(
+                    ratio,
+                    norm,
+                    (cn / co) if co and cn else None,
+                    threshold,
                 ),
             }
         )
@@ -171,6 +199,7 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
         "over_threshold_ambient": [
             r["entry"] for r in rows if r["verdict"] == "ambient"
         ],
+        "check": [r["entry"] for r in rows if r["verdict"] == "check"],
         "rows": rows,
     }
 
