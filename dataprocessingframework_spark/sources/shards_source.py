@@ -610,7 +610,10 @@ def acquire_writer_lease(
                 check_live(_parse_lease(cur[0]))
             if fs.put_cas(lock, payload(), None if cur is None else cur[1]):
                 return token
-            time.sleep(0.01 * (attempt + 1) + (hash(token) % 7) / 1000.0)
+            if attempt < 7:  # no pointless sleep on the final failure
+                time.sleep(
+                    0.01 * (attempt + 1) + (hash(token) % 7) / 1000.0
+                )
         raise RuntimeError(
             f"could not acquire the writer lease for {path}: the lock"
             " is being actively contended (another writer acquired or"

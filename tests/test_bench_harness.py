@@ -51,10 +51,11 @@ def test_tiers_cover_bench_queries_exactly():
 def test_bench_compare_normalizes_and_triages(tmp_path):
     """r16 (VERDICT r15 item 5): tools/bench_compare reads the
     driver's wrapped-and-possibly-truncated artifacts and triages
-    creep with the per-tier canary in BOTH directions — raw creep
-    with a matching canary rise is 'ambient', and a clean raw ratio
-    hiding a normalized regression (old run recorded under load) is
-    'REAL'."""
+    creep with the per-tier canary SYMMETRICALLY: any verdict that
+    rests on the normalized ratio alone (excusing a raw creep as
+    'ambient' or asserting a masked regression as 'REAL') requires a
+    modest canary swing — under a large swing both downgrade to
+    'check'."""
     import json
 
     sys.path.insert(
@@ -64,7 +65,7 @@ def test_bench_compare_normalizes_and_triages(tmp_path):
             "tools",
         ),
     )
-    from bench_compare import compare, load_bench
+    from bench_compare import _verdict, compare, load_bench
 
     old_inner = {
         "queries": {"q1_pricing_summary": 1.0},
@@ -81,14 +82,14 @@ def test_bench_compare_normalizes_and_triages(tmp_path):
     }
     new_inner = {
         "trials": {
-            "q1_pricing_summary": [2.1, 2.0],   # raw 2.0x, canary 2x -> ambient
+            "q1_pricing_summary": [2.1, 2.0],   # raw 2.0x, canary 2x swing
             "event_window_agg": [2.1],          # raw 1.05x flat -> ok
-            "text_quality": [1.1],              # raw 1.1x BUT canary 0.35x
+            "text_quality": [1.1],              # raw 1.1x, canary 0.35x
         },
         "extra": {
             "canary_relational": 1.0,
             "canary_events": 1.0,
-            "canary_text": 0.7,   # new run idle: normalized 3.14x -> REAL
+            "canary_text": 0.7,
         },
     }
     old_p, new_p = str(tmp_path / "old.json"), str(tmp_path / "new.json")
@@ -105,32 +106,27 @@ def test_bench_compare_normalizes_and_triages(tmp_path):
 
     rep = compare(old_p, new_p, threshold=1.2)
     rows = {r["entry"]: r for r in rep["rows"]}
-    assert rows["q1_pricing_summary"]["verdict"] == "ambient"
+    # raw creep that normalizes away, but the canary DOUBLED: the
+    # ambient excuse is as unsupported as the masked-REAL assertion
+    # would be -> check, not ambient
+    assert rows["q1_pricing_summary"]["verdict"] == "check"
     assert rows["event_window_agg"]["verdict"] == "ok"
-    # raw clean + normalized over, but the canary swung 0.35x — the
-    # entry-scales-like-the-canary assumption is broken, so this is
-    # 'check' (surface + A/B), not an asserted regression
+    # raw clean + normalized over, canary swung 0.35x -> check too
     assert rows["text_quality"]["verdict"] == "check"
-    assert rep["check"] == ["text_quality"]
+    assert sorted(rep["check"]) == ["q1_pricing_summary", "text_quality"]
     assert rep["over_threshold_real"] == []
-    assert rep["over_threshold_ambient"] == ["q1_pricing_summary"]
+    assert rep["over_threshold_ambient"] == []
 
-    # with a STEADY canary the masked regression IS asserted: same
-    # shapes, canary flat, entry 1.5x slower under threshold-hiding
-    # load in neither direction
-    old2 = {
-        "trials": {"text_quality": [1.0]},
-        "extra": {"canary_text": 1.0},
-    }
-    new2 = {
-        "trials": {"text_quality": [1.5]},
-        "extra": {"canary_text": 1.05},
-    }
-    o2, n2 = str(tmp_path / "o2.json"), str(tmp_path / "n2.json")
-    with open(o2, "w") as f:
-        json.dump(old2, f)
-    with open(n2, "w") as f:
-        json.dump(new2, f)
-    rep2 = compare(o2, n2, threshold=1.2)
-    assert rep2["rows"][0]["verdict"] == "REAL"
-    assert rep2["over_threshold_real"] == ["text_quality"]
+    # every _verdict branch, directly (raw-ratio, norm, canary, thr):
+    assert _verdict(1.5, None, None, 1.2) == "REAL"      # no canary
+    assert _verdict(1.0, None, None, 1.2) == "ok"
+    assert _verdict(1.5, 1.0, 1.5 / 1.0, 1.2) == "check"  # big swing
+    # canary 1.3 is inside [0.75, 1.33]: modest swing -> ambient
+    assert _verdict(1.3, 1.0, 1.3, 1.2) == "ambient"
+    assert _verdict(1.5, 1.5, 1.0, 1.2) == "REAL"         # both exceed
+    # masked regression, STEADY canary: raw 1.15 clean, canary 0.8,
+    # norm 1.44 -> asserted REAL (the branch commit 93bcc98 pins)
+    assert _verdict(1.15, 1.15 / 0.8, 0.8, 1.2) == "REAL"
+    # masked regression, big swing (canary 0.35) -> check
+    assert _verdict(1.1, 1.1 / 0.35, 0.35, 1.2) == "check"
+    assert _verdict(1.0, 1.0, 1.0, 1.2) == "ok"

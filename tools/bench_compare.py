@@ -111,20 +111,30 @@ def _verdict(
     canary_ratio: float | None,
     threshold: float,
 ) -> str:
-    """Triage one entry. Without a canary pair, raw decides. With
-    one: raw creep that normalizes away is 'ambient'; exceedance in
-    BOTH raw and normalized is 'REAL'; a normalized-ONLY exceedance
-    (raw clean, old run presumably loaded) is 'REAL' only while the
-    ambient shift is modest — a large canary swing breaks the
-    entry-scales-like-the-canary assumption, so it downgrades to
-    'check' (surface it, A/B it, don't assert it)."""
+    """Triage one entry. The NORMALIZED ratio is the code signal
+    whenever a canary pair exists — in both directions: a raw creep
+    whose normalized ratio is clean reads as machine load, and a
+    clean raw ratio whose normalized ratio exceeds reads as a
+    regression masked by a lighter-loaded new run. BUT normalization
+    assumes the entry scales with load like the canary does, which
+    breaks down when the ambient shift itself is large (observed on
+    the r15->r16 artifacts: the r15 text canary ran ~3x loaded, and
+    idle-r16 entries with raw ratios of 0.6-0.8 normalized to 2.0+
+    on untouched code). So SYMMETRICALLY: any verdict that rests on
+    the normalized ratio alone — excusing a raw creep as 'ambient'
+    OR asserting a masked regression as 'REAL' — requires a modest
+    canary swing; under a large swing it downgrades to 'check'
+    (surface it, A/B it, don't assert either way). Exceedance in
+    both raw AND normalized is 'REAL' regardless."""
     if norm is None:
         return "REAL" if ratio > threshold else "ok"
+    steady = canary_ratio is not None and 0.75 <= canary_ratio <= 1.33
     if norm <= threshold:
-        return "ambient" if ratio > threshold else "ok"
+        if ratio <= threshold:
+            return "ok"
+        return "ambient" if steady else "check"
     if ratio > threshold:
         return "REAL"
-    steady = canary_ratio is not None and 0.75 <= canary_ratio <= 1.33
     return "REAL" if steady else "check"
 
 
@@ -141,9 +151,10 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
         ck = f"canary_{tier}" if tier else None
         co = old["extra"].get(ck)
         cn = new["extra"].get(ck)
-        norm = None
-        if co and cn:
-            norm = ratio / (cn / co)
+        # one derivation, consumed by the row field, the normalized
+        # ratio, AND the verdict — keeps the three in sync
+        cr = (cn / co) if co and cn else None
+        norm = ratio / cr if cr else None
         rows.append(
             {
                 "entry": name,
@@ -151,28 +162,9 @@ def compare(old_path: str, new_path: str, threshold: float) -> dict:
                 "old_min": o,
                 "new_min": n,
                 "ratio": round(ratio, 3),
-                "canary_ratio": round(cn / co, 3) if co and cn else None,
+                "canary_ratio": round(cr, 3) if cr else None,
                 "normalized": round(norm, 3) if norm is not None else None,
-                # the NORMALIZED ratio is the code signal whenever a
-                # canary pair exists — in both directions: a raw creep
-                # whose normalized ratio is under threshold is ambient
-                # load, and a clean raw ratio whose normalized ratio
-                # is OVER threshold is a regression masked by a
-                # lighter-loaded new run (r16 review finding). BUT
-                # normalization assumes the entry scales with load
-                # like the canary does, which breaks down when the
-                # ambient shift itself is large — there a
-                # normalized-only exceedance is 'check' (inconclusive,
-                # go A/B it), never a confident 'REAL' (observed on
-                # the r15->r16 artifacts: the r15 text canary ran
-                # 3x loaded, and idle-r16 entries with raw ratios of
-                # 0.6-0.8 normalized to 2.0+ on untouched code)
-                "verdict": _verdict(
-                    ratio,
-                    norm,
-                    (cn / co) if co and cn else None,
-                    threshold,
-                ),
+                "verdict": _verdict(ratio, norm, cr, threshold),
             }
         )
     rows.sort(key=lambda r: -(r["normalized"] or r["ratio"]))
