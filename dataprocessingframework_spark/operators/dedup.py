@@ -622,15 +622,18 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     bidir = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).localCheckpoint()  # edges are consumed once per round: without this
-    # the (possibly quadratic) pair-generation lineage re-executes every
-    # iteration
+    ).localCheckpoint(eager=False)  # edges are consumed once per round:
+    # without this the (possibly quadratic) pair-generation lineage
+    # re-executes every iteration. Lazy: the first round's label_sum
+    # action materializes it — one fused job (see the star variant)
     nodes = (
         all_nodes.select(F.col(all_nodes.columns[0]).alias("node"))
         if all_nodes is not None
         else bidir.select(F.col("src").alias("node")).distinct()
     )
-    labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
+    labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint(
+        eager=False
+    )
 
     def label_sum(df: DataFrame):
         return df.agg(
@@ -648,7 +651,7 @@ def connected_components(
             .union(msgs)
             .groupBy("node")
             .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = label_sum(new_labels)
         labels = new_labels
@@ -695,11 +698,17 @@ def connected_components_star(
     point of both stars iff it is a union of disjoint stars, so
     hash-equality doubles as the done-and-correct check.
     """
+    # lazy checkpoints throughout: every checkpoint here is followed
+    # by exactly one action (the convergence digest) before any other
+    # consumer runs, so eager=False folds materialize+digest into ONE
+    # job — the digest rides the same pass that stores the checkpoint
+    # instead of a second read-back job per round (guide §1.2: remove
+    # passes). Sequential actions make the lazy form race-free.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def edge_digest(e: DataFrame):
@@ -780,7 +789,7 @@ def connected_components_star(
     converged = False
     for rnd in range(max_iterations):
         t0 = time.monotonic() if round_stats is not None else 0.0
-        edges = small_star(large_star(edges)).localCheckpoint()
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         new_digest = edge_digest(edges)
         if round_stats is not None:
             round_stats.append(

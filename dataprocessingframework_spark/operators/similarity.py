@@ -262,11 +262,23 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     sequential aggregate(zip_with) as :func:`dot`, and the bit
     accumulation folds p ascending, so every oracle hash is unchanged.
     """
+    # _nested_array_lit: ONE parsed-SQL py4j call for the whole plane
+    # matrix. F.lit(nested_list) recurses into a py4j call per element
+    # (~512 per 8x64 table), which cProfile showed as ~0.33 s of
+    # driver-side construction per call — and this helper runs once
+    # per table per SIDE, so the 3-table probe paid ~2 s of pure py4j
+    # chatter per trial (guide §5: the driver should do almost no
+    # work). Parsed doubles are bit-identical (repr round-trip).
     scores = F.transform(
-        F.lit([[float(x) for x in plane] for plane in planes]),
+        _nested_array_lit([[float(x) for x in plane] for plane in planes]),
         lambda p: dot(vec, p),
     )
-    powers = F.lit([2**p for p in range(len(planes))])
+    # long literals directly (the F.lit int path produced ints that
+    # were then coerced long inside the fold — same values, same
+    # result type)
+    powers = F.expr(
+        "array(" + ",".join(f"{2**p}L" for p in range(len(planes))) + ")"
+    )
     return F.aggregate(
         F.zip_with(
             scores,
@@ -2756,10 +2768,25 @@ def kcenter_select(
 
     def dist_to(vec: list[float], vnorm: float) -> Column:
         # engine-exact: the center's norm is reused from the collected
-        # row (computed by the same fold), not recomputed driver-side
-        return F.lit(1.0) - dot(F.col("kv"), F.lit(vec)) / (
-            F.col("kn") * F.lit(vnorm)
-        )
+        # row (computed by the same fold), not recomputed driver-side.
+        # Built as ONE parsed SQL expression rather than py4j column
+        # algebra: the column form costs dim+2 py4j round-trips per
+        # center (F.lit per element), which cProfile showed was 10.1s
+        # of this operator's 12.5s wall at k=64/dim=64 — 28k driver
+        # socket round-trips, zero cluster work (guide §1.1/§5: the
+        # driver should do almost no work; here it WAS the job). The
+        # parsed tree is arithmetically identical: repr() floats
+        # round-trip binary64 exactly through the SQL double literal,
+        # and zip_with/aggregate lambdas match dot()'s shape.
+        return F.expr(_dist_to_sql(vec, vnorm))
+
+    def _dist_to_sql(vec: list[float], vnorm: float) -> str:
+        arr = ",".join(f"{x!r}D" for x in vec)
+        return (
+            "1.0D - aggregate(zip_with(kv, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, v) -> acc + v) / (kn * {vnorm!r}D)"
+        ).format(arr=arr, vnorm=vnorm)
 
     selected = [(0, int(seed.kid), 2.0)]
     cur = base.withColumn(
@@ -2876,9 +2903,17 @@ def kcenter_select(
             if r % checkpoint_every == 0:
                 cur = cur.localCheckpoint(eager=False)
     # ROUND in Spark SQL (half-up, matching DuckDB for positives),
-    # NOT Python round() (banker's — would diverge on exact .00005s)
+    # NOT Python round() (banker's — would diverge on exact .00005s).
+    # pandas input takes the Arrow createDataFrame path: the
+    # list-of-tuples form pickles rows into a defaultParallelism-way
+    # Python RDD, and materializing these k rows then launches one
+    # Python worker per core (measured: a 32-task, 8.6 core-s stage
+    # for 64 rows — guide §6 Arrow for driver transfers)
+    import pandas as pd
+
     return spark.createDataFrame(
-        selected, schema="sel_rank int, vec_id long, dist double"
+        pd.DataFrame(selected, columns=["sel_rank", "vec_id", "dist"]),
+        schema="sel_rank int, vec_id long, dist double",
     ).select("sel_rank", "vec_id", F.round("dist", 4).alias("dist"))
 
 
