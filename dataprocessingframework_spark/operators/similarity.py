@@ -1345,13 +1345,28 @@ def load_prefix_dims(spark: SparkSession, table: str) -> tuple[int, int]:
 
 
 def _nested_array_lit(mat: list[list[float]]) -> Column:
-    """A k x d nested-array literal built as ONE parsed SQL
-    expression. ``F.lit(nested_list)`` issues a py4j call per element
-    — a 256 x 8 PQ codebook cost ~14 s of driver-side plan
-    CONSTRUCTION per probe (measured; analysis and execution were
-    fine). Python ``repr`` emits the shortest round-tripping decimal
-    and Spark's parser is correctly-rounded, so the parsed doubles
-    are bit-identical to the F.lit path."""
+    """A k x d nested-array literal that enters the UNOPTIMIZED plan
+    as two nodes: ``from_json('<matrix json>', 'array<array<double>>')``
+    over one string literal. The optimizer's ConstantFolding collapses
+    it to a single folded array Literal before execution (verified in
+    the optimized plan), so no row ever parses JSON.
+
+    Why not the obvious forms: ``F.lit(nested_list)`` issues a py4j
+    call per element — a 256 x 8 PQ codebook cost ~14 s of driver-side
+    plan CONSTRUCTION per probe (measured r8). The r8 fix (one parsed
+    ``array(array(...))`` SQL expression) killed the py4j cost but
+    still put ~k x d CreateArray/Literal NODES into the analyzed
+    plan, and the analyzer re-walks the whole tree on EVERY subsequent
+    DataFrame op — the 16-codebook PQ probe paid ~0.13 s per op
+    across ~15 ops (~2 s/probe of pure re-analysis, measured r16).
+    The folded-at-optimization form keeps analysis O(1) in matrix
+    size.
+
+    Exactness: ``json.dumps`` emits Python ``repr`` floats (shortest
+    round-tripping decimal) and Jackson's double parsing is correctly
+    rounded, so the folded doubles are bit-identical to the F.lit
+    path."""
+    import json
     import math
 
     for row in mat:
@@ -1359,15 +1374,14 @@ def _nested_array_lit(mat: list[list[float]]) -> Column:
             if not math.isfinite(float(x)):
                 raise ValueError(
                     "non-finite value in centroid/codebook matrix"
-                    f" ({x!r}); repr-based SQL literals cannot encode"
+                    f" ({x!r}); JSON/repr-based literals cannot encode"
                     " NaN/Inf — clean the seed embeddings or drop the"
                     " degenerate row before building the index"
                 )
-    inner = ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-        for row in mat
+    return F.from_json(
+        F.lit(json.dumps([[float(x) for x in row] for row in mat])),
+        "array<array<double>>",
     )
-    return F.expr(f"array({inner})")
 
 
 def _pq_codebooks(
