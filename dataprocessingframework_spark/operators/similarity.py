@@ -1267,22 +1267,26 @@ def _sq8_dequant_dot(
     bit-identical across engines (the oracled probe pins this);
     unrolling skips the per-candidate dequant-array materialization
     and per-element HOF lambda overhead (measured 54.1s -> 33.1s on
-    the 1M-row probe, PLANS.md "r10 SQ8 IVF index")."""
+    the 1M-row probe, PLANS.md "r10 SQ8 IVF index").
+
+    Built as ONE parsed SQL expression (r16): the py4j column-algebra
+    form cost ~8 driver round-trips per dimension per probe
+    construction. The parsed tree is identical — `+` and `*` are
+    left-associative in both forms, `v[i]` is the same 0-based
+    GetArrayItem, and the mn/step literals are Python-computed doubles
+    emitted as shortest-round-trip reprs either way."""
     dim = len(mins)
-    dp = None
+    terms = []
     for i in range(dim):
         w, j = divmod(i, _SQ8_PER_WORD)
-        code = F.shiftright(F.col(codes_col)[w], 8 * j).bitwiseAND(
-            F.lit(255)
-        )
         mn, mx = mins[i], maxs[i]
-        term = F.col(vec_col)[i].cast("double") * (
-            F.lit(mn)
-            + (code.cast("double") + F.lit(0.5))
-            * F.lit((mx - mn) / float(SQ8_LEVELS))
+        step = (mx - mn) / float(SQ8_LEVELS)
+        code = f"(shiftright({codes_col}[{w}], {8 * j}) & 255)"
+        terms.append(
+            f"CAST({vec_col}[{i}] AS DOUBLE) * ({float(mn)!r}D"
+            f" + (CAST({code} AS DOUBLE) + 0.5D) * {float(step)!r}D)"
         )
-        dp = term if dp is None else dp + term
-    return dp
+    return F.expr(" + ".join(terms))
 
 
 def sq8_gate_margin(
