@@ -73,10 +73,12 @@ def fan_out(
     the r15 minhash A/B, PLANS.md). Callers with genuinely heavy
     per-row work should leave it None.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
-        return df
+    # size gate FIRST: it reads the optimizer's estimate (analysis
+    # only), while the partition-count probe below (`df.rdd`) forces
+    # full PHYSICAL planning of the subtree at construction time —
+    # on the common sub-budget path the cheap check short-circuits
+    # the expensive one. Outcome-equivalent: both paths return df
+    # unchanged whenever either gate fires.
     if skip_below_bytes is not None:
         try:
             size = int(
@@ -89,4 +91,8 @@ def fan_out(
             size = None
         if size is not None and 0 <= size < skip_below_bytes:
             return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
     return df.repartition(target)

@@ -932,9 +932,20 @@ def jaccard_pairs(
     else:
         words = tokenize_words(df, text_col, id_col)
     if candidates is not None:
+        # canonicalize ONCE and hang both consumers off it (r16): the
+        # candidate relation is typically a deep LSH pipeline, and the
+        # previous shape referenced it 3x (two union legs + the
+        # canonical driving side) — a ~4300-line logical plan that
+        # Catalyst re-analyzed per op. Deriving the id set from the
+        # canonical relation via one explode cuts that to 2 references
+        # AND makes the pair-keyed dedup exchange the shared subtree
+        # under both consumers (exchange reuse: one shuffle write).
+        # Same id set for the semi-join: canonicalization only drops
+        # self-pairs, and a doc appearing ONLY in self-pairs can never
+        # reach `inter` (which drives from the canonical relation).
+        cand = _canonical_pairs(candidates)
         cand_ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
+            cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
         )
         words = words.join(cand_ids, on=id_col, how="left_semi")
@@ -947,7 +958,7 @@ def jaccard_pairs(
             # duplicated/reversed candidate pair would otherwise
             # multiply its intersection count — one cheap pair-keyed
             # shuffle buys correctness under any caller
-            _canonical_pairs(candidates)
+            cand
             .join(wa, "id_a")
             .join(wb, ["id_b", "word"])
             .groupBy("id_a", "id_b")
@@ -1013,9 +1024,11 @@ def containment_pairs(
     else:
         words = tokenize_words(df, text_col, id_col)
     if candidates is not None:
+        # one canonicalization, two consumers — same rationale and
+        # same output-equivalence argument as jaccard_pairs (r16)
+        cand = _canonical_pairs(candidates)
         cand_ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
+            cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
         )
         words = words.join(cand_ids, on=id_col, how="left_semi")
@@ -1024,7 +1037,7 @@ def containment_pairs(
         wa = words.select(F.col(id_col).alias("id_a"), "word")
         wb = words.select(F.col(id_col).alias("id_b"), "word")
         inter = (
-            _canonical_pairs(candidates)
+            cand
             .join(wa, "id_a")
             .join(wb, ["id_b", "word"])
             .groupBy("id_a", "id_b")
