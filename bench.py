@@ -725,8 +725,19 @@ def run_tier(
             # codegen-rich tiers flood ~3x faster; measured A/B on
             # the dedup+spans tiers: worst trial spread 1.8x/3.0x
             # with 12 threads vs 2.7x/8.4x without, minima unchanged.
+            # -XX:-DontCompileHugeMethods (r16): two Catalyst planning
+            # methods exceed HotSpot's 8000-bytecode JIT ceiling
+            # (DataSourceV2Strategy::apply 10221 B, ResolveSession-
+            # Catalog 10058 B, PrintCompilation) and by default run
+            # INTERPRETED forever; AQE re-plans per stage, so on
+            # plan-heavy queries (spans tier) the interpreted planner
+            # randomly dominates wall time — measured bimodality:
+            # 4 of 6 unflagged spans-tier runs degraded (trials up to
+            # 45 s vs a 1.8 s floor, idle canary), 9 of 9 flagged
+            # runs stayed under 3.5 s (OPTIMIZATION_r16.md).
             "spark.driver.extraJavaOptions": (
                 "-XX:ReservedCodeCacheSize=512m -XX:CICompilerCount=12 "
+                "-XX:-DontCompileHugeMethods "
                 + os.environ.get("SPARK_GRAFT_BENCH_JVM_OPTS", "")
             ).strip(),
         },

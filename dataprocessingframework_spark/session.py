@@ -41,6 +41,17 @@ def get_spark(
         # (must be set before the JVM starts; no-op on an existing session)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
+        # two Catalyst planning methods (DataSourceV2Strategy::apply,
+        # ResolveSessionCatalog — 10.2k/10.1k bytecodes) exceed
+        # HotSpot's 8000-byte DontCompileHugeMethods ceiling and run
+        # INTERPRETED by default; AQE re-plans per stage, so drivers
+        # planning large queries pay a measured, randomly-appearing
+        # 10-60x planning slowdown (r16, OPTIMIZATION_r16.md "spans
+        # bimodality"). Scale-independent JVM fix: let the JIT
+        # compile them. On a real cluster set the same flag in
+        # spark.driver.extraJavaOptions (and executor opts if
+        # executors ever plan, e.g. DSv2 connectors).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         # --- adaptive execution: runtime re-plan, skew splitting, coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
