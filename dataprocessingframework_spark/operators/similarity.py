@@ -1216,44 +1216,57 @@ def _sq8_bounds(corpus: DataFrame, vec_col: str) -> tuple[list, list]:
     return [float(r.mn) for r in rows], [float(r.mx) for r in rows]
 
 
-def _sq8_code_expr(vec_col: str, mins: list, maxs: list, i: int) -> Column:
-    """SQ8 code for dimension i: clamp(0, 255, floor((x-mn)/(mx-mn)
-    *256)), 0 on degenerate dims — same pure floor arithmetic as
-    quantize_embeddings, bit-portable across engines. The LOWER
-    clamp matters only on the append path: a batch value below the
-    STORED per-dim min would otherwise code negative and corrupt
-    the packed word's neighboring bytes."""
+def _sq8_code_sql(vec_col: str, mins: list, maxs: list, i: int) -> str:
+    """SQ8 code for dimension i as a SQL fragment: clamp(0, 255,
+    floor((x-mn)/(mx-mn)*256)), 0 on degenerate dims — same pure
+    floor arithmetic as quantize_embeddings, bit-portable across
+    engines. The LOWER clamp matters only on the append path: a
+    batch value below the STORED per-dim min would otherwise code
+    negative and corrupt the packed word's neighboring bytes.
+
+    A SQL string, not column algebra (r16): the py4j form cost ~10
+    driver round-trips per dimension; parsing is one call for the
+    whole pack/dequant expression. The parsed tree computes the
+    identical arithmetic — `-`/`/`/`*` left-associate in both forms,
+    `v[i]` is the same 0-based GetArrayItem, the mn/range literals
+    are Python-computed doubles emitted as shortest-round-trip
+    reprs, and floor(double) is BIGINT either way (the SQ8 probe
+    parity tests and the emb_ivf_sq8_topk oracle pin bit-equality)."""
     mn, mx = mins[i], maxs[i]
     if mx <= mn:
-        return F.lit(0).cast("long")
-    return F.greatest(
-        F.lit(0).cast("long"),
-        F.least(
-            F.lit(SQ8_LEVELS - 1).cast("long"),
-            F.floor(
-                (F.col(vec_col)[i].cast("double") - F.lit(mn))
-                / F.lit(mx - mn)
-                * F.lit(float(SQ8_LEVELS))
-            ),
-        ),
+        return "CAST(0 AS BIGINT)"
+    return (
+        "greatest(CAST(0 AS BIGINT), least("
+        f"CAST({SQ8_LEVELS - 1} AS BIGINT), "
+        f"FLOOR((CAST({vec_col}[{i}] AS DOUBLE) - {float(mn)!r}D)"
+        f" / {float(mx - mn)!r}D * {float(SQ8_LEVELS)!r}D)))"
     )
+
+
+def _sq8_code_expr(vec_col: str, mins: list, maxs: list, i: int) -> Column:
+    """Column form of :func:`_sq8_code_sql` (append-path single-dim
+    callers)."""
+    return F.expr(_sq8_code_sql(vec_col, mins, maxs, i))
 
 
 def _sq8_pack_expr(vec_col: str, mins: list, maxs: list) -> Column:
     """Pack the SQ8 codes 7-per-long into array<bigint> — a true
     (dim bytes)-per-row payload vs 4*dim for float32, independent of
     parquet encodings. Statically unrolled (dim is driver-known from
-    the bounds), build-time only — probes never re-pack."""
+    the bounds), build-time only — probes never re-pack. ONE parsed
+    SQL expression (r16, see _sq8_code_sql): the py4j column-algebra
+    form issued ~10 round-trips per dimension per index build."""
     dim = len(mins)
     words = []
     for w in range(0, dim, _SQ8_PER_WORD):
-        expr = F.lit(0).cast("long")
+        terms = ["CAST(0 AS BIGINT)"]
         for j, i in enumerate(range(w, min(w + _SQ8_PER_WORD, dim))):
-            expr = expr + F.shiftleft(
-                _sq8_code_expr(vec_col, mins, maxs, i), 8 * j
+            terms.append(
+                f"shiftleft({_sq8_code_sql(vec_col, mins, maxs, i)},"
+                f" {8 * j})"
             )
-        words.append(expr)
-    return F.array(*words)
+        words.append(" + ".join(terms))
+    return F.expr(f"array({', '.join(words)})")
 
 
 def _sq8_dequant_dot(
@@ -2374,18 +2387,16 @@ def materialize_ivf_index(
         # probe parity tests), so probe cosines are consistent with
         # what the index actually stores
         dim = len(mins)
-        deq = F.array(
-            *[
-                F.lit(mins[i])
-                + (
-                    _sq8_code_expr("embedding", mins, maxs, i).cast(
-                        "double"
-                    )
-                    + F.lit(0.5)
-                )
-                * F.lit((maxs[i] - mins[i]) / float(SQ8_LEVELS))
+        # one parsed SQL expression (r16, see _sq8_code_sql): the
+        # py4j form issued ~15 round-trips per dimension per build
+        deq = F.expr(
+            "array(" + ", ".join(
+                f"{float(mins[i])!r}D + "
+                f"(CAST({_sq8_code_sql('embedding', mins, maxs, i)}"
+                " AS DOUBLE) + 0.5D) * "
+                f"{float((maxs[i] - mins[i]) / float(SQ8_LEVELS))!r}D"
                 for i in range(dim)
-            ]
+            ) + ")"
         )
         idx = idx.select(
             "cell",
