@@ -783,6 +783,22 @@ def run_tier(
         c_runs.append(round(time.time() - t0, 3))
     extra[f"canary_{tier_name or 'tier'}"] = min(c_runs)
 
+    # host-steal telemetry (r16): the canary runs ONCE at tier start,
+    # so an external CPU burst that lands mid-tier is invisible to it
+    # (observed: idle canary, 3-30x trial spikes). /proc/stat's
+    # steal+iowait delta over the WHOLE tier is the unambiguous
+    # external-contention record — sampled here and differenced in
+    # the finally below, as extra["steal_pct_<tier>"] (percent of
+    # total cpu time stolen from the guest while the tier ran).
+    def _cpu_totals() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as f:
+                v = list(map(int, f.readline().split()[1:9]))
+            return sum(v), v[7]  # total jiffies, steal jiffies
+        except Exception:  # noqa: BLE001 — non-Linux: skip telemetry
+            return None
+    _cpu0 = _cpu_totals()
+
     thunks = bench_queries(spark, extra, set(names))
     missing = [n for n in names if n not in thunks]
     assert not missing, f"unknown bench queries: {missing}"
@@ -858,6 +874,12 @@ def run_tier(
         # BENCH_r{N}.json artifact rather than needing a re-run
         trials[name] = runs
         timings[name] = min(runs)
+
+    _cpu1 = _cpu_totals()
+    if _cpu0 is not None and _cpu1 is not None and _cpu1[0] > _cpu0[0]:
+        extra[f"steal_pct_{tier_name or 'tier'}"] = round(
+            100.0 * (_cpu1[1] - _cpu0[1]) / (_cpu1[0] - _cpu0[0]), 2
+        )
 
     cleanup = extra.pop("_cleanup", None)
     if cleanup is not None:
