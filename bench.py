@@ -785,11 +785,15 @@ def run_tier(
 
     # host-steal telemetry (r16): the canary runs ONCE at tier start,
     # so an external CPU burst that lands mid-tier is invisible to it
-    # (observed: idle canary, 3-30x trial spikes). /proc/stat's
-    # steal+iowait delta over the WHOLE tier is the unambiguous
-    # external-contention record — sampled here and differenced in
-    # the finally below, as extra["steal_pct_<tier>"] (percent of
-    # total cpu time stolen from the guest while the tier ran).
+    # (observed: idle canary, 3-30x trial spikes). /proc/stat's STEAL
+    # delta over the WHOLE tier is the unambiguous external-CPU-
+    # contention record — sampled here and differenced after the last
+    # query below, as extra["steal_pct_<tier>"] (percent of total cpu
+    # time stolen from the guest while the tier ran). Straight-line,
+    # not try/finally: a raising thunk aborts the whole tier
+    # subprocess and no JSON is emitted at all, so there is no
+    # partial artifact to annotate. CPU steal only — iowait
+    # contention needs a different probe (not recorded).
     def _cpu_totals() -> tuple[int, int] | None:
         try:
             with open("/proc/stat") as f:

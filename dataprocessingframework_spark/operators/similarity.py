@@ -1243,12 +1243,6 @@ def _sq8_code_sql(vec_col: str, mins: list, maxs: list, i: int) -> str:
     )
 
 
-def _sq8_code_expr(vec_col: str, mins: list, maxs: list, i: int) -> Column:
-    """Column form of :func:`_sq8_code_sql` (append-path single-dim
-    callers)."""
-    return F.expr(_sq8_code_sql(vec_col, mins, maxs, i))
-
-
 def _sq8_pack_expr(vec_col: str, mins: list, maxs: list) -> Column:
     """Pack the SQ8 codes 7-per-long into array<bigint> — a true
     (dim bytes)-per-row payload vs 4*dim for float32, independent of

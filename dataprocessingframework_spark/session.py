@@ -71,6 +71,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions":
+            # preserve the DontCompileHugeMethods default (above) when
+            # a caller supplies its own JVM opts: prepend it, so the
+            # caller's flags still win any conflict (last flag wins in
+            # HotSpot) but the interpreted-planner fix is not silently
+            # dropped at every override site
+            v = f"-XX:-DontCompileHugeMethods {v}".strip()
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

@@ -99,6 +99,13 @@ def main() -> int:
         "ann_kcenter_batched": None,  # iterative
     }
 
+    unknown = only - set(builders)
+    assert not unknown, (
+        f"unknown plan-capture names: {sorted(unknown)} — a typo here"
+        " silently leaves a STALE <name>_<suffix>.txt in place and the"
+        " next plan diff compares a pre-change plan against itself"
+    )
+
     for name, build in builders.items():
         if only and name not in only:
             continue
