@@ -42,6 +42,27 @@ def norm(a: Column) -> Column:
     )
 
 
+def _driver_meta_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-local metadata rows (quantizer matrices, SQ8 bounds, PQ
+    codebooks — KB-scale BY CONSTRUCTION, never corpus-bounded) as a
+    ONE-partition DataFrame.
+
+    Why not plain ``spark.createDataFrame(rows)``: that parallelizes
+    the list into ``defaultParallelism`` Python-RDD slices, and the
+    single write task of the companion-table ``saveAsTable`` then
+    drains those slices SEQUENTIALLY — one Python worker launch per
+    slice (~150 ms each). Measured r17 on the sq8 index build: the two
+    companion writes cost 2 x 4.7 s at local[32] vs 2 x 1.2 s at
+    local[8] — the whole 2.4-3.4x inverse-scaling signal on the build
+    extras (BENCH_r16 vs BENCH_r16_c8), reproduced and pinned in
+    plans/r17/. One slice is the size-derived partitioning for
+    driver-held metadata at ANY cluster width; a 16-row write is
+    0.35 s either way after this."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -1743,10 +1764,10 @@ def materialize_pq_index(
         cent_rows = [
             (c, [float(x) for x in vec]) for c, vec in enumerate(cents)
         ]
-        cent_df = spark.createDataFrame(
-            cent_rows, schema="cell int, centroid array<double>"
+        cent_df = _driver_meta_df(
+            spark, cent_rows, "cell int, centroid array<double>"
         )
-        w0 = cent_df.coalesce(1).write.mode(mode).format("parquet")
+        w0 = cent_df.write.mode(mode).format("parquet")
         if path:
             w0 = w0.option("path", f"{path}_centroids")
         w0.saveAsTable(f"{table}_centroids")
@@ -1755,10 +1776,10 @@ def materialize_pq_index(
             for s in range(len(books))
             for c in range(len(books[s]))
         ]
-        book_df = spark.createDataFrame(
-            book_rows, schema="s int, c int, codeword array<double>"
+        book_df = _driver_meta_df(
+            spark, book_rows, "s int, c int, codeword array<double>"
         )
-        wb = book_df.coalesce(1).write.mode(mode).format("parquet")
+        wb = book_df.write.mode(mode).format("parquet")
         if path:
             wb = wb.option("path", f"{path}_pq")
         wb.saveAsTable(f"{table}_pq")
@@ -2442,31 +2463,30 @@ def materialize_ivf_index(
         cent_rows = [
             (c, [float(x) for x in vec]) for c, vec in enumerate(cents)
         ]
-        cent_df = spark.createDataFrame(
-            cent_rows, schema="cell int, centroid array<double>"
+        cent_df = _driver_meta_df(
+            spark, cent_rows, "cell int, centroid array<double>"
         )
-        w = cent_df.coalesce(1).write.mode(mode).format("parquet")
+        w = cent_df.write.mode(mode).format("parquet")
         if path:
             w = w.option("path", f"{path}_centroids")
         w.saveAsTable(f"{table}_centroids")
         if sq8:
-            b_df = spark.createDataFrame(
+            b_df = _driver_meta_df(
+                spark,
                 [(mins, maxs, SQ8_LEVELS)],
-                schema=(
-                    "mins array<double>, maxs array<double>,"
-                    " levels int"
-                ),
+                "mins array<double>, maxs array<double>, levels int",
             )
-            wb = b_df.coalesce(1).write.mode(mode).format("parquet")
+            wb = b_df.write.mode(mode).format("parquet")
             if path:
                 wb = wb.option("path", f"{path}_sq8")
             wb.saveAsTable(f"{table}_sq8")
         if prefix_dims is not None:
-            p_df = spark.createDataFrame(
+            p_df = _driver_meta_df(
+                spark,
                 [(int(prefix_dims), int(full_dim))],
-                schema="dims int, full_dim int",
+                "dims int, full_dim int",
             )
-            wp = p_df.coalesce(1).write.mode(mode).format("parquet")
+            wp = p_df.write.mode(mode).format("parquet")
             if path:
                 wp = wp.option("path", f"{path}_prefix")
             wp.saveAsTable(f"{table}_prefix")

@@ -1764,3 +1764,57 @@ def test_prefix_compressed_gate_equals_exact_gate(spark, sf_dir, tmp_path):
                   "t_gate_pfx_prefix"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+
+
+def test_index_companion_tables_written_single_partition(
+    spark, sf_dir, tmp_path
+):
+    """r17: the companion metadata tables (centroids, sq8 bounds, PQ
+    codebooks, prefix geometry) are driver-local KB-scale rows. A
+    plain createDataFrame(list) parallelizes them into
+    defaultParallelism Python-RDD slices, and the coalesce(1) write
+    task then drains those slices SEQUENTIALLY — one Python worker
+    launch per slice — which made every index build ~2x SLOWER at 32
+    cores than at 8 (BENCH_r16 vs BENCH_r16_c8: sq8 12.56 s vs
+    5.23 s). _driver_meta_df pins them to ONE slice: assert both the
+    partition count (the fix) and the single output file, and that
+    reload round-trips the written values exactly."""
+    from dataprocessingframework_spark.operators.similarity import (
+        _driver_meta_df,
+        load_ivf_centroids,
+        load_sq8_bounds,
+        materialize_ivf_index,
+    )
+
+    rows = [(c, [float(c), float(c + 1)]) for c in range(5)]
+    df = _driver_meta_df(spark, rows, "cell int, centroid array<double>")
+    assert df.rdd.getNumPartitions() == 1
+    assert [(r.cell, list(r.centroid)) for r in df.collect()] == [
+        (c, list(v)) for c, v in rows
+    ]
+
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(200)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias(
+                "embedding"
+            )
+        )
+    )
+    try:
+        materialize_ivf_index(
+            corpus, "t_meta_1slice", n_cells=4, iters=1,
+            num_buckets=4, path=str(tmp_path / "m1s"), sq8=True,
+        )
+        cents = load_ivf_centroids(spark, "t_meta_1slice")
+        mins, maxs = load_sq8_bounds(spark, "t_meta_1slice")
+        assert len(cents) == 4 and len(mins) == len(maxs) > 0
+        # one slice -> exactly one parquet file per companion table
+        for sfx in ("_centroids", "_sq8"):
+            files = spark.table(f"t_meta_1slice{sfx}").inputFiles()
+            assert len(files) == 1, (sfx, files)
+    finally:
+        for t in ("t_meta_1slice", "t_meta_1slice_centroids",
+                  "t_meta_1slice_sq8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
