@@ -51,7 +51,10 @@ TIERS: dict[str, list[str]] = {
         "group_agg", "window_topn", "update_columns", "asof_join",
     ],
     "events": ["event_window_agg", "event_sessionize"],
-    "text": ["text_quality", "pipeline_curation", "pipeline_curation_v2"],
+    "text": [
+        "text_quality", "pipeline_curation", "pipeline_curation_v2",
+        "text_pack_sequences",
+    ],
     "dedup": [
         "minhash_signatures", "minhash_lsh_candidates_capped",
         "jaccard_verify_lsh", "cc_clusters_star",
@@ -60,7 +63,8 @@ TIERS: dict[str, list[str]] = {
     "ann": [
         "ann_topk_cosine", "ann_topk_blas", "ann_lsh_topk",
         "ann_ivf_topk", "ann_lsh_multi_topk", "ann_index_probe",
-        "ann_ivf_index_probe", "ann_ivf_sq8_probe", "ann_ivf_pq_probe",
+        "ann_ivf_index_probe", "ann_ivf_sq8_probe",
+        "ann_ivf_sq8_index_build", "ann_ivf_pq_probe",
         "ann_ivf_pq_rerank",
         "ann_gate_sq8",
         "ann_kcenter",
@@ -120,7 +124,11 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
     from pyspark.sql import functions as F
 
     from dataprocessingframework_spark import queries as q
-    from dataprocessingframework_spark.operators import dedup, similarity
+    from dataprocessingframework_spark.operators import (
+        dedup,
+        similarity,
+        text_analysis,
+    )
 
     def small(fn):
         return lambda: fn(spark, SF_DIR).toPandas()
@@ -148,6 +156,17 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         # v2 flagship: gate -> exact dedup -> stride-1 span removal ->
         # report (the composed multi-tier cost)
         "pipeline_curation_v2": small(q.q_pipeline_curation_v2),
+        # registry-only text tier floor (r17, VERDICT r16 item 7): the
+        # loader-layout sequence packer — md5-sharded running-sum bins.
+        # First timed coverage for the tokenize/pack cost class that
+        # was previously plan-audit only; operator body identical to
+        # the tx_pack_sequences oracle query minus its presentation
+        # orderBy (noop sink per guide §1.4).
+        "text_pack_sequences": big(
+            lambda s, d: text_analysis.pack_sequences(
+                q.T(s, d, "documents"), context_len=1024
+            )
+        ),
         # dedup sketches at scale
         "minhash_signatures": big(
             lambda s, d: dedup.minhash_signatures(
@@ -260,6 +279,7 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
         out["ann_index_probe"] = lambda: None
         out["ann_ivf_index_probe"] = lambda: None
         out["ann_ivf_sq8_probe"] = lambda: None
+        out["ann_ivf_sq8_index_build"] = lambda: None
         out["ann_ivf_pq_probe"] = lambda: None
         out["ann_ivf_pq_rerank"] = lambda: None
         out["ann_gate_sq8"] = lambda: None
@@ -544,6 +564,42 @@ def bench_queries(spark, extra: dict[str, float], only: set[str] | None):
                 shutil.rmtree(f"{sq8_path}{sfx}", ignore_errors=True)
 
         extra["_cleanup"] = sq8_cleanup
+
+    # Timed SQ8 index BUILD (r17, VERDICT r16 item 7): the build IS
+    # the ingest path at 100 TB, but it only ever appeared as an
+    # untimed extra — which is how its 2.4-3.4x inverse-scaling defect
+    # (fixed this round) stayed driver-invisible for two rounds. Each
+    # trial trains + encodes + writes a FRESH index (mode=overwrite,
+    # its own table; the probe entries above keep their stable index).
+    if "ann_ivf_sq8_index_build" in only:
+        import shutil
+        import uuid
+
+        bld_tag = uuid.uuid4().hex[:8]
+        bld_table = f"bench_sq8_bld_{bld_tag}"
+        bld_path = f"/root/repo/.scratch/bench_sq8_bld_{bld_tag}"
+        emb_bld = q.T(spark, SF_DIR, "embeddings")
+
+        def sq8_index_build():
+            similarity.materialize_ivf_index(
+                emb_bld, bld_table, n_cells=16, iters=1,
+                num_buckets=16, path=bld_path, sq8=True,
+            )
+
+        out["ann_ivf_sq8_index_build"] = sq8_index_build
+
+        prev_cleanup_bld = extra.get("_cleanup")
+
+        def bld_cleanup():
+            if prev_cleanup_bld is not None:
+                prev_cleanup_bld()
+            for t in (bld_table, f"{bld_table}_centroids",
+                      f"{bld_table}_sq8"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for sfx in ("", "_centroids", "_sq8"):
+                shutil.rmtree(f"{bld_path}{sfx}", ignore_errors=True)
+
+        extra["_cleanup"] = bld_cleanup
 
     # IVF-PQ read path (r10): the 16B-payload rung of the compression
     # ladder; blas encode at build, reconstruction-lookup probe.
@@ -948,6 +1004,30 @@ def main() -> None:
         )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Two lines, detail FIRST and the contract line LAST (r17, VERDICT
+    # r16 items 2/7-of-"what's wrong"): the external driver stores only
+    # a ~2000-char TAIL of stdout, and the r15 artifact's single fat
+    # line (queries+trials+extra, ~5 KB) fell out of that window
+    # mid-dict — which cost the driver the ENTIRE r15->r16
+    # round-over-round comparison (PERF_r16 prev_bench_ok=false). The
+    # per-trial arrays and untimed extras move to a preceding
+    # "bench_detail" line (same content, still machine-readable;
+    # tools/bench_compare.py extracts either shape), and the final
+    # line keeps exactly the contract fields — small enough that the
+    # tail always contains it whole (asserted in
+    # tests/test_bench_harness.py with headroom).
+    print(
+        json.dumps(
+            {
+                "bench_detail": {
+                    "trials": trials,
+                    # untimed one-off setup costs (e.g. the bucketed
+                    # ANN index build that ann_index_probe amortizes)
+                    "extra": extra,
+                }
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -955,10 +1035,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "trials": trials,
-                # untimed one-off setup costs (e.g. the bucketed ANN
-                # index build that ann_index_probe amortizes away)
-                "extra": extra,
                 # queries whose trial spread stayed >3x even after a
                 # mechanical resettle+re-run (r12); [] = trustworthy
                 "contaminated": contaminated,

@@ -1237,6 +1237,26 @@ def _sq8_bounds(corpus: DataFrame, vec_col: str) -> tuple[list, list]:
     return [float(r.mn) for r in rows], [float(r.mx) for r in rows]
 
 
+def _finite_d(x: float, what: str) -> str:
+    """repr-literal a double for SQL interpolation, failing LOUDLY on
+    non-finite input (ADVICE r16): ``repr(inf)`` would emit ``infD``
+    and surface as an opaque ParseException where the old F.lit
+    column-algebra path built a (still-wrong) plan. Same actionable
+    contract as _nested_array_lit's guard. The repr round-trips
+    binary64 exactly, so the parsed literal is bit-identical to the
+    F.lit path."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite {what} ({x!r}); repr-based SQL literals"
+            " cannot encode NaN/Inf — clean the input vectors or"
+            " rebuild the index bounds before probing"
+        )
+    return f"{x!r}D"
+
+
 def _sq8_code_sql(vec_col: str, mins: list, maxs: list, i: int) -> str:
     """SQ8 code for dimension i as a SQL fragment: clamp(0, 255,
     floor((x-mn)/(mx-mn)*256)), 0 on degenerate dims — same pure
@@ -1259,8 +1279,10 @@ def _sq8_code_sql(vec_col: str, mins: list, maxs: list, i: int) -> str:
     return (
         "greatest(CAST(0 AS BIGINT), least("
         f"CAST({SQ8_LEVELS - 1} AS BIGINT), "
-        f"FLOOR((CAST({vec_col}[{i}] AS DOUBLE) - {float(mn)!r}D)"
-        f" / {float(mx - mn)!r}D * {float(SQ8_LEVELS)!r}D)))"
+        f"FLOOR((CAST({vec_col}[{i}] AS DOUBLE)"
+        f" - {_finite_d(mn, f'sq8 min[{i}]')})"
+        f" / {_finite_d(mx - mn, f'sq8 range[{i}]')}"
+        f" * {float(SQ8_LEVELS)!r}D)))"
     )
 
 
@@ -1311,8 +1333,10 @@ def _sq8_dequant_dot(
         step = (mx - mn) / float(SQ8_LEVELS)
         code = f"(shiftright({codes_col}[{w}], {8 * j}) & 255)"
         terms.append(
-            f"CAST({vec_col}[{i}] AS DOUBLE) * ({float(mn)!r}D"
-            f" + (CAST({code} AS DOUBLE) + 0.5D) * {float(step)!r}D)"
+            f"CAST({vec_col}[{i}] AS DOUBLE) * "
+            f"({_finite_d(mn, f'sq8 min[{i}]')}"
+            f" + (CAST({code} AS DOUBLE) + 0.5D) * "
+            f"{_finite_d(step, f'sq8 step[{i}]')})"
         )
     return F.expr(" + ".join(terms))
 
@@ -2406,10 +2430,13 @@ def materialize_ivf_index(
         # py4j form issued ~15 round-trips per dimension per build
         deq = F.expr(
             "array(" + ", ".join(
-                f"{float(mins[i])!r}D + "
+                f"{_finite_d(mins[i], f'sq8 min[{i}]')} + "
                 f"(CAST({_sq8_code_sql('embedding', mins, maxs, i)}"
                 " AS DOUBLE) + 0.5D) * "
-                f"{float((maxs[i] - mins[i]) / float(SQ8_LEVELS))!r}D"
+                + _finite_d(
+                    (maxs[i] - mins[i]) / float(SQ8_LEVELS),
+                    f"sq8 step[{i}]",
+                )
                 for i in range(dim)
             ) + ")"
         )
@@ -2824,12 +2851,16 @@ def kcenter_select(
         return F.expr(_dist_to_sql(vec, vnorm))
 
     def _dist_to_sql(vec: list[float], vnorm: float) -> str:
-        arr = ",".join(f"{x!r}D" for x in vec)
+        # _finite_d (ADVICE r16): a non-finite embedding component or
+        # center norm fails as a named ValueError, not a parse error
+        arr = ",".join(
+            _finite_d(x, "kcenter center component") for x in vec
+        )
         return (
             "1.0D - aggregate(zip_with(kv, array({arr}), "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
-            "(acc, v) -> acc + v) / (kn * {vnorm!r}D)"
-        ).format(arr=arr, vnorm=vnorm)
+            "(acc, v) -> acc + v) / (kn * {vn})"
+        ).format(arr=arr, vn=_finite_d(vnorm, "kcenter center norm"))
 
     selected = [(0, int(seed.kid), 2.0)]
     cur = base.withColumn(

@@ -19,6 +19,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Two Catalyst planning methods (DataSourceV2Strategy::apply 10,221 B,
+# ResolveSessionCatalog 10,058 B) exceed HotSpot's 8000-bytecode
+# DontCompileHugeMethods ceiling and run INTERPRETED by default; AQE
+# re-plans per stage, so plan-heavy drivers pay a randomly-appearing
+# 10-60x planning slowdown (root-caused r16, OPTIMIZATION_r16.md
+# "spans bimodality"). Scale-independent: a 100 TB driver plans the
+# same methods.
+_JIT_PLANNER_FLAG = "-XX:-DontCompileHugeMethods"
+
+
+def merge_driver_java_options(caller_value: str) -> str:
+    """Merge a caller's ``spark.driver.extraJavaOptions`` with the
+    interpreted-planner fix: prepend :data:`_JIT_PLANNER_FLAG` so the
+    caller's flags still win any conflict (last flag wins in HotSpot)
+    but the fix is not silently dropped at an override site. If the
+    caller already passes the flag (either polarity), their value is
+    returned untouched — no duplicate on the command line (ADVICE r16;
+    an explicit ``-XX:+DontCompileHugeMethods`` is a deliberate caller
+    choice and prepending ours would be a no-op anyway). Executor-side
+    planning (DSv2 connectors) is not covered — set executor opts on a
+    real cluster if executors ever plan."""
+    if "DontCompileHugeMethods" in caller_value:
+        return caller_value.strip()
+    return f"{_JIT_PLANNER_FLAG} {caller_value}".strip()
+
 
 def get_spark(
     app_name: str = "dataprocessingframework-spark",
@@ -41,17 +66,8 @@ def get_spark(
         # (must be set before the JVM starts; no-op on an existing session)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
-        # two Catalyst planning methods (DataSourceV2Strategy::apply,
-        # ResolveSessionCatalog — 10.2k/10.1k bytecodes) exceed
-        # HotSpot's 8000-byte DontCompileHugeMethods ceiling and run
-        # INTERPRETED by default; AQE re-plans per stage, so drivers
-        # planning large queries pay a measured, randomly-appearing
-        # 10-60x planning slowdown (r16, OPTIMIZATION_r16.md "spans
-        # bimodality"). Scale-independent JVM fix: let the JIT
-        # compile them. On a real cluster set the same flag in
-        # spark.driver.extraJavaOptions (and executor opts if
-        # executors ever plan, e.g. DSv2 connectors).
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # interpreted-planner fix (r16) — see merge_driver_java_options
+        .config("spark.driver.extraJavaOptions", _JIT_PLANNER_FLAG)
         # --- adaptive execution: runtime re-plan, skew splitting, coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -72,12 +88,7 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         if k == "spark.driver.extraJavaOptions":
-            # preserve the DontCompileHugeMethods default (above) when
-            # a caller supplies its own JVM opts: prepend it, so the
-            # caller's flags still win any conflict (last flag wins in
-            # HotSpot) but the interpreted-planner fix is not silently
-            # dropped at every override site
-            v = f"-XX:-DontCompileHugeMethods {v}".strip()
+            v = merge_driver_java_options(v)
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

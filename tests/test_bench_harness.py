@@ -130,3 +130,62 @@ def test_bench_compare_normalizes_and_triages(tmp_path):
     # masked regression, big swing (canary 0.35) -> check
     assert _verdict(1.1, 1.1 / 0.35, 0.35, 1.2) == "check"
     assert _verdict(1.0, 1.0, 1.0, 1.2) == "ok"
+
+
+def test_final_json_line_fits_driver_tail_window():
+    """r17 (VERDICT r16 item 2): the external driver stores only a
+    ~2000-char TAIL of bench stdout, and the r15 artifact's single fat
+    line fell out of that window mid-dict — PERF_r16 lost the entire
+    round-over-round comparison. The contract line (metric / value /
+    unit / queries / sf) is now emitted LAST and WITHOUT the per-trial
+    arrays; pin that it parses and stays comfortably inside the window
+    even with every query at a worst-case-width value."""
+    import json
+
+    names = sorted(bench_queries(None, {}, None))
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 99999.999 for n in names},
+            "contaminated": [],
+            "isolation": "per-tier JVM (fresh subprocess per tier)",
+            "sf": 0.1,
+        }
+    )
+    assert json.loads(line)["queries"], "line must parse"
+    assert len(line) < 1900, (
+        f"final bench line is {len(line)} chars; the driver tail "
+        "window is ~2000 — move detail fields to the bench_detail "
+        "line, do not grow the contract line"
+    )
+
+
+def test_merge_driver_java_options_preserves_and_dedupes_jit_flag():
+    """r17 (VERDICT r16 item 8 + ADVICE): the interpreted-planner fix
+    must survive caller extraJavaOptions overrides, must not duplicate
+    when the caller already passes it, and must not override an
+    explicit opposite caller choice."""
+    from dataprocessingframework_spark.session import (
+        merge_driver_java_options,
+    )
+
+    # plain override: flag prepended, caller flags kept (and last)
+    merged = merge_driver_java_options("-Xss16m")
+    assert merged.startswith("-XX:-DontCompileHugeMethods")
+    assert merged.endswith("-Xss16m")
+    # caller already carries the flag: no duplication
+    v = "-XX:ReservedCodeCacheSize=512m -XX:-DontCompileHugeMethods"
+    assert merge_driver_java_options(v) == v
+    assert merged.count("DontCompileHugeMethods") == 1
+    # explicit opposite polarity is a deliberate caller choice
+    assert (
+        merge_driver_java_options("-XX:+DontCompileHugeMethods")
+        == "-XX:+DontCompileHugeMethods"
+    )
+    # the bench tier JVMs carry the flag in their conf string
+    import bench as _bench
+
+    src = open(_bench.__file__).read()
+    assert "-XX:-DontCompileHugeMethods" in src

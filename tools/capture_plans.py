@@ -110,6 +110,16 @@ def main() -> int:
         if only and name not in only:
             continue
         if build is None:
+            if only:
+                # an EXPLICITLY requested iterative entry has no static
+                # plan; say so loudly (ADVICE r16) — a silent skip here
+                # leaves a stale <name>_<suffix>.txt in place, exactly
+                # the hazard the unknown-name assert above warns about
+                print(
+                    f"SKIP {name}: iterative entry, no static plan —"
+                    f" NO {name}_{suffix}.txt was (re)written; delete"
+                    " any stale one before diffing"
+                )
             continue
         try:
             df = build()
