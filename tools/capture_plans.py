@@ -35,7 +35,11 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from dataprocessingframework_spark import queries as q
-    from dataprocessingframework_spark.operators import dedup, similarity
+    from dataprocessingframework_spark.operators import (
+        dedup,
+        similarity,
+        text_analysis,
+    )
     from dataprocessingframework_spark.session import get_spark
 
     spark = get_spark(app_name="dpf-plan-capture")
@@ -64,6 +68,9 @@ def main() -> int:
         "pipeline_curation_v2": lambda: q.q_pipeline_curation_v2(spark, d),
         "minhash_signatures": lambda: dedup.minhash_signatures(
             docs(), "text", "doc_id", num_hashes=16
+        ),
+        "text_pack_sequences": lambda: text_analysis.pack_sequences(
+            docs(), context_len=1024
         ),
         "minhash_lsh_candidates_capped": lambda: dedup.minhash_lsh_candidates(
             docs(), "text", "doc_id", num_hashes=16, bands=4
