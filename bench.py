@@ -757,6 +757,72 @@ def resolve_contamination(
     return runs + rerun, True
 
 
+# Pathological-JVM guard (r17): twice this round a spans-tier JVM
+# inside a FULL bench run recorded UNIFORMLY catastrophic trials —
+# text_remove_dup_spans [39.1, 67.7, 46.4] s at 8 cores with an idle
+# canary (0.38) and 1.4% steal, and [50.2, 35.4, 35.9] s at 32 cores —
+# on code byte-identical to the r16-judged HEAD that measures ~2.0 s
+# (35+ solo spans-tier runs never reproduced it; the state is sticky
+# for the LIFE of that JVM, the r16 interpreted-planner signature
+# magnitude). Uniform slowness evades the spread detector above
+# (spread 1.7x < 3x), and min-of-N cannot recover INSIDE a
+# pathological JVM — the only remedy is a fresh one. The guard:
+# an entry whose recorded min is both > PATHOLOGICAL_ABS_SEC and
+# > PATHOLOGICAL_CANARY_RATIO x its tier's ambient canary triggers ONE
+# re-spawn of that tier's subprocess; per-entry minima are taken
+# across both legs and EVERY trial from both legs stays recorded.
+# Thresholds sit between the extremes with wide margin: the worst
+# legitimate reading this round was jaccard_verify_lsh at ~15x its
+# tier canary under a host burst (and < 8 s at every core count with
+# a quiet canary), while the pathological readings were ~100x.
+PATHOLOGICAL_ABS_SEC = 8.0
+PATHOLOGICAL_CANARY_RATIO = 30.0
+
+
+def pathological_entries(
+    queries: dict[str, float], canary: float | None
+) -> list[str]:
+    """Entries whose recorded min bears the pathological-JVM
+    signature (catastrophic AND far outside the ambient band the
+    canary establishes). Pure so the unit test can pin the policy."""
+    if not canary or canary <= 0:
+        return []
+    return sorted(
+        n
+        for n, v in queries.items()
+        if v > PATHOLOGICAL_ABS_SEC
+        and v > PATHOLOGICAL_CANARY_RATIO * canary
+    )
+
+
+def merge_tier_results(first: dict, rerun: dict) -> dict:
+    """Merge a tier re-spawn into the first leg: per-entry min of the
+    recorded minima (both legs computed the full pipeline from the
+    parquet inputs), trials CONCATENATED so both legs stay on the
+    record, contaminated flags unioned, and the re-run's extras kept
+    under a ``_rerun`` suffix (setup costs/canary of the second JVM)."""
+    merged_queries = {
+        n: min(v, rerun["queries"].get(n, v))
+        for n, v in first["queries"].items()
+    }
+    merged_trials = {
+        n: t + rerun.get("trials", {}).get(n, [])
+        for n, t in first["trials"].items()
+    }
+    extra = dict(first.get("extra", {}))
+    for k, v in rerun.get("extra", {}).items():
+        extra[f"{k}_rerun"] = v
+    return {
+        "queries": merged_queries,
+        "trials": merged_trials,
+        "extra": extra,
+        "contaminated": sorted(
+            set(first.get("contaminated", []))
+            | set(rerun.get("contaminated", []))
+        ),
+    }
+
+
 def run_tier(
     names: list[str],
     settle_sec: int = 0,
@@ -981,7 +1047,7 @@ def main() -> None:
     trials: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
     contaminated: list[str] = []
-    for tier in TIERS:
+    def run_tier_subprocess(tier: str) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--tier", tier],
             stdout=subprocess.PIPE,
@@ -990,7 +1056,26 @@ def main() -> None:
             check=True,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.strip()][-1]
-        result = json.loads(line)
+        return json.loads(line)
+
+    for tier in TIERS:
+        result = run_tier_subprocess(tier)
+        bad = pathological_entries(
+            result["queries"], result.get("extra", {}).get(f"canary_{tier}")
+        )
+        if bad:
+            # sticky pathological JVM state suspected (see the guard's
+            # rationale above resolve_contamination): one fresh-JVM
+            # re-spawn of the whole tier, both legs on the record
+            print(
+                f"WARNING: pathological tier JVM suspected "
+                f"(entries >{PATHOLOGICAL_CANARY_RATIO}x tier canary "
+                f"and >{PATHOLOGICAL_ABS_SEC}s): {bad} — re-spawning "
+                f"tier '{tier}' once in a fresh JVM",
+                file=sys.stderr,
+            )
+            result = merge_tier_results(result, run_tier_subprocess(tier))
+            result["extra"][f"jvm_rerun_{tier}"] = 1
         timings.update(result["queries"])
         trials.update(result["trials"])
         extra.update(result.get("extra", {}))

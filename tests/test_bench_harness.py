@@ -10,6 +10,8 @@ from bench import (  # noqa: E402
     CONTAMINATION_SPREAD,
     TIERS,
     bench_queries,
+    merge_tier_results,
+    pathological_entries,
     resolve_contamination,
     trial_spread,
 )
@@ -38,6 +40,56 @@ def test_resolve_contamination_policy():
     # still-noisy re-run: keep all evidence, flag the query
     final, bad = resolve_contamination(tainted, [2.0, 9.0, 2.1])
     assert final == tainted + [2.0, 9.0, 2.1] and bad
+
+
+def test_pathological_jvm_guard_policy():
+    """r17: the uniformly-catastrophic spans signature (trials
+    [39.1, 67.7, 46.4] at 8 cores, idle canary 0.382 — spread 1.7x,
+    so the spread detector CANNOT see it) must trip the fresh-JVM
+    re-spawn; every legitimate reading observed this round must not."""
+    # the caught signature: 39.1 s min, canary 0.382 -> 102x
+    assert pathological_entries(
+        {"text_remove_dup_spans": 39.102,
+         "text_remove_dup_passages": 1.208},
+        0.382,
+    ) == ["text_remove_dup_spans"]
+    # worst LEGITIMATE readings: jaccard under a host burst (8.15 s
+    # but canary 0.645 -> 12.6x), jaccard at 8 cores (5.0 s, 15x but
+    # under the absolute floor), cc_clusters_star everywhere
+    assert pathological_entries(
+        {"jaccard_verify_lsh": 8.152, "cc_clusters_star": 9.915}, 0.645
+    ) == []
+    assert pathological_entries(
+        {"jaccard_verify_lsh": 4.959, "cc_clusters_star": 4.081}, 0.332
+    ) == []
+    # no canary recorded (or zero) -> never fires
+    assert pathological_entries({"x": 100.0}, None) == []
+    assert pathological_entries({"x": 100.0}, 0.0) == []
+
+
+def test_merge_tier_results_keeps_both_legs():
+    first = {
+        "queries": {"a": 39.1, "b": 1.2},
+        "trials": {"a": [39.1, 67.7, 46.4], "b": [1.3, 1.2]},
+        "extra": {"canary_spans": 0.38, "steal_pct_spans": 1.4},
+        "contaminated": ["b"],
+    }
+    rerun = {
+        "queries": {"a": 2.1, "b": 1.5},
+        "trials": {"a": [2.2, 2.1, 2.3], "b": [1.5, 1.6]},
+        "extra": {"canary_spans": 0.41, "steal_pct_spans": 0.2},
+        "contaminated": [],
+    }
+    m = merge_tier_results(first, rerun)
+    # per-entry min across legs; a leg can only help, never hide
+    assert m["queries"] == {"a": 2.1, "b": 1.2}
+    # EVERY trial from both legs stays on the record
+    assert m["trials"]["a"] == [39.1, 67.7, 46.4, 2.2, 2.1, 2.3]
+    assert m["trials"]["b"] == [1.3, 1.2, 1.5, 1.6]
+    # first leg's extras win; re-run's kept under _rerun
+    assert m["extra"]["canary_spans"] == 0.38
+    assert m["extra"]["canary_spans_rerun"] == 0.41
+    assert m["contaminated"] == ["b"]
 
 
 def test_tiers_cover_bench_queries_exactly():
